@@ -1,0 +1,54 @@
+"""Numeric helpers with cross-engine-deterministic semantics.
+
+Floating-point SUM is order-dependent, and Spark's summation order varies
+with partitioning — so a double sum is not reproducible run-to-run at
+scale, and cannot be hash-compared against another engine (our DuckDB
+oracle harness, or the reference's Raptor reconciler, wheel
+Raptor/Raptor.py:552-579, which string-compares values). The fix the
+reference itself gestures at with its presentation cast
+(Raptor/Raptor.py:460-461, ``cast("decimal(10,2)")``) is done properly
+here: quantize each row to a decimal *before* aggregating, so the sum is
+exact integer arithmetic — associative, deterministic, engine-independent —
+then surface a double.
+
+This is also the right call at 100 TB: a money total that changes with
+partition count is a correctness bug, not a rounding detail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Quantized-cent precision used across the engine's money aggregates.
+MONEY = "decimal(18,2)"
+
+
+def money(expr: Column) -> Column:
+    """Quantize a row-level monetary expression to exact cents."""
+    return expr.cast(MONEY)
+
+
+def exact_sum(expr: Column, alias: str) -> Column:
+    """Order-independent sum of a monetary expression, surfaced as double.
+
+    sum(decimal) is exact in Spark (and in DuckDB, which makes the oracle
+    comparison byte-stable); the final double cast keeps downstream schemas
+    simple.
+    """
+    return F.sum(money(expr)).cast("double").alias(alias)
+
+
+def exact_resum(expr: Column, alias: str) -> Column:
+    """Second-level rollup over already-quantized partial sums."""
+    return F.sum(expr.cast(MONEY)).cast("double").alias(alias)
+
+
+def round2(expr: Column) -> Column:
+    """HALF_UP round to cents of a deterministically-computed double.
+
+    Safe cross-engine because the *input* double is bit-identical (products
+    and differences of identical doubles are IEEE-exact); only ambient sums
+    need the decimal path above.
+    """
+    return F.round(expr, 2)

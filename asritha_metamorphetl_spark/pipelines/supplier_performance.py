@@ -1,0 +1,191 @@
+"""Supplier-performance mart (the reference's flagship query).
+
+Re-expresses ETL_Airflow/dags/tasks/m_supplier_performance_task.py:13-180 on
+the driver's TPC-H-ish tables (mapping per FIXTURES.md §B):
+
+    suppliers  ← supplier            (SUPPLIER_ID ← s_suppkey)
+    products   ← part                (SELLING_PRICE ← p_retailprice)
+    sales      ← lineitem ⋈ orders   (ORDER_STATUS ← o_orderstatus)
+
+Reference semantics preserved:
+- filter out cancelled orders before joining (task:41-44; here status 'F'),
+- revenue = QUANTITY * (SELLING_PRICE − coalesce(DISCOUNT, 0)) with the
+  discount as an *absolute* amount (task:80-82 — a documented quirk; the
+  customer report treats discount as a percentage),
+- two-level aggregation: per (supplier, product) then per supplier with
+  countDistinct(product) (task:86-126),
+- top-1 product per supplier via row_number over revenue desc (task:100-112)
+  — we pin ties with the product key, fixing the reference's
+  nondeterministic tie-break,
+- right join to keep suppliers with no sales, filled with 0 / 'No sales'
+  (task:65-70, 136-150).
+
+Scale notes (100 TB): the orders→lineitem join shuffles on the order key —
+unavoidable and well-partitioned; part and supplier are dimension-sized so
+both are broadcast (explicit hint); both aggregations are hash aggregates
+with map-side partials; the only window is partitioned by supplier, so no
+global single-partition stage exists anywhere in this plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from asritha_metamorphetl_spark.functions.numeric import exact_resum, exact_sum
+from asritha_metamorphetl_spark.operators.nodes import agg_node, fil_node, jnr_node, sq_node
+from asritha_metamorphetl_spark.sources.files import Catalog
+
+CANCELLED_STATUS = "F"
+
+
+def supplier_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the supplier_performance mart DataFrame (lazy)."""
+    cat = Catalog(sf_dir)
+
+    # SQ_: narrow projections at the scan so ReadSchema stays minimal.
+    sq_orders = sq_node(
+        cat.load(spark, "orders"), "SQ_orders", ["o_orderkey", "o_orderstatus"]
+    )
+    sq_lineitem = sq_node(
+        cat.load(spark, "lineitem"),
+        "SQ_lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_discount"],
+    )
+    sq_part = sq_node(
+        cat.load(spark, "part"), "SQ_part", ["p_partkey", "p_name", "p_retailprice"]
+    )
+    sq_supplier = sq_node(
+        cat.load(spark, "supplier"), "SQ_supplier", ["s_suppkey", "s_name"]
+    )
+
+    # FIL_: drop cancelled orders before any join (filter below the shuffle).
+    fil_orders = fil_node(
+        sq_orders, "FIL_orders_cancelled", F.col("o_orderstatus") != CANCELLED_STATUS
+    )
+
+    # JNR_: lineitem ⋈ orders on the order key. Orders is fact-sized (it
+    # scales with the data), so no broadcast hint — at small SF AQE
+    # converts this to a broadcast join on its own; at 100 TB it stays a
+    # shuffled join partitioned on the key.
+    jnr_sales = jnr_node(
+        sq_lineitem,
+        fil_orders,
+        "JNR_sales_orders",
+        on=F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    jnr_products = jnr_node(
+        jnr_sales, F.broadcast(sq_part), "JNR_sales_products",
+        on=F.col("l_partkey") == F.col("p_partkey"),
+    )
+
+    # EXP_: absolute-discount revenue, quantized to exact cents pre-agg.
+    revenue = F.col("l_quantity") * (
+        F.col("p_retailprice") - F.coalesce(F.col("l_discount"), F.lit(0.0))
+    )
+
+    # AGG_ level 1: per (supplier, product).
+    agg_product = agg_node(
+        jnr_products,
+        "AGG_supplier_product",
+        ["l_suppkey", "p_partkey", "p_name"],
+        [
+            exact_sum(revenue, "prod_revenue"),
+            F.sum("l_quantity").alias("prod_quantity"),
+        ],
+    )
+
+    # AGG_ level 2: per supplier (reference keeps two explicit levels,
+    # task:117-126 — partial sums re-aggregate cheaply).
+    agg_supplier = agg_node(
+        agg_product,
+        "AGG_supplier",
+        ["l_suppkey"],
+        [
+            exact_resum(F.col("prod_revenue"), "total_revenue"),
+            F.sum("prod_quantity").alias("total_stock_sold"),
+            F.countDistinct("p_partkey").alias("total_products_sold"),
+        ],
+    )
+
+    # W1: top-selling product per supplier; ties pinned by product key.
+    top_window = Window.partitionBy("l_suppkey").orderBy(
+        F.col("prod_revenue").desc(), F.col("p_partkey").asc()
+    )
+    top_product = (
+        agg_product.withColumn("rn", F.row_number().over(top_window))
+        .filter(F.col("rn") == 1)
+        .select("l_suppkey", F.col("p_name").alias("top_selling_product"))
+    )
+
+    # JNR_: right-join semantics — keep every supplier; fill no-sales rows.
+    perf = jnr_node(
+        agg_supplier.join(top_product, "l_suppkey", "left"),
+        sq_supplier,
+        "JNR_supplier",
+        on=F.col("l_suppkey") == F.col("s_suppkey"),
+        how="right",
+    )
+
+    return perf.select(
+        F.col("s_suppkey").alias("supplier_id"),
+        F.col("s_name").alias("supplier_name"),
+        F.coalesce(F.col("total_revenue"), F.lit(0.0)).alias("total_revenue"),
+        F.coalesce(F.col("total_products_sold"), F.lit(0)).alias("total_products_sold"),
+        F.coalesce(F.col("total_stock_sold"), F.lit(0.0)).alias("total_stock_sold"),
+        F.coalesce(F.col("top_selling_product"), F.lit("No sales")).alias(
+            "top_selling_product"
+        ),
+    )
+
+
+ORACLE_SQL = f"""
+WITH sales AS (
+    SELECT l.l_suppkey, l.l_partkey, l.l_quantity, l.l_discount
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus <> '{CANCELLED_STATUS}'
+),
+prod_agg AS (
+    SELECT
+        s.l_suppkey,
+        p.p_partkey,
+        p.p_name,
+        SUM(CAST(s.l_quantity * (p.p_retailprice - COALESCE(s.l_discount, 0.0))
+                 AS DECIMAL(18,2))) AS prod_revenue,
+        SUM(s.l_quantity) AS prod_quantity
+    FROM sales s
+    JOIN part p ON s.l_partkey = p.p_partkey
+    GROUP BY s.l_suppkey, p.p_partkey, p.p_name
+),
+sup_agg AS (
+    SELECT
+        l_suppkey,
+        CAST(SUM(prod_revenue) AS DOUBLE) AS total_revenue,
+        SUM(prod_quantity) AS total_stock_sold,
+        COUNT(DISTINCT p_partkey) AS total_products_sold
+    FROM prod_agg
+    GROUP BY l_suppkey
+),
+top_prod AS (
+    SELECT l_suppkey, p_name AS top_selling_product
+    FROM (
+        SELECT l_suppkey, p_name,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY prod_revenue DESC, p_partkey ASC) AS rn
+        FROM prod_agg
+    )
+    WHERE rn = 1
+)
+SELECT
+    su.s_suppkey AS supplier_id,
+    su.s_name AS supplier_name,
+    COALESCE(a.total_revenue, 0.0) AS total_revenue,
+    COALESCE(a.total_products_sold, 0) AS total_products_sold,
+    COALESCE(a.total_stock_sold, 0.0) AS total_stock_sold,
+    COALESCE(t.top_selling_product, 'No sales') AS top_selling_product
+FROM supplier su
+LEFT JOIN sup_agg a ON su.s_suppkey = a.l_suppkey
+LEFT JOIN top_prod t ON su.s_suppkey = t.l_suppkey
+"""

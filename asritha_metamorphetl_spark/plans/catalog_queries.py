@@ -1,0 +1,12 @@
+"""Driver-visible query catalog (grows with every implemented operator).
+
+Each ``@register`` pairs a Spark plan with its DuckDB oracle SQL — this is
+the operator-coverage surface the correctness gate checks (SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+from asritha_metamorphetl_spark.pipelines import supplier_performance as _sp
+from asritha_metamorphetl_spark.plans.registry import register
+
+register("supplier_performance", oracle=_sp.ORACLE_SQL)(_sp.supplier_performance)

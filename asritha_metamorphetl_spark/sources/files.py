@@ -1,0 +1,93 @@
+"""File sources: parquet / CSV / JSON, dated-path layouts, table catalog.
+
+Re-expresses the reference's file ingestion (S4: CSV reader at
+ETL_Airflow/dags/tasks/ingestion_task.py:234-243, S7: parquet reader in the
+Raptor wheel Raptor/Raptor.py:89-100) without its anti-patterns: explicit
+schemas instead of ``inferSchema=True`` full-file scans, and real partition
+columns (``DAY_DT=YYYY-MM-DD``) instead of Python-side dated-path selection
+so Catalyst prunes partitions.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+#: Tables the driver generates under /root/testdata/sf*/ (TESTDATA.md).
+TESTDATA_TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan. Column pruning + predicate pushdown are free via
+    Catalyst as long as callers express filters/selects declaratively."""
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV scan with an explicit schema contract.
+
+    The reference uses ``inferSchema=True`` (ingestion_task.py:242) which
+    costs a full extra pass over the file; at 100 TB that is a second scan.
+    Pass ``schema`` to avoid it; inference remains available for exploration.
+    """
+    reader = spark.read.options(header=str(header).lower(), **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def dated_path(base: str, entity: str, day: _dt.date, ext: str = "csv") -> str:
+    """``{base}/{YYYYMMDD}/{entity}_{YYYYMMDD}.{ext}`` — the reference's
+    daily-drop layout (Rest-API/main.py:47-48, ingestion_task.py:235-238)."""
+    ymd = day.strftime("%Y%m%d")
+    return f"{base.rstrip('/')}/{ymd}/{entity}_{ymd}.{ext}"
+
+
+class Catalog:
+    """Named-table access over a directory of parquet files.
+
+    ``Catalog("/root/testdata/sf0.01")`` exposes each table lazily and can
+    register them all as temp views for ``spark.sql`` use. On a cluster the
+    same class fronts a warehouse path; nothing here is local-only.
+    """
+
+    def __init__(self, root: str, tables: tuple[str, ...] = TESTDATA_TABLES):
+        self.root = root.rstrip("/")
+        self.tables = tables
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, f"{table}.parquet")
+
+    def load(self, spark: SparkSession, table: str) -> DataFrame:
+        if table not in self.tables:
+            raise KeyError(f"unknown table {table!r}; catalog has {self.tables}")
+        return read_parquet(spark, self.path(table))
+
+    def register_views(self, spark: SparkSession) -> None:
+        """Register every table as a temp view (mirrors the reference's
+        createOrReplaceTempView + spark.sql flow, Raptor/Raptor.py:95-100)."""
+        for table in self.tables:
+            if os.path.exists(self.path(table)):
+                self.load(spark, table).createOrReplaceTempView(table)
