@@ -1,0 +1,6 @@
+"""Data-quality operators: constraint asserts + dataset reconciliation."""
+
+from asritha_metamorphetl_spark.quality.asserts import DuplicateKeyError, assert_unique
+from asritha_metamorphetl_spark.quality.reconcile import ReconcileResult, reconcile
+
+__all__ = ["DuplicateKeyError", "assert_unique", "ReconcileResult", "reconcile"]

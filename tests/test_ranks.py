@@ -1,0 +1,43 @@
+"""Scale-safe global ranking vs the single-partition window reference."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def test_global_row_number_matches_window(spark):
+    from asritha_metamorphetl_spark.operators.ranks import global_row_number
+
+    df = spark.range(0, 5000).withColumn("v", (F.col("id") * 37 % 1000).cast("double"))
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = global_row_number(df, order, out_col="grn", num_partitions=7)
+    want = df.withColumn("wrn", F.row_number().over(Window.orderBy(*order)))
+    joined = got.join(want.select("id", "wrn"), "id")
+    assert joined.filter(F.col("grn") != F.col("wrn")).count() == 0
+
+
+def test_global_percent_rank_matches_window_with_ties(spark):
+    from asritha_metamorphetl_spark.operators.ranks import global_percent_rank
+
+    # v has heavy ties (mod 50) — tie groups must share the min rank.
+    df = spark.range(0, 3000).withColumn("v", (F.col("id") % 50).cast("double"))
+    got = global_percent_rank(
+        df, F.col("v"), descending=True, tiebreak=[F.col("id")], out_col="pr"
+    )
+    want = df.withColumn(
+        "wpr", F.percent_rank().over(Window.orderBy(F.col("v").desc()))
+    )
+    joined = got.join(want.select("id", "wpr"), "id")
+    assert joined.filter(F.abs(F.col("pr") - F.col("wpr")) > 1e-12).count() == 0
+
+
+def test_global_percent_rank_no_single_partition_stage(spark):
+    """The whole point: the plan must not contain an unpartitioned Window."""
+    from asritha_metamorphetl_spark.operators.ranks import global_percent_rank
+
+    df = spark.range(0, 1000).withColumn("v", F.rand(seed=1))
+    got = global_percent_rank(df, F.col("v"), tiebreak=[F.col("id")])
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # Spark renders an unpartitioned window as a SinglePartition exchange.
+    assert "SinglePartition" not in plan, plan
