@@ -1,0 +1,125 @@
+"""Deduplication operators for training-data pipelines.
+
+Four strategies, all partition-parallel (no global windows, no driver-side
+loops) — the scale path is the shuffle on content keys:
+
+- exact_duplicates: hash-groupBy on normalized text. One shuffle keyed by
+  the fingerprint; at 100 TB this is the cheapest possible dedup.
+- minhash_lsh_pairs: shingle → MinHash signature → LSH band bucket join.
+  Cost is linear in corpus size (each doc emits BANDS bucket keys); the
+  self-join happens per bucket, never all-pairs.
+- simhash buckets: 16-bit SimHash as a cheap near-dup blocking key.
+- ngram_jaccard_pairs: exact Jaccard via an inverted shingle index —
+  the verification stage behind MinHash candidates; a document-frequency
+  cap drops stop-shingles so bucket joins cannot quadratically explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from asritha_metamorphetl_spark.functions import hashing as H
+from asritha_metamorphetl_spark.functions.text import fingerprint
+
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Groups of byte-identical documents: (fingerprint, canonical_id,
+    n_dupes, member_ids). Canonical = min id (deterministic survivor)."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+            F.sort_array(F.collect_list("doc_id")).alias("member_ids"),
+        )
+        .filter(F.col("n_dupes") > 1)
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Candidate near-duplicate pairs (doc_a < doc_b) via MinHash + LSH
+    banding. Pairs collide when any band's signature rows all agree."""
+    shingled = df.select(
+        F.col(id_col).alias("doc_id"), H.word_shingles(F.col(text_col)).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = shingled.select("doc_id", *H.minhash_signature(F.col("sh")))
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            H.lsh_band_keys([F.col(f"mh_{i}") for i in range(H.MINHASH_K)])
+        ).alias("band_key"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(right, "band_key")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash_keys(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, simhash) blocking keys for near-dup clustering."""
+    return df.select(
+        F.col(id_col).alias("doc_id"), H.simhash(F.col(text_col)).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """Exact shingle-set Jaccard similarity for pairs sharing ≥1 rare
+    shingle. ``max_doc_freq`` drops shingles present in more than that
+    many documents (stop-shingles) — without it the inverted-index join
+    degenerates to all-pairs on boilerplate text; with it, cost is bounded
+    by sum(df_s²) over rare shingles. Deterministic given the cap.
+    """
+    shingles = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(H.word_shingles(F.col(text_col)))).alias("s"),
+        )
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    rare = (
+        shingles.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df_s"))
+        .filter(F.col("df_s") <= max_doc_freq)
+        .select("s")
+    )
+    indexed = shingles.join(rare, "s")
+
+    a = indexed.alias("a")
+    b = indexed.alias("b")
+    common = (
+        a.join(b, "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )

@@ -1,0 +1,488 @@
+"""Operator-coverage queries: one registered query per SURVEY.md §2 operator
+family, each with an exact DuckDB oracle.
+
+These are deliberately small, single-purpose plans — the operator inventory
+made checkable. Mart-sized compositions live in ``pipelines/``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from asritha_metamorphetl_spark.functions.numeric import exact_sum
+from asritha_metamorphetl_spark.plans.registry import register
+from asritha_metamorphetl_spark.sources.files import Catalog
+
+# ---------------------------------------------------------------------------
+# A2/E3/O1 — multi-measure hash aggregate (TPC-H Q1-style pricing summary)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+SELECT
+    l_returnflag,
+    l_linestatus,
+    SUM(l_quantity) AS sum_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+    COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side-combinable hash aggregate over the fact table; the filter
+    reaches the parquet scan as a pushed predicate."""
+    li = Catalog(sf_dir).load(spark, "lineitem")
+    disc_price = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            exact_sum(F.col("l_extendedprice"), "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1/O4 — top-k per group via ranking window
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top3_parts_per_brand",
+    oracle="""
+WITH rev AS (
+    SELECT
+        p.p_brand,
+        p.p_partkey,
+        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand, p.p_partkey
+)
+SELECT p_brand, p_partkey, revenue, rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY p_brand ORDER BY revenue DESC, p_partkey ASC) AS rnk
+    FROM rev
+)
+WHERE rnk <= 3
+""",
+)
+def top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(sf_dir)
+    li = cat.load(spark, "lineitem")
+    part = cat.load(spark, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("revenue").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "revenue", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6 — anti join (idiomatic form of the reference's outer+null-filter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti — the idiomatic Spark spelling of the reference's
+    outer-join + 'Target_Record is null' pattern (Raptor/Raptor.py:281-290)."""
+    cat = Catalog(sf_dir)
+    cust = cat.load(spark, "customer").select("c_custkey", "c_name")
+    orders = cat.load(spark, "orders").select("o_custkey")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# J7 — semi join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customers_with_open_orders",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+""",
+)
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(sf_dir)
+    cust = cat.load(spark, "customer").select("c_custkey", "c_name")
+    open_orders = (
+        cat.load(spark, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+    )
+    return cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# A1/F3 — duplicate detection (group-count-having), the D1 building block
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "repeat_customers",
+    oracle="""
+SELECT o_custkey, COUNT(*) AS order_cnt
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) > 1
+""",
+)
+def repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = Catalog(sf_dir).load(spark, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("order_cnt"))
+        .filter(F.col("order_cnt") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup + grouping id (beyond reference: multi-level aggregation in one pass)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_rollup",
+    oracle="""
+SELECT
+    COALESCE(l_returnflag, '<all>') AS returnflag,
+    COALESCE(l_linestatus, '<all>') AS linestatus,
+    GROUPING_ID(l_returnflag, l_linestatus) AS gid,
+    SUM(l_quantity) AS sum_qty,
+    COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+)
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(sf_dir).load(spark, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("linestatus"),
+            "gid",
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (beyond reference) — counts by status cross orderpriority
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_status_pivot",
+    oracle="""
+SELECT
+    o_orderpriority,
+    COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+    COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+    COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = Catalog(sf_dir).load(spark, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves missing cells NULL; the FILTER oracle yields 0.
+    return out.na.fill(0, ["F", "O", "P"])
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.9 — absent from the reference, first-class here)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "open_minus_fulfilled_customers",
+    oracle="""
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def open_minus_fulfilled_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = Catalog(sf_dir).load(spark, "orders")
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    full_c = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    # subtract == SQL EXCEPT (distinct) — exceptAll would be multiset minus.
+    return open_c.subtract(full_c)
+
+
+@register(
+    "open_and_pending_customers",
+    oracle="""
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'
+""",
+)
+def open_and_pending_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = Catalog(sf_dir).load(spark, "orders")
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    pend_c = orders.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return open_c.intersect(pend_c)
+
+
+# ---------------------------------------------------------------------------
+# Windowed aggregate with explicit frame (beyond reference: running total)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "running_customer_spend",
+    oracle="""
+SELECT
+    o_custkey,
+    o_orderkey,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate ASC, o_orderkey ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS running_spend
+FROM orders
+""",
+)
+def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = Catalog(sf_dir).load(spark, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# lag/lead (§2.12 gap — inter-event deltas per user)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_gaps",
+    oracle="""
+SELECT
+    user_id,
+    event_id,
+    CAST(FLOOR(EXTRACT(EPOCH FROM ts)) AS BIGINT)
+        - LAG(CAST(FLOOR(EXTRACT(EPOCH FROM ts)) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_sec
+FROM events
+""",
+)
+def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(sf_dir).load(spark, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    epoch = F.unix_timestamp("ts")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (epoch - F.lag(epoch).over(w)).alias("gap_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tumbling time-window aggregation (batch equivalent of the streaming op)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hourly",
+    oracle="""
+SELECT
+    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+    event_type,
+    COUNT(*) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window — the exact shape streaming/windows.py uses
+    under readStream; here over the batch events table."""
+    ev = Catalog(sf_dir).load(spark, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum(F.col("value"), "total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (gaps-and-islands; batch twin of streaming session windows)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_SEC = 1800
+
+
+@register(
+    "event_sessions",
+    oracle=f"""
+WITH ordered AS (
+    SELECT
+        user_id,
+        event_id,
+        value,
+        CAST(FLOOR(EXTRACT(EPOCH FROM ts)) AS BIGINT) AS ts_sec
+    FROM events
+),
+flagged AS (
+    SELECT *,
+        CASE WHEN ts_sec - LAG(ts_sec) OVER (
+                 PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)
+             > {SESSION_GAP_SEC}
+             OR LAG(ts_sec) OVER (
+                 PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+),
+numbered AS (
+    SELECT *,
+        CAST(SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_id
+    FROM flagged
+)
+SELECT
+    user_id,
+    session_id,
+    MIN(ts_sec) AS session_start_sec,
+    MAX(ts_sec) AS session_end_sec,
+    COUNT(*) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM numbered
+GROUP BY user_id, session_id
+""",
+)
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap sessionization via gaps-and-islands. All windows are
+    partitioned by user — fully parallel; the streaming twin is
+    session_window() in streaming/windows.py."""
+    ev = Catalog(sf_dir).load(spark, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_sec").asc(), F.col("event_id").asc()
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts_sec").over(w)
+    return (
+        ev.select(
+            "user_id", "event_id", "value", F.unix_timestamp("ts").alias("ts_sec")
+        )
+        .withColumn(
+            "new_session",
+            F.when(
+                (F.col("ts_sec") - prev > SESSION_GAP_SEC) | prev.isNull(), 1
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts_sec").alias("session_start_sec"),
+            F.max("ts_sec").alias("session_end_sec"),
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum(F.col("value"), "total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction (events.props is a JSON string column)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_props_stats",
+    oracle="""
+SELECT
+    event_type,
+    CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+    COUNT(*) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(sf_dir).load(spark, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )

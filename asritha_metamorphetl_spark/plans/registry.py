@@ -56,6 +56,9 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from asritha_metamorphetl_spark.plans import catalog_queries  # noqa: F401
+    from asritha_metamorphetl_spark.plans import (  # noqa: F401
+        catalog_queries,
+        operator_queries,
+    )
 
     _LOADED = True

@@ -36,6 +36,9 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "128m",
     # Deterministic timestamp behavior across engines (oracle parity).
     "spark.sql.session.timeZone": "UTC",
+    # Read TIMESTAMP(NANOS) parquet columns as long (Spark has no nanos
+    # type); sources.files.Catalog converts them to micros timestamps.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.shuffle.partitions": "32",
     # Quiet the local UI; irrelevant on a real cluster deploy.
     "spark.ui.showConsoleProgress": "false",

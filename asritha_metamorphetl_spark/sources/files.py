@@ -14,6 +14,7 @@ import datetime as _dt
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 #: Tables the driver generates under /root/testdata/sf*/ (TESTDATA.md).
@@ -83,7 +84,19 @@ class Catalog:
     def load(self, spark: SparkSession, table: str) -> DataFrame:
         if table not in self.tables:
             raise KeyError(f"unknown table {table!r}; catalog has {self.tables}")
-        return read_parquet(spark, self.path(table))
+        df = read_parquet(spark, self.path(table))
+        if table == "events":
+            # events.ts is TIMESTAMP(NANOS) parquet, surfaced as long nanos
+            # under spark.sql.legacy.parquet.nanosAsLong; convert to a real
+            # micros timestamp (floor division — matches engines that
+            # truncate nanos on read).
+            from pyspark.sql.types import LongType
+
+            if isinstance(df.schema["ts"].dataType, LongType):
+                df = df.withColumn(
+                    "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                )
+        return df
 
     def register_views(self, spark: SparkSession) -> None:
         """Register every table as a temp view (mirrors the reference's
