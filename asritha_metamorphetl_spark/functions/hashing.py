@@ -31,7 +31,11 @@ def word_shingles(text: Column, k: int = SHINGLE_SIZE) -> Column:
     """
     toks = tokens(text)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    # Guard: Spark's sequence(1, 0) counts DOWN (step defaults to -1), so
+    # short docs must short-circuit to an empty array explicitly.
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(
         idx,
         lambda i: F.concat_ws(

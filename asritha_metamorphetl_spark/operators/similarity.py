@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two strategies:
+
+- ``brute_force_topk``: exact cosine top-k of every query vector against
+  the corpus. The query set broadcasts (it is small by construction); the
+  corpus never shuffles — each partition scores its slice and the global
+  top-k is a ranking window partitioned BY QUERY, so parallelism = number
+  of queries × corpus partitions. This is the correctness baseline.
+- ``lsh_bucketed_topk``: random-hyperplane LSH — corpus and queries are
+  bucketed by sign-pattern hashes; scoring happens only within matching
+  buckets. At 100 TB this turns an O(Q×N) scan into O(Q×bucket) with a
+  recall knob (number of hash tables). Hyperplanes derive from a seeded
+  deterministic generator, so results are reproducible.
+
+Vector math uses ``zip_with``/``aggregate`` higher-order functions —
+JVM-side, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _to_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    score_decimals: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, score), k rows per query.
+
+    Scores are rounded before ranking so float-epsilon ties resolve by the
+    deterministic id tiebreak instead of summation noise — this is what
+    makes the result reproducible across engines and partitionings.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), score_decimals).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "score", "rnk")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG — no numpy dependency
+    in the plan; reproducible across runs and engines)."""
+    state = seed & 0x7FFFFFFF
+    planes: list[list[float]] = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append(state / float(1 << 31) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    score_decimals: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH.
+
+    Each table hashes a vector to an n_planes-bit sign pattern; candidates
+    are corpus rows sharing a bucket with the query in ANY table. Scoring
+    and ranking then mirror brute_force_topk over the candidate set.
+
+    Defaults (4 planes × 8 tables) are tuned for low-similarity corpora:
+    when true neighbors sit near cosine ≈ 0.3 (e.g. random embeddings),
+    each extra plane halves candidate cost but sharply cuts recall —
+    measured on the sf0.001 fixture: 8×2 → 0.06 recall, 4×8 → 0.52,
+    3×8 → 0.78. Tune per-corpus; high-similarity dedup workloads can
+    afford many more planes.
+    """
+
+    def bucket_cols(vec: Column) -> list[Column]:
+        cols = []
+        for t in range(n_tables):
+            planes = _hyperplanes(dim, n_planes, seed=42 + t)
+            bits = []
+            for p in planes:
+                plane = F.array(*[F.lit(v) for v in p])
+                bits.append(F.when(dot(vec, plane) >= 0, "1").otherwise("0"))
+            cols.append(F.concat(F.lit(f"{t}:"), *bits))
+        return cols
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+    )
+    c_b = c.select(
+        "neighbor_id", "cv", F.explode(F.array(*bucket_cols(F.col("cv")))).alias("bucket")
+    )
+    q_b = q.select(
+        "query_id", "qv", F.explode(F.array(*bucket_cols(F.col("qv")))).alias("bucket")
+    )
+    candidates = (
+        c_b.join(F.broadcast(q_b), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .distinct()
+    )
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), score_decimals).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "score", "rnk")
+    )

@@ -1,0 +1,289 @@
+"""Training-data-pipeline queries over documents + embeddings: text
+analysis, dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), and
+similarity search. Each has an exact DuckDB oracle built from the same
+portable primitives (md5, list lambdas, integer math) — hash parity was
+spiked cell-for-cell before these were registered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from asritha_metamorphetl_spark.functions import text as T
+from asritha_metamorphetl_spark.operators import dedup as D
+from asritha_metamorphetl_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk
+from asritha_metamorphetl_spark.plans.registry import register
+from asritha_metamorphetl_spark.sources.files import Catalog
+
+_STOPLIST_SQL = "(" + ",".join(f"'{w}'" for w in T.EN_STOPWORDS) + ")"
+
+#: DuckDB CTE producing (doc_id, t tokens, s shingles) — shared by oracles.
+_SHINGLE_CTE = """
+toks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+    FROM documents
+),
+shingled AS (
+    SELECT doc_id,
+           list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS s
+    FROM toks
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token/char counts, stopword ratio, language id, quality
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_text_stats",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, text,
+           list_filter(string_split(text, ' '), x -> x != '') AS t
+    FROM documents
+)
+SELECT
+    doc_id,
+    len(t) AS n_tokens,
+    length(text) AS n_chars,
+    CASE WHEN len(t) > 0
+         THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+         ELSE 0.0 END AS avg_token_len,
+    CASE WHEN len(t) > 0
+         THEN CAST(len(list_filter(t, x -> x IN {_STOPLIST_SQL})) AS DOUBLE) / len(t)
+         ELSE 0.0 END AS stopword_ratio,
+    md5(text) AS fingerprint
+FROM toks
+""",
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-local text enrichment — runs entirely inside the scan stage."""
+    docs = Catalog(sf_dir).load(spark, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.token_count(c).alias("n_tokens"),
+        T.char_count(c).alias("n_chars"),
+        T.avg_token_length(c).alias("avg_token_len"),
+        T.stopword_ratio(c).alias("stopword_ratio"),
+        T.fingerprint(c).alias("fingerprint"),
+    )
+
+
+@register(
+    "doc_language_counts",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+    FROM documents
+),
+scored AS (
+    SELECT doc_id,
+        CASE WHEN len(t) > 0
+             AND CAST(len(list_filter(t, x -> x IN {_STOPLIST_SQL})) AS DOUBLE)
+                 / len(t) >= 0.03
+             THEN 'en' ELSE 'unk' END AS lang_pred
+    FROM toks
+)
+SELECT lang_pred, COUNT(*) AS n_docs
+FROM scored
+GROUP BY lang_pred
+""",
+)
+def doc_language_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(sf_dir).load(spark, "documents")
+    return (
+        docs.select(T.language_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exact_dup_groups",
+    oracle="""
+SELECT
+    md5(text) AS fp,
+    MIN(doc_id) AS canonical_id,
+    COUNT(*) AS n_dupes,
+    array_to_string(list_sort(list(doc_id)), ',') AS member_ids
+FROM documents
+GROUP BY md5(text)
+HAVING COUNT(*) > 1
+""",
+)
+def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(sf_dir).load(spark, "documents")
+    out = D.exact_duplicates(docs, "text", "doc_id")
+    # serialize member array for engine-neutral hashing
+    return out.select(
+        "fp",
+        "canonical_id",
+        "n_dupes",
+        F.concat_ws(",", F.col("member_ids")).alias("member_ids"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup candidate pairs
+# ---------------------------------------------------------------------------
+
+_MH_COLS = ",\n       ".join(
+    f"list_min(list_transform(s, x -> md5('{i}:' || x))) AS mh_{i}" for i in range(12)
+)
+_BAND_ROWS = "\n    UNION ALL\n".join(
+    f"    SELECT doc_id, md5('{b}' || '|' || mh_{b*3} || '|' || mh_{b*3+1} "
+    f"|| '|' || mh_{b*3+2}) AS band_key FROM sig"
+    for b in range(4)
+)
+
+
+@register(
+    "minhash_near_dups",
+    oracle=f"""
+WITH {_SHINGLE_CTE},
+nonempty AS (SELECT doc_id, s FROM shingled WHERE len(s) > 0),
+sig AS (
+    SELECT doc_id,
+       {_MH_COLS}
+    FROM nonempty
+),
+bands AS (
+{_BAND_ROWS}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b USING (band_key)
+WHERE a.doc_id < b.doc_id
+""",
+)
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(sf_dir).load(spark, "documents")
+    return D.minhash_lsh_pairs(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (MinHash verification stage)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+WITH {_SHINGLE_CTE},
+sh_d AS (
+    SELECT doc_id, unnest(list_distinct(s)) AS sh
+    FROM shingled WHERE len(s) > 0
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh_d GROUP BY doc_id),
+rare AS (SELECT sh FROM sh_d GROUP BY sh HAVING COUNT(*) <= 100),
+idx AS (SELECT d.doc_id, d.sh FROM sh_d d JOIN rare USING (sh)),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM idx a JOIN idx b USING (sh)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_common,
+       ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+""",
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(sf_dir).load(spark, "documents")
+    return D.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5, max_doc_freq=100)
+
+
+# ---------------------------------------------------------------------------
+# SimHash blocking keys
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "simhash_docs",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+    FROM documents
+),
+bits AS (
+    SELECT doc_id, j,
+        CASE WHEN list_sum(list_transform(t,
+                 tok -> CAST(FLOOR(
+                     (strpos('0123456789abcdef',
+                             substr(md5(tok), (j // 4) + 1, 1)) - 1)
+                     / power(2, 3 - (j % 4))) AS BIGINT) % 2 * 2 - 1)) > 0
+             THEN CAST(power(2, 15 - j) AS BIGINT) ELSE 0 END AS v
+    FROM toks, generate_series(0, 15) gs(j)
+)
+SELECT doc_id, CAST(SUM(v) AS BIGINT) AS simhash
+FROM bits
+GROUP BY doc_id
+""",
+)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(sf_dir).load(spark, "documents")
+    return D.simhash_keys(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: exact brute-force top-k (oracle) + LSH (rows-only)
+# ---------------------------------------------------------------------------
+
+KNN_K = 10
+KNN_QUERIES = 5  # vec_id < 5 are the query vectors
+
+
+@register(
+    "knn_cosine_topk",
+    oracle=f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < {KNN_QUERIES}
+),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+        ROUND(list_dot_product(q.qv, e.embedding::DOUBLE[])
+              / (sqrt(list_dot_product(q.qv, q.qv))
+                 * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                         e.embedding::DOUBLE[]))), 4) AS score
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, score, rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rnk
+    FROM scored
+)
+WHERE rnk <= {KNN_K}
+""",
+)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(sf_dir).load(spark, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
+    return brute_force_topk(emb, queries, "vec_id", "embedding", k=KNN_K)
+
+
+@register("knn_lsh_topk", oracle=None)  # hyperplane constants are engine-side
+def knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate variant — rows-only driver check; accuracy vs the exact
+    path is asserted in tests/test_llm_ops.py (recall on sf0.001)."""
+    emb = Catalog(sf_dir).load(spark, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
+    return lsh_bucketed_topk(
+        emb, queries, "vec_id", "embedding", dim=64, k=KNN_K
+    )
