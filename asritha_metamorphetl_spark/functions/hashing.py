@@ -44,16 +44,64 @@ def word_shingles(text: Column, k: int = SHINGLE_SIZE) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, k: int = MINHASH_K) -> list[Column]:
-    """K-row MinHash signature using *string* min over salted md5 digests.
+#: 2^61 − 1 (Mersenne prime) — modulus for the permutation family.
+MERSENNE61 = (1 << 61) - 1
+#: Permutation constants (a odd, < 2^12 so a·h < 2^60 never overflows a
+#: signed 64-bit int; b arbitrary). Frozen — part of the operator contract.
+_PERM_A = (769, 1031, 1543, 2053, 2311, 2777, 3079, 3331, 3583, 3847, 4001, 4093)
+_PERM_B = (12, 777, 1432, 2099, 2641, 3310, 4093, 4721, 5432, 6011, 6733, 7039)
 
-    min(md5(i || ':' || shingle)) is a valid min-hash per permutation i —
-    lexicographic order over fixed-width hex is a total order — and is
-    reproducible in any engine with md5. Empty shingle sets yield NULL rows.
+_HEX48_POWS = tuple(16 ** (11 - i) for i in range(12))
+
+
+def _hex48(hex_col: Column) -> Column:
+    """First 48 bits of a hex digest as a bigint, via pure arithmetic
+    (strpos over nibbles) — identical in Spark and the SQL oracle, with no
+    engine-specific hex-parse function."""
+    out = F.lit(0).cast("long")
+    for i, p in enumerate(_HEX48_POWS):
+        nib = F.instr(F.lit(_HEX), F.substring(hex_col, i + 1, 1)) - 1
+        out = out + nib.cast("long") * F.lit(p)
+    return out
+
+
+def hashed48(strings: Column) -> Column:
+    """array<string> → array<bigint> 48-bit content hashes.
+
+    Two nested transforms, NOT ``_hex48(md5(x))`` inlined: Spark does no
+    common-subexpression elimination inside higher-order lambdas, so a
+    single expression tree would re-run md5 once per nibble (12×). The
+    inner transform binds each digest to a lambda variable; the outer one
+    does pure arithmetic over it.
+    """
+    return F.transform(F.transform(strings, F.md5), _hex48)
+
+
+def shingle_hash(s: Column) -> Column:
+    """48-bit content hash of one shingle. For arrays use ``hashed48`` —
+    this scalar form re-evaluates md5 per nibble if nested in a lambda."""
+    return _hex48(F.md5(s))
+
+
+def minhash_signature(hashes: Column, k: int = MINHASH_K) -> list[Column]:
+    """K-row MinHash signature over PRE-HASHED shingles (see ``hashed48``):
+
+        h_i(x) = (a_i · h(x) + b_i) mod (2^61 − 1)
+
+    ``hashes`` must be a *materialized column*, not an inline expression:
+    higher-order functions are interpreted (no codegen, no common-subexpr
+    elimination), so an inline ``hashed48(...)`` here would recompute
+    every md5 K times. Callers project the hash array first — Catalyst's
+    CollapseProject keeps multi-referenced non-cheap aliases staged.
+    Empty shingle sets yield NULL rows.
     """
     return [
         F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+            F.transform(
+                hashes,
+                lambda h: (F.lit(_PERM_A[i]) * h + F.lit(_PERM_B[i]))
+                % F.lit(MERSENNE61),
+            )
         ).alias(f"mh_{i}")
         for i in range(k)
     ]
@@ -82,30 +130,33 @@ SIMHASH_BITS = 16
 _HEX = "0123456789abcdef"
 
 
-def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
-    """Token-frequency SimHash over the first ``bits`` bits of md5(token).
-
-    For each bit position: +1 per token whose hash bit is 1, −1 otherwise;
-    the output bit is 1 where the sum is positive. Pure integer arithmetic
-    → bit-identical across engines.
-    """
+def token_hash_values(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Tokens → array of ``bits``-wide integer hashes (md5 once per token,
+    nibble arithmetic). Stage this as its own column before
+    ``simhash_from_values`` — see minhash_signature's CSE note."""
     toks = tokens(text)
+    nibbles = bits // 4
+    pows = tuple(16 ** (nibbles - 1 - i) for i in range(nibbles))
+
+    def digest_value(digest: Column) -> Column:
+        # digest is a bound lambda variable — md5 already evaluated once.
+        v = F.lit(0).cast("long")
+        for i, p in enumerate(pows):
+            nib = F.instr(F.lit(_HEX), F.substring(digest, i + 1, 1)) - 1
+            v = v + nib.cast("long") * F.lit(p)
+        return v
+
+    return F.transform(F.transform(toks, F.md5), digest_value)
+
+
+def simhash_from_values(values: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash from pre-hashed token values: per bit position, +1 per token
+    whose hash bit is 1, −1 otherwise; output bit set where the sum is
+    positive. Pure integer arithmetic — bit-identical across engines."""
 
     def bit_sum(j: int) -> Column:
-        nibble_pos = j // 4 + 1
-        shift = 3 - (j % 4)
-        contrib = F.transform(
-            toks,
-            lambda t: (
-                F.floor(
-                    (F.instr(F.lit(_HEX), F.substring(F.md5(t), nibble_pos, 1)) - 1)
-                    / (2 ** shift)
-                )
-                % 2
-            )
-            * 2
-            - 1,
-        )
+        shift = 2 ** (bits - 1 - j)
+        contrib = F.transform(values, lambda v: (F.floor(v / shift) % 2) * 2 - 1)
         return F.aggregate(contrib, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
     out = F.lit(0).cast("long")
@@ -114,3 +165,9 @@ def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
             F.lit(0)
         )
     return out
+
+
+def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """One-shot SimHash column. Fine for small frames/tests; hot paths
+    should stage token_hash_values as a column first (operators/dedup.py)."""
+    return simhash_from_values(token_hash_values(text, bits), bits)

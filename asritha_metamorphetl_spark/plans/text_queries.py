@@ -138,12 +138,37 @@ def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH near-dup candidate pairs
 # ---------------------------------------------------------------------------
 
-_MH_COLS = ",\n       ".join(
-    f"list_min(list_transform(s, x -> md5('{i}:' || x))) AS mh_{i}" for i in range(12)
-)
+def _hex48_sql(hex_expr: str) -> str:
+    """SQL twin of hashing._hex48: first 48 md5 bits as bigint arithmetic."""
+    from asritha_metamorphetl_spark.functions.hashing import _HEX48_POWS
+
+    terms = [
+        f"(strpos('0123456789abcdef', substr({hex_expr}, {i + 1}, 1)) - 1)"
+        f" * {p}"
+        for i, p in enumerate(_HEX48_POWS)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _minhash_sig_sql() -> str:
+    from asritha_metamorphetl_spark.functions.hashing import (
+        MERSENNE61,
+        MINHASH_K,
+        _PERM_A,
+        _PERM_B,
+    )
+
+    return ",\n       ".join(
+        f"list_min(list_transform(hv, h -> ({_PERM_A[i]} * h + {_PERM_B[i]})"
+        f" % {MERSENNE61})) AS mh_{i}"
+        for i in range(MINHASH_K)
+    )
+
+
 _BAND_ROWS = "\n    UNION ALL\n".join(
-    f"    SELECT doc_id, md5('{b}' || '|' || mh_{b*3} || '|' || mh_{b*3+1} "
-    f"|| '|' || mh_{b*3+2}) AS band_key FROM sig"
+    f"    SELECT doc_id, md5('{b}' || '|' || CAST(mh_{b*3} AS VARCHAR) || '|' || "
+    f"CAST(mh_{b*3+1} AS VARCHAR) || '|' || CAST(mh_{b*3+2} AS VARCHAR)) "
+    f"AS band_key FROM sig"
     for b in range(4)
 )
 
@@ -153,10 +178,14 @@ _BAND_ROWS = "\n    UNION ALL\n".join(
     oracle=f"""
 WITH {_SHINGLE_CTE},
 nonempty AS (SELECT doc_id, s FROM shingled WHERE len(s) > 0),
+hashed AS (
+    SELECT doc_id, list_transform(s, x -> {_hex48_sql('md5(x)')}) AS hv
+    FROM nonempty
+),
 sig AS (
     SELECT doc_id,
-       {_MH_COLS}
-    FROM nonempty
+       {_minhash_sig_sql()}
+    FROM hashed
 ),
 bands AS (
 {_BAND_ROWS}
@@ -182,7 +211,9 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {_SHINGLE_CTE},
 sh_d AS (
-    SELECT doc_id, unnest(list_distinct(s)) AS sh
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(s, x -> {_hex48_sql('md5(x)')})))
+               AS sh
     FROM shingled WHERE len(s) > 0
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh_d GROUP BY doc_id),
@@ -212,22 +243,34 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _tok16_sql() -> str:
+    """SQL twin of hashing.simhash's per-token 16-bit value (4 nibbles)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr(md5(tok), {i + 1}, 1)) - 1)"
+        f" * {16 ** (3 - i)}"
+        for i in range(4)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
 @register(
     "simhash_docs",
-    oracle="""
+    oracle=f"""
 WITH toks AS (
     SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
     FROM documents
 ),
+hashed AS (
+    SELECT doc_id, list_transform(t, tok -> {_tok16_sql()}) AS vals
+    FROM toks
+),
 bits AS (
     SELECT doc_id, j,
-        CASE WHEN list_sum(list_transform(t,
-                 tok -> CAST(FLOOR(
-                     (strpos('0123456789abcdef',
-                             substr(md5(tok), (j // 4) + 1, 1)) - 1)
-                     / power(2, 3 - (j % 4))) AS BIGINT) % 2 * 2 - 1)) > 0
+        CASE WHEN list_sum(list_transform(vals,
+                 v -> CAST(FLOOR(v / power(2, 15 - j)) AS BIGINT)
+                      % 2 * 2 - 1)) > 0
              THEN CAST(power(2, 15 - j) AS BIGINT) ELSE 0 END AS v
-    FROM toks, generate_series(0, 15) gs(j)
+    FROM hashed, generate_series(0, 15) gs(j)
 )
 SELECT doc_id, CAST(SUM(v) AS BIGINT) AS simhash
 FROM bits
