@@ -1,0 +1,113 @@
+"""Streaming transformations over an events stream.
+
+Batch/stream parity is the design rule: every transformation here is the
+streaming twin of a registered batch query (plans/operator_queries.py), so
+correctness is checked against the DuckDB oracle via the batch twin and
+the streaming plumbing is checked with in-memory streams in tests.
+
+    events_hourly   (batch)  ↔  hourly_event_counts   (stream, watermark)
+    event_sessions  (batch)  ↔  sessionized_stream    (session_window)
+    legacy snapshot (batch)  ↔  snapshot_stream       (foreachBatch dual-write)
+
+Scale notes: all aggregations key their state by (window, event_type) or
+(user, session) — state is hash-partitioned across executors; watermarks
+bound state size; no stream ever funnels to a single partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from asritha_metamorphetl_spark.functions.numeric import exact_sum
+
+
+def hourly_event_counts(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling 1-hour counts/sums per event_type. Late rows beyond the
+    watermark are dropped; state for closed windows is evicted."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum(F.col("value"), "total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_event_stats(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window per-type stats (each row lands in window/slide
+    overlapping windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def sessionized_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user (dynamic gap-based windows) — the
+    streaming twin of the batch gaps-and-islands query
+    (plans/operator_queries.py::event_sessions)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum(F.col("value"), "total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def snapshot_stream(events: DataFrame, raw_path: str, legacy_path: str):
+    """The reference's raw/legacy dual-write as a streaming sink: each
+    micro-batch overwrites the ``raw`` staging area and appends a
+    DAY_DT-stamped snapshot to ``legacy`` (reference pattern:
+    ETL_Airflow/dags/tasks/ingestion_task.py:66-69 — overwrite
+    raw.*_pre + append legacy.*, per batch instead of per day).
+
+    Returns an un-started ``DataStreamWriter`` (callers pick trigger,
+    checkpoint location, and call ``start()``).
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(raw_path)
+        batch_df.withColumn("day_dt", F.current_date()).write.mode(
+            "append"
+        ).partitionBy("day_dt").parquet(legacy_path)
+
+    return events.writeStream.foreachBatch(write_batch)
