@@ -1,0 +1,335 @@
+"""Quality/reconciliation queries + remaining operator-family coverage
+(scalable ranking, exact median, regexp/string ops, array HOFs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from asritha_metamorphetl_spark.plans.registry import register
+from asritha_metamorphetl_spark.sources.files import Catalog
+
+# ---------------------------------------------------------------------------
+# D2–D5: full reconciliation summary, driven through quality.reconcile
+# against a deterministically perturbed copy of orders
+# ---------------------------------------------------------------------------
+
+_PERTURB_MOD = 101  # every 101st order gets its totalprice shifted
+_DELETE_MOD = 97  # every 97th (offset 3) order is dropped from the target
+
+
+@register(
+    "reconcile_orders_summary",
+    oracle=f"""
+WITH source AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+),
+target AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % {_PERTURB_MOD} = 0
+                THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % {_DELETE_MOD} != 3
+),
+joined AS (
+    SELECT
+        s.o_orderkey AS sk, t.o_orderkey AS tk,
+        CASE WHEN s.o_custkey = t.o_custkey
+              AND s.o_orderstatus = t.o_orderstatus
+              AND s.o_totalprice = t.o_totalprice
+             THEN 1 ELSE 0 END AS is_match
+    FROM source s
+    FULL OUTER JOIN target t ON s.o_orderkey = t.o_orderkey
+)
+SELECT
+    CAST(COUNT(sk) AS BIGINT) AS source_rows,
+    CAST(COUNT(tk) AS BIGINT) AS target_rows,
+    CAST(SUM(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS common_rows,
+    CAST(SUM(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL AND is_match = 1
+             THEN 1 ELSE 0 END) AS BIGINT) AS matched_rows,
+    CAST(SUM(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL AND is_match = 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS mismatched_rows,
+    CAST(SUM(CASE WHEN tk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS source_only_rows,
+    CAST(SUM(CASE WHEN sk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS target_only_rows,
+    ROUND(SUM(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL AND is_match = 0
+              THEN 1 ELSE 0 END)
+          / SUM(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL THEN 1 ELSE 0 END)
+          * 100, 2) AS mismatch_pct
+FROM joined
+""",
+)
+def reconcile_orders_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reconcile operator (quality/reconcile.py) over a perturbed copy
+    of orders: cell changes + deleted rows, detected in one pass."""
+    from asritha_metamorphetl_spark.quality import reconcile
+
+    orders = Catalog(sf_dir).load(spark, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    target = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % _PERTURB_MOD == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    ).filter(F.col("o_orderkey") % _DELETE_MOD != 3)
+    result = reconcile(orders, target, ["o_orderkey"])
+    return result.summary
+
+
+# ---------------------------------------------------------------------------
+# W3 at scale: the ranks operator vs SQL PERCENT_RANK (exact same numbers,
+# partition-parallel plan — no SinglePartition stage)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_value_tiers_scalable",
+    oracle="""
+WITH ranked AS (
+    SELECT o_orderkey,
+           PERCENT_RANK() OVER (ORDER BY o_totalprice DESC) AS pr
+    FROM orders
+)
+SELECT
+    o_orderkey,
+    ROUND(pr, 9) AS pr,
+    CASE WHEN pr <= 0.2 THEN 'Gold'
+         WHEN pr <= 0.5 THEN 'Silver'
+         ELSE 'Bronze' END AS tier
+FROM ranked
+""",
+)
+def order_value_tiers_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asritha_metamorphetl_spark.operators.ranks import global_percent_rank
+
+    orders = Catalog(sf_dir).load(spark, "orders").select("o_orderkey", "o_totalprice")
+    ranked = global_percent_rank(
+        orders,
+        F.col("o_totalprice"),
+        descending=True,
+        tiebreak=[F.col("o_orderkey")],
+        out_col="pr",
+    )
+    return ranked.select(
+        "o_orderkey",
+        F.round(F.col("pr"), 9).alias("pr"),
+        F.when(F.col("pr") <= 0.2, "Gold")
+        .when(F.col("pr") <= 0.5, "Silver")
+        .otherwise("Bronze")
+        .alias("tier"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact median (interpolated) per group — beyond the reference's agg set
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_price_stats",
+    oracle="""
+SELECT
+    o_orderpriority,
+    MEDIAN(o_totalprice) AS median_price,
+    MIN(o_totalprice) AS min_price,
+    MAX(o_totalprice) AS max_price,
+    COUNT(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def order_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = Catalog(sf_dir).load(spark, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.median("o_totalprice").alias("median_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E6/E7: regexp + string functions + casts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "priority_parse",
+    oracle=r"""
+SELECT
+    o_orderpriority,
+    CAST(regexp_extract(o_orderpriority, '(\d+)-', 1) AS INTEGER) AS priority_num,
+    regexp_extract(o_orderpriority, '\d+-(.+)', 1) AS priority_word,
+    replace(lower(o_orderpriority), '-', '_') AS norm,
+    COUNT(*) AS n
+FROM orders
+GROUP BY 1, 2, 3, 4
+""",
+)
+def priority_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = Catalog(sf_dir).load(spark, "orders")
+    return (
+        orders.select(
+            "o_orderpriority",
+            F.regexp_extract("o_orderpriority", r"(\d+)-", 1)
+            .cast("int")
+            .alias("priority_num"),
+            F.regexp_extract("o_orderpriority", r"\d+-(.+)", 1).alias(
+                "priority_word"
+            ),
+            F.replace(
+                F.lower(F.col("o_orderpriority")), F.lit("-"), F.lit("_")
+            ).alias("norm"),
+        )
+        .groupBy("o_orderpriority", "priority_num", "priority_word", "norm")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# E8: array HOFs — transform/filter/explode with positions (the Raptor
+# column-diff idiom, wheel Raptor/Raptor.py:581-606, as a checkable query)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_frequencies",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+    FROM documents
+),
+exploded AS (
+    SELECT doc_id, unnest(t) AS token FROM toks
+)
+SELECT token, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
+FROM exploded
+WHERE length(token) > 2
+GROUP BY token
+HAVING COUNT(*) >= 10
+""",
+)
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asritha_metamorphetl_spark.functions.text import tokens
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.length("token") > 2)
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .filter(F.col("freq") >= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# D3 as a checkable query: per-cell mismatch expansion (arrays_zip/explode
+# + struct access — the Raptor column-diff idiom end-to-end)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "reconcile_orders_cells",
+    oracle=f"""
+WITH target AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % {_PERTURB_MOD} = 0
+                THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % {_DELETE_MOD} != 3
+)
+SELECT
+    s.o_orderkey,
+    'o_totalprice' AS column_name,
+    CAST(s.o_totalprice AS VARCHAR) AS source_value,
+    CAST(t.o_totalprice AS VARCHAR) AS target_value
+FROM orders s
+JOIN target t ON s.o_orderkey = t.o_orderkey
+WHERE s.o_totalprice != t.o_totalprice
+""",
+)
+def reconcile_orders_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asritha_metamorphetl_spark.quality import reconcile
+
+    orders = Catalog(sf_dir).load(spark, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    target = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % _PERTURB_MOD == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    ).filter(F.col("o_orderkey") % _DELETE_MOD != 3)
+    return reconcile(orders, target, ["o_orderkey"]).column_mismatches
+
+
+# ---------------------------------------------------------------------------
+# S7/A6: temp-view + spark.sql API path, GROUP BY ordinal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_api_revenue_by_region",
+    oracle="""
+SELECT
+    r.r_name AS region,
+    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+    COUNT(*) AS n_lines
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1
+""",
+)
+def sql_api_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's parquet→temp-view→spark.sql flow (Raptor wheel
+    Raptor/Raptor.py:89-100) with a GROUP BY ordinal (its `group by 1`
+    idiom, Raptor.py:446-454)."""
+    Catalog(sf_dir).register_views(spark)
+    return spark.sql(
+        """
+        SELECT
+            r.r_name AS region,
+            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                AS revenue,
+            COUNT(*) AS n_lines
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1/O3: global sort + limit (deterministic via tiebreak)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top5_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 5
+""",
+)
+def top5_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans this as TakeOrderedAndProject — per
+    partition top-k then a k-row driver merge, no full sort, no single
+    partition."""
+    orders = Catalog(sf_dir).load(spark, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(5)
+    )

@@ -1,0 +1,68 @@
+"""Driver-side HTML reporting (reference K4).
+
+Re-expresses the Raptor e-mail report (wheel Raptor/Raptor.py:142-263):
+small result frames are collected (bounded by ``limit``), rendered as HTML
+tables, and stitched into one summary document. Differences from the
+reference: no hardcoded SMTP host/credentials (Raptor.py:144-145 embeds
+them) — delivery is a pluggable callable; rendering never pulls more than
+``limit`` rows per section to the driver.
+"""
+
+from __future__ import annotations
+
+import html
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+#: Reference caps: 15-row tables, 5-row extras samples (Raptor.py:207,664,673).
+DEFAULT_ROW_LIMIT = 15
+
+Sender = Callable[[str, str], None]  # (subject, html_body) -> None
+
+
+def frame_to_html(df: DataFrame, limit: int = DEFAULT_ROW_LIMIT) -> str:
+    """Render ≤ limit rows as an HTML table (driver-side, bounded)."""
+    rows = df.limit(limit).collect()
+    cols = df.columns
+    head = "".join(f"<th>{html.escape(c)}</th>" for c in cols)
+    body = "".join(
+        "<tr>"
+        + "".join(f"<td>{html.escape(str(r[c]))}</td>" for c in cols)
+        + "</tr>"
+        for r in rows
+    )
+    return (
+        f"<table border='1' cellspacing='0' cellpadding='4'>"
+        f"<thead><tr>{head}</tr></thead><tbody>{body}</tbody></table>"
+    )
+
+
+def reconcile_report_html(result, title: str = "Reconciliation report") -> str:
+    """Full report for a quality.reconcile result: summary, per-column
+    mismatch stats, sample mismatching cells, sample extras each side."""
+    from asritha_metamorphetl_spark.quality.reconcile import column_mismatch_summary
+
+    sections = [
+        ("Summary", frame_to_html(result.summary)),
+        ("Column mismatch summary", frame_to_html(column_mismatch_summary(result))),
+        ("Sample cell mismatches", frame_to_html(result.column_mismatches)),
+        ("Rows only in source", frame_to_html(result.source_only, limit=5)),
+        ("Rows only in target", frame_to_html(result.target_only, limit=5)),
+    ]
+    body = "".join(
+        f"<h3>{html.escape(name)}</h3>{table}" for name, table in sections
+    )
+    return f"<html><body><h2>{html.escape(title)}</h2>{body}</body></html>"
+
+
+def send_report(
+    result,
+    sender: Sender,
+    title: str = "Reconciliation report",
+) -> str:
+    """Render + hand off to the injected sender (SMTP, webhook, file, …).
+    Returns the HTML so callers can persist it as well."""
+    doc = reconcile_report_html(result, title=title)
+    sender(title, doc)
+    return doc
