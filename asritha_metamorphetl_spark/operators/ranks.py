@@ -41,6 +41,18 @@ def global_row_number(
     """Exact 1-based global row number under a total order, without a
     single-partition window. ``order_by`` must be a total order (include
     tie-break keys) for a deterministic result."""
+    out, _total = _global_row_number_with_total(df, order_by, out_col, num_partitions)
+    return out
+
+
+def _global_row_number_with_total(
+    df: DataFrame,
+    order_by: list[Column],
+    out_col: str,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Also returns the total row count — free from the partition-size
+    pass, saving callers a separate count() job."""
     parts = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "200"
     )
@@ -70,7 +82,7 @@ def global_row_number(
         .withColumn(out_col, F.col("__local_rn") + F.col("__offset"))
         .drop("__pid", "__local_rn", "__offset")
     )
-    return out
+    return out, running
 
 
 def global_percent_rank(
@@ -90,11 +102,15 @@ def global_percent_rank(
     order = [key] + [c.asc() for c in (tiebreak or [])]
 
     df = df.withColumn("__tie_key", value)
-    ranked = global_row_number(df, order, out_col="__grn")
+    ranked, n = _global_row_number_with_total(df, order, out_col="__grn")
 
-    n = ranked.count()
     if n <= 1:
         return ranked.withColumn(out_col, F.lit(0.0)).drop("__grn", "__tie_key")
+
+    # Pin an exchange on the tie key: the min-rank aggregate and the
+    # re-join both consume it, so ReuseExchange materializes the ranking
+    # pipeline once instead of twice.
+    ranked = ranked.repartition(F.col("__tie_key"))
 
     # SQL tie semantics: every row in a tie group takes the group's min rank.
     tie_min = ranked.groupBy("__tie_key").agg(F.min("__grn").alias("__tie_rn"))

@@ -120,39 +120,47 @@ def lsh_bucketed_topk(
     afford many more planes.
     """
 
-    def bucket_cols(vec: Column) -> list[Column]:
-        cols = []
-        for t in range(n_tables):
-            planes = _hyperplanes(dim, n_planes, seed=42 + t)
+    all_planes = [
+        (t, _hyperplanes(dim, n_planes, seed=42 + t)) for t in range(n_tables)
+    ]
+
+    def bucket_keys(vec: Column) -> Column:
+        buckets = []
+        for t, planes in all_planes:
             bits = []
             for p in planes:
                 plane = F.array(*[F.lit(v) for v in p])
                 bits.append(F.when(dot(vec, plane) >= 0, "1").otherwise("0"))
-            cols.append(F.concat(F.lit(f"{t}:"), *bits))
-        return cols
+            buckets.append(F.concat(F.lit(f"{t}:"), *bits))
+        return F.array(*buckets)
 
-    c = corpus.select(
+    from asritha_metamorphetl_spark.operators.dedup import _spread
+
+    c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
     )
-    c_b = c.select(
-        "neighbor_id", "cv", F.explode(F.array(*bucket_cols(F.col("cv")))).alias("bucket")
-    )
-    q_b = q.select(
-        "query_id", "qv", F.explode(F.array(*bucket_cols(F.col("qv")))).alias("bucket")
-    )
-    candidates = (
+    # Bucket frames carry IDs only — the candidate dedup below must never
+    # shuffle or compare 64-double arrays.
+    c_b = c.select("neighbor_id", F.explode(bucket_keys(F.col("cv"))).alias("bucket"))
+    q_b = q.select("query_id", F.explode(bucket_keys(F.col("qv"))).alias("bucket"))
+    pairs = (
         c_b.join(F.broadcast(q_b), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = candidates.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), score_decimals).alias("score"),
+    # Re-attach vectors only for surviving candidates, then score.
+    scored = (
+        pairs.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), score_decimals).alias("score"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()

@@ -1,0 +1,99 @@
+"""Physical-plan quality gates: these tests pin the *plan shapes* that
+matter at 100 TB — pushdown reaching scans, dimension joins broadcasting,
+no single-partition stages, top-k not globally sorting. A refactor that
+keeps results correct but regresses the plan fails here."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_CORRECT
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushes_filter_to_scan(spark):
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["pricing_summary"](spark, SF_CORRECT))
+    scan = plan[plan.index("FileScan") :]
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in scan
+    # column pruning: the scan must not read unused columns
+    read_schema = scan[scan.index("ReadSchema") :].splitlines()[0]
+    assert "l_comment" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_supplier_mart_broadcasts_dimensions_not_facts(spark):
+    from asritha_metamorphetl_spark.pipelines.supplier_performance import (
+        supplier_performance,
+    )
+
+    plan = _plan(supplier_performance(spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in plan  # part/supplier dimensions broadcast
+    # the orders⋈lineitem fact join must NOT carry an explicit broadcast
+    # hint in the optimized logical plan (AQE may still choose broadcast at
+    # small SF — that's runtime-size-based, which is fine).
+    logical = str(
+        supplier_performance(spark, SF_CORRECT)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # broadcast hints appear as ResolvedHint nodes pre-AQE; none on orders
+    assert "UnresolvedHint" not in logical
+
+
+def test_no_single_partition_stage_in_scalable_rank(spark):
+    from asritha_metamorphetl_spark.operators.ranks import global_percent_rank
+
+    orders = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+    ranked = global_percent_rank(
+        orders, F.col("o_totalprice"), tiebreak=[F.col("o_orderkey")]
+    )
+    assert "SinglePartition" not in _plan(ranked)
+
+
+def test_reference_style_global_window_flagged(spark):
+    """Contrast case: the reference's unpartitioned window DOES produce a
+    SinglePartition exchange — documenting why ranks.py exists."""
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+    df = orders.withColumn(
+        "pr", F.percent_rank().over(Window.orderBy(F.desc("o_totalprice")))
+    )
+    assert "SinglePartition" in _plan(df)
+
+
+def test_top5_uses_take_ordered_not_global_sort(spark):
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["top5_orders"](spark, SF_CORRECT))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mart_aggregates_have_partial_stage(spark):
+    """Map-side partial aggregation must exist before the shuffle."""
+    from asritha_metamorphetl_spark.pipelines.supplier_performance import (
+        supplier_performance,
+    )
+
+    plan = _plan(supplier_performance(spark, SF_CORRECT))
+    assert "partial_" in plan  # partial_sum / partial_count before exchange
+
+
+def test_metadata_scan_prunes_unused_columns(spark):
+    """Narrow projections reach parquet ReadSchema (SQ_ nodes exist for a
+    reason)."""
+    from asritha_metamorphetl_spark.pipelines.customer_sales_report import (
+        customer_sales_report,
+    )
+
+    plan = _plan(customer_sales_report(spark, SF_CORRECT))
+    for scan_part in plan.split("FileScan")[1:]:
+        header = scan_part.splitlines()[0]
+        if "lineitem" in header:
+            schema_line = scan_part[scan_part.index("ReadSchema") :].splitlines()[0]
+            assert "l_tax" not in schema_line and "l_returnflag" not in schema_line

@@ -118,3 +118,40 @@ def test_snapshot_stream_dual_write(spark, event_stream_factory, tmp_path):
     assert raw_df.count() == n_events  # single micro-batch → full overwrite
     assert legacy_df.count() == n_events
     assert "day_dt" in legacy_df.columns  # snapshot column + partition
+
+
+def test_stateful_user_tracker(spark, event_stream_factory, tmp_path):
+    """Portable stateful path: foreachBatch-managed state table, verified
+    against a batch groupBy. (The native applyInPandasWithState /
+    transformWithStateInPandas paths cannot run in this container:
+    google.protobuf is absent and the state-commit path stalls — see
+    streaming/stateful.py docstring.)"""
+    from asritha_metamorphetl_spark.sources.files import Catalog
+    from asritha_metamorphetl_spark.streaming.stateful import batch_managed_tracker
+
+    state_dir = str(tmp_path / "state")
+    stream = event_stream_factory().select("user_id", "ts", "value")
+    q = (
+        batch_managed_tracker(stream, state_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r.user_id: r for r in spark.read.parquet(state_dir).collect()}
+    want = {
+        r.user_id: r
+        for r in Catalog(SF_SMOKE)
+        .load(spark, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for uid, w in want.items():
+        assert got[uid].n_events == w.n
+        assert got[uid].total_value == w.total  # exact decimal state
