@@ -73,7 +73,7 @@ def reconcile_orders_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey") % _PERTURB_MOD == 0, F.col("o_totalprice") + 1.0
         ).otherwise(F.col("o_totalprice")),
     ).filter(F.col("o_orderkey") % _DELETE_MOD != 3)
-    result = reconcile(orders, target, ["o_orderkey"])
+    result = reconcile(orders, target, ["o_orderkey"], persist=False)
     return result.summary
 
 
@@ -264,7 +264,7 @@ def reconcile_orders_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey") % _PERTURB_MOD == 0, F.col("o_totalprice") + 1.0
         ).otherwise(F.col("o_totalprice")),
     ).filter(F.col("o_orderkey") % _DELETE_MOD != 3)
-    return reconcile(orders, target, ["o_orderkey"]).column_mismatches
+    return reconcile(orders, target, ["o_orderkey"], persist=False).column_mismatches
 
 
 # ---------------------------------------------------------------------------

@@ -330,3 +330,112 @@ def knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(
         emb, queries, "vec_id", "embedding", dim=64, k=KNN_K
     )
+
+
+# ---------------------------------------------------------------------------
+# Composite: corpus curation — the full training-data filter chain in one
+# plan (quality floor → language gate → exact-dedup survivor selection)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curated_corpus",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, text, source,
+           list_filter(string_split(text, ' '), x -> x != '') AS t
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, text, source,
+        len(t) AS n_tokens,
+        CASE WHEN len(t) > 0
+             THEN CAST(len(list_filter(t, x -> x IN {_STOPLIST_SQL})) AS DOUBLE)
+                  / len(t)
+             ELSE 0.0 END AS stop_ratio
+    FROM toks
+),
+gated AS (
+    SELECT * FROM scored
+    WHERE n_tokens >= 30 AND stop_ratio >= 0.03
+),
+survivors AS (
+    SELECT md5(text) AS fp, MIN(doc_id) AS doc_id
+    FROM gated
+    GROUP BY md5(text)
+)
+SELECT g.doc_id, g.source, g.n_tokens
+FROM gated g
+JOIN survivors s ON g.doc_id = s.doc_id
+""",
+)
+def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality floor + language gate + exact-dedup survivors — the
+    minimal LLM-corpus curation chain as one declarative plan (filters
+    run in the scan stage; dedup is one hash shuffle)."""
+    from asritha_metamorphetl_spark.functions.text import (
+        fingerprint,
+        stopword_ratio,
+        token_count,
+    )
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    gated = docs.select(
+        "doc_id",
+        "text",
+        "source",
+        token_count(F.col("text")).alias("n_tokens"),
+        stopword_ratio(F.col("text")).alias("stop_ratio"),
+    ).filter((F.col("n_tokens") >= 30) & (F.col("stop_ratio") >= 0.03))
+
+    survivors = (
+        gated.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return gated.join(survivors, "doc_id").select("doc_id", "source", "n_tokens")
+
+
+# ---------------------------------------------------------------------------
+# Embedding stats per label (decimal-exact vector-norm aggregation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_label_stats",
+    oracle="""
+WITH norms AS (
+    SELECT label,
+           CAST(ROUND(sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[])), 4)
+                AS DECIMAL(18,4)) AS norm
+    FROM embeddings
+)
+SELECT label,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(norm) AS DOUBLE) AS total_norm,
+       CAST(MIN(norm) AS DOUBLE) AS min_norm,
+       CAST(MAX(norm) AS DOUBLE) AS max_norm
+FROM norms
+GROUP BY label
+""",
+)
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector-norm stats: norms rounded then decimal-quantized
+    before SUM so the aggregate is partition-order-independent."""
+    from asritha_metamorphetl_spark.operators.similarity import _to_double, l2_norm
+
+    emb = Catalog(sf_dir).load(spark, "embeddings")
+    norms = emb.select(
+        "label",
+        F.round(l2_norm(_to_double(F.col("embedding"))), 4)
+        .cast("decimal(18,4)")
+        .alias("norm"),
+    )
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("norm").cast("double").alias("total_norm"),
+        F.min("norm").cast("double").alias("min_norm"),
+        F.max("norm").cast("double").alias("max_norm"),
+    )

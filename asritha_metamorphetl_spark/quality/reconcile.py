@@ -57,7 +57,8 @@ class ReconcileResult:
     target_only: DataFrame    # rows only in target (reference work.tgt_*)
 
     def unpersist(self) -> None:
-        self.diff.unpersist()
+        if self.diff.storageLevel.useMemory or self.diff.storageLevel.useDisk:
+            self.diff.unpersist()
 
 
 def _normalize(df: DataFrame, keys: Sequence[str], cols: Sequence[str], strict_nulls: bool, side: str) -> DataFrame:
@@ -79,13 +80,17 @@ def reconcile(
     keys: Sequence[str],
     compare_columns: Sequence[str] | None = None,
     strict_nulls: bool = False,
+    persist: bool = True,
 ) -> ReconcileResult:
     """Full reconciliation of two keyed datasets.
 
     ``compare_columns`` defaults to the non-key columns common to both
     sides. ``strict_nulls=False`` reproduces the reference's semantics
     where NULL and '' compare equal (Raptor/Raptor.py:554-558);
-    ``True`` distinguishes them.
+    ``True`` distinguishes them. ``persist=True`` caches the diff frame
+    for callers that consume several result frames (call
+    ``result.unpersist()`` when done); pass False for single-result use
+    so nothing lingers in the cache.
     """
     keys = list(keys)
     if compare_columns is None:
@@ -99,11 +104,9 @@ def reconcile(
     tgt = _normalize(target, keys, cols, strict_nulls, "t")
 
     # ONE full-outer join on the key carries every downstream result.
-    diff = (
-        src.join(tgt, on=keys, how="full_outer")
-        .withColumn("__status", _STATUS)
-        .persist()
-    )
+    diff = src.join(tgt, on=keys, how="full_outer").withColumn("__status", _STATUS)
+    if persist:
+        diff = diff.persist()
 
     summary = diff.agg(
         F.count(F.col("__fp_s")).alias("source_rows"),

@@ -98,6 +98,24 @@ class Catalog:
                 )
         return df
 
+    def stream(self, spark: SparkSession, table: str):
+        """readStream over a catalog table with the same normalization as
+        batch ``load`` (notably the events nanos→micros conversion —
+        applying it manually was the footgun found during verification)."""
+        batch = self.load(spark, table)
+        raw_schema = spark.read.parquet(self.path(table)).schema
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", f"{table}.parquet")
+            .parquet(self.root)
+        )
+        if table == "events":
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        # align column order/types with the batch view
+        return stream.select(*batch.columns)
+
     def register_views(self, spark: SparkSession) -> None:
         """Register every table as a temp view (mirrors the reference's
         createOrReplaceTempView + spark.sql flow, Raptor/Raptor.py:95-100)."""

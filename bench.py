@@ -52,6 +52,8 @@ def main() -> None:
         elapsed = time.perf_counter() - start
         timings[name] = round(elapsed, 3)
         total += elapsed
+        # keep queries independent: no cached frames leaking across runs
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

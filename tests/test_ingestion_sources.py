@@ -171,3 +171,41 @@ def test_jdbc_option_construction():
     props = cfg.properties()
     assert props["driver"] == "org.postgresql.Driver"
     assert pushdown_subquery("SELECT 1") == "(SELECT 1) AS pushdown_query"
+
+
+def test_source_dispatcher(spark, tmp_path):
+    from asritha_metamorphetl_spark.sources.registry import read
+
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    df.write.parquet(str(tmp_path / "t.parquet"))
+    out = read(spark, "parquet", path=str(tmp_path / "t.parquet"))
+    assert out.collect() == df.collect()
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="unknown source type"):
+        read(spark, "carrier_pigeon")
+
+    sql_out = read(
+        spark, "sql",
+        query="SELECT count(*) AS n FROM orders",
+        catalog_root="/root/testdata/sf0.001",
+    )
+    assert sql_out.collect()[0].n > 0
+
+
+def test_catalog_stream_normalizes_events(spark, tmp_path):
+    from asritha_metamorphetl_spark.sources.files import Catalog
+
+    cat = Catalog("/root/testdata/sf0.001")
+    stream = cat.stream(spark, "events")
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory").queryName("cat_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable(); q.stop()
+    got = spark.table("cat_stream")
+    assert dict(got.dtypes)["ts"] == "timestamp"
+    assert got.count() == cat.load(spark, "events").count()

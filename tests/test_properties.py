@@ -1,0 +1,80 @@
+"""Property-based checks (SURVEY §5 plan, item 5) over small generated
+frames: reconcile/dedup/rank invariants that must hold for ANY input."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),  # id (may repeat)
+        st.text(alphabet="abcde ", max_size=8),
+        st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False,
+                                       min_value=-1e6, max_value=1e6)),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+_SETTINGS = dict(
+    max_examples=8,  # each example spins Spark jobs — keep the loop tight
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(rows=rows_strategy)
+@settings(**_SETTINGS)
+def test_reconcile_identical_frames_always_match(spark, rows):
+    """reconcile(df, df) must report zero mismatches for any keyed frame."""
+    from asritha_metamorphetl_spark.quality import reconcile
+
+    df = (
+        spark.createDataFrame(rows, "id int, name string, amount double")
+        .groupBy("id")
+        .agg(F.max("name").alias("name"), F.max("amount").alias("amount"))
+    )
+    if df.count() == 0:
+        return
+    r = reconcile(df, df, ["id"])
+    s = r.summary.collect()[0]
+    assert s.mismatched_rows == 0
+    assert s.source_only_rows == 0 and s.target_only_rows == 0
+    assert s.matched_rows == s.source_rows == s.target_rows
+    r.unpersist()
+
+
+@given(rows=rows_strategy)
+@settings(**_SETTINGS)
+def test_dup_check_equivalent_to_distinct_count(spark, rows):
+    """has-duplicates ⇔ count(distinct key) < count(*) (SURVEY §5)."""
+    from asritha_metamorphetl_spark.quality import DuplicateKeyError, assert_unique
+
+    df = spark.createDataFrame(rows, "id int, name string, amount double")
+    n, nd = df.count(), df.select("id").distinct().count()
+    try:
+        assert_unique(df, ["id"])
+        unique = True
+    except DuplicateKeyError:
+        unique = False
+    assert unique == (n == nd)
+
+
+@given(rows=rows_strategy)
+@settings(**_SETTINGS)
+def test_exact_dedup_partition_invariance(spark, rows):
+    """Exact dedup groups must be identical at any partition count."""
+    from asritha_metamorphetl_spark.operators.dedup import exact_duplicates
+
+    df = spark.createDataFrame(rows, "id int, name string, amount double")
+    df = df.withColumn("doc_id", F.monotonically_increasing_id())
+
+    def canon(frame):
+        return sorted(
+            (r.fp, r.canonical_id, r.n_dupes)
+            for r in exact_duplicates(frame, "name", "doc_id").collect()
+        )
+
+    assert canon(df.repartition(1)) == canon(df.repartition(7))
