@@ -160,3 +160,52 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str | None = None,
+    threshold: float = 0.45,
+    score_decimals: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, score) with
+    rounded cosine >= threshold and id_a < id_b.
+
+    ``block_col`` is the scale lever: with a blocking key (cluster id,
+    LSH bucket, shard) pair generation is bounded by the largest block
+    (sum of n_b^2), never all-pairs; each block joins independently in
+    its own partitions. ``block_col=None`` is the exact small-N path
+    (all-pairs within one virtual block) — correct at any size but
+    O(n^2), so callers at corpus scale must supply a block key.
+
+    Exactness contract: within a block the pairs are EXACT (full cosine
+    on every candidate), unlike minhash_lsh_pairs where the signature can
+    miss; the filter compares the ROUNDED score so the decision is
+    reproducible across engines and partitionings.
+    """
+    from asritha_metamorphetl_spark.operators.similarity import _to_double, cosine
+
+    blocks = [block_col] if block_col is not None else []
+    side = df.select(
+        *blocks,
+        F.col(id_col).alias("id"),
+        _to_double(F.col(vec_col)).alias("v"),
+    )
+    a = side.toDF(*blocks, "id_a", "va")
+    b = side.toDF(*blocks, "id_b", "vb")
+    joined = (
+        a.join(b, on=blocks, how="inner")
+        if blocks
+        else a.crossJoin(b)
+    )
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), score_decimals).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )

@@ -333,3 +333,67 @@ def top5_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(5)
     )
+
+
+# ---------------------------------------------------------------------------
+# D7: the full orchestrated reconciliation run (dispatcher-fed sides,
+# single-shuffle reconcile, per-column rollup) — report/artifact side
+# effects are covered in tests/test_quality.py
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "reconcile_orchestrated",
+    oracle=f"""
+WITH target AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % {_PERTURB_MOD} = 0
+                THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % {_DELETE_MOD} != 3
+),
+common AS (
+    SELECT s.o_orderkey,
+           CASE WHEN s.o_totalprice != t.o_totalprice THEN 1 ELSE 0 END AS pm
+    FROM orders s JOIN target t ON s.o_orderkey = t.o_orderkey
+),
+tot AS (SELECT COUNT(*) AS n, SUM(pm) AS mp FROM common)
+SELECT 'o_totalprice' AS column_name,
+       CAST(mp AS BIGINT) AS mismatch_count,
+       ROUND(mp / n * 100, 2) AS mismatch_pct
+FROM tot WHERE mp > 0
+""",
+)
+def reconcile_orchestrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """submit_reconciliation end-to-end: both sides arrive through the
+    source dispatcher's sql connector, reconcile runs as one full-outer
+    shuffle, and the per-column rollup is returned."""
+    from asritha_metamorphetl_spark.quality.orchestrate import (
+        ReconcileRequest,
+        submit_reconciliation,
+    )
+
+    run = submit_reconciliation(
+        spark,
+        ReconcileRequest(
+            source={
+                "type": "sql",
+                "query": "SELECT o_orderkey, o_custkey, o_orderstatus, "
+                         "o_totalprice FROM orders",
+                "catalog_root": sf_dir,
+            },
+            target={
+                "type": "sql",
+                "query": f"""
+                    SELECT o_orderkey, o_custkey, o_orderstatus,
+                           CASE WHEN o_orderkey % {_PERTURB_MOD} = 0
+                                THEN o_totalprice + 1.0 ELSE o_totalprice
+                           END AS o_totalprice
+                    FROM orders WHERE o_orderkey % {_DELETE_MOD} != 3
+                """,
+                "catalog_root": sf_dir,
+            },
+            keys=["o_orderkey"],
+        ),
+    )
+    return run.column_summary

@@ -439,3 +439,30 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("norm").cast("double").alias("min_norm"),
         F.max("norm").cast("double").alias("max_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs (label-blocked, exact within block)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_near_dups",
+    oracle="""
+WITH v AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 4) AS score
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.45
+""",
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked on label so pair
+    generation is bounded per block (the all-pairs scale trap never
+    materializes); exact cosine on every in-block candidate."""
+    emb = Catalog(sf_dir).load(spark, "embeddings")
+    return D.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", block_col="label", threshold=0.45
+    )

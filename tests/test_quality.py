@@ -101,3 +101,79 @@ def test_column_mismatch_summary(spark, base):
     assert rows[0].mismatch_count == 2
     assert rows[0].mismatch_pct == 50.0
     r.unpersist()
+
+
+def test_submit_reconciliation_end_to_end(spark, tmp_path):
+    """D7: dispatcher-fed sides -> reconcile -> dated artifacts -> report
+    delivered through the injected sender (no SMTP, reference K4)."""
+    import datetime
+
+    from asritha_metamorphetl_spark.quality import (
+        ReconcileRequest,
+        submit_reconciliation,
+    )
+
+    src = tmp_path / "src.parquet"
+    tgt = tmp_path / "tgt.parquet"
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id int, v string, amt double"
+    ).write.parquet(str(src))
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (4, "d", 40.0)], "id int, v string, amt double"
+    ).write.parquet(str(tgt))
+
+    sent = []
+    run = submit_reconciliation(
+        spark,
+        ReconcileRequest(
+            source={"type": "parquet", "path": str(src)},
+            target={"type": "parquet", "path": str(tgt)},
+            keys=["id"],
+            artifact_root=str(tmp_path / "artifacts"),
+            title="orders recon",
+            run_date=datetime.date(2026, 8, 13),
+        ),
+        sender=lambda subject, body: sent.append((subject, body)),
+    )
+
+    s = run.result.summary.collect()[0]
+    assert (s.mismatched_rows, s.source_only_rows, s.target_only_rows) == (1, 1, 1)
+    cs = {r.column_name: r.mismatch_count for r in run.column_summary.collect()}
+    assert cs == {"v": 1}
+
+    # dated artifact layout (reference K3 gs://raptor-workflow/{YYYYMMDD}/...)
+    assert set(run.artifact_paths) == {
+        "summary", "column_mismatches", "source_only", "target_only",
+    }
+    for name, path in run.artifact_paths.items():
+        assert "/20260813/" in path
+        assert spark.read.parquet(path).count() >= 1 or name == "summary"
+    assert spark.read.parquet(run.artifact_paths["source_only"]).collect()[0].id == 3
+
+    # report delivery: injected sender got the rendered HTML
+    assert len(sent) == 1 and sent[0][0] == "orders recon"
+    assert "<h3>Summary</h3>" in sent[0][1] and "orders recon" in sent[0][1]
+    assert run.html == sent[0][1]
+    run.unpersist()
+
+
+def test_embedding_near_dup_pairs_blocked_vs_unblocked(spark):
+    """Blocked pair generation must equal the all-pairs result when the
+    block key is constant, and never cross blocks otherwise."""
+    from asritha_metamorphetl_spark.operators.dedup import embedding_near_dup_pairs
+
+    rows = [
+        (1, [1.0, 0.0], "x"),
+        (2, [0.9, 0.1], "x"),
+        (3, [0.0, 1.0], "y"),
+        (4, [0.1, 0.9], "y"),
+    ]
+    df = spark.createDataFrame(rows, "id int, v array<float>, blk string")
+
+    blocked = embedding_near_dup_pairs(df, "id", "v", block_col="blk", threshold=0.9)
+    got = {(r.id_a, r.id_b) for r in blocked.collect()}
+    assert got == {(1, 2), (3, 4)}  # in-block only, both above 0.9
+
+    allpairs = embedding_near_dup_pairs(df, "id", "v", threshold=0.9)
+    got_all = {(r.id_a, r.id_b) for r in allpairs.collect()}
+    assert got == got_all  # cross-block pairs are below threshold anyway
