@@ -7,21 +7,19 @@ unpartitioned window moves EVERY row to a single partition — correct at
 60 k rows, fatal at 100 TB (SURVEY.md §7.3 flags it as the one true
 single-partition hazard in the reference workload).
 
-``global_percent_rank`` computes the identical result with a partitioned
-plan:
+``global_percent_rank`` computes the identical result without ever
+moving the full frame into one partition: since SQL percent_rank with
+tie-merging is a function of the VALUE alone (pr = rows-strictly-better
+/ (N-1)), only the distinct-value frame — one narrow (value, count) row
+per distinct value, shrunk by a map-side-combining groupBy — is ranked,
+then pr is mapped back with a join the optimizer can broadcast. The
+full-width input never funnels anywhere and never shuffles when the map
+broadcasts.
 
-1. range-repartition on the order key (the same shuffle a global sort
-   pays — but downstream work stays parallel, nothing funnels to one
-   task),
-2. per-partition row_number (parallel windows keyed by partition id),
-3. tiny partition-size table (one row per partition) → cumulative offsets
-   via a driver-side prefix sum over ≤ num_partitions values,
-4. global_rank = local row_number + partition offset,
-5. SQL tie semantics (equal keys share the *min* rank of their group)
-   restored with a groupBy(key).min(rank) + re-join.
-
-Step 3's collect is O(partitions), not O(rows) — the only driver-side
-data is one count per partition.
+``global_row_number`` (needed when the caller wants a total order, not
+a value function) keeps the partitioned machinery: range-repartition,
+per-partition row_number, and a driver-side prefix sum over one count
+per partition — the only collect is O(partitions), not O(rows).
 """
 
 from __future__ import annotations
@@ -94,29 +92,51 @@ def global_percent_rank(
 ) -> DataFrame:
     """Partition-parallel equivalent of
     ``percent_rank().over(Window.orderBy(value))`` with SQL tie semantics:
-    ties share a rank, pr = (rank − 1) / (N − 1).
+    ties share a rank, pr = (rank_min − 1) / (N − 1).
 
-    ``tiebreak`` columns only pin the internal total order; they do not
-    affect the output values (ties are re-merged via min-rank)."""
-    key = value.desc() if descending else value.asc()
-    order = [key] + [c.asc() for c in (tiebreak or [])]
+    Since rank_min(v) − 1 = count of rows strictly better than v, pr is a
+    function of the VALUE alone — so only the distinct-value frame (one
+    narrow (value, count) row per distinct value) is ranked:
 
-    df = df.withColumn("__tie_key", value)
-    ranked, n = _global_row_number_with_total(df, order, out_col="__grn")
+    1. groupBy(value).count() — one narrow shuffle with map-side combine
+       collapses the input to |distinct| rows,
+    2. a cumulative window over that collapsed frame computes
+       strictly-better counts and the grand total N in one pass — its
+       single-partition stage holds |distinct| 16-byte rows, bounded by
+       the value domain (a rounded currency amount, a score), NOT by the
+       input row count,
+    3. pr maps back onto the full frame via an equi-join on the value,
+       which the optimizer broadcasts while the map stays under the
+       broadcast threshold — the WIDE input then never shuffles at all.
 
-    if n <= 1:
-        return ranked.withColumn(out_col, F.lit(0.0)).drop("__grn", "__tie_key")
+    Everything is lazy: no driver-side collect, no persist, one plan.
+    For values with genuinely unbounded distinct cardinality, rank a
+    quantized projection instead (round/bucket the value first), or use
+    ``global_row_number`` and derive pr — the partitioned machinery there
+    never single-partitions anything.
 
-    # Pin an exchange on the tie key: the min-rank aggregate and the
-    # re-join both consume it, so ReuseExchange materializes the ranking
-    # pipeline once instead of twice.
-    ranked = ranked.repartition(F.col("__tie_key"))
-
-    # SQL tie semantics: every row in a tie group takes the group's min rank.
-    tie_min = ranked.groupBy("__tie_key").agg(F.min("__grn").alias("__tie_rn"))
-    out = (
-        ranked.join(tie_min, "__tie_key")
-        .withColumn(out_col, (F.col("__tie_rn") - F.lit(1)) / F.lit(float(n - 1)))
-        .drop("__grn", "__tie_rn", "__tie_key")
+    ``tiebreak`` is accepted for API stability but unused: pr values never
+    depend on the order within a tie group."""
+    del tiebreak  # pr is value-determined; no total order needed
+    vc = df.select(value.alias("__v")).groupBy("__v").agg(
+        F.count(F.lit(1)).alias("__c")
     )
-    return out
+
+    order = F.col("__v").desc() if descending else F.col("__v").asc()
+    # Both windows run in ONE single-partition stage over the collapsed
+    # frame: cumulative strictly-better count + grand total.
+    cum_w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+    all_w = Window.orderBy(order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pr_map = vc.select(
+        "__v",
+        F.coalesce(F.sum("__c").over(cum_w), F.lit(0)).alias("__better"),
+        F.sum("__c").over(all_w).alias("__n"),
+    ).select(
+        "__v",
+        F.when(F.col("__n") <= 1, F.lit(0.0))
+        .otherwise(F.col("__better") / (F.col("__n") - F.lit(1)))
+        .alias(out_col),
+    )
+    return df.join(pr_map, value == F.col("__v")).drop("__v")

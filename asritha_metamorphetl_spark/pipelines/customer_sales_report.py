@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from asritha_metamorphetl_spark.operators.nodes import fil_node, jnr_node, sq_node
+from asritha_metamorphetl_spark.operators.ranks import global_percent_rank
 from asritha_metamorphetl_spark.sources.files import Catalog
 
 ACTIVE_STATUSES = ("O", "P")
@@ -133,12 +134,17 @@ def customer_sales_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
 
-    # W3: global percent_rank tiering (reference task:106-122). Correct but
-    # single-partition — the scalable equivalent is
-    # operators.ranks.global_percent_rank (same results, partitioned plan).
-    tier_window = Window.orderBy(F.col("sale_amount").desc())
-    tiered = metrics.withColumn(
-        "percent_rank", F.percent_rank().over(tier_window)
+    # W3: global percent_rank tiering (reference task:106-122). The
+    # reference's unpartitioned window funnels every row through ONE
+    # partition; global_percent_rank ranks only the distinct sale_amounts
+    # (column-pruned second pass over the join — narrow columns, all
+    # broadcast joins) and maps pr back via a broadcastable join, so the
+    # mart itself survives a 100-TB frame.
+    tiered = global_percent_rank(
+        metrics,
+        F.col("sale_amount"),
+        descending=True,
+        out_col="percent_rank",
     ).withColumn(
         "loyalty_tier",
         F.when(F.col("percent_rank") <= 0.2, "Gold")

