@@ -20,6 +20,7 @@ construction and pushdown SQL generation; live round-trips are gated.
 
 from __future__ import annotations
 
+from collections.abc import Callable, Sequence
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -106,3 +107,49 @@ def write_table(
     for key, value in config.properties().items():
         writer = writer.option(key, value)
     writer.save()
+
+
+def write_table_with_bootstrap(
+    df: DataFrame,
+    config: JdbcConfig,
+    table: str,
+    pre_ddl: Sequence[str] = (),
+    mode: str = "overwrite",
+    truncate: bool = False,
+    executor: Callable[[str], None] | None = None,
+) -> None:
+    """JDBC write with a schema-bootstrap hook (reference K2: Raptor's
+    `CREATE SCHEMA IF NOT EXISTS work` via psycopg2 before the overwrite,
+    Raptor/Raptor.py:41-57,61-85).
+
+    ``pre_ddl`` statements run on the target before the write. The default
+    executor drives them through the JDBC connection of the Spark driver's
+    JVM (no extra Python DB client needed) and requires the database's
+    JDBC driver jar on the Spark classpath — the same jar the write itself
+    needs (the reference ships postgresql-42.7.1.jar,
+    ETL_Airflow/Dockerfile:15). Tests inject ``executor`` to observe the
+    DDL without a live database.
+    """
+    for stmt in pre_ddl:
+        if executor is not None:
+            executor(stmt)
+        else:
+            _execute_ddl(df.sparkSession, config, stmt)
+    write_table(df, config, table, mode=mode, truncate=truncate)
+
+
+def _execute_ddl(spark: SparkSession, config: JdbcConfig, stmt: str) -> None:
+    """Run one DDL statement over a driver-side JVM JDBC connection."""
+    jvm = spark._jvm
+    props = jvm.java.util.Properties()
+    for key, value in config.properties().items():
+        props.setProperty(key, value)
+    conn = jvm.java.sql.DriverManager.getConnection(config.url, props)
+    try:
+        st = conn.createStatement()
+        try:
+            st.execute(stmt)
+        finally:
+            st.close()
+    finally:
+        conn.close()

@@ -209,3 +209,28 @@ def test_catalog_stream_normalizes_events(spark, tmp_path):
     got = spark.table("cat_stream")
     assert dict(got.dtypes)["ts"] == "timestamp"
     assert got.count() == cat.load(spark, "events").count()
+
+
+def test_jdbc_bootstrap_ddl_ordering(spark):
+    """K2: pre-DDL runs before the write, in order, through the injected
+    executor (no live database in this container)."""
+    from asritha_metamorphetl_spark.sources.jdbc import (
+        JdbcConfig,
+        write_table_with_bootstrap,
+    )
+
+    events = []
+    df = spark.createDataFrame([(1,)], "id int")
+    cfg = JdbcConfig(url="jdbc:postgresql://db/x", user="u", password="p")
+    try:
+        write_table_with_bootstrap(
+            df, cfg, "work.t",
+            pre_ddl=["CREATE SCHEMA IF NOT EXISTS work", "COMMENT ON SCHEMA work IS 'x'"],
+            executor=lambda stmt: events.append(stmt),
+        )
+    except Exception:
+        pass  # the JDBC write itself fails without a database — expected
+    assert events == [
+        "CREATE SCHEMA IF NOT EXISTS work",
+        "COMMENT ON SCHEMA work IS 'x'",
+    ]
