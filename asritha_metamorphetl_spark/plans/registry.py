@@ -61,6 +61,7 @@ def _load_all() -> None:
         operator_queries,
         quality_queries,
         text_queries,
+        tpch_deep,
         tpch_queries,
     )
 
