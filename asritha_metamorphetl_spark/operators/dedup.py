@@ -128,10 +128,14 @@ def ngram_jaccard_pairs(
     shingles = shingles.repartition(F.col("s"))
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
+    # df_s == 1 shingles can never produce a pair (the self-join would
+    # only match a row to itself) — dropping them shrinks the join input
+    # without changing any output row. Result-identical to the SQL twin,
+    # which keeps them and filters a=b pairs later.
     rare = (
         shingles.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df_s"))
-        .filter(F.col("df_s") <= max_doc_freq)
+        .filter((F.col("df_s") > 1) & (F.col("df_s") <= max_doc_freq))
         .select("s")
     )
     indexed = shingles.join(rare, "s")

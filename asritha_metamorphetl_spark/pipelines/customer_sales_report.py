@@ -54,13 +54,15 @@ def customer_sales_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SQ_orders",
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"],
     )
+    # Narrow measure projection for the rank/window phase; the display
+    # attributes (p_name/p_type, c_name, nation) are attached AFTER the
+    # heavy shuffles so the window exchange moves keys+numbers, not
+    # strings (a 100 TB frame shuffles its widest column set — keep it
+    # minimal through every Exchange).
     sq_part = sq_node(
-        cat.load(spark, "part"), "SQ_products", ["p_partkey", "p_name", "p_type", "p_retailprice"]
+        cat.load(spark, "part"), "SQ_products", ["p_partkey", "p_retailprice"]
     )
-    sq_customer = sq_node(
-        cat.load(spark, "customer"), "SQ_customers", ["c_custkey", "c_name", "c_nationkey"]
-    )
-    sq_nation = sq_node(cat.load(spark, "nation"), "SQ_nation", ["n_nationkey", "n_name"])
+    sq_customer = sq_node(cat.load(spark, "customer"), "SQ_customers", ["c_custkey"])
 
     fil_orders = fil_node(
         sq_orders, "FIL_sales_data", F.col("o_orderstatus").isin(*ACTIVE_STATUSES)
@@ -93,22 +95,11 @@ def customer_sales_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         how="left",
     )
 
-    # customers is dimension-sized here; nation is tiny — both broadcast.
-    customers = jnr_node(
-        sq_customer,
-        F.broadcast(sq_nation),
-        "JNR_customers_nation",
-        on=F.col("c_nationkey") == F.col("n_nationkey"),
-        how="left",
-    ).select(
-        F.col("c_custkey"),
-        F.col("c_name").alias("customer_name"),
-        F.col("n_name").alias("city"),
-    )
-
+    # Existence-only inner join on the customer KEY (c_custkey is the PK,
+    # so cardinality is unchanged); name/city attach post-window.
     all_data = jnr_node(
         with_products,
-        F.broadcast(customers),
+        F.broadcast(sq_customer),
         "JNR_all_entities",
         on=F.col("customer_id") == F.col("c_custkey"),
         how="inner",
@@ -164,6 +155,45 @@ def customer_sales_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = tiered.withColumn("rn", F.row_number().over(rank_window)).withColumn(
         "top_performer", F.when(F.col("rn") == 1, "Yes").otherwise("No")
+    )
+
+    # Attach display attributes now that the rank/window shuffles are done
+    # — all three are broadcast joins, so no further Exchange sees the
+    # string columns.
+    part_attrs = sq_node(
+        cat.load(spark, "part"), "SQ_product_attrs", ["p_partkey", "p_name", "p_type"]
+    )
+    sq_nation = sq_node(
+        cat.load(spark, "nation"), "SQ_nation", ["n_nationkey", "n_name"]
+    )
+    customer_attrs = jnr_node(
+        sq_node(
+            cat.load(spark, "customer"),
+            "SQ_customer_attrs",
+            ["c_custkey", "c_name", "c_nationkey"],
+        ).withColumnRenamed("c_custkey", "ca_custkey"),
+        F.broadcast(sq_nation),
+        "JNR_customers_nation",
+        on=F.col("c_nationkey") == F.col("n_nationkey"),
+        how="left",
+    ).select(
+        F.col("ca_custkey"),
+        F.col("c_name").alias("customer_name"),
+        F.col("n_name").alias("city"),
+    )
+    flagged = jnr_node(
+        flagged.drop("p_partkey"),
+        F.broadcast(part_attrs),
+        "JNR_product_attrs",
+        on=F.col("product_id") == F.col("p_partkey"),
+        how="left",
+    )
+    flagged = jnr_node(
+        flagged,
+        F.broadcast(customer_attrs),
+        "JNR_customer_attrs",
+        on=F.col("customer_id") == F.col("ca_custkey"),
+        how="inner",
     )
 
     return flagged.select(
