@@ -83,3 +83,82 @@ def fingerprint(text: Column) -> Column:
     """Deterministic 128-bit document fingerprint (hex). md5 is chosen for
     cross-engine availability, not cryptography."""
     return F.md5(text)
+
+
+#: Winnowing geometry: k-char grams, window of w consecutive hashes.
+WINNOW_K = 5
+WINNOW_W = 4
+WINNOW_B = 257  # polynomial base > any codepoint we expect
+
+_WINNOW_POWS = tuple(WINNOW_B ** (WINNOW_K - 1 - j) for j in range(WINNOW_K))
+
+
+def char_gram_hashes(text: Column, k: int = WINNOW_K) -> Column:
+    """Polynomial (Rabin-Karp) hash of every k-char gram:
+
+        h_i = Σ_j code(text[i+j]) · B^(k−1−j)
+
+    Computed positionally rather than incrementally — same values as the
+    rolling recurrence, but each position is independent, so the engine
+    parallelizes within the row and the SQL twin is a plain list
+    comprehension. With B=257 and k=5 the max value is ~1.1e12 per term —
+    exact in int64 with no modulus, hence bit-identical across engines.
+    Docs shorter than k chars produce an empty array.
+    """
+    n = F.length(text)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: sum(
+            (
+                F.ascii(text.substr(i + F.lit(j), F.lit(1))).cast("long")
+                * F.lit(p)
+                for j, p in enumerate(_WINNOW_POWS)
+            ),
+            F.lit(0).cast("long"),
+        ),
+    )
+
+
+def winnow_fingerprints(
+    text: Column, k: int = WINNOW_K, w: int = WINNOW_W
+) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    the min hash of every window of w consecutive k-gram hashes, dedup'd.
+    Guarantees any shared substring of length ≥ k+w−1 yields at least one
+    shared fingerprint — the standard near-dup/plagiarism sketch.
+
+    The gram-hash array is LET-BOUND (one-element array + transform) so
+    the interpreted window lambda reads a materialized array instead of
+    re-hashing the document per window — see word_shingles for why HOFs
+    need this.
+    """
+
+    def select_mins(hs: Column) -> Column:
+        m = F.size(hs)
+        widx = F.when(m >= w, F.sequence(F.lit(1), m - (w - 1))).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.array_distinct(
+            F.transform(widx, lambda i: F.array_min(F.slice(hs, i, w)))
+        )
+
+    return F.element_at(
+        F.transform(F.array(char_gram_hashes(text, k)), select_mins), 1
+    )
+
+
+#: BPE-style pre-tokenization pattern: letter runs, SINGLE digits,
+#: punctuation runs (single-space whitespace excluded) — the shape GPT-2
+#: class tokenizers split on before byte-pair merges. Identical character
+#: classes in Java (Spark) and RE2-ish (DuckDB) regex dialects.
+BPE_SPLIT_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Subword-ish token count: matches of BPE_SPLIT_PATTERN. An upper
+    proxy for real BPE token counts (merges only reduce it) — the cheap
+    budget estimator a corpus pipeline runs before a real tokenizer."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), 0))

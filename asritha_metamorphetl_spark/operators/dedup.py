@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from asritha_metamorphetl_spark.functions import hashing as H
-from asritha_metamorphetl_spark.functions.text import fingerprint
+from asritha_metamorphetl_spark.functions.text import fingerprint, winnow_fingerprints
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -163,6 +163,46 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def winnow_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_common: int = 2,
+    max_doc_freq: int = 50,
+) -> DataFrame:
+    """Near-dup candidates via winnowing fingerprints (see
+    functions/text.py): docs sharing ≥ ``min_common`` window-min k-gram
+    hashes. Winnowing guarantees any shared run of ≥ k+w−1 chars yields a
+    shared fingerprint, so this catches copied PASSAGES (contiguous
+    text), complementing MinHash's whole-document set similarity.
+
+    Same inverted-index shape as ngram_jaccard_pairs: one exchange pinned
+    on the fingerprint feeds the frequency filter and both self-join
+    sides; fingerprints seen once (no pair possible) or in more than
+    ``max_doc_freq`` docs (boilerplate) are dropped before the join."""
+    fps = _spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(winnow_fingerprints(F.col(text_col))).alias("fp"),
+    )
+    fps = fps.repartition(F.col("fp"))
+    usable = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df_f"))
+        .filter((F.col("df_f") >= 2) & (F.col("df_f") <= max_doc_freq))
+        .select("fp")
+    )
+    indexed = fps.join(usable, "fp")
+    a = indexed.alias("a")
+    b = indexed.alias("b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
     )
 
 

@@ -97,6 +97,80 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    score_decimals: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted-file) partitioning.
+
+    The corpus is Voronoi-partitioned into ``nlist`` cells around seed
+    centroids (the ``nlist`` lowest-id corpus vectors — deterministic and
+    data-dependent; a k-means refinement loop would slot in at the same
+    interface). Each corpus vector lands in its nearest cell; each query
+    probes its ``nprobe`` nearest cells and scores only those members.
+
+    Scale shape: centroid assignment is one Arrow-batched matmul per
+    batch inside the scan stage (no shuffle); the probe join shuffles by
+    cell id, so per-cell work is independent and the all-pairs scan never
+    materializes. Recall is tuned by nprobe/nlist (see
+    tests/test_llm_ops.py for the measured recall on the fixture).
+    """
+    cent_rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy("cid")
+        .limit(nlist)
+        .collect()
+    )  # driver-side, bounded O(nlist·dim) — never grows with the corpus
+    C = np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in cent_rows])
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def _cells_udf(n_out: int):
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<int>")
+        def cells(vs: pd.Series) -> pd.Series:
+            X = np.vstack(vs.to_numpy()).astype(np.float64)
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            sims = X @ C.T  # (N, nlist)
+            # lexsort: primary = -similarity, tiebreak = cell index, so
+            # probe order is deterministic under equal similarity.
+            idx = np.argsort(-sims, axis=1, kind="stable")[:, :n_out]
+            return pd.Series(list(idx.astype("int32")))
+
+        return cells
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cell", F.element_at(_cells_udf(1)(F.col("cv")), 1))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+    ).withColumn("cell", F.explode(_cells_udf(nprobe)(F.col("qv"))))
+
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), score_decimals).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "score", "rnk")
+    )
+
+
 def _bucket_keys_udf(all_planes, n_planes: int):
     """Vectorized sign-pattern bucketing: one Arrow batch → one
     (N × dim) @ (dim × tables·planes) matmul → per-table bucket keys.

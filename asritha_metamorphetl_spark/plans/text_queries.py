@@ -466,3 +466,133 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dup_pairs(
         emb, "vec_id", "embedding", block_col="label", threshold=0.45
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling k-gram hash + window minima) and
+# BPE-style token budgeting
+# ---------------------------------------------------------------------------
+
+#: DuckDB twin of functions/text.py::winnow_fingerprints — k=5-char
+#: polynomial hashes (base 257, explicit int64 power constants so no
+#: float creeps in), then distinct minima of every 4-hash window.
+_WINNOW_CTE = """
+gram_hashes AS (
+    SELECT doc_id,
+        [ CAST(list_sum([
+              ascii(text[i:i])     * 4362470401,
+              ascii(text[i+1:i+1]) * 16974593,
+              ascii(text[i+2:i+2]) * 66049,
+              ascii(text[i+3:i+3]) * 257,
+              ascii(text[i+4:i+4]) * 1
+          ]) AS BIGINT)
+          for i in range(1, greatest(length(text) - 3, 1)) ] AS hashes
+    FROM documents
+),
+winnowed AS (
+    SELECT doc_id,
+        list_distinct([ list_min(hashes[i:i+3])
+                        for i in range(1, greatest(len(hashes) - 2, 1)) ])
+            AS fps
+    FROM gram_hashes
+)
+"""
+
+
+@register(
+    "winnow_fingerprint_profile",
+    oracle=f"""
+WITH {_WINNOW_CTE}
+SELECT doc_id,
+       len(fps) AS n_fps,
+       CAST(list_min(fps) AS BIGINT) AS min_fp,
+       CAST(list_max(fps) AS BIGINT) AS max_fp
+FROM winnowed
+""",
+)
+def winnow_fingerprint_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing sketch profile. The sketch itself is
+    row-local (no shuffle — computed inside the scan stage); fingerprint
+    count scales with document length / w, not corpus size."""
+    docs = Catalog(sf_dir).load(spark, "documents")
+    fps = T.winnow_fingerprints(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(fps).alias("n_fps"),
+        F.array_min(fps).alias("min_fp"),
+        F.array_max(fps).alias("max_fp"),
+    )
+
+
+@register(
+    "winnow_candidate_pairs",
+    oracle=f"""
+WITH {_WINNOW_CTE},
+exploded AS (SELECT doc_id, unnest(fps) AS fp FROM winnowed),
+usable AS (
+    SELECT fp FROM exploded GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 50
+),
+indexed AS (SELECT e.doc_id, e.fp FROM exploded e JOIN usable u USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+FROM indexed a JOIN indexed b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b
+HAVING COUNT(*) >= 2
+""",
+)
+def winnow_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-copy candidates: docs sharing ≥2 winnowing fingerprints
+    (inverted-index self-join with a document-frequency cap — same scale
+    shape as the Jaccard index join)."""
+    docs = Catalog(sf_dir).load(spark, "documents")
+    return D.winnow_candidate_pairs(docs, "text", "doc_id")
+
+
+@register(
+    "bpe_token_stats",
+    oracle=f"""
+WITH c AS (
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x != ''))
+               AS n_ws_tokens,
+           len(regexp_extract_all(text, '{T.BPE_SPLIT_PATTERN}'))
+               AS n_bpe_tokens
+    FROM documents
+)
+SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+       CASE WHEN n_ws_tokens > 0
+            THEN ROUND(CAST(n_bpe_tokens AS DOUBLE) / n_ws_tokens, 4)
+            ELSE 0.0 END AS fertility
+FROM c
+""",
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget estimation: whitespace tokens vs BPE-style subword
+    matches, plus fertility (subwords per word) — the pre-tokenizer pass
+    a corpus pipeline runs to cost a training run before invoking a real
+    BPE tokenizer. Row-local, zero shuffle."""
+    docs = Catalog(sf_dir).load(spark, "documents")
+    n_ws = T.token_count(F.col("text"))
+    n_bpe = T.bpe_token_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.when(
+            n_ws > 0,
+            F.round(n_bpe.cast("double") / n_ws, 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("fertility"),
+    )
+
+
+@register("knn_ivf_topk", oracle=None)  # centroid assignment is engine-side
+def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k — rows-only driver check; recall vs the
+    exact path is asserted in tests/test_llm_ops.py."""
+    from asritha_metamorphetl_spark.operators.similarity import ivf_topk
+
+    emb = Catalog(sf_dir).load(spark, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
+    return ivf_topk(emb, queries, "vec_id", "embedding", k=KNN_K)

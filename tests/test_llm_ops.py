@@ -98,3 +98,25 @@ def test_text_stats_empty_doc(spark):
     row = df.collect()[0]
     assert row.n == 0 and row.avg_len == 0.0 and row.ratio == 0.0
     assert row.lang == "unk"
+
+
+def test_ivf_recall_vs_exact(spark):
+    from asritha_metamorphetl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, "vec_id", "embedding", k=10)
+    approx = ivf_topk(emb, queries, "vec_id", "embedding", k=10, nlist=8, nprobe=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # probing half the cells must recover a solid share of true neighbors
+    assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
+    # every reported neighbor is exactly scored, so scores must agree
+    exact_scores = {(r.query_id, r.neighbor_id): r.score for r in exact.collect()}
+    for r in approx.collect():
+        if (r.query_id, r.neighbor_id) in exact_scores:
+            assert abs(exact_scores[(r.query_id, r.neighbor_id)] - r.score) < 1e-9
