@@ -111,6 +111,69 @@ def extract_image_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
+#: Output of the resize step: original identity + target geometry + the
+#: resized payload (still binary — the next pipeline stage's input).
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("target_width", IntegerType(), False),
+        StructField("target_height", IntegerType(), False),
+        StructField("content", BinaryType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+
+def _resize_image_stub(blob: bytes, width: int, height: int) -> bytes:
+    """STUB — deterministic fake resizer.
+
+    A real implementation decodes, resamples, and re-encodes
+    (``Image.open(...).resize((w, h)).save(buf, format)``) — Pillow is not
+    in this container. The fake emits a deterministic payload whose size
+    scales with the target area, so partition-sizing behavior downstream
+    of a resize is exercised realistically.
+    """
+    if not blob:
+        return b""
+    seed = bytes([blob[0], blob[-1], width % 256, height % 256])
+    reps = max(1, (width * height) // (64 * len(seed)))
+    return seed * reps
+
+
+def resize_images(
+    df: DataFrame, width: int = 224, height: int = 224
+) -> DataFrame:
+    """Arrow-batched image resize to a fixed target geometry (the
+    normalization step before feature extraction / embedding).
+
+    Same mapInPandas shape as extract_image_features: one JVM↔Python
+    crossing per Arrow batch, per-blob Python only for the codec work.
+    Lower ``spark.sql.execution.arrow.maxRecordsPerBatch`` when blobs are
+    multi-MB so a batch stays within executor memory."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                _resize_image_stub(b if b is not None else b"", width, height)
+                for b in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "target_width": width,
+                    "target_height": height,
+                    "content": out,
+                    "n_bytes": [len(b) for b in out],
+                }
+            )
+
+    return df.filter(F.col("media_type") == "image").mapInPandas(
+        resize, schema=RESIZED_SCHEMA
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_nth: int = 30) -> DataFrame:
     """Video frame-sampling PLAN: expands each video asset into frame-row
     stubs (asset_id, frame_index) without decoding. A real decoder slots

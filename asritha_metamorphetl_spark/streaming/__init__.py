@@ -6,6 +6,8 @@ from asritha_metamorphetl_spark.streaming.windows import (
     sessionized_stream,
     sliding_event_stats,
     snapshot_stream,
+    stream_static_enrich,
+    streaming_dedup,
 )
 
 __all__ = [
@@ -13,4 +15,6 @@ __all__ = [
     "sessionized_stream",
     "sliding_event_stats",
     "snapshot_stream",
+    "stream_static_enrich",
+    "streaming_dedup",
 ]

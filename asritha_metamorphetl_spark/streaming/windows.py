@@ -93,6 +93,27 @@ def sessionized_stream(
     )
 
 
+def stream_static_enrich(
+    events: DataFrame, dim: DataFrame, on: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a batch dimension table.
+    The static side is re-read per micro-batch (picking up dim updates)
+    and broadcast when small — the streaming twin of every mart's
+    fact⋈dim join. Stateless: no watermark needed for the join itself."""
+    return events.join(F.broadcast(dim), on, how)
+
+
+def streaming_dedup(
+    events: DataFrame, key_cols: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """Exactly-once-per-key delivery within the watermark horizon:
+    ``dropDuplicates`` keyed by (key, event-time) keeps first-arrival
+    rows and evicts state once the watermark passes — the streaming twin
+    of the batch PK-uniqueness gate (quality/asserts.assert_unique).
+    State is hash-partitioned by key; the watermark bounds its size."""
+    return events.withWatermark("ts", watermark).dropDuplicates([*key_cols, "ts"])
+
+
 def snapshot_stream(events: DataFrame, raw_path: str, legacy_path: str):
     """The reference's raw/legacy dual-write as a streaming sink: each
     micro-batch overwrites the ``raw`` staging area and appends a

@@ -74,3 +74,30 @@ def test_metadata_query_prunes_binary(assets, tmp_path):
     q = spark.read.parquet(path).select("asset_id", "n_bytes")
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "content" not in plan.split("ReadSchema:")[-1]
+
+
+def test_resize_images(assets):
+    from asritha_metamorphetl_spark.operators.multimodal import (
+        RESIZED_SCHEMA,
+        resize_images,
+    )
+
+    out = resize_images(assets, width=128, height=96)
+    assert out.schema == RESIZED_SCHEMA
+    rows = {r.asset_id: r for r in out.collect()}
+    # only image assets flow through
+    assert all(r.media_type == "image" for r in rows.values())
+    for r in rows.values():
+        assert r.target_width == 128 and r.target_height == 96
+        assert r.n_bytes == len(r.content or b"")
+    # deterministic: same input → same payload
+    again = {r.asset_id: r for r in resize_images(assets, 128, 96).collect()}
+    for aid, r in rows.items():
+        assert bytes(r.content or b"") == bytes(again[aid].content or b"")
+    # payload size scales with target area (stub contract)
+    bigger = {
+        r.asset_id: r for r in resize_images(assets, 256, 192).collect()
+    }
+    for aid, r in rows.items():
+        if r.n_bytes:
+            assert bigger[aid].n_bytes > r.n_bytes

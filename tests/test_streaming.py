@@ -155,3 +155,52 @@ def test_stateful_user_tracker(spark, event_stream_factory, tmp_path):
     for uid, w in want.items():
         assert got[uid].n_events == w.n
         assert got[uid].total_value == w.total  # exact decimal state
+
+
+def test_stream_static_enrich(spark, event_stream_factory, tmp_path):
+    from asritha_metamorphetl_spark.streaming import stream_static_enrich
+
+    dim = spark.createDataFrame(
+        [("click", "interactive"), ("view", "passive")],
+        "event_type string, kind string",
+    )
+    enriched = stream_static_enrich(event_stream_factory(), dim, "event_type")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.table("enriched")
+    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    assert got.count() == batch.count()  # left join keeps every event
+    # joined attribute present exactly for the mapped types
+    assert got.filter(
+        (F.col("event_type") == "click") & (F.col("kind") != "interactive")
+    ).count() == 0
+    assert got.filter(F.col("kind").isNull()).count() == got.filter(
+        ~F.col("event_type").isin("click", "view")
+    ).count()
+
+
+def test_streaming_dedup(spark, event_stream_factory, tmp_path):
+    from asritha_metamorphetl_spark.streaming import streaming_dedup
+
+    deduped = streaming_dedup(event_stream_factory(), ["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("deduped")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.table("deduped")
+    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    want = batch.dropDuplicates(["event_id", "ts"]).count()
+    assert got.count() == want
+    assert got.groupBy("event_id", "ts").count().filter("count > 1").count() == 0
