@@ -120,3 +120,22 @@ def test_ivf_recall_vs_exact(spark):
     for r in approx.collect():
         if (r.query_id, r.neighbor_id) in exact_scores:
             assert abs(exact_scores[(r.query_id, r.neighbor_id)] - r.score) < 1e-9
+
+
+def test_winnow_udf_matches_expr(spark):
+    """The vectorized winnowing kernel must be value-identical to the
+    pure-Column spelling (which is the direct mirror of the SQL oracle)."""
+    from asritha_metamorphetl_spark.functions.text import (
+        winnow_fingerprints,
+        winnow_fingerprints_expr,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    fast = docs.select(
+        "doc_id", F.array_sort(winnow_fingerprints(F.col("text"))).alias("fps")
+    )
+    slow = docs.select(
+        "doc_id", F.array_sort(winnow_fingerprints_expr(F.col("text"))).alias("fps")
+    )
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
