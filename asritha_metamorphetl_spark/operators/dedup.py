@@ -229,7 +229,10 @@ def embedding_near_dup_pairs(
     miss; the filter compares the ROUNDED score so the decision is
     reproducible across engines and partitionings.
     """
-    from asritha_metamorphetl_spark.operators.similarity import _to_double, cosine
+    from asritha_metamorphetl_spark.operators.similarity import (
+        _to_double,
+        cosine_batch,
+    )
 
     blocks = [block_col] if block_col is not None else []
     side = df.select(
@@ -249,7 +252,9 @@ def embedding_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), score_decimals).alias("score"),
+            F.round(cosine_batch(F.col("va"), F.col("vb")), score_decimals).alias(
+                "score"
+            ),
         )
         .filter(F.col("score") >= threshold)
     )

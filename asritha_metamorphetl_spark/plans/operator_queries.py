@@ -486,3 +486,66 @@ def event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "user_journeys",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type, ts,
+        FIRST_VALUE(event_type) OVER w AS first_type,
+        LAST_VALUE(event_type) OVER (
+            PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS last_type,
+        date_diff('microsecond', ts,
+                  LEAD(ts) OVER w) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       MAX(first_type) AS first_type,
+       MAX(last_type) AS last_type,
+       ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) / 1000000.0, 3)
+           AS avg_gap_sec
+FROM seq
+GROUP BY user_id
+HAVING COUNT(*) > 1
+""",
+)
+def user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user journey profile: first/last event type and mean
+    inter-event gap. Exercises LEAD plus FIRST_VALUE (default running
+    frame) and LAST_VALUE with an explicit unbounded frame — the default
+    frame would return the CURRENT row's type, the classic last_value
+    trap. Gaps are summed as exact integer microseconds; the double
+    division is spelled identically in both engines so the rounding
+    agrees. Windows partition by user — no global ordering pass."""
+    ev = Catalog(sf_dir).load(spark, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    gap_us = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    seq = ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w_all).alias("last_type"),
+        gap_us.alias("gap_us"),
+    )
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("first_type").alias("first_type"),
+            F.max("last_type").alias("last_type"),
+            F.round(
+                F.sum("gap_us").cast("double")
+                / F.count("gap_us")
+                / F.lit(1000000.0),
+                3,
+            ).alias("avg_gap_sec"),
+        )
+        .filter(F.col("n_events") > 1)
+    )

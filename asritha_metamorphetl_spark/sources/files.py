@@ -59,6 +59,28 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    multiline: bool = False,
+    **options: str,
+) -> DataFrame:
+    """JSON-lines scan with an explicit schema contract (the file form of
+    the reference's JSON-records ingestion, S3/S9 — API payloads landed
+    as files instead of driver-side ``createDataFrame``).
+
+    Pass ``schema``: without one Spark samples the file to infer types, a
+    second scan a 100 TB feed cannot afford (same rule as read_csv).
+    ``multiline=True`` reads one JSON document per FILE — that mode is
+    not splittable, so keep the default line-delimited layout for
+    anything large."""
+    reader = spark.read.options(multiLine=str(multiline).lower(), **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def dated_path(base: str, entity: str, day: _dt.date, ext: str = "csv") -> str:
     """``{base}/{YYYYMMDD}/{entity}_{YYYYMMDD}.{ext}`` — the reference's
     daily-drop layout (Rest-API/main.py:47-48, ingestion_task.py:235-238)."""

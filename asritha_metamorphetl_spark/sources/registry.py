@@ -56,6 +56,13 @@ def _read_csv(spark: SparkSession, path: str, **options) -> DataFrame:
     return read_csv(spark, path, **options)
 
 
+@register_source("jsonl")
+def _read_jsonl(spark: SparkSession, path: str, **options) -> DataFrame:
+    from asritha_metamorphetl_spark.sources.files import read_jsonl
+
+    return read_jsonl(spark, path, **options)
+
+
 @register_source("sql")
 def _read_sql(spark: SparkSession, query: str, catalog_root: str) -> DataFrame:
     """Parquet tables as temp views + spark.sql — the reference's

@@ -234,3 +234,37 @@ def test_jdbc_bootstrap_ddl_ordering(spark):
         "CREATE SCHEMA IF NOT EXISTS work",
         "COMMENT ON SCHEMA work IS 'x'",
     ]
+
+
+def test_jsonl_source(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from asritha_metamorphetl_spark.sources.files import read_jsonl
+    from asritha_metamorphetl_spark.sources.registry import read
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "a", "qty": 3}\n'
+        '{"id": 2, "name": "b", "qty": null}\n'
+        '{"id": 3, "name": "c"}\n'
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("qty", LongType()),
+        ]
+    )
+    df = read_jsonl(spark, str(p), schema=schema)
+    assert df.schema == schema  # explicit contract, no inference pass
+    rows = {r.id: r for r in df.collect()}
+    assert len(rows) == 3
+    assert rows[1].qty == 3 and rows[2].qty is None and rows[3].qty is None
+    # dispatcher route
+    via_registry = read(spark, "jsonl", path=str(p), schema=schema)
+    assert via_registry.collect() == df.collect()
