@@ -81,6 +81,33 @@ def read_jsonl(
     return reader.json(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by its join key.
+
+    THE co-location lever for repeated fact-fact joins at 100 TB: when
+    both sides of an equi-join are bucketed on the key with the same
+    bucket count, SortMergeJoin reads matching buckets directly — no
+    Exchange on either side, and with sortBy no Sort either. One shuffle
+    paid at WRITE time amortizes over every downstream join/aggregation
+    on that key (the reference re-reads raw.sales in three marts —
+    exactly this access pattern). Requires saveAsTable (bucket metadata
+    lives in the catalog; plain parquet paths can't carry it)."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table)
+
+
 def dated_path(base: str, entity: str, day: _dt.date, ext: str = "csv") -> str:
     """``{base}/{YYYYMMDD}/{entity}_{YYYYMMDD}.{ext}`` — the reference's
     daily-drop layout (Rest-API/main.py:47-48, ingestion_task.py:235-238)."""

@@ -105,3 +105,61 @@ def test_metadata_scan_prunes_unused_columns(spark):
         if "lineitem" in header:
             schema_line = scan_part[scan_part.index("ReadSchema") :].splitlines()[0]
             assert "l_tax" not in schema_line and "l_returnflag" not in schema_line
+
+
+def test_no_query_funnels_raw_rows_single_partition(spark):
+    """Registry-wide scale gate: in EVERY registered query's physical
+    plan, any SinglePartition exchange must sit above an aggregation
+    (a collapsed frame — bounded rows), never directly above a raw
+    FileScan. New queries are covered automatically on registration."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    offenders = []
+    for name, fn in all_queries().items():
+        plan = _plan(fn(spark, "/root/testdata/sf0.001"))
+        for seg in plan.split("SinglePartition")[1:]:
+            agg = seg.find("HashAggregate")
+            if agg == -1:
+                agg = seg.find("SortAggregate")
+            if agg == -1:
+                agg = seg.find("ObjectHashAggregate")
+            scan = seg.find("FileScan")
+            if not (agg != -1 and (scan == -1 or agg < scan)):
+                offenders.append(name)
+                break
+    assert not offenders, f"raw-row single-partition stages in: {offenders}"
+
+
+def test_bucketed_join_skips_shuffle_and_sort(spark, tmp_path):
+    """Both sides bucketed+sorted on the join key with equal bucket
+    counts → SortMergeJoin with NO Exchange and NO Sort: the write-time
+    shuffle is amortized over every later join on that key."""
+    from asritha_metamorphetl_spark.sources.files import write_bucketed
+
+    orders = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+    li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(
+        orders, "b_orders", ["o_orderkey"], 8, sort_cols=["o_orderkey"],
+        path=str(tmp_path / "b_orders"),
+    )
+    write_bucketed(
+        li, "b_lineitem", ["l_orderkey"], 8, sort_cols=["l_orderkey"],
+        path=str(tmp_path / "b_lineitem"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
