@@ -549,3 +549,91 @@ def user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_events") > 1)
     )
+
+
+@register(
+    "priority_price_profile",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(MIN(o_totalprice), 2) AS min_price,
+       ROUND(MAX(o_totalprice), 2) AS max_price,
+       ROUND(MEDIAN(o_totalprice), 2) AS median_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def priority_price_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median via the sort-based percentile aggregate —
+    grouped by priority, so the sort happens per group partition (never a
+    global single-partition pass). Both engines interpolate the even-count
+    median as (a+b)/2 on the same doubles, so the rounded values agree."""
+    orders = Catalog(sf_dir).load(spark, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.median("o_totalprice"), 2).alias("median_price"),
+    )
+
+
+@register(
+    "props_kv_totals",
+    oracle="""
+SELECT k AS prop_key,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.' || k) AS BIGINT)) AS BIGINT)
+           AS total
+FROM events, UNNEST(json_keys(props)) AS t(k)
+GROUP BY k
+""",
+)
+def props_kv_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over semi-structured props: parse the JSON payload
+    into a MapType and explode key/value pairs — totals per key without
+    declaring the key set anywhere (new keys appear as new rows, not
+    schema migrations). The parse+explode is row-local, inside the scan
+    stage; only the per-key rollup shuffles."""
+    ev = Catalog(sf_dir).load(spark, "events")
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string,bigint>")).alias(
+            "prop_key", "v"
+        )
+    )
+    return kv.groupBy("prop_key").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v").alias("total"),
+    )
+
+
+@register(
+    "party_directory",
+    oracle="""
+SELECT kind, COUNT(*) AS n_parties, COUNT(DISTINCT nation_key) AS n_nations
+FROM (
+    SELECT 'customer' AS kind, c_nationkey AS nation_key FROM customer
+    UNION ALL
+    SELECT 'supplier' AS kind, s_nationkey AS nation_key FROM supplier
+) parties
+GROUP BY kind
+""",
+)
+def party_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation coverage: a unioned directory of both party entities
+    (unionByName so column order can never silently misalign — the
+    positional-union trap), rolled up per kind."""
+    cat = Catalog(sf_dir)
+    cust = cat.load(spark, "customer").select(
+        F.lit("customer").alias("kind"), F.col("c_nationkey").alias("nation_key")
+    )
+    supp = cat.load(spark, "supplier").select(
+        F.lit("supplier").alias("kind"), F.col("s_nationkey").alias("nation_key")
+    )
+    return (
+        cust.unionByName(supp)
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_parties"),
+            F.countDistinct("nation_key").alias("n_nations"),
+        )
+    )

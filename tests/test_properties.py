@@ -78,3 +78,18 @@ def test_exact_dedup_partition_invariance(spark, rows):
         )
 
     assert canon(df.repartition(1)) == canon(df.repartition(7))
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """Sketch path for 100 TB cardinalities: HLL++ must land within its
+    configured relative error of the exact count (the exact path is the
+    oracle-checked default; the sketch is the opt-in for cases where a
+    shuffle-free estimate beats an exact Expand)."""
+    import pyspark.sql.functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    row = li.agg(
+        F.countDistinct("l_orderkey").alias("exact"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.05
