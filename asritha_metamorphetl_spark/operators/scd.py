@@ -1,0 +1,97 @@
+"""Slowly-changing-dimension (type 2) merge.
+
+The reference approximates history with full daily snapshots
+(``legacy.*`` append keyed by DAY_DT — ingestion_task.py:48-69): every
+row re-written every day, storage linear in days × table size. SCD2
+keeps one row per VERSION instead: a new row only when a tracked
+attribute actually changes, with ``effective_from`` / ``effective_to`` /
+``is_current`` bracketing its validity.
+
+Scale shape: one left join of the updates batch against the CURRENT
+slice (both shuffled by the business key, or broadcast when the batch is
+small), null-safe column comparison to detect real changes, and a union
+of four disjoint row sets — history, closed, untouched, new. No windows,
+no driver-side state.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: SCD2 bookkeeping columns added to the dimension's business columns.
+SCD2_COLS = ("effective_from", "effective_to", "is_current")
+
+
+def scd2_init(updates: DataFrame, batch_date: _dt.date) -> DataFrame:
+    """First load: every row becomes the open current version."""
+    return updates.withColumns(
+        {
+            "effective_from": F.lit(batch_date).cast("date"),
+            "effective_to": F.lit(None).cast("date"),
+            "is_current": F.lit(True),
+        }
+    )
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    tracked: Sequence[str],
+    batch_date: _dt.date,
+) -> DataFrame:
+    """Merge one updates batch into an SCD2 dimension.
+
+    ``current`` carries the SCD2_COLS; ``updates`` carries keys +
+    attributes only (one row per key — enforce upstream with
+    assert_unique). Rows whose tracked attributes are unchanged are left
+    alone; changed/new keys close the old version (effective_to =
+    batch_date) and open a new one. Comparison is NULL-SAFE — a change
+    from NULL to a value (or back) versions the row like any other
+    change."""
+    keys = list(keys)
+    business_cols = [c for c in current.columns if c not in SCD2_COLS]
+
+    active = current.filter(F.col("is_current"))
+    history = current.filter(~F.col("is_current"))
+
+    u = updates.alias("u")
+    c = active.alias("c")
+    changed_pred = F.lit(False)
+    for col in tracked:
+        changed_pred = changed_pred | ~F.col(f"u.{col}").eqNullSafe(F.col(f"c.{col}"))
+
+    joined = u.join(c, [F.col(f"u.{k}") == F.col(f"c.{k}") for k in keys], "left")
+    # new key (no current row) or a real attribute change
+    delta_keys = (
+        joined.filter(F.col(f"c.{keys[0]}").isNull() | changed_pred)
+        .select(*[F.col(f"u.{k}").alias(k) for k in keys])
+    )
+
+    new_rows = scd2_init(
+        updates.join(delta_keys, keys, "left_semi"), batch_date
+    ).select(*business_cols, *SCD2_COLS)
+
+    closed = (
+        active.join(delta_keys, keys, "left_semi")
+        .withColumns(
+            {
+                "effective_to": F.lit(batch_date).cast("date"),
+                "is_current": F.lit(False),
+            }
+        )
+        .select(*business_cols, *SCD2_COLS)
+    )
+    untouched = active.join(delta_keys, keys, "left_anti").select(
+        *business_cols, *SCD2_COLS
+    )
+    return (
+        history.select(*business_cols, *SCD2_COLS)
+        .unionByName(closed)
+        .unionByName(untouched)
+        .unionByName(new_rows)
+    )

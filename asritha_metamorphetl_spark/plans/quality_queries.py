@@ -397,3 +397,56 @@ def reconcile_orchestrated(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return run.column_summary
+
+
+@register(
+    "dq_violations",
+    oracle="""
+SELECT 'not_null_o_custkey' AS rule,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS violations FROM orders
+UNION ALL
+SELECT 'accepted_values_o_orderstatus',
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                     OR o_orderstatus NOT IN ('O','F','P')
+                THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'between_o_totalprice',
+       CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                     OR o_totalprice > 300000
+                THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'regex_o_orderpriority',
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL
+                     OR NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'unique_o_orderkey',
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+""",
+)
+def dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative expectation suite over orders — five rules
+    (null/domain/range/shape/uniqueness) evaluated in ONE aggregate pass
+    (quality/expectations.py); the oracle recomputes each rule as an
+    independent SQL scan."""
+    from asritha_metamorphetl_spark.quality.expectations import (
+        expect_accepted_values,
+        expect_between,
+        expect_not_null,
+        expect_regex,
+        expect_unique,
+        validate,
+    )
+
+    orders = Catalog(sf_dir).load(spark, "orders")
+    return validate(
+        orders,
+        [
+            expect_not_null("o_custkey"),
+            expect_accepted_values("o_orderstatus", ["O", "F", "P"]),
+            expect_between("o_totalprice", 0, 300000),
+            expect_regex("o_orderpriority", "^[1-5]-"),
+            expect_unique(["o_orderkey"]),
+        ],
+    )
