@@ -637,3 +637,100 @@ def party_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("nation_key").alias("n_nations"),
         )
     )
+
+
+@register(
+    "events_sliding_stats",
+    oracle="""
+WITH assigned AS (
+    SELECT event_type, value,
+           time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE
+               AS window_start
+    FROM events, UNNEST(range(4)) AS t(k)
+    WHERE time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE
+          > ts - INTERVAL 1 HOUR
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(MIN(value), 2) AS min_value,
+       ROUND(MAX(value), 2) AS max_value
+FROM assigned
+GROUP BY 1, 2
+""",
+)
+def events_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/15m windows — the batch twin of
+    streaming/windows.sliding_event_stats, so the overlapping-window
+    assignment itself is oracle-checked (each event lands in exactly 4
+    windows; the SQL twin materializes the k-offset expansion Spark's
+    window() does internally)."""
+    ev = Catalog(sf_dir).load(spark, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+@register(
+    "daily_revenue_spine",
+    oracle="""
+WITH bounds AS (
+    SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+           CAST(MAX(o_orderdate) AS DATE) AS d1
+    FROM orders
+),
+spine AS (
+    SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+        AS day
+    FROM bounds
+),
+daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1
+)
+SELECT strftime(s.day, '%Y-%m-%d') AS day,
+       COALESCE(d.revenue, 0.0) AS revenue,
+       CAST(COALESCE(d.n_orders, 0) AS BIGINT) AS n_orders
+FROM spine s LEFT JOIN daily d USING (day)
+""",
+)
+def daily_revenue_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine pattern: a generated day dimension LEFT-joined to
+    daily revenue so zero-order days appear as explicit 0.0 rows — the
+    gap-free time series every reporting layer needs. The spine derives
+    lazily from the data's own min/max (a 1-row aggregate exploded by
+    sequence()); no driver collect, no hardcoded range."""
+    orders = Catalog(sf_dir).load(spark, "orders")
+    bounds = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        exact_sum(F.col("o_totalprice"), "revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return spine.join(daily, "day", "left").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce(F.col("revenue"), F.lit(0.0)).alias("revenue"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+    )
