@@ -47,8 +47,13 @@ def main() -> None:
         except Exception:
             pass
         start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # one broken query must not sink the run
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
         elapsed = time.perf_counter() - start
         timings[name] = round(elapsed, 3)
         total += elapsed
