@@ -89,6 +89,7 @@ def global_percent_rank(
     descending: bool = True,
     tiebreak: list[Column] | None = None,
     out_col: str = "percent_rank",
+    broadcast_map: bool = False,
 ) -> DataFrame:
     """Partition-parallel equivalent of
     ``percent_rank().over(Window.orderBy(value))`` with SQL tie semantics:
@@ -116,7 +117,16 @@ def global_percent_rank(
     never single-partitions anything.
 
     ``tiebreak`` is accepted for API stability but unused: pr values never
-    depend on the order within a tie group."""
+    depend on the order within a tie group.
+
+    The map-side statistics are unknowable statically (it sits above a
+    window-over-aggregate), so Catalyst's initial plan is a
+    SortMergeJoin — and that is left for AQE to convert: at runtime the
+    materialized map is tiny, AQE rewrites the join to broadcast with
+    local shuffle reads, and that path measures FASTER than a static
+    ``broadcast()`` hint (the hint forces an eager driver-side broadcast
+    build; measured 3.1s vs 2.0s on the sf0.1 mart). ``broadcast_map``
+    forces the static hint for engines/sessions running without AQE."""
     del tiebreak  # pr is value-determined; no total order needed
     vc = df.select(value.alias("__v")).groupBy("__v").agg(
         F.count(F.lit(1)).alias("__c")
@@ -139,4 +149,6 @@ def global_percent_rank(
         .otherwise(F.col("__better") / (F.col("__n") - F.lit(1)))
         .alias(out_col),
     )
+    if broadcast_map:
+        pr_map = F.broadcast(pr_map)
     return df.join(pr_map, value == F.col("__v")).drop("__v")

@@ -203,12 +203,19 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)
 )
 def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(sf_dir).load(spark, "lineitem")
+    # Pre-aggregate to the finest grain so the rollup's Expand triples
+    # |flag × status| partial rows (≤6), not the raw fact rows; sums of
+    # sums re-aggregate exactly (same rewrite as revenue_rollup).
+    grain = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("q_part"),
+        F.count(F.lit(1)).alias("n_part"),
+    )
     return (
-        li.rollup("l_returnflag", "l_linestatus")
+        grain.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.grouping_id().alias("gid"),
-            F.sum("l_quantity").alias("sum_qty"),
-            F.count(F.lit(1)).alias("n"),
+            F.sum("q_part").alias("sum_qty"),
+            F.sum("n_part").alias("n"),
         )
         .select(
             F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("returnflag"),

@@ -614,11 +614,20 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .withColumn("yr", F.year("o_orderdate").cast("long"))
     )
+    # Pre-aggregate to the finest grain FIRST: the rollup's Expand then
+    # triples |nations × years| partial rows, not the raw joined fact
+    # rows (3× 600k → 3× ~175 at sf0.1). Sums of sums and counts of
+    # counts re-aggregate exactly; results are identical to rolling up
+    # the raw frame.
+    grain = joined.groupBy("n_name", "yr").agg(
+        F.sum(_rev_col()).alias("rev_part"),
+        F.count(F.lit(1)).alias("cnt_part"),
+    )
     return (
-        joined.rollup("n_name", "yr")
+        grain.rollup("n_name", "yr")
         .agg(
-            F.sum(_rev_col()).cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("rev_part").cast("double").alias("revenue"),
+            F.sum("cnt_part").alias("n_lines"),
             F.grouping("n_name").alias("g_nation"),
             F.grouping("yr").alias("g_year"),
         )
