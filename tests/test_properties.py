@@ -93,3 +93,43 @@ def test_approx_count_distinct_within_tolerance(spark):
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.05
+
+
+@given(rows=rows_strategy)
+@settings(**_SETTINGS)
+def test_exact_sum_partition_invariant(spark, rows):
+    """Decimal-quantized money sums must be bit-identical at any
+    partition count — the README's core correctness claim (double sums
+    are partition-order-dependent; decimal sums are associative)."""
+    from asritha_metamorphetl_spark.functions.numeric import exact_sum
+
+    df = spark.createDataFrame(rows, "id int, name string, amount double")
+
+    def total(frame):
+        return frame.agg(exact_sum(F.col("amount"), "t")).collect()[0].t
+
+    assert total(df.repartition(1)) == total(df.repartition(13))
+
+
+@given(rows=rows_strategy)
+@settings(**_SETTINGS)
+def test_global_percent_rank_matches_window(spark, rows):
+    """The scale-safe distinct-value rewrite must equal the reference's
+    unpartitioned percent_rank window for ANY input, including ties and
+    NULL-free frames of any size."""
+    from pyspark.sql import Window
+
+    from asritha_metamorphetl_spark.operators.ranks import global_percent_rank
+
+    df = spark.createDataFrame(rows, "id int, name string, amount double").filter(
+        F.col("amount").isNotNull()
+    )
+    if df.count() == 0:
+        return
+    ours = global_percent_rank(df, F.col("amount"), descending=True)
+    ref = df.withColumn(
+        "ref_pr", F.percent_rank().over(Window.orderBy(F.col("amount").desc()))
+    )
+    got = sorted((r.id, r.amount, round(r.percent_rank, 12)) for r in ours.collect())
+    want = sorted((r.id, r.amount, round(r.ref_pr, 12)) for r in ref.collect())
+    assert got == want
