@@ -7,7 +7,7 @@ spiked cell-for-cell before these were registered.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from asritha_metamorphetl_spark.functions import text as T
@@ -596,3 +596,105 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(sf_dir).load(spark, "embeddings")
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
     return ivf_topk(emb, queries, "vec_id", "embedding", k=KNN_K)
+
+
+# ---------------------------------------------------------------------------
+# Training-data partitioning: deterministic splits + centroid clustering
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_splits",
+    oracle=f"""
+WITH assigned AS (
+    SELECT doc_id, text,
+           {_hex48_sql("md5(CAST(doc_id AS VARCHAR))")} % 10 AS bucket
+    FROM documents
+)
+SELECT CASE WHEN bucket <= 7 THEN 'train'
+            WHEN bucket = 8 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(list_filter(string_split(text, ' '), x -> x != '')))
+            AS BIGINT) AS n_tokens
+FROM assigned
+GROUP BY split
+""",
+)
+def corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by content-hash bucket
+    of the document id — reproducible across runs, engines, and cluster
+    sizes (no RNG, no sampleBy seed semantics to pin), and any future
+    re-run routes a given document to the same split. Row-local; the
+    only shuffle is the 3-row rollup."""
+    from asritha_metamorphetl_spark.functions.hashing import shingle_hash
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    bucket = shingle_hash(F.col("doc_id").cast("string")) % 10
+    return (
+        docs.select(
+            F.when(bucket <= 7, "train")
+            .when(bucket == 8, "val")
+            .otherwise("test")
+            .alias("split"),
+            T.token_count(F.col("text")).alias("toks"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "embedding_cluster_sizes",
+    oracle="""
+WITH centroids AS (
+    SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+    FROM embeddings ORDER BY vec_id LIMIT 8
+),
+scored AS (
+    SELECT e.vec_id, c.cid,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6)
+               AS sim
+    FROM embeddings e CROSS JOIN centroids c
+),
+assigned AS (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cid ASC) AS rn
+    FROM scored
+)
+SELECT cid AS cluster_id, COUNT(*) AS n_members
+FROM assigned WHERE rn = 1
+GROUP BY cid
+""",
+)
+def embedding_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voronoi cluster occupancy around 8 deterministic seed centroids
+    (the IVF assignment step, made oracle-checkable): nearest centroid by
+    rounded cosine with the centroid id as tiebreak. The centroid side is
+    8 rows — broadcast; assignment is row-local; one small rollup."""
+    from asritha_metamorphetl_spark.operators.similarity import _to_double, cosine
+
+    emb = Catalog(sf_dir).load(spark, "embeddings")
+    cent = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("cid"), _to_double(F.col("embedding")).alias("cv"))
+    )
+    scored = emb.select(
+        "vec_id", _to_double(F.col("embedding")).alias("ev")
+    ).crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        F.round(cosine(F.col("ev"), F.col("cv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("cid").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )

@@ -118,7 +118,9 @@ def submit_reconciliation(
             frame.write.mode("overwrite").parquet(path)
             artifact_paths[name] = path
 
-    html = reconcile_report_html(result, title=request.title)
+    html = reconcile_report_html(
+        result, title=request.title, column_summary=column_summary
+    )
     if sender is not None:
         sender(request.title, html)
     return ReconcileRun(

@@ -38,14 +38,21 @@ def frame_to_html(df: DataFrame, limit: int = DEFAULT_ROW_LIMIT) -> str:
     )
 
 
-def reconcile_report_html(result, title: str = "Reconciliation report") -> str:
+def reconcile_report_html(
+    result, title: str = "Reconciliation report", column_summary=None
+) -> str:
     """Full report for a quality.reconcile result: summary, per-column
-    mismatch stats, sample mismatching cells, sample extras each side."""
+    mismatch stats, sample mismatching cells, sample extras each side.
+
+    Pass ``column_summary`` when the caller already built it (orchestrate
+    does) so the cells rollup isn't planned and executed twice."""
     from asritha_metamorphetl_spark.quality.reconcile import column_mismatch_summary
 
+    if column_summary is None:
+        column_summary = column_mismatch_summary(result)
     sections = [
         ("Summary", frame_to_html(result.summary)),
-        ("Column mismatch summary", frame_to_html(column_mismatch_summary(result))),
+        ("Column mismatch summary", frame_to_html(column_summary)),
         ("Sample cell mismatches", frame_to_html(result.column_mismatches)),
         ("Rows only in source", frame_to_html(result.source_only, limit=5)),
         ("Rows only in target", frame_to_html(result.target_only, limit=5)),
