@@ -60,6 +60,8 @@ def cosine_batch(a: Column, b: Column) -> Column:
 
         @pandas_udf("double")
         def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+            if len(va) == 0:  # empty Arrow batch — vstack would raise
+                return pd.Series([], dtype="float64")
             A = np.vstack(va.to_numpy()).astype(np.float64)
             B = np.vstack(vb.to_numpy()).astype(np.float64)
             num = np.einsum("ij,ij->i", A, B)
@@ -161,6 +163,8 @@ def ivf_topk(
 
         @pandas_udf("array<int>")
         def cells(vs: pd.Series) -> pd.Series:
+            if len(vs) == 0:  # empty Arrow batch — vstack would raise
+                return pd.Series([], dtype="object")
             X = np.vstack(vs.to_numpy()).astype(np.float64)
             X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
             sims = X @ C.T  # (N, nlist)
@@ -218,6 +222,8 @@ def _bucket_keys_udf(all_planes, n_planes: int):
 
     @pandas_udf("array<string>")
     def buckets(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:  # empty Arrow batch — vstack would raise
+            return pd.Series([], dtype="object")
         X = np.vstack(vs.to_numpy()).astype(np.float64)  # (N, dim)
         signs = (X @ M.T >= 0).astype(np.int64)  # (N, tables*planes)
         cols = []

@@ -33,9 +33,13 @@ class Expectation:
     agg: Column | None = None  # ready-made violation-count aggregate
 
     def count_expr(self) -> Column:
+        # coalesce: aggregates over an EMPTY frame return NULL, and a
+        # NULL violation count would read as "passed" — make it 0.
         if self.agg is not None:
-            return self.agg.alias(self.name)
-        return F.sum(F.when(self.violated, 1).otherwise(0)).alias(self.name)
+            return F.coalesce(self.agg, F.lit(0)).alias(self.name)
+        return F.coalesce(
+            F.sum(F.when(self.violated, 1).otherwise(0)), F.lit(0)
+        ).alias(self.name)
 
 
 def expect_not_null(col: str) -> Expectation:

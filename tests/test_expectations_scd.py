@@ -110,3 +110,22 @@ def test_scd2_idempotent_on_unchanged_batch(spark, dim_v1):
     out = scd2_apply(dim_v1, same, ["id"], ["name", "city"], dt.date(2026, 3, 1))
     assert out.count() == 3
     assert out.filter(~F.col("is_current")).count() == 0
+
+
+def test_expectations_empty_frame_reports_zero(spark):
+    """Aggregates over an empty frame return NULL — the suite must report
+    0 violations, not silently produce NULLs that read as passes."""
+    from asritha_metamorphetl_spark.quality.expectations import (
+        expect_not_null,
+        expect_unique,
+        validate,
+    )
+
+    empty = spark.createDataFrame([], "id int, v string")
+    got = {
+        r.rule: r.violations
+        for r in validate(
+            empty, [expect_not_null("id"), expect_unique(["id"])]
+        ).collect()
+    }
+    assert got == {"not_null_id": 0, "unique_id": 0}
