@@ -89,7 +89,7 @@ def customer_sales_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with_products = jnr_node(
         sales,
-        F.broadcast(sq_part),
+        sq_part,
         "JNR_sales_products",
         on=F.col("product_id") == F.col("p_partkey"),
         how="left",
@@ -99,7 +99,7 @@ def customer_sales_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so cardinality is unchanged); name/city attach post-window.
     all_data = jnr_node(
         with_products,
-        F.broadcast(sq_customer),
+        sq_customer,
         "JNR_all_entities",
         on=F.col("customer_id") == F.col("c_custkey"),
         how="inner",
@@ -158,8 +158,9 @@ def customer_sales_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Attach display attributes now that the rank/window shuffles are done
-    # — all three are broadcast joins, so no further Exchange sees the
-    # string columns.
+    # — AQE broadcasts these joins at runtime while the dimensions fit
+    # (no static hint: part/customer scale with the data), so no further
+    # pre-window Exchange sees the string columns.
     part_attrs = sq_node(
         cat.load(spark, "part"), "SQ_product_attrs", ["p_partkey", "p_name", "p_type"]
     )
@@ -183,14 +184,14 @@ def customer_sales_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = jnr_node(
         flagged.drop("p_partkey"),
-        F.broadcast(part_attrs),
+        part_attrs,
         "JNR_product_attrs",
         on=F.col("product_id") == F.col("p_partkey"),
         how="left",
     )
     flagged = jnr_node(
         flagged,
-        F.broadcast(customer_attrs),
+        customer_attrs,
         "JNR_customer_attrs",
         on=F.col("customer_id") == F.col("ca_custkey"),
         how="inner",

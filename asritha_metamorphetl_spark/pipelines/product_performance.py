@@ -58,7 +58,7 @@ def product_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     joined = jnr_node(
-        F.broadcast(products), sales, "JNR_sales_products", on="product_id", how="left"
+        products, sales, "JNR_sales_products", on="product_id", how="left"
     ).withColumns(
         {
             "sales_amount": F.col("quantity") * F.col("selling_price"),
@@ -87,9 +87,7 @@ def product_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Re-join aggregates to the product dimension (reference task:69-85).
     out = jnr_node(
         agg.alias("AGG"),
-        F.broadcast(
-            products.select("product_id", "stock_quantity", "reorder_level")
-        ).alias("PROD"),
+        products.select("product_id", "stock_quantity", "reorder_level").alias("PROD"),
         "JNR_product_agg_performance",
         on="product_id",
         how="inner",

@@ -21,10 +21,15 @@ Reference semantics preserved:
   (task:65-70, 136-150).
 
 Scale notes (100 TB): the orders→lineitem join shuffles on the order key —
-unavoidable and well-partitioned; part and supplier are dimension-sized so
-both are broadcast (explicit hint); both aggregations are hash aggregates
-with map-side partials; the only window is partitioned by supplier, so no
-global single-partition stage exists anywhere in this plan.
+unavoidable and well-partitioned. part/supplier carry NO static broadcast
+hint: in TPC-H they scale linearly with the data (a 100 TB run cannot
+broadcast them), so the join strategy is left to AQE, which broadcasts at
+runtime exactly while the actual size fits and degrades gracefully to a
+shuffled join beyond that. Only bounded-domain frames (nation/region,
+1-row stats) ever carry explicit hints in this engine. Both aggregations
+are hash aggregates with map-side partials; the only window is
+partitioned by supplier, so no global single-partition stage exists
+anywhere in this plan.
 """
 
 from __future__ import annotations
@@ -75,7 +80,7 @@ def supplier_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
         on=F.col("l_orderkey") == F.col("o_orderkey"),
     )
     jnr_products = jnr_node(
-        jnr_sales, F.broadcast(sq_part), "JNR_sales_products",
+        jnr_sales, sq_part, "JNR_sales_products",
         on=F.col("l_partkey") == F.col("p_partkey"),
     )
 

@@ -91,7 +91,7 @@ def top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = cat.load(spark, "lineitem")
     part = cat.load(spark, "part").select("p_partkey", "p_brand")
     rev = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_partkey")
         .agg(
             F.sum(

@@ -95,8 +95,8 @@ def nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = cat.load(spark, "orders").select("o_orderkey", "o_custkey")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation",
@@ -159,10 +159,10 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = _rev_col()
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.round(
@@ -226,8 +226,8 @@ def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.col("l_quantity").cast("decimal(12,2)")
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(F.sum(profit).cast("double").alias("profit"))
@@ -302,7 +302,7 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = cat.load(spark, "supplier").select("s_suppkey", "s_name")
     return (
         rev.join(F.broadcast(mx), F.col("rev_dec") == F.col("mx"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -346,9 +346,9 @@ def supplier_part_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = cat.load(spark, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(
-            F.broadcast(bad_supp),
+            bad_supp,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
@@ -396,7 +396,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     return (
-        li.join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(brand_parts, F.col("l_partkey") == F.col("p_partkey"))
         .join(per_part, F.col("l_partkey") == F.col("pp_partkey"))
         .filter(
             F.col("l_quantity").cast("decimal(12,2)") * 5 * F.col("qty_cnt")
@@ -465,7 +465,7 @@ def lonely_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = cat.load(spark, "supplier").select("s_suppkey", "s_name")
     return (
-        per_order.join(F.broadcast(supp), F.col("late_supp") == F.col("s_suppkey"))
+        per_order.join(supp, F.col("late_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
@@ -570,8 +570,8 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal").asc(), F.col("s_suppkey").asc()
     )
     return (
-        pairs.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        pairs.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("p_partkey", "p_name", "s_suppkey", "s_acctbal")
@@ -611,7 +611,7 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .withColumn("yr", F.year("o_orderdate").cast("long"))
     )
     # Pre-aggregate to the finest grain FIRST: the rollup's Expand then

@@ -25,24 +25,24 @@ def test_pricing_summary_pushes_filter_to_scan(spark):
     assert "l_comment" not in read_schema and "l_partkey" not in read_schema
 
 
-def test_supplier_mart_broadcasts_dimensions_not_facts(spark):
+def test_supplier_mart_dimension_joins_broadcast_via_aqe(spark):
+    """Dimension tables (part/supplier) scale with the data in TPC-H, so
+    the mart carries NO static broadcast hint — a 100 TB run could not
+    honor one. The gate instead proves AQE's runtime conversion: after
+    execution, the final adaptive plan joins the dimensions as broadcast
+    (they fit at this SF) while the plan itself would degrade gracefully
+    to shuffled joins at sizes where they don't."""
     from asritha_metamorphetl_spark.pipelines.supplier_performance import (
         supplier_performance,
     )
 
-    plan = _plan(supplier_performance(spark, SF_CORRECT))
-    assert "BroadcastHashJoin" in plan  # part/supplier dimensions broadcast
-    # the orders⋈lineitem fact join must NOT carry an explicit broadcast
-    # hint in the optimized logical plan (AQE may still choose broadcast at
-    # small SF — that's runtime-size-based, which is fine).
-    logical = str(
-        supplier_performance(spark, SF_CORRECT)
-        ._jdf.queryExecution()
-        .optimizedPlan()
-        .toString()
-    )
-    # broadcast hints appear as ResolvedHint nodes pre-AQE; none on orders
-    assert "UnresolvedHint" not in logical
+    df = supplier_performance(spark, SF_CORRECT)
+    df.write.format("noop").mode("overwrite").save()  # finalize AQE plan
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # no static broadcast hints anywhere in the logical plan
+    logical = str(df._jdf.queryExecution().optimizedPlan().toString())
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
 
 
 def test_no_single_partition_stage_over_raw_rows_in_scalable_rank(spark):
