@@ -94,13 +94,24 @@ def sessionized_stream(
 
 
 def stream_static_enrich(
-    events: DataFrame, dim: DataFrame, on: str, how: str = "left"
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """Stream-static join: enrich a stream with a batch dimension table.
-    The static side is re-read per micro-batch (picking up dim updates)
-    and broadcast when small — the streaming twin of every mart's
-    fact⋈dim join. Stateless: no watermark needed for the join itself."""
-    return events.join(F.broadcast(dim), on, how)
+    The static side is re-read per micro-batch (picking up dim updates) —
+    the streaming twin of every mart's fact⋈dim join. Stateless: no
+    watermark needed for the join itself.
+
+    ``hint_broadcast`` defaults True because streaming enrichment dims
+    are usually genuinely small (lookup/code tables); pass False for a
+    dim that scales with the data — the engine-wide policy (see
+    pipelines/supplier_performance.py) is hints only on bounded frames."""
+    if hint_broadcast:
+        dim = F.broadcast(dim)
+    return events.join(dim, on, how)
 
 
 def streaming_dedup(
