@@ -741,3 +741,29 @@ def daily_revenue_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("revenue"), F.lit(0.0)).alias("revenue"),
         F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
     )
+
+
+@register(
+    "similar_part_names",
+    oracle="""
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS distance
+FROM names a JOIN names b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+""",
+)
+def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution: near-identical catalog names by edit
+    distance. The self-join runs on the DISTINCT-name frame (bounded by
+    the name domain, not row count) — the standard shape for typo-class
+    dedup over dimension attributes."""
+    part = Catalog(sf_dir).load(spark, "part")
+    names = part.select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    return (
+        a.join(b, F.col("name_a") < F.col("name_b"))
+        .withColumn("distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("distance") <= 3)
+    )
