@@ -291,7 +291,9 @@ def sql_api_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's parquet→temp-view→spark.sql flow (Raptor wheel
     Raptor/Raptor.py:89-100) with a GROUP BY ordinal (its `group by 1`
     idiom, Raptor.py:446-454)."""
-    Catalog(sf_dir).register_views(spark)
+    Catalog(sf_dir).register_views(
+        spark, tables=["lineitem", "supplier", "nation", "region"]
+    )
     return spark.sql(
         """
         SELECT
@@ -381,6 +383,7 @@ def reconcile_orchestrated(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "query": "SELECT o_orderkey, o_custkey, o_orderstatus, "
                          "o_totalprice FROM orders",
                 "catalog_root": sf_dir,
+                "tables": ["orders"],
             },
             target={
                 "type": "sql",
@@ -392,6 +395,7 @@ def reconcile_orchestrated(spark: SparkSession, sf_dir: str) -> DataFrame:
                     FROM orders WHERE o_orderkey % {_DELETE_MOD} != 3
                 """,
                 "catalog_root": sf_dir,
+                "tables": ["orders"],
             },
             keys=["o_orderkey"],
         ),

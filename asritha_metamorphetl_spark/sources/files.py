@@ -34,7 +34,20 @@ TESTDATA_TABLES: tuple[str, ...] = (
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Parquet scan. Column pruning + predicate pushdown are free via
-    Catalyst as long as callers express filters/selects declaratively."""
+    Catalyst as long as callers express filters/selects declaratively.
+
+    Sets ``spark.sql.legacy.parquet.nanosAsLong`` (a runtime SQL conf) on
+    the session doing the read: files written with TIMESTAMP(NANOS)
+    columns (e.g. testdata ``events.parquet``) are otherwise an
+    AnalysisException at scan time on Spark 4.x, because Spark has no
+    nanosecond timestamp type. With the conf on, such columns surface as
+    LongType nanos and ``Catalog.load`` converts them to micros
+    timestamps. Harmless for files without nanos columns — the conf only
+    changes how an otherwise-unreadable physical type is surfaced.
+    Setting it here (not just in ``session.create_session``) matters
+    because callers may hand us a session built elsewhere without the
+    engine's defaults."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(path)
 
 
@@ -165,9 +178,20 @@ class Catalog:
         # align column order/types with the batch view
         return stream.select(*batch.columns)
 
-    def register_views(self, spark: SparkSession) -> None:
-        """Register every table as a temp view (mirrors the reference's
-        createOrReplaceTempView + spark.sql flow, Raptor/Raptor.py:95-100)."""
-        for table in self.tables:
+    def register_views(
+        self, spark: SparkSession, tables: tuple[str, ...] | list[str] | None = None
+    ) -> None:
+        """Register catalog tables as temp views (mirrors the reference's
+        createOrReplaceTempView + spark.sql flow, Raptor/Raptor.py:95-100).
+
+        ``tables`` narrows registration to the tables a query actually
+        needs — registering everything eagerly means one unreadable table
+        fails queries that never touch it. Default (None) registers every
+        existing table; since temp views are lazy DataFrames the only
+        eager work per table is a schema read."""
+        selected = self.tables if tables is None else tuple(tables)
+        for table in selected:
+            if table not in self.tables:
+                raise KeyError(f"unknown table {table!r}; catalog has {self.tables}")
             if os.path.exists(self.path(table)):
                 self.load(spark, table).createOrReplaceTempView(table)

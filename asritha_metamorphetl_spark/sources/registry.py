@@ -64,12 +64,16 @@ def _read_jsonl(spark: SparkSession, path: str, **options) -> DataFrame:
 
 
 @register_source("sql")
-def _read_sql(spark: SparkSession, query: str, catalog_root: str) -> DataFrame:
+def _read_sql(
+    spark: SparkSession, query: str, catalog_root: str, tables=None
+) -> DataFrame:
     """Parquet tables as temp views + spark.sql — the reference's
-    'reporting' source (Raptor/Raptor.py:89-100)."""
+    'reporting' source (Raptor/Raptor.py:89-100). ``tables`` narrows view
+    registration to what the query needs so an unreadable unrelated table
+    can't fail it."""
     from asritha_metamorphetl_spark.sources.files import Catalog
 
-    Catalog(catalog_root).register_views(spark)
+    Catalog(catalog_root).register_views(spark, tables=tables)
     return spark.sql(query)
 
 

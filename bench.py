@@ -25,6 +25,14 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    # Guarantee the JSON line is the SOLE stdout of this process: the JVM
+    # inherits fd 1, so redirect the real stdout to stderr for the whole
+    # run and keep a dup of the original for the final JSON write. Any
+    # Spark/py4j/log4j chatter lands on stderr no matter which stream the
+    # JVM thinks it is writing to.
+    json_fd = os.dup(1)
+    os.dup2(2, 1)
+
     from asritha_metamorphetl_spark.plans.registry import all_queries
     from asritha_metamorphetl_spark.session import create_session
 
@@ -37,6 +45,7 @@ def main() -> None:
 
     warmup_dir = "/root/testdata/sf0.001"
     timings: dict[str, float] = {}
+    failed: list[str] = []
     total = 0.0
     for name, fn in all_queries().items():
         # Warm-up at tiny SF: same plan structure → whole-stage-codegen
@@ -52,7 +61,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
         except Exception as exc:  # one broken query must not sink the run
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
-            timings[name] = -1.0
+            failed.append(name)
             continue
         elapsed = time.perf_counter() - start
         timings[name] = round(elapsed, 3)
@@ -60,18 +69,23 @@ def main() -> None:
         # keep queries independent: no cached frames leaking across runs
         spark.catalog.clearCache()
 
-    print(
-        json.dumps(
-            {
-                "metric": "total wall-clock over all registered queries",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
-    )
     spark.stop()
+    # The JSON line is the contract: sole and FINAL stdout line, written
+    # to the dup of the original stdout (everything else was redirected
+    # to stderr above; failed queries live in their own list, never as
+    # sentinel values mixed into the timings).
+    line = json.dumps(
+        {
+            "metric": "total wall-clock over all registered queries",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": timings,
+            "failed": failed,
+            "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+        }
+    )
+    os.write(json_fd, (line + "\n").encode())
+    os.close(json_fd)
 
 
 if __name__ == "__main__":
