@@ -90,7 +90,14 @@ def fingerprint(text: Column) -> Column:
 #: Winnowing geometry: k-char grams, window of w consecutive hashes.
 WINNOW_K = 5
 WINNOW_W = 4
-WINNOW_B = 257  # polynomial base > any codepoint we expect
+#: Polynomial base. Codepoints are masked ``% WINNOW_B`` in every
+#: spelling (Column HOF, numpy kernel, SQL twin): Spark ascii()/Python
+#: ord()/DuckDB ascii() return full Unicode codepoints (up to 0x10FFFF),
+#: which would break the per-position < B premise on non-ASCII text and
+#: degrade hash quality. ASCII codepoints (< 257) are unchanged by the
+#: mask, so fingerprints on ASCII corpora are identical with or without
+#: it; non-ASCII text now hashes with the same collision behavior.
+WINNOW_B = 257
 
 _WINNOW_POWS = tuple(WINNOW_B ** (WINNOW_K - 1 - j) for j in range(WINNOW_K))
 
@@ -115,7 +122,9 @@ def char_gram_hashes(text: Column, k: int = WINNOW_K) -> Column:
         idx,
         lambda i: sum(
             (
-                F.ascii(text.substr(i + F.lit(j), F.lit(1))).cast("long")
+                (F.ascii(text.substr(i + F.lit(j), F.lit(1))) % WINNOW_B).cast(
+                    "long"
+                )
                 * F.lit(p)
                 for j, p in enumerate(_WINNOW_POWS)
             ),
@@ -180,8 +189,9 @@ def _make_winnow_udf(k: int, w: int):
             if t is None or len(t) < k:
                 out.append([])
                 continue
-            # ord() per char == Spark ascii()/DuckDB ascii() codepoints
-            codes = np.array([ord(c) for c in t], dtype=np.int64)
+            # ord() per char == Spark ascii()/DuckDB ascii() codepoints;
+            # masked % B to match the Column/SQL spellings on non-ASCII
+            codes = np.array([ord(c) % WINNOW_B for c in t], dtype=np.int64)
             n = codes.shape[0]
             grams = sum(
                 codes[j : n - k + 1 + j] * pows[j] for j in range(k)

@@ -38,18 +38,38 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
-def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def exact_duplicates(
+    df: DataFrame, text_col: str, id_col: str, member_cap: int = 20
+) -> DataFrame:
     """Groups of byte-identical documents: (fingerprint, canonical_id,
-    n_dupes, member_ids). Canonical = min id (deterministic survivor)."""
-    return (
-        df.select(F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp"))
-        .groupBy("fp")
-        .agg(
-            F.min("doc_id").alias("canonical_id"),
-            F.count(F.lit(1)).alias("n_dupes"),
-            F.sort_array(F.collect_list("doc_id")).alias("member_ids"),
-        )
-        .filter(F.col("n_dupes") > 1)
+    n_dupes, member_ids). Canonical = min id (deterministic survivor).
+
+    ``member_ids`` is a SAMPLE — the ``member_cap`` smallest ids of the
+    group. An uncapped ``collect_list`` concentrates a pathological dup
+    cluster (boilerplate / empty docs) into one task's aggregation
+    buffer; here membership is ranked with a window over the fingerprint
+    partition (sort-based, spills to disk instead of OOMing) and only
+    the first ``member_cap`` rows reach the list aggregate, so per-group
+    state is bounded no matter how degenerate the cluster. ``n_dupes``
+    still counts the FULL group. One exchange total: the window's
+    hash-partitioning on fp is reused by the groupBy."""
+    from pyspark.sql import Window
+
+    fps = df.select(
+        F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp")
+    )
+    w_rank = Window.partitionBy("fp").orderBy("doc_id")
+    w_group = Window.partitionBy("fp")
+    staged = fps.select(
+        "fp",
+        "doc_id",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_group).alias("n_all"),
+    ).filter((F.col("n_all") > 1) & (F.col("rn") <= member_cap))
+    return staged.groupBy("fp").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.max("n_all").alias("n_dupes"),
+        F.sort_array(F.collect_list("doc_id")).alias("member_ids"),
     )
 
 
@@ -213,6 +233,7 @@ def embedding_near_dup_pairs(
     block_col: str | None = None,
     threshold: float = 0.45,
     score_decimals: int = 4,
+    use_batch_scorer: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, score) with
     rounded cosine >= threshold and id_a < id_b.
@@ -228,12 +249,22 @@ def embedding_near_dup_pairs(
     on every candidate), unlike minhash_lsh_pairs where the signature can
     miss; the filter compares the ROUNDED score so the decision is
     reproducible across engines and partitionings.
+
+    ``use_batch_scorer``: the default (False) scores with the pure-Column
+    left-fold cosine, whose summation order is fixed and engine-checkable
+    — a score landing within an ulp of the round()/threshold boundary
+    still decides identically to a SQL oracle using the same fold. Set
+    True for non-oracle hot paths to use the Arrow-batched numpy kernel
+    (~10-100x on millions of candidates; its float-sum order may flip
+    boundary-straddling scores vs an oracle).
     """
     from asritha_metamorphetl_spark.operators.similarity import (
         _to_double,
+        cosine,
         cosine_batch,
     )
 
+    score_fn = cosine_batch if use_batch_scorer else cosine
     blocks = [block_col] if block_col is not None else []
     side = df.select(
         *blocks,
@@ -252,7 +283,7 @@ def embedding_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_batch(F.col("va"), F.col("vb")), score_decimals).alias(
+            F.round(score_fn(F.col("va"), F.col("vb")), score_decimals).alias(
                 "score"
             ),
         )

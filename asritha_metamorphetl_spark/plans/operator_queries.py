@@ -743,27 +743,56 @@ def daily_revenue_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Edit-distance threshold for similar_part_names; the length-band
+#: blocking below is complete for exactly this radius.
+_LEV_MAX = 3
+
+
 @register(
     "similar_part_names",
-    oracle="""
-WITH names AS (SELECT DISTINCT p_name FROM part)
-SELECT a.p_name AS name_a, b.p_name AS name_b,
-       levenshtein(a.p_name, b.p_name) AS distance
-FROM names a JOIN names b ON a.p_name < b.p_name
-WHERE levenshtein(a.p_name, b.p_name) <= 3
+    oracle=f"""
+WITH names AS (SELECT DISTINCT p_name FROM part),
+a AS (
+    SELECT p_name AS name_a,
+           UNNEST(generate_series(length(p_name) - {_LEV_MAX},
+                                  length(p_name) + {_LEV_MAX})) AS blk
+    FROM names
+),
+b AS (SELECT p_name AS name_b, length(p_name) AS blk FROM names)
+SELECT name_a, name_b, levenshtein(name_a, name_b) AS distance
+FROM a JOIN b USING (blk)
+WHERE name_a < name_b AND levenshtein(name_a, name_b) <= {_LEV_MAX}
 """,
 )
 def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity resolution: near-identical catalog names by edit
-    distance. The self-join runs on the DISTINCT-name frame (bounded by
-    the name domain, not row count) — the standard shape for typo-class
-    dedup over dimension attributes."""
+    distance, over the DISTINCT-name frame.
+
+    Blocking: levenshtein(a,b) <= 3 implies |len(a)-len(b)| <= 3, so the
+    left side emits its name under the 7 candidate lengths and the right
+    side under its own length — a plain hash EQUI-join on the length key
+    (the naive ``name_a < name_b`` theta join planned as a
+    BroadcastNestedLoopJoin, O(n^2) in distinct names). The blocking is
+    COMPLETE (no recall loss — every qualifying pair shares exactly one
+    key), each unordered pair meets exactly once (the ``<`` filter keeps
+    the single orientation), and levenshtein runs only within length
+    bands. Residual cost is quadratic within a band, bounded by the name
+    domain's length distribution; tighter radii shrink the band."""
     part = Catalog(sf_dir).load(spark, "part")
     names = part.select("p_name").distinct()
-    a = names.select(F.col("p_name").alias("name_a"))
-    b = names.select(F.col("p_name").alias("name_b"))
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.explode(
+            F.sequence(
+                F.length("p_name") - _LEV_MAX, F.length("p_name") + _LEV_MAX
+            )
+        ).alias("blk"),
+    )
+    b = names.select(F.col("p_name").alias("name_b"), F.length("p_name").alias("blk"))
     return (
-        a.join(b, F.col("name_a") < F.col("name_b"))
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
         .withColumn("distance", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("distance") <= 3)
+        .filter(F.col("distance") <= _LEV_MAX)
+        .select("name_a", "name_b", "distance")
     )

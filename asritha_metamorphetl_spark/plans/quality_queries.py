@@ -426,7 +426,7 @@ SELECT 'regex_o_orderpriority',
                 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
 UNION ALL
 SELECT 'unique_o_orderkey',
-       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+       CAST(COUNT(*) - COUNT(DISTINCT ROW(o_orderkey)) AS BIGINT) FROM orders
 """,
 )
 def dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:

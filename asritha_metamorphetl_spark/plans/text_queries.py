@@ -109,14 +109,20 @@ def doc_language_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: Mirror of operators.dedup.exact_duplicates member_cap default.
+_DUP_MEMBER_CAP = 20
+
+
 @register(
     "exact_dup_groups",
-    oracle="""
+    oracle=f"""
 SELECT
     md5(text) AS fp,
     MIN(doc_id) AS canonical_id,
     COUNT(*) AS n_dupes,
-    array_to_string(list_sort(list(doc_id)), ',') AS member_ids
+    array_to_string(
+        list_slice(list_sort(list(doc_id)), 1, {_DUP_MEMBER_CAP}),
+        ',') AS member_ids
 FROM documents
 GROUP BY md5(text)
 HAVING COUNT(*) > 1
@@ -124,7 +130,7 @@ HAVING COUNT(*) > 1
 )
 def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(sf_dir).load(spark, "documents")
-    out = D.exact_duplicates(docs, "text", "doc_id")
+    out = D.exact_duplicates(docs, "text", "doc_id", member_cap=_DUP_MEMBER_CAP)
     # serialize member array for engine-neutral hashing
     return out.select(
         "fp",
@@ -321,14 +327,90 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, "vec_id", "embedding", k=KNN_K)
 
 
-@register("knn_lsh_topk", oracle=None)  # hyperplane constants are engine-side
+#: LSH/IVF knobs pinned module-level so the engine call and the generated
+#: oracle SQL can never drift apart.
+LSH_PLANES = 4
+LSH_TABLES = 8
+EMB_DIM = 64
+IVF_NLIST = 16
+IVF_NPROBE = 4
+
+_COSINE_SQL = """ROUND(list_dot_product(q.v, c.v)
+              / (sqrt(list_dot_product(q.v, q.v))
+                 * sqrt(list_dot_product(c.v, c.v))), 4) AS score"""
+
+
+def _knn_lsh_oracle() -> str:
+    """Generate the LSH oracle with the engine's hyperplane constants
+    inlined. The planes come from a seeded LCG (similarity._hyperplanes)
+    — fully deterministic, so the bucket assignment is SQL-expressible:
+    per table t, bucket = MSB-first bit pattern of sign(v · plane_p)."""
+    from asritha_metamorphetl_spark.operators.similarity import _hyperplanes
+
+    bucket_cols = []
+    for t in range(LSH_TABLES):
+        planes = _hyperplanes(EMB_DIM, LSH_PLANES, seed=42 + t)
+        terms = []
+        for p, plane in enumerate(planes):
+            vec = "[" + ", ".join(repr(x) for x in plane) + "]"
+            weight = 1 << (LSH_PLANES - 1 - p)
+            terms.append(
+                f"CASE WHEN list_dot_product(v, {vec}::DOUBLE[]) >= 0"
+                f" THEN {weight} ELSE 0 END"
+            )
+        bucket_cols.append("(" + "\n     + ".join(terms) + f") AS b{t}")
+    bucket_sql = ",\n    ".join(bucket_cols)
+    any_table = " OR ".join(f"c.b{t} = q.b{t}" for t in range(LSH_TABLES))
+    return f"""
+WITH vecs AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+bucketed AS (
+    SELECT vec_id,
+    {bucket_sql}
+    FROM vecs
+),
+qb AS (SELECT * FROM bucketed WHERE vec_id < {KNN_QUERIES}),
+pairs AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM bucketed c JOIN qb q ON ({any_table})
+    WHERE c.vec_id != q.vec_id
+),
+scored AS (
+    SELECT p.query_id, p.neighbor_id,
+        {_COSINE_SQL}
+    FROM pairs p
+    JOIN vecs q ON q.vec_id = p.query_id
+    JOIN vecs c ON c.vec_id = p.neighbor_id
+)
+SELECT query_id, neighbor_id, score, rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rnk
+    FROM scored
+)
+WHERE rnk <= {KNN_K}
+"""
+
+
+@register("knn_lsh_topk", oracle=_knn_lsh_oracle())
 def knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate variant — rows-only driver check; accuracy vs the exact
-    path is asserted in tests/test_llm_ops.py (recall on sf0.001)."""
+    """Approximate top-k via random-hyperplane LSH. Oracle-checked: the
+    deterministic hyperplanes are inlined into the generated SQL, so the
+    driver verifies bucket assignment + candidate generation + scoring
+    end-to-end. Recall vs the exact path is additionally asserted in
+    tests/test_llm_ops.py (sf0.001)."""
     emb = Catalog(sf_dir).load(spark, "embeddings")
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
     return lsh_bucketed_topk(
-        emb, queries, "vec_id", "embedding", dim=64, k=KNN_K
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        dim=EMB_DIM,
+        k=KNN_K,
+        n_planes=LSH_PLANES,
+        n_tables=LSH_TABLES,
     )
 
 
@@ -480,11 +562,11 @@ _WINNOW_CTE = """
 gram_hashes AS (
     SELECT doc_id,
         [ CAST(list_sum([
-              ascii(text[i:i])     * 4362470401,
-              ascii(text[i+1:i+1]) * 16974593,
-              ascii(text[i+2:i+2]) * 66049,
-              ascii(text[i+3:i+3]) * 257,
-              ascii(text[i+4:i+4]) * 1
+              (ascii(text[i:i])     % 257) * 4362470401,
+              (ascii(text[i+1:i+1]) % 257) * 16974593,
+              (ascii(text[i+2:i+2]) % 257) * 66049,
+              (ascii(text[i+3:i+3]) % 257) * 257,
+              (ascii(text[i+4:i+4]) % 257) * 1
           ]) AS BIGINT)
           for i in range(1, greatest(length(text) - 3, 1)) ] AS hashes
     FROM documents
@@ -587,15 +669,158 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_ivf_topk", oracle=None)  # centroid assignment is engine-side
+# ---------------------------------------------------------------------------
+# Multimodal: synthesized binary assets → real header/PCM decode. The
+# oracle can't read the binary, but the synthesis geometry is closed-form
+# arithmetic on doc_id, so the SQL verifies the ENTIRE encode→decode
+# roundtrip: any header mis-write or mis-parse breaks the hash match.
+# ---------------------------------------------------------------------------
+
+_MEDIA_DOCS = 120  # doc_id < this feed the asset synthesizer
+
+
+@register(
+    "media_asset_features",
+    oracle=f"""
+SELECT
+    doc_id AS asset_id,
+    CASE WHEN doc_id % 3 = 2 THEN 'audio' ELSE 'image' END AS media_type,
+    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE NULL END
+        AS format_detected,
+    CASE WHEN doc_id % 3 = 2 THEN NULL
+         ELSE CAST(8 + doc_id % 24 AS INTEGER) END AS width,
+    CASE WHEN doc_id % 3 = 2 THEN NULL
+         ELSE CAST(8 + (doc_id // 3) % 16 AS INTEGER) END AS height,
+    CASE WHEN doc_id % 3 = 2 THEN NULL ELSE CAST(3 AS INTEGER) END
+        AS channels,
+    CASE WHEN doc_id % 3 = 2 THEN CAST(8000 AS INTEGER) ELSE NULL END
+        AS sample_rate,
+    CASE WHEN doc_id % 3 = 2 THEN CAST(64 + doc_id % 128 AS BIGINT)
+         ELSE NULL END AS n_frames,
+    CASE WHEN doc_id % 3 = 2 THEN CAST(8000.0 AS DOUBLE) ELSE NULL END
+        AS rms
+FROM documents
+WHERE doc_id < {_MEDIA_DOCS}
+""",
+)
+def media_asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline end-to-end: synthesize real PNG/BMP/WAV blobs
+    from document ids (distributed mapInPandas), then decode them with
+    the real header/PCM parsers (operators/multimodal.py). The oracle
+    recomputes the expected geometry arithmetically — agreement proves
+    both codec directions, the Arrow batch plumbing, and the schema
+    contract."""
+    from asritha_metamorphetl_spark.operators.multimodal import (
+        extract_audio_features,
+        extract_image_features,
+        synthesize_assets,
+    )
+
+    docs = Catalog(sf_dir).load(spark, "documents").filter(
+        F.col("doc_id") < _MEDIA_DOCS
+    )
+    assets = synthesize_assets(docs)
+    img = extract_image_features(
+        assets.filter(F.col("media_type") == "image")
+    ).select(
+        "asset_id",
+        F.lit("image").alias("media_type"),
+        "format_detected",
+        "width",
+        "height",
+        "channels",
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit(None).cast("long").alias("n_frames"),
+        F.lit(None).cast("double").alias("rms"),
+    )
+    aud = extract_audio_features(
+        assets.filter(F.col("media_type") == "audio")
+    ).select(
+        "asset_id",
+        F.lit("audio").alias("media_type"),
+        F.lit(None).cast("string").alias("format_detected"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("channels"),
+        "sample_rate",
+        "n_frames",
+        "rms",
+    )
+    return img.unionByName(aud)
+
+
+def _knn_ivf_oracle() -> str:
+    """IVF oracle: seed centroids are the NLIST lowest-id vectors (fully
+    SQL-expressible), cells are assigned by max cosine with cell-index
+    tiebreak — the same stable argsort the engine's Arrow kernel uses —
+    and queries probe their NPROBE nearest cells."""
+    return f"""
+WITH vecs AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+centroids AS (
+    SELECT vec_id AS cid, v AS cv,
+           ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cell
+    FROM (SELECT * FROM vecs ORDER BY vec_id LIMIT {IVF_NLIST})
+),
+sims AS (
+    SELECT e.vec_id, c.cell, list_cosine_similarity(e.v, c.cv) AS sim
+    FROM vecs e CROSS JOIN centroids c
+),
+corpus_cells AS (
+    SELECT vec_id AS neighbor_id, cell
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY sim DESC, cell ASC) AS rn FROM sims)
+    WHERE rn = 1
+),
+query_cells AS (
+    SELECT vec_id AS query_id, cell
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY sim DESC, cell ASC) AS rn
+          FROM sims WHERE vec_id < {KNN_QUERIES})
+    WHERE rn <= {IVF_NPROBE}
+),
+pairs AS (
+    SELECT q.query_id, c.neighbor_id
+    FROM corpus_cells c JOIN query_cells q USING (cell)
+    WHERE c.neighbor_id != q.query_id
+),
+scored AS (
+    SELECT p.query_id, p.neighbor_id,
+        {_COSINE_SQL}
+    FROM pairs p
+    JOIN vecs q ON q.vec_id = p.query_id
+    JOIN vecs c ON c.vec_id = p.neighbor_id
+)
+SELECT query_id, neighbor_id, score, rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rnk
+    FROM scored
+)
+WHERE rnk <= {KNN_K}
+"""
+
+
+@register("knn_ivf_topk", oracle=_knn_ivf_oracle())
 def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k — rows-only driver check; recall vs the
-    exact path is asserted in tests/test_llm_ops.py."""
+    """IVF approximate top-k. Oracle-checked: seed centroids and the
+    cell-assignment rule are deterministic and inlined into the generated
+    SQL; recall vs the exact path is additionally asserted in
+    tests/test_llm_ops.py."""
     from asritha_metamorphetl_spark.operators.similarity import ivf_topk
 
     emb = Catalog(sf_dir).load(spark, "embeddings")
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
-    return ivf_topk(emb, queries, "vec_id", "embedding", k=KNN_K)
+    return ivf_topk(
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        k=KNN_K,
+        nlist=IVF_NLIST,
+        nprobe=IVF_NPROBE,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -73,7 +73,9 @@ def expect_unique(keys: Sequence[str]) -> Expectation:
     name = "unique_" + "_".join(keys)
     # struct-wrapped so a NULL key is a countable distinct value —
     # bare countDistinct silently drops NULL tuples and would report
-    # every NULL-keyed row as a duplicate.
+    # every NULL-keyed row as a duplicate. SQL twins must mirror this
+    # with COUNT(DISTINCT ROW(k, ...)) (see the dq_violations oracle);
+    # a bare COUNT(DISTINCT k) disagrees whenever keys contain NULLs.
     dupes = F.count(F.lit(1)) - F.countDistinct(F.struct(*[F.col(k) for k in keys]))
     return Expectation(name, agg=dupes.cast("long"))
 

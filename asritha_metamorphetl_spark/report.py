@@ -73,3 +73,65 @@ def send_report(
     doc = reconcile_report_html(result, title=title)
     sender(title, doc)
     return doc
+
+
+def smtp_sender(
+    host: str | None = None,
+    port: int | None = None,
+    sender: str | None = None,
+    recipients: list[str] | str | None = None,
+    username: str | None = None,
+    password: str | None = None,
+    use_ssl: bool | None = None,
+) -> Sender:
+    """Build an SMTP ``Sender`` — the transport the reference hardwires
+    (wheel Raptor/Raptor.py:142-263, SMTP-SSL with embedded host and
+    credentials at :144-157), made config/env-driven with NO credential
+    defaults.
+
+    Every parameter falls back to a ``METAMORPH_SMTP_*`` environment
+    variable (HOST, PORT, SENDER, RECIPIENTS comma-separated, USERNAME,
+    PASSWORD, SSL); host/sender/recipients are required at CALL time so a
+    misconfigured pipeline fails when building the sender, not mid-send.
+    Auth is attempted only when a username is configured; ``use_ssl``
+    picks SMTP_SSL (the reference's mode) vs plain SMTP for local debug
+    servers."""
+    import os
+    import smtplib
+    from email.mime.multipart import MIMEMultipart
+    from email.mime.text import MIMEText
+
+    env = os.environ.get
+    host = host or env("METAMORPH_SMTP_HOST")
+    port = port if port is not None else int(env("METAMORPH_SMTP_PORT", "465"))
+    sender_addr = sender or env("METAMORPH_SMTP_SENDER")
+    if isinstance(recipients, str):
+        recipients = [recipients]
+    recipients = recipients or [
+        r.strip()
+        for r in env("METAMORPH_SMTP_RECIPIENTS", "").split(",")
+        if r.strip()
+    ]
+    username = username or env("METAMORPH_SMTP_USERNAME")
+    password = password or env("METAMORPH_SMTP_PASSWORD")
+    if use_ssl is None:
+        use_ssl = env("METAMORPH_SMTP_SSL", "true").lower() == "true"
+    if not host or not sender_addr or not recipients:
+        raise ValueError(
+            "smtp_sender needs host, sender, and recipients "
+            "(args or METAMORPH_SMTP_{HOST,SENDER,RECIPIENTS})"
+        )
+
+    def send(subject: str, html_body: str) -> None:
+        msg = MIMEMultipart("alternative")
+        msg["Subject"] = subject
+        msg["From"] = sender_addr
+        msg["To"] = ", ".join(recipients)
+        msg.attach(MIMEText(html_body, "html"))
+        cls = smtplib.SMTP_SSL if use_ssl else smtplib.SMTP
+        with cls(host, port) as server:
+            if username and password:
+                server.login(username, password)
+            server.sendmail(sender_addr, recipients, msg.as_string())
+
+    return send

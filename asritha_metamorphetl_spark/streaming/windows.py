@@ -117,12 +117,18 @@ def stream_static_enrich(
 def streaming_dedup(
     events: DataFrame, key_cols: list[str], watermark: str = "2 hours"
 ) -> DataFrame:
-    """Exactly-once-per-key delivery within the watermark horizon:
-    ``dropDuplicates`` keyed by (key, event-time) keeps first-arrival
-    rows and evicts state once the watermark passes — the streaming twin
-    of the batch PK-uniqueness gate (quality/asserts.assert_unique).
-    State is hash-partitioned by key; the watermark bounds its size."""
-    return events.withWatermark("ts", watermark).dropDuplicates([*key_cols, "ts"])
+    """Once-per-KEY delivery within the watermark horizon:
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival for each
+    key and drops later rows with the same key even when their event
+    time differs (retries, replays with fresh timestamps) — the
+    streaming twin of the batch PK-uniqueness gate
+    (quality/asserts.assert_unique). Plain ``dropDuplicates([key, ts])``
+    would re-deliver a key whenever its timestamp changes. State is
+    hash-partitioned by key; the watermark bounds how long each key is
+    remembered, so state size tracks the horizon's key cardinality."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
 
 
 def snapshot_stream(events: DataFrame, raw_path: str, legacy_path: str):

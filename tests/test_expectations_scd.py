@@ -129,3 +129,25 @@ def test_expectations_empty_frame_reports_zero(spark):
         ).collect()
     }
     assert got == {"not_null_id": 0, "unique_id": 0}
+
+
+def test_expect_unique_null_keys_match_sql_twin(spark):
+    """Engine and the documented SQL-twin spelling must agree on NULL
+    keys: struct-wrapped countDistinct counts the NULL tuple, so two
+    NULL-keyed rows are ONE duplicate, not two."""
+    import duckdb
+
+    from asritha_metamorphetl_spark.quality.expectations import (
+        expect_unique,
+        validate,
+    )
+
+    df = spark.createDataFrame(
+        [(1,), (1,), (None,), (None,), (2,)], "k int"
+    )
+    got = {r.rule: r.violations for r in validate(df, [expect_unique(["k"])]).collect()}
+    want = duckdb.sql(
+        "SELECT COUNT(*) - COUNT(DISTINCT ROW(k)) AS v"
+        " FROM (VALUES (1),(1),(NULL),(NULL),(2)) t(k)"
+    ).fetchone()[0]
+    assert got["unique_k"] == want == 2

@@ -139,3 +139,30 @@ def test_winnow_udf_matches_expr(spark):
     )
     assert fast.exceptAll(slow).count() == 0
     assert slow.exceptAll(fast).count() == 0
+
+
+def test_exact_duplicates_mega_cluster_bounded(spark):
+    """A 100k-row single-fingerprint cluster must complete with the
+    member sample capped — the unbounded collect_list OOM scenario."""
+    from asritha_metamorphetl_spark.operators.dedup import exact_duplicates
+
+    df = spark.range(100_000).select(
+        F.col("id").alias("doc_id"), F.lit("boilerplate page").alias("text")
+    )
+    groups = exact_duplicates(df, "text", "doc_id", member_cap=20).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g.n_dupes == 100_000
+    assert g.canonical_id == 0
+    assert g.member_ids == list(range(20))
+
+
+def test_exact_duplicates_cap_keeps_smallest_ids(spark):
+    from asritha_metamorphetl_spark.operators.dedup import exact_duplicates
+
+    rows = [(i, "same") for i in (9, 3, 7, 1, 5)] + [(10, "other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    groups = exact_duplicates(df, "text", "doc_id", member_cap=3).collect()
+    assert len(groups) == 1
+    assert groups[0].member_ids == [1, 3, 5]
+    assert groups[0].n_dupes == 5

@@ -163,3 +163,16 @@ def test_bucketed_join_skips_shuffle_and_sort(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_similar_part_names_blocks_via_equi_join(spark):
+    """The fuzzy-name pair join must be a hash equi-join on the length
+    block key, never a BroadcastNestedLoopJoin over the theta condition
+    (O(n^2) in distinct names — the round-1 scale-killer)."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    df = all_queries()["similar_part_names"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "blk" in plan  # the join key is the length block

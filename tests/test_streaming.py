@@ -201,6 +201,8 @@ def test_streaming_dedup(spark, event_stream_factory, tmp_path):
     q.stop()
     got = spark.table("deduped")
     batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-    want = batch.dropDuplicates(["event_id", "ts"]).count()
+    # per-KEY dedup: one row per event_id even when duplicate arrivals
+    # carry different timestamps
+    want = batch.dropDuplicates(["event_id"]).count()
     assert got.count() == want
-    assert got.groupBy("event_id", "ts").count().filter("count > 1").count() == 0
+    assert got.groupBy("event_id").count().filter("count > 1").count() == 0
