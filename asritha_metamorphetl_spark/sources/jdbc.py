@@ -14,8 +14,11 @@ and the Raptor wheel's query-pushdown reader, Raptor/Raptor.py:20-38) with:
 - no ``df.count()`` logging per read (utils.py:128 costs a second full
   source-side scan per table).
 
-No JDBC driver jar ships in this container, so tests cover URL/property
-construction and pushdown SQL generation; live round-trips are gated.
+No Postgres driver jar ships in this container, but Spark's own classpath
+carries embedded Apache Derby, so tests/test_jdbc_live.py runs the whole
+surface (pushdown extract, partitioned read, DDL bootstrap, overwrite and
+append loads) against a real SQL database; Postgres-specific paths remain
+covered by option-construction tests.
 """
 
 from __future__ import annotations
@@ -92,10 +95,14 @@ def write_table(
     mode: str = "append",
     truncate: bool = False,
     batch_size: int = 10_000,
+    column_types: str | None = None,
 ) -> None:
     """JDBC write (reference K1). ``truncate=True`` keeps the existing DDL
     on overwrite instead of drop/recreate (SURVEY §7.3 type-drift risk);
-    batched inserts bound round-trips."""
+    batched inserts bound round-trips. ``column_types`` overrides the
+    dialect's default DDL type per column (``"name VARCHAR(64)"``) — e.g.
+    Derby maps StringType to CLOB, which the database then refuses to
+    compare or index; pinning VARCHAR keeps loaded columns queryable."""
     writer = (
         df.write.format("jdbc")
         .option("url", config.url)
@@ -104,6 +111,8 @@ def write_table(
         .option("truncate", str(truncate).lower())
         .mode(mode)
     )
+    if column_types is not None:
+        writer = writer.option("createTableColumnTypes", column_types)
     for key, value in config.properties().items():
         writer = writer.option(key, value)
     writer.save()
@@ -116,6 +125,7 @@ def write_table_with_bootstrap(
     pre_ddl: Sequence[str] = (),
     mode: str = "overwrite",
     truncate: bool = False,
+    column_types: str | None = None,
     executor: Callable[[str], None] | None = None,
 ) -> None:
     """JDBC write with a schema-bootstrap hook (reference K2: Raptor's
@@ -135,7 +145,9 @@ def write_table_with_bootstrap(
             executor(stmt)
         else:
             _execute_ddl(df.sparkSession, config, stmt)
-    write_table(df, config, table, mode=mode, truncate=truncate)
+    write_table(
+        df, config, table, mode=mode, truncate=truncate, column_types=column_types
+    )
 
 
 def _execute_ddl(spark: SparkSession, config: JdbcConfig, stmt: str) -> None:
