@@ -86,19 +86,25 @@ def brute_force_topk(
     deterministic id tiebreak instead of summation noise — this is what
     makes the result reproducible across engines and partitionings.
     """
+    # Norms are per-row, not per-pair: computing them before the join is
+    # bit-identical (same fold over the same vector, same division shape
+    # as ``cosine``) but does O(Q+N) norm folds instead of O(Q*N).
     q = queries.select(
         F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", l2_norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", l2_norm(F.col("cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), score_decimals).alias("score"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                score_decimals,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -1,0 +1,122 @@
+"""Temporal operators: as-of (point-in-time) join.
+
+Spark has no built-in ASOF JOIN (DuckDB/kdb/Pandas `merge_asof` do). The
+naive Spark spelling is a range theta-join (`l.ts >= r.ts`) followed by a
+row_number window — a BroadcastNestedLoopJoin that explodes to O(L×R)
+pairs per key before pruning, unusable at scale.
+
+``as_of_join`` instead re-expresses the semantics as ONE sort: tag both
+inputs, union them on (keys, time), and carry the most recent right-side
+payload forward with ``last(..., ignorenulls=True)`` over a
+rows-unbounded-preceding window. Cost is a single hash exchange on the
+join keys plus one in-partition sort — identical to the shuffle a plain
+sort-merge join of the two inputs would pay, with no pair explosion.
+This is the standard log-merge formulation (see also Flink's temporal
+join and the TimescaleDB as-of pattern).
+
+Semantics: for each left row, the right row with the greatest
+``right_ts <= left_ts`` on the same keys (inclusive match, like DuckDB's
+``ASOF JOIN ... ON l.ts >= r.ts``); unmatched left rows keep NULL values
+(left-outer flavor). Ties inside the right frame (same keys + same ts)
+are NOT a total order — pre-aggregate the right side to one row per
+(keys, ts) for deterministic output.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str | None = None,
+    value_cols: Sequence[str] | None = None,
+    tolerance: Column | None = None,
+    matched_ts_col: str | None = "asof_matched_ts",
+) -> DataFrame:
+    """Left as-of join: attach the most recent right-side payload at or
+    before each left row's timestamp, per join key.
+
+    ``value_cols``: right columns to carry (default: everything except
+    keys + timestamp). They are carried as ONE struct, so a right row
+    whose payload contains genuine NULLs still wins the match (per-column
+    carry-forward would skip through it to an older row).
+
+    ``tolerance``: optional max staleness in the timestamp's own units
+    (e.g. ``F.lit(3600)`` for epoch-second columns); matches older than
+    it are nulled, like pandas ``merge_asof(tolerance=...)``.
+
+    ``matched_ts_col``: output column holding the matched right
+    timestamp (None to omit).
+
+    The timestamp column may be any orderable type; integer epoch
+    seconds sidestep cross-engine sub-second precision mismatches.
+    """
+    right_ts = right_ts or left_ts
+    keys = list(on)
+    if value_cols is None:
+        drop = set(keys) | {right_ts}
+        value_cols = [c for c in right.columns if c not in drop]
+    value_cols = list(value_cols)
+
+    left_row = F.struct(*[F.col(c) for c in left.columns]).alias("_asof_row")
+    l_side = left.select(
+        *keys,
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(1).alias("_asof_side"),
+        left_row,
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ",".join(
+                f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
+            )
+            + ">"
+        )
+        .alias("_asof_val"),
+    )
+    r_side = right.select(
+        *keys,
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(0).alias("_asof_side"),
+        F.lit(None).cast(l_side.schema["_asof_row"].dataType).alias("_asof_row"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("_asof_val"),
+    )
+
+    # Right rows sort BEFORE left rows at equal timestamps, so a right
+    # row at exactly left_ts is visible to that left row (inclusive
+    # match). One exchange on the keys, one sort — that's the whole cost.
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_asof_ts").asc(), F.col("_asof_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_side.unionByName(r_side).select(
+        "*",
+        F.last("_asof_val", ignorenulls=True).over(w).alias("_asof_match"),
+        F.last(
+            F.when(F.col("_asof_side") == 0, F.col("_asof_ts")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("_asof_match_ts"),
+    )
+
+    matched = F.col("_asof_match")
+    match_ts = F.col("_asof_match_ts")
+    if tolerance is not None:
+        in_tol = (F.col("_asof_ts") - match_ts) <= tolerance
+        matched = F.when(in_tol, matched)
+        match_ts = F.when(in_tol, match_ts)
+
+    out_cols = [F.col("_asof_row.*")]
+    out_cols += [matched.getField(c).alias(c) for c in value_cols]
+    if matched_ts_col is not None:
+        out_cols.append(match_ts.alias(matched_ts_col))
+    return filled.filter(F.col("_asof_side") == 1).select(*out_cols)

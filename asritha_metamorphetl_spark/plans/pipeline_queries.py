@@ -1,0 +1,274 @@
+"""Training-data pipeline queries: as-of join, duplicate clusters,
+PII scrubbing, split contamination, stratified sampling.
+
+These extend the reference's operator surface with the operations a
+large-scale training-data pipeline needs (see README extensions):
+temporal point-in-time joins, pair→cluster dedup closure, text
+scrubbing, and reproducible curation sampling. Every query pairs with a
+DuckDB oracle (the as-of oracle uses DuckDB's native ASOF JOIN, the
+cluster oracle a recursive transitive closure — both independent
+re-derivations, not re-implementations, of the Spark plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from asritha_metamorphetl_spark.operators import dedup as D
+from asritha_metamorphetl_spark.operators.graph import connected_components
+from asritha_metamorphetl_spark.operators.sampling import stratified_sample
+from asritha_metamorphetl_spark.operators.temporal import as_of_join
+from asritha_metamorphetl_spark.plans.registry import register
+from asritha_metamorphetl_spark.plans.text_queries import (
+    MINHASH_PAIRS_ORACLE,
+    _hex48_sql,
+)
+from asritha_metamorphetl_spark.sources.files import Catalog
+
+# ---------------------------------------------------------------------------
+# As-of (point-in-time) join: each view event gets the user's most recent
+# purchase at or before it. Timestamps are compared as epoch seconds so
+# the match is integer-exact across engines (sub-second parquet precision
+# differs between Spark's nanos→micros read and DuckDB's native nanos).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "view_purchase_asof",
+    oracle="""
+WITH views AS (
+    SELECT event_id, user_id,
+           CAST(FLOOR(EXTRACT(EPOCH FROM ts)) AS BIGINT) AS ts_sec
+    FROM events WHERE event_type = 'view'
+),
+purch AS (
+    SELECT user_id,
+           CAST(FLOOR(EXTRACT(EPOCH FROM ts)) AS BIGINT) AS ts_sec,
+           MAX(event_id) AS purchase_event,
+           MAX(value) AS purchase_value
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+)
+SELECT v.user_id, v.event_id, p.purchase_event,
+       v.ts_sec - p.ts_sec AS secs_since_purchase,
+       p.purchase_value
+FROM views v
+ASOF LEFT JOIN purch p
+    ON v.user_id = p.user_id AND v.ts_sec >= p.ts_sec
+""",
+)
+def view_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment (operators/temporal.py): one exchange on
+    user_id + one sort — no range explosion. The right side is
+    pre-aggregated to one row per (user, second) so ties are a total
+    order (see as_of_join's determinism contract)."""
+    ev = Catalog(sf_dir).load(spark, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ts_sec")
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.unix_timestamp("ts").alias("ts_sec"))
+        .agg(
+            F.max("event_id").alias("purchase_event"),
+            F.max("value").alias("purchase_value"),
+        )
+    )
+    joined = as_of_join(
+        views,
+        purch,
+        on=["user_id"],
+        left_ts="ts_sec",
+        value_cols=["purchase_event", "purchase_value"],
+        matched_ts_col="_purch_sec",
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        "purchase_event",
+        (F.col("ts_sec") - F.col("_purch_sec")).alias("secs_since_purchase"),
+        "purchase_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters: connected components over the MinHash-LSH pair graph.
+# The oracle re-derives components as a recursive transitive closure with
+# MIN-label aggregation — a completely different algorithm that must land
+# on the identical labeling.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dup_clusters",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({MINHASH_PAIRS_ORACLE}),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+assign AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM assign
+""",
+)
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair→cluster closure (operators/graph.py): min-label propagation,
+    one shuffle join per round, lineage truncated per round. Cluster id =
+    minimum doc_id of the component (the canonical keeper in
+    keep-one-per-cluster dedup)."""
+    docs = Catalog(sf_dir).load(spark, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "text", "doc_id")
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).withColumn(
+        "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII / entity scrubbing profile. Row-local regex work — pure JVM
+# expressions, no shuffle at all; the signature column proves the scrub
+# output byte-identical across engines without shipping the text.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_ENTITY_RE = r"\b(customer|supplier|part)\b"
+
+
+@register(
+    "pii_scrub_profile",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_ENTITY_RE}')) AS BIGINT)
+           AS n_entity_terms,
+       md5(regexp_replace(
+               regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+               '{_ENTITY_RE}', '[ENTITY]', 'g')) AS scrub_sig
+FROM documents
+""",
+)
+def pii_scrub_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction pass over the corpus: count email-shaped strings and
+    dictionary entity terms, emit the md5 of the scrubbed text. Patterns
+    stay in the Java∩RE2 common regex subset so both engines match the
+    same spans (DuckDB needs the 'g' flag for global replace; Spark
+    replaces all occurrences by default)."""
+    docs = Catalog(sf_dir).load(spark, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"),
+        _ENTITY_RE,
+        "[ENTITY]",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_ENTITY_RE), 0))
+        .cast("bigint")
+        .alias("n_entity_terms"),
+        F.md5(scrubbed).alias("scrub_sig"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/test contamination: near-dup pairs that straddle split boundaries.
+# The pair frame is tiny relative to the corpus, so both split joins
+# shuffle only candidate ids, never text.
+# ---------------------------------------------------------------------------
+
+_SPLIT_ASSIGN_SQL = f"""
+    SELECT doc_id,
+           CASE WHEN bucket <= 7 THEN 'train'
+                WHEN bucket = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 {_hex48_sql("md5(CAST(doc_id AS VARCHAR))")} % 10 AS bucket
+          FROM documents)
+"""
+
+
+@register(
+    "cross_split_contamination",
+    oracle=f"""
+WITH pairs AS ({MINHASH_PAIRS_ORACLE}),
+assigned AS ({_SPLIT_ASSIGN_SQL})
+SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
+FROM pairs p
+JOIN assigned sa ON p.doc_a = sa.doc_id
+JOIN assigned sb ON p.doc_b = sb.doc_id
+WHERE sa.split <> sb.split
+""",
+)
+def cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set leakage check: near-duplicate pairs whose members landed
+    in different train/val/test splits (same 80/10/10 content-hash split
+    as corpus_splits). Any hit means an eval document has a near-twin in
+    training data — the canonical contamination audit before a training
+    run."""
+    from asritha_metamorphetl_spark.operators.sampling import hash_bucket
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    bucket = hash_bucket(F.col("doc_id"), 10)
+    splits = docs.select(
+        "doc_id",
+        F.when(bucket <= 7, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    pairs = D.minhash_lsh_pairs(docs, "text", "doc_id")
+    return (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+            ),
+            "doc_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling: reproducible per-class downsampling.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stratified_label_sample",
+    oracle=f"""
+SELECT vec_id, label
+FROM embeddings
+WHERE {_hex48_sql("md5(CAST(vec_id AS VARCHAR))")} % 100
+      < CASE WHEN label <= 4 THEN 20 ELSE 50 END
+""",
+)
+def stratified_label_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class rebalancing (operators/sampling.py): keep 20%
+    of labels 0-4 and 50% of the rest, selected by stable id-hash bucket
+    — rerunning, repartitioning, or growing the table never changes
+    which existing rows are kept."""
+    emb = Catalog(sf_dir).load(spark, "embeddings")
+    sampled = stratified_sample(
+        emb, "label", "vec_id", {lbl: 20 for lbl in range(5)}, default_pct=50
+    )
+    return sampled.select("vec_id", "label")

@@ -59,6 +59,7 @@ def _load_all() -> None:
     from asritha_metamorphetl_spark.plans import (  # noqa: F401
         catalog_queries,
         operator_queries,
+        pipeline_queries,
         quality_queries,
         text_queries,
         tpch_deep,

@@ -179,9 +179,9 @@ _BAND_ROWS = "\n    UNION ALL\n".join(
 )
 
 
-@register(
-    "minhash_near_dups",
-    oracle=f"""
+#: Shared with plans/pipeline_queries.py, which embeds the pair oracle
+#: as the edge source of the duplicate-cluster closure.
+MINHASH_PAIRS_ORACLE = f"""
 WITH {_SHINGLE_CTE},
 nonempty AS (SELECT doc_id, s FROM shingled WHERE len(s) > 0),
 hashed AS (
@@ -200,8 +200,10 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a
 JOIN bands b USING (band_key)
 WHERE a.doc_id < b.doc_id
-""",
-)
+"""
+
+
+@register("minhash_near_dups", oracle=MINHASH_PAIRS_ORACLE)
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(sf_dir).load(spark, "documents")
     return D.minhash_lsh_pairs(docs, "text", "doc_id")

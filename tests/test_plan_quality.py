@@ -176,3 +176,15 @@ def test_similar_part_names_blocks_via_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "blk" in plan  # the join key is the length block
+
+
+def test_asof_join_is_one_sort_no_pair_explosion(spark):
+    """The as-of join must compile to union + window (one hash exchange
+    per input side, one sort), never the naive range theta-join whose
+    BroadcastNestedLoopJoin explodes O(L×R) pairs per key."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["view_purchase_asof"](spark, SF_CORRECT))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Sort") == 1  # the window's in-partition sort
+    assert "Window" in plan

@@ -1,0 +1,119 @@
+"""Unit tests: as-of join semantics, connected components, sampling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from asritha_metamorphetl_spark.operators.graph import connected_components
+from asritha_metamorphetl_spark.operators.sampling import (
+    hash_bucket,
+    stratified_sample,
+)
+from asritha_metamorphetl_spark.operators.temporal import as_of_join
+
+
+def _asof_fixture(spark):
+    left = spark.createDataFrame(
+        [("u1", 10), ("u1", 20), ("u1", 5), ("u2", 10), ("u3", 10)],
+        "k string, ts bigint",
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, 100.0), ("u1", 15, 150.0), ("u2", 11, 200.0)],
+        "k string, ts bigint, val double",
+    )
+    return left, right
+
+
+def test_asof_inclusive_match_and_left_outer(spark):
+    left, right = _asof_fixture(spark)
+    out = as_of_join(left, right, on=["k"], left_ts="ts").collect()
+    got = {(r.k, r.ts): (r.val, r.asof_matched_ts) for r in out}
+    assert len(out) == 5
+    # equal timestamps match (right sorts before left): u1@10 sees val=100
+    assert got[("u1", 10)] == (100.0, 10)
+    # most recent wins, not first: u1@20 sees the ts=15 row
+    assert got[("u1", 20)] == (150.0, 15)
+    # nothing at or before: NULLs survive (left-outer)
+    assert got[("u1", 5)] == (None, None)
+    assert got[("u2", 10)] == (None, None)  # right exists only at ts=11
+    assert got[("u3", 10)] == (None, None)  # key absent from right
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left, right = _asof_fixture(spark)
+    out = as_of_join(
+        left, right, on=["k"], left_ts="ts", tolerance=F.lit(3)
+    ).collect()
+    got = {(r.k, r.ts): r.val for r in out}
+    assert got[("u1", 10)] == 100.0  # age 0 <= 3
+    assert got[("u1", 20)] is None  # age 5 > 3 → nulled
+    assert got[("u2", 10)] is None
+
+
+def test_asof_null_payload_is_still_a_match(spark):
+    """A matched right row with a NULL payload column must NOT be skipped
+    in favor of an older row (struct carry, not per-column carry)."""
+    left = spark.createDataFrame([("k", 30)], "k string, ts bigint")
+    right = spark.createDataFrame(
+        [("k", 10, 1.0), ("k", 20, None)], "k string, ts bigint, val double"
+    )
+    row = as_of_join(left, right, on=["k"], left_ts="ts").collect()[0]
+    assert row.asof_matched_ts == 20 and row.val is None
+
+
+def test_connected_components_labels_min_id(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (9, 9)], "src bigint, dst bigint"
+    )
+    labels = {
+        r.id: r.label
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 9}
+
+
+def test_connected_components_path_graph_converges(spark):
+    # 0-1-2-...-9 chain: worst case for min propagation (diameter 9).
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src bigint, dst bigint"
+    )
+    labels = connected_components(edges, "src", "dst", max_iter=12).collect()
+    assert {r.label for r in labels} == {0}
+    assert len(labels) == 10
+
+
+def test_connected_components_strict_raises_without_fixpoint(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src bigint, dst bigint"
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(edges, "src", "dst", max_iter=2, strict=True)
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(300)], "id bigint, label int"
+    )
+    kept = stratified_sample(df, "label", "id", {0: 0, 1: 100}, default_pct=50)
+    rows = kept.collect()
+    by_label = {lbl: sum(1 for r in rows if r.label == lbl) for lbl in (0, 1, 2)}
+    assert by_label[0] == 0  # 0% stratum drops everything
+    assert by_label[1] == 100  # 100% stratum keeps everything
+    assert 20 <= by_label[2] <= 80  # ~50% by hash bucket
+    # determinism: same rows on re-run, and subset-stable under a filter
+    again = {r.id for r in kept.collect()}
+    assert again == {r.id for r in rows}
+    half = stratified_sample(
+        df.filter(F.col("id") < 150), "label", "id", {0: 0, 1: 100}, 50
+    )
+    assert {r.id for r in half.collect()} == {i for i in again if i < 150}
+
+
+def test_hash_bucket_range(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id bigint")
+    stats = df.select(
+        F.min(hash_bucket(F.col("id"))).alias("lo"),
+        F.max(hash_bucket(F.col("id"))).alias("hi"),
+    ).collect()[0]
+    assert 0 <= stats.lo and stats.hi <= 99
