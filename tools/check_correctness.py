@@ -1,0 +1,181 @@
+#!/usr/bin/env python3
+"""Driver-faithful correctness harness.
+
+Mimics the round driver: builds a BARE SparkSession (no engine confs — the
+round-1 events.parquet failure only reproduced under such a session), runs
+every ``__spark_entry__.queries()`` entry at sf0.01, runs the matching
+``oracle_sql()`` string in DuckDB over the same parquet tables, and compares
+row count, column-name set, and a value hash computed over columns sorted by
+name. Run from the repo root:
+
+    python tools/check_correctness.py [sf_dir] [query ...]
+
+Prints one JSON object keyed by query name (same shape as CORRECTNESS_r*.json)
+to stdout; progress goes to stderr. Exit code 1 if any query is not green.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import os
+import sys
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _norm(v):
+    """Normalize a cell so Spark and DuckDB hash identically."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return repr(float(v))
+        return repr(round(v, 9))
+    if isinstance(v, decimal.Decimal):
+        f = float(v)
+        if f == int(f) and abs(f) < 1e15:
+            return repr(float(f))
+        return repr(round(f, 9))
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            f"{k}:{_norm(v[k])}" for k in sorted(v)
+        ) + "}"
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return str(v)
+
+
+def _hash_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x01".join(_norm(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode("utf-8", "surrogatepass"))
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+
+    # BARE session, like the driver's: no engine confs beyond master/memory.
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "6g")
+        .appName("check-correctness")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    results: dict[str, dict] = {}
+    bad = []
+
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        rec: dict = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+            rec["spark_rows"] = len(srows)
+        except Exception:
+            rec["err"] = traceback.format_exc(limit=5)
+            results[name] = rec
+            bad.append(name)
+            print(f"  {name}: SPARK ERROR", file=sys.stderr)
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            rec["err"] = "no_oracle"
+            results[name] = rec
+            print(f"  {name}: rows-only ({len(srows)})", file=sys.stderr)
+            continue
+        try:
+            cur = con.execute(sql)
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+            rec["oracle_rows"] = len(orows)
+        except Exception:
+            rec["err"] = "ORACLE: " + traceback.format_exc(limit=3)
+            results[name] = rec
+            bad.append(name)
+            print(f"  {name}: ORACLE ERROR", file=sys.stderr)
+            continue
+        rec["rows_match"] = len(srows) == len(orows)
+        rec["schema_match"] = sorted(scols) == sorted(ocols)
+        if rec["rows_match"] and rec["schema_match"]:
+            rec["hash_match"] = _hash_rows(
+                scols, [tuple(r) for r in srows]
+            ) == _hash_rows(ocols, orows)
+        else:
+            rec["hash_match"] = False
+        results[name] = rec
+        ok = rec["hash_match"]
+        if not ok:
+            bad.append(name)
+        print(
+            f"  {name}: {'OK' if ok else 'MISMATCH'} "
+            f"(spark={rec['spark_rows']} oracle={rec['oracle_rows']} "
+            f"schema={rec['schema_match']})",
+            file=sys.stderr,
+        )
+
+    print(json.dumps(results, indent=1))
+    print(
+        f"\n{len(results) - len(bad)}/{len(results)} green; bad: {bad}",
+        file=sys.stderr,
+    )
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
