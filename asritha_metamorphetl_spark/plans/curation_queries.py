@@ -1,0 +1,357 @@
+"""Corpus-curation queries: Gopher/C4-style repetition + quality signals,
+source mixing weights, and a bucketized range join over the event log.
+
+These extend the training-data surface (README extensions) with the
+document-level filters a pretraining pipeline runs before tokenization:
+repetition profiling (Rae et al. 2021 "Gopher" §A1.1 repetition
+signals), hard quality gates (token count / mean word length / stopword
+density), and temperature-scaled source mixing (the ``share**alpha``
+re-weighting used for multilingual/multi-source sampling). Every query
+pairs with an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from asritha_metamorphetl_spark.functions import text as T
+from asritha_metamorphetl_spark.operators.ranges import bucketed_range_join
+from asritha_metamorphetl_spark.plans.registry import register
+from asritha_metamorphetl_spark.sources.files import Catalog
+
+_STOPLIST_SQL = "(" + ",".join(f"'{w}'" for w in T.EN_STOPWORDS) + ")"
+
+
+# ---------------------------------------------------------------------------
+# Repetition profile: per-document duplicate-token / duplicate-bigram rates.
+# Scale shape: explode → two-level hash agg keyed by doc (map-side partials
+# bound the shuffle by distinct (doc, gram), not token count). No per-row
+# O(n·distinct) HOF scans, so a pathological 100M-token document costs its
+# own partitions, not a single task's memory.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_repetition_profile",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+    FROM documents
+),
+uni AS (SELECT doc_id, unnest(t) AS g FROM toks),
+uc AS (SELECT doc_id, g, COUNT(*) AS c FROM uni GROUP BY 1, 2),
+ud AS (
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_distinct, MAX(c) AS top_c
+    FROM uc GROUP BY 1
+),
+bg AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 2
+                THEN list_transform(generate_series(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i + 1])
+                ELSE [] END AS b
+    FROM toks
+),
+bgu AS (SELECT doc_id, unnest(b) AS g FROM bg),
+bgd AS (
+    SELECT doc_id, COUNT(*) AS n_bigrams, COUNT(DISTINCT g) AS nd_bigrams
+    FROM bgu GROUP BY 1
+)
+SELECT ud.doc_id,
+       ud.n_tokens,
+       ROUND(CAST(ud.n_distinct AS DOUBLE) / ud.n_tokens, 4)
+           AS distinct_token_ratio,
+       ROUND(CAST(ud.top_c AS DOUBLE) / ud.n_tokens, 4) AS top_token_frac,
+       COALESCE(
+           ROUND(1.0 - CAST(bgd.nd_bigrams AS DOUBLE) / bgd.n_bigrams, 4),
+           0.0) AS dup_bigram_frac
+FROM ud LEFT JOIN bgd ON ud.doc_id = bgd.doc_id
+""",
+)
+def doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-token
+    ratio, most-frequent-token share, duplicate-bigram fraction."""
+    docs = Catalog(sf_dir).load(spark, "documents")
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("t"))
+    uni = toks.select("doc_id", F.explode("t").alias("g"))
+    per_gram = uni.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.when(
+            F.size("t") >= 2,
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("b"),
+    )
+    bg = bigrams.select("doc_id", F.explode("b").alias("g"))
+    per_bg = bg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.countDistinct("g").alias("nd_bigrams"),
+    )
+    return (
+        per_doc.join(per_bg, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("n_distinct").cast("double") / F.col("n_tokens"), 4)
+            .alias("distinct_token_ratio"),
+            F.round(F.col("top_c").cast("double") / F.col("n_tokens"), 4)
+            .alias("top_token_frac"),
+            F.coalesce(
+                F.round(
+                    F.lit(1.0)
+                    - F.col("nd_bigrams").cast("double") / F.col("n_bigrams"),
+                    4,
+                ),
+                F.lit(0.0),
+            ).alias("dup_bigram_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style hard quality gates, summarized per source. All flags are
+# row-local Column expressions — the whole query is one scan stage plus a
+# single hash agg on source.
+# ---------------------------------------------------------------------------
+
+#: Gate thresholds (Gopher §A1.1, adapted to whitespace tokens).
+GOPHER_MIN_TOKENS = 50
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_AVG_LEN = 3.0
+GOPHER_MAX_AVG_LEN = 10.0
+GOPHER_MIN_STOPWORD_RATIO = 0.02
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           list_filter(string_split(text, ' '), x -> x != '') AS t
+    FROM documents
+),
+sig AS (
+    SELECT source,
+        len(t) AS n_tokens,
+        CASE WHEN len(t) > 0
+             THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                  / len(t)
+             ELSE 0.0 END AS avg_len,
+        CASE WHEN len(t) > 0
+             THEN CAST(len(list_filter(t, x -> x IN {_STOPLIST_SQL}))
+                       AS DOUBLE) / len(t)
+             ELSE 0.0 END AS stop_ratio
+    FROM toks
+),
+flags AS (
+    SELECT source,
+        CASE WHEN n_tokens < {GOPHER_MIN_TOKENS}
+               OR n_tokens > {GOPHER_MAX_TOKENS} THEN 1 ELSE 0 END AS f_len,
+        CASE WHEN avg_len < {GOPHER_MIN_AVG_LEN}
+               OR avg_len > {GOPHER_MAX_AVG_LEN} THEN 1 ELSE 0 END AS f_avg,
+        CASE WHEN stop_ratio < {GOPHER_MIN_STOPWORD_RATIO}
+             THEN 1 ELSE 0 END AS f_stop
+    FROM sig
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(f_len) AS BIGINT) AS n_len_fail,
+       CAST(SUM(f_avg) AS BIGINT) AS n_avg_len_fail,
+       CAST(SUM(f_stop) AS BIGINT) AS n_stopword_fail,
+       CAST(SUM(CASE WHEN f_len = 0 AND f_avg = 0 AND f_stop = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM flags
+GROUP BY source
+""",
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source counts of documents failing each Gopher hard gate
+    (token count, mean token length, stopword density) and passing all."""
+    docs = Catalog(sf_dir).load(spark, "documents")
+    text = F.col("text")
+    n_tok = T.token_count(text)
+    avg_len = T.avg_token_length(text)
+    stop = T.stopword_ratio(text)
+    f_len = (
+        (n_tok < GOPHER_MIN_TOKENS) | (n_tok > GOPHER_MAX_TOKENS)
+    ).cast("int")
+    f_avg = (
+        (avg_len < GOPHER_MIN_AVG_LEN) | (avg_len > GOPHER_MAX_AVG_LEN)
+    ).cast("int")
+    f_stop = (stop < GOPHER_MIN_STOPWORD_RATIO).cast("int")
+    flagged = docs.select(
+        "source",
+        f_len.alias("f_len"),
+        f_avg.alias("f_avg"),
+        f_stop.alias("f_stop"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("f_len").alias("n_len_fail"),
+        F.sum("f_avg").alias("n_avg_len_fail"),
+        F.sum("f_stop").alias("n_stopword_fail"),
+        F.sum(
+            (
+                (F.col("f_len") == 0)
+                & (F.col("f_avg") == 0)
+                & (F.col("f_stop") == 0)
+            ).cast("int")
+        ).alias("n_pass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing weights. The per-source aggregate is one
+# shuffle; the normalization joins against a broadcast single-row totals
+# frame instead of an unpartitioned window, so the plan holds for any
+# source cardinality.
+# ---------------------------------------------------------------------------
+
+#: Mixing temperature (share ** alpha, renormalized) — the multilingual
+#: sampling exponent from XLM-R / mT5 data recipes.
+MIX_ALPHA = 0.7
+
+
+@register(
+    "source_mix_weights",
+    oracle=f"""
+WITH per_src AS (
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(list_filter(string_split(text, ' '),
+                                    x -> x != ''))) AS BIGINT) AS n_tokens
+    FROM documents
+    GROUP BY source
+),
+tot AS (
+    SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+           SUM(POWER(CAST(n_tokens AS DOUBLE), {MIX_ALPHA})) AS tot_pow
+    FROM per_src
+)
+SELECT p.source, p.n_docs, p.n_tokens,
+       ROUND(CAST(p.n_tokens AS DOUBLE) / t.tot_tokens, 6) AS token_share,
+       ROUND(POWER(CAST(p.n_tokens AS DOUBLE), {MIX_ALPHA}) / t.tot_pow, 6)
+           AS mix_weight
+FROM per_src p CROSS JOIN tot t
+""",
+)
+def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token shares and temperature-scaled sampling weights.
+
+    ``mix_weight ∝ n_tokens ** alpha`` — the sampling-temperature
+    re-weighting that upweights small sources. Note the normalizer is
+    computed on raw token counts (not shares): ``(n/tot)^a / Σ(m/tot)^a
+    == n^a / Σ m^a`` exactly in the reals, and using the integer counts
+    keeps the two engines' float paths identical.
+    """
+    docs = Catalog(sf_dir).load(spark, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count(F.col("text"))).alias("n_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), MIX_ALPHA)).alias(
+            "tot_pow"
+        ),
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("tot_tokens"), 6
+        ).alias("token_share"),
+        F.round(
+            F.pow(F.col("n_tokens").cast("double"), MIX_ALPHA)
+            / F.col("tot_pow"),
+            6,
+        ).alias("mix_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketized range join: views in the hour before each purchase. The naive
+# spelling is a theta-join (BroadcastNestedLoopJoin); bucketed_range_join
+# turns it into an equi-join on (user, hour-bucket) — see operators/ranges.
+# ---------------------------------------------------------------------------
+
+_WINDOW_SECS = 3600
+
+
+@register(
+    "views_before_purchase",
+    oracle=f"""
+WITH p AS (
+    SELECT event_id, user_id,
+           CAST(FLOOR(EXTRACT(EPOCH FROM ts)) AS BIGINT) AS ts_sec
+    FROM events WHERE event_type = 'purchase'
+),
+v AS (
+    SELECT event_id, user_id,
+           CAST(FLOOR(EXTRACT(EPOCH FROM ts)) AS BIGINT) AS ts_sec
+    FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id, p.user_id, COUNT(v.event_id) AS n_prior_views
+FROM p LEFT JOIN v
+    ON v.user_id = p.user_id
+   AND v.ts_sec >= p.ts_sec - {_WINDOW_SECS}
+   AND v.ts_sec < p.ts_sec
+GROUP BY p.event_id, p.user_id
+""",
+)
+def views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, how many views the same user made in the
+    preceding hour (half-open window). Timestamps compare as epoch
+    seconds for cross-engine exactness (same convention as
+    view_purchase_asof)."""
+    ev = Catalog(sf_dir).load(spark, "events")
+    sec = F.unix_timestamp("ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        sec.alias("p_sec"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", sec.alias("v_sec")
+    )
+    intervals = purchases.select(
+        "purchase_id",
+        "user_id",
+        (F.col("p_sec") - F.lit(_WINDOW_SECS)).alias("w_start"),
+        F.col("p_sec").alias("w_end"),
+    )
+    matched = bucketed_range_join(
+        views,
+        intervals,
+        on=["user_id"],
+        point_col="v_sec",
+        start_col="w_start",
+        end_col="w_end",
+        bucket_width=_WINDOW_SECS,
+    )
+    counts = matched.groupBy("purchase_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_prior_views")
+    )
+    return (
+        purchases.join(counts, on=["purchase_id", "user_id"], how="left")
+        .select(
+            F.col("purchase_id").alias("event_id"),
+            "user_id",
+            F.coalesce(F.col("n_prior_views"), F.lit(0)).alias(
+                "n_prior_views"
+            ),
+        )
+    )
