@@ -143,21 +143,41 @@ class Catalog:
     def path(self, table: str) -> str:
         return os.path.join(self.root, f"{table}.parquet")
 
+    @staticmethod
+    def _normalize_events_ts(df: DataFrame) -> DataFrame:
+        """events.ts is TIMESTAMP(NANOS) parquet. Depending on the session's
+        confs the scan surfaces it as either long nanos
+        (spark.sql.legacy.parquet.nanosAsLong) or TIMESTAMP_NTZ
+        (spark.sql.timestampType=TIMESTAMP_NTZ takes priority over the
+        nanos-as-long fallback). Normalize both to a session-tz TIMESTAMP so
+        instant-typed functions (unix_micros, window(), watermarks) resolve
+        identically under externally-built sessions — the driver's own
+        session is NTZ-typed and an un-normalized ts fails analysis on
+        ``unix_micros(lead(ts))`` with DATATYPE_MISMATCH."""
+        from pyspark.sql.types import LongType, TimestampNTZType
+
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # long nanos → micros timestamp (floor division — matches
+            # engines that truncate nanos on read).
+            return df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        if isinstance(ts_type, TimestampNTZType):
+            # NTZ → LTZ in the session timezone: wall-clock fields
+            # (date_trunc, hour) and unix_* epoch math stay consistent
+            # with the naive reading the oracle uses. Must spell the type
+            # "timestamp_ltz" — under spark.sql.timestampType=TIMESTAMP_NTZ
+            # the bare name "timestamp" resolves back to NTZ.
+            return df.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+        return df
+
     def load(self, spark: SparkSession, table: str) -> DataFrame:
         if table not in self.tables:
             raise KeyError(f"unknown table {table!r}; catalog has {self.tables}")
         df = read_parquet(spark, self.path(table))
         if table == "events":
-            # events.ts is TIMESTAMP(NANOS) parquet, surfaced as long nanos
-            # under spark.sql.legacy.parquet.nanosAsLong; convert to a real
-            # micros timestamp (floor division — matches engines that
-            # truncate nanos on read).
-            from pyspark.sql.types import LongType
-
-            if isinstance(df.schema["ts"].dataType, LongType):
-                df = df.withColumn(
-                    "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-                )
+            df = self._normalize_events_ts(df)
         return df
 
     def stream(self, spark: SparkSession, table: str):
@@ -172,9 +192,7 @@ class Catalog:
             .parquet(self.root)
         )
         if table == "events":
-            stream = stream.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            stream = self._normalize_events_ts(stream)
         # align column order/types with the batch view
         return stream.select(*batch.columns)
 

@@ -74,15 +74,60 @@ def main() -> None:
     # to the dup of the original stdout (everything else was redirected
     # to stderr above; failed queries live in their own list, never as
     # sentinel values mixed into the timings).
+    #
+    # r01/r02 post-mortem: the driver captures only a bounded tail of
+    # stdout, and the full ~90-query dict pushed the line past that
+    # buffer — "parsed": null both rounds despite rc=0 and a well-formed
+    # line. So stdout carries a stable HEADLINE subset (fits any sane
+    # tail window) and the complete per-query timings go to
+    # BENCH_FULL.json next to this script.
+    sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
+    with open(os.path.join(REPO_ROOT, "BENCH_FULL.json"), "w") as fh:
+        json.dump(
+            {
+                "metric": "total wall-clock over all registered queries",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "failed": failed,
+                "sf": sf_val,
+            },
+            fh,
+            indent=1,
+        )
+    headline = [
+        "supplier_performance",
+        "product_performance",
+        "customer_sales_report",
+        "pricing_summary",
+        "market_share",
+        "nation_year_profit",
+        "revenue_rollup",
+        "running_customer_spend",
+        "event_sessions",
+        "user_journeys",
+        "reconcile_orchestrated",
+        "exact_dup_groups",
+        "minhash_near_dups",
+        "ngram_jaccard_pairs",
+        "knn_cosine_topk",
+        "knn_lsh_topk",
+        "knn_ivf_topk",
+        "winnow_candidate_pairs",
+        "dup_clusters",
+        "cross_split_contamination",
+    ]
     line = json.dumps(
         {
-            "metric": "total wall-clock over all registered queries",
+            "metric": "total wall-clock, all registered queries (headline subset inline; full timings in BENCH_FULL.json)",
             "value": round(total, 3),
             "unit": "sec",
-            "queries": timings,
-            "failed": failed,
-            "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-        }
+            "queries": {q: timings[q] for q in headline if q in timings},
+            "n_queries": len(timings),
+            "n_failed": len(failed),
+            "sf": sf_val,
+        },
+        separators=(",", ":"),
     )
     os.write(json_fd, (line + "\n").encode())
     os.close(json_fd)

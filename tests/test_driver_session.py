@@ -42,6 +42,25 @@ def test_events_query_without_engine_conf(bare_conf_spark):
     assert df.count() >= 0
 
 
+def test_events_ntz_session_normalized_to_ltz(spark):
+    """Round-2 driver post-mortem: the driver's session types timestamps as
+    NTZ (spark.sql.timestampType=TIMESTAMP_NTZ), under which events.ts
+    surfaces as TIMESTAMP_NTZ even with the nanos conf set, and
+    ``unix_micros(lead(ts))`` in user_journeys fails analysis. The catalog
+    must normalize NTZ → LTZ so instant-typed functions resolve."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+    from asritha_metamorphetl_spark.sources.files import Catalog
+
+    old = spark.conf.get("spark.sql.timestampType")
+    spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
+    try:
+        df = Catalog(SF_SMOKE).load(spark, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        assert all_queries()["user_journeys"](spark, SF_SMOKE).count() > 0
+    finally:
+        spark.conf.set("spark.sql.timestampType", old)
+
+
 def test_register_views_subset_skips_unrelated_tables(bare_conf_spark, tmp_path):
     """A catalog whose events file is corrupt must still serve queries that
     never touch events, because registration is narrowed to the subset."""

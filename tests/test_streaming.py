@@ -22,15 +22,16 @@ def event_stream_factory(spark, tmp_path_factory):
     schema = batch.schema
 
     def make():
+        from asritha_metamorphetl_spark.sources.files import Catalog
+
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
             .parquet(str(stream_dir))
         )
-        # same nanos→micros conversion sources.files.Catalog applies
-        return stream.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # same ts normalization sources.files.Catalog applies (long nanos
+        # or TIMESTAMP_NTZ → session-tz timestamp, whichever the file is)
+        return Catalog._normalize_events_ts(stream)
 
     return make
 

@@ -89,10 +89,14 @@ def main() -> int:
     import __spark_entry__ as entry
 
     # BARE session, like the driver's: no engine confs beyond master/memory.
+    # The driver also types timestamps as NTZ (the r02 user_journeys failure
+    # showed events.ts surfacing as TIMESTAMP_NTZ straight off the scan), so
+    # mirror that too — it changes how parquet TIMESTAMP(NANOS) resolves.
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.driver.memory", "6g")
+        .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
         .appName("check-correctness")
         .getOrCreate()
     )
