@@ -1,0 +1,116 @@
+"""Sequence packing: concatenate-and-chunk documents into fixed
+context-length training sequences.
+
+LLM pretraining consumes documents as one token stream chopped into
+ctx_len-sized sequences; the manifest of "which document lands in which
+sequence at which offset" is what a training-data pipeline must emit.
+The parallel-hostile part is the EXCLUSIVE GLOBAL PREFIX SUM of token
+counts under a total document order — the naive
+``sum().over(Window.orderBy(...))`` funnels every row into one
+partition (the same hazard SURVEY.md §7.3 flags for percent_rank).
+
+``global_running_sum`` reuses the two-pass machinery of
+``operators.ranks.global_row_number``: range-repartition on the order
+key, a per-partition cumulative window (bounded by partition size), and
+a driver-side prefix sum over ONE number per partition — the only
+collect is O(partitions), never O(rows). At 100 TB the collected frame
+is a few thousand longs while the wide data shuffles exactly once (the
+range exchange), so the op scales like a sort, which is optimal: a
+total order is part of the packing contract.
+
+No equivalent exists in the reference (its engine is single-node and
+row-at-a-time; a running total there is a trivial loop) — this is the
+Spark-first re-expression of the same "assign output positions while
+streaming the corpus" semantics, generalized from the positional writer
+in ``[whl]Raptor/Raptor.py`` (sequential report-row emission).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_by: list[Column],
+    value: Column,
+    out_col: str = "running_before",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive prefix sum of ``value`` under the total order
+    ``order_by`` (the first row gets 0). ``order_by`` must be a total
+    order — include tie-break keys — or offsets are nondeterministic.
+    """
+    parts = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"
+    )
+    ranged = (
+        df.withColumn("__val", value.cast("long"))
+        .repartitionByRange(int(parts), *order_by)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # Range boundaries are sampled; pin them so the sizing pass and the
+    # cumsum pass below see one consistent partitioning.
+    ranged = ranged.persist()
+
+    part_sums = {
+        r["__pid"]: r["s"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum("__val").alias("s"))
+        .collect()
+    }
+    offsets, running = {}, 0
+    for pid in sorted(part_sums):
+        offsets[pid] = running
+        running += part_sums[pid] or 0
+
+    offset_df = df.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "__pid int, __offset long"
+    )
+    # Exclusive window: everything strictly before this row, within the
+    # partition (bounded state — one partition's rows, not the table's).
+    local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranged.withColumn("__local", F.coalesce(F.sum("__val").over(local), F.lit(0)))
+        .join(F.broadcast(offset_df), "__pid")
+        .withColumn(out_col, (F.col("__local") + F.col("__offset")).cast("bigint"))
+        .drop("__pid", "__local", "__offset", "__val")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    order_by: list[Column],
+    ctx_len: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign each document its position in the concatenated token
+    stream and the [seq_begin, seq_end] range of ctx_len-sized training
+    sequences it occupies. Adds:
+
+    - ``begin_offset`` — global token offset where the document starts,
+    - ``seq_begin`` / ``seq_end`` — first / last sequence index touched
+      (a document longer than ctx_len spans several; an empty document
+      occupies zero tokens and is pinned to the sequence at its offset),
+    - ``n_seqs`` — seq_end − seq_begin + 1.
+    """
+    toks = F.col(token_col).cast("long")
+    out = global_running_sum(
+        df, order_by, toks, out_col="begin_offset", num_partitions=num_partitions
+    )
+    last_tok = F.col("begin_offset") + F.greatest(toks, F.lit(1)) - F.lit(1)
+    return (
+        out.withColumn(
+            "seq_begin", F.floor(F.col("begin_offset") / ctx_len).cast("bigint")
+        )
+        .withColumn("seq_end", F.floor(last_tok / ctx_len).cast("bigint"))
+        .withColumn(
+            "n_seqs", (F.col("seq_end") - F.col("seq_begin") + F.lit(1)).cast("bigint")
+        )
+    )

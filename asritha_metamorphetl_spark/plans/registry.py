@@ -58,6 +58,7 @@ def _load_all() -> None:
         return
     from asritha_metamorphetl_spark.plans import (  # noqa: F401
         catalog_queries,
+        corpus_queries,
         curation_queries,
         operator_queries,
         pipeline_queries,

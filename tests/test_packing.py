@@ -1,0 +1,85 @@
+"""Sequence-packing operator: the partitioned prefix sum must equal the
+single-partition-window semantics exactly, under any partition count,
+including empty and ctx-spanning documents."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from asritha_metamorphetl_spark.operators.packing import (
+    global_running_sum,
+    pack_sequences,
+)
+
+CTX = 100
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # ids deliberately unsorted on arrival; token counts include 0 (empty
+    # doc), 1, a ctx-multiple, and a >2·ctx giant that spans 3 sequences.
+    rows = [(7, 30), (1, 250), (4, 0), (2, 100), (9, 1), (5, 73), (3, 0)]
+    return spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+
+def _naive(docs):
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return docs.select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("begin_offset"),
+    )
+
+
+@pytest.mark.parametrize("parts", [1, 3, 16])
+def test_running_sum_matches_window_any_partitioning(docs, parts):
+    got = {
+        r["doc_id"]: r["begin_offset"]
+        for r in global_running_sum(
+            docs, [F.col("doc_id")], F.col("n_tokens"),
+            out_col="begin_offset", num_partitions=parts,
+        ).collect()
+    }
+    want = {r["doc_id"]: r["begin_offset"] for r in _naive(docs).collect()}
+    assert got == want
+
+
+def test_pack_sequences_invariants(docs):
+    out = pack_sequences(docs, "n_tokens", [F.col("doc_id")], CTX).collect()
+    by_id = {r["doc_id"]: r for r in out}
+
+    # Offsets are the exclusive prefix sum in doc_id order.
+    running = 0
+    for doc_id in sorted(by_id):
+        r = by_id[doc_id]
+        assert r["begin_offset"] == running
+        running += r["n_tokens"]
+
+    for r in out:
+        # Sequence range covers exactly the tokens the doc occupies.
+        assert r["seq_begin"] == r["begin_offset"] // CTX
+        last = r["begin_offset"] + max(r["n_tokens"], 1) - 1
+        assert r["seq_end"] == last // CTX
+        assert r["n_seqs"] == r["seq_end"] - r["seq_begin"] + 1
+        # An empty doc never spans a boundary.
+        if r["n_tokens"] == 0:
+            assert r["n_seqs"] == 1
+
+    # The 250-token doc at offset 0 spans sequences 0..2.
+    giant = by_id[1]
+    assert (giant["seq_begin"], giant["seq_end"]) == (0, 2)
+
+
+def test_adjacent_docs_tile_the_stream(docs):
+    """Doc k+1 starts exactly where doc k ends — no gaps, no overlaps."""
+    out = sorted(
+        pack_sequences(docs, "n_tokens", [F.col("doc_id")], CTX).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    for prev, cur in zip(out, out[1:]):
+        assert cur["begin_offset"] == prev["begin_offset"] + prev["n_tokens"]
