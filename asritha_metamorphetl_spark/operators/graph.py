@@ -62,6 +62,9 @@ def connected_components(
             .groupBy(sym["a"].alias("id"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # The changed flag rides along in the update select, so the round
+        # needs no second labels-vs-updated join: a row changed iff a
+        # neighbor offered a strictly smaller label.
         updated = (
             labels.alias("l")
             .join(nbr_min.alias("n"), "id", "left")
@@ -71,17 +74,15 @@ def connected_components(
                     F.col("l.label"),
                     F.coalesce(F.col("n.nbr_label"), F.col("l.label")),
                 ).alias("label"),
+                F.coalesce(
+                    F.col("n.nbr_label") < F.col("l.label"), F.lit(False)
+                ).alias("__changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("u.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        # O(1)-row job over the already-materialized checkpoint.
+        changed = updated.filter("__changed").limit(1).count()
+        labels = updated.drop("__changed")
         if changed == 0:
             converged = True
             break

@@ -219,9 +219,7 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {_SHINGLE_CTE},
 sh_d AS (
-    SELECT doc_id,
-           unnest(list_distinct(list_transform(s, x -> {_hex48_sql('md5(x)')})))
-               AS sh
+    SELECT doc_id, unnest(list_distinct(s)) AS sh
     FROM shingled WHERE len(s) > 0
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh_d GROUP BY doc_id),
