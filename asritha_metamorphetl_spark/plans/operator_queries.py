@@ -796,3 +796,53 @@ def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("distance") <= _LEV_MAX)
         .select("name_a", "name_b", "distance")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-mitigated hot-key join (operators/skew.py), registered with the
+# plain-join oracle: salting must be output-invariant.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_hot_user_events",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+""",
+)
+def salted_hot_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim join with TARGETED salting of the hottest keys
+    (operators/skew.py): a first pass ranks keys by frequency and
+    collects the top 20 — a bounded O(hot-key-budget) driver list, never
+    data-proportional — then only those keys scatter across salts while
+    the dim replicates per (hot key × salt). The oracle is the plain
+    unsalted join: identical output is the proof that salting changed
+    the partitioning, not the semantics. At 100 TB the hot-key pass is
+    one map-side-combined agg + a LIMIT, and AQE's skew handling covers
+    the long tail the static salt list misses."""
+    from asritha_metamorphetl_spark.operators.skew import salted_join
+
+    cat = Catalog(sf_dir)
+    ev = cat.load(spark, "events")
+    cust = cat.load(spark, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    hot = [
+        r["user_id"]
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("user_id"))
+        .limit(20)
+        .collect()
+    ]
+    joined = salted_join(ev, cust, on="user_id", n_salts=8, hot_keys=hot)
+    return joined.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum(F.col("value"), "total_value"),
+    )

@@ -63,6 +63,7 @@ def _load_all() -> None:
         operator_queries,
         pipeline_queries,
         quality_queries,
+        streaming_queries,
         text_queries,
         tpch_deep,
         tpch_queries,

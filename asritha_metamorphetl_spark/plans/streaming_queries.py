@@ -1,0 +1,115 @@
+"""Driver-checked streaming parity queries.
+
+The streaming surface (streaming/windows.py) is built on batch/stream
+parity: every streaming transformation has a registered batch twin with
+a DuckDB oracle. These queries close the loop IN THE DRIVER: they run
+the real Structured Streaming pipeline — ``readStream`` over the
+catalog parquet, the same windowed/stateful aggregation, a
+``Trigger.AvailableNow`` run into a memory sink — and return the final
+table, which the driver then hash-compares against the ORACLE OF THE
+BATCH TWIN. A mismatch means streaming and batch semantics diverged.
+
+Complete output mode is used deliberately: it makes the finite-source
+run emit every window regardless of watermark progress (append mode
+only emits windows the watermark has passed, which for a bounded
+backfill means silently dropping the tail — the classic
+availableNow-plus-append footgun). State still keys by
+(window, event_type) — hash-partitioned, watermark-boundable on a live
+unbounded source.
+
+No counterpart in the reference (it has no streaming engine at all —
+SURVEY.md §7.3 notes any streaming surface is green-field).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from asritha_metamorphetl_spark.functions.numeric import exact_sum
+from asritha_metamorphetl_spark.plans.registry import register
+from asritha_metamorphetl_spark.sources.files import Catalog
+from asritha_metamorphetl_spark.streaming.windows import hourly_event_counts
+
+_AWAIT_SEC = 120
+
+
+def _materialize(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Run a bounded streaming query to completion (AvailableNow) into a
+    uniquely-named in-memory sink and return the result table. The sink
+    holds only the aggregated output (windows × types — bounded), never
+    the raw stream."""
+    name = f"stream_result_{uuid.uuid4().hex[:12]}"
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(_AWAIT_SEC)
+    finally:
+        query.stop()
+    return stream_df.sparkSession.table(name)
+
+
+@register(
+    "streaming_hourly_events",
+    # Identical SQL to the batch twin events_hourly — that equality IS the
+    # parity claim.
+    oracle="""
+SELECT
+    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+    event_type,
+    COUNT(*) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation executed as a REAL streaming
+    query (readStream → window agg → AvailableNow → memory sink), then
+    compared to the batch oracle. Exercises streaming/windows.py's
+    hourly_event_counts end to end, including the events.ts
+    normalization on the stream path."""
+    stream = Catalog(sf_dir).stream(spark, "events")
+    hourly = hourly_event_counts(stream)
+    out = _materialize(hourly, mode="complete")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
+    "streaming_type_totals",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(MIN(value) AS DOUBLE) AS min_value,
+       CAST(MAX(value) AS DOUBLE) AS max_value
+FROM events
+GROUP BY event_type
+""",
+)
+def streaming_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global running totals per event type as a streaming query — the
+    unbounded-state complete-mode shape (dashboard counters). Exact
+    distinct counts are unsupported on streams; a live pipeline would
+    use approx_count_distinct, which has no exact oracle, so the
+    registered shape sticks to oracle-exact aggregates."""
+    stream = Catalog(sf_dir).stream(spark, "events")
+    totals = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum(F.col("value"), "total_value"),
+        F.min("value").cast("double").alias("min_value"),
+        F.max("value").cast("double").alias("max_value"),
+    )
+    return _materialize(totals, mode="complete")
