@@ -355,3 +355,73 @@ def views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum deciles: corpus-wide quality binning without a global window.
+# The decile is a function of the VALUE (SQL percent_rank tie semantics),
+# so operators/ranks.global_percent_rank ranks only the distinct-score
+# frame and maps back with a broadcastable join — the corpus never
+# single-partitions (the naive NTILE/percent_rank window would).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_deciles",
+    oracle=f"""
+WITH sig AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+                AS BIGINT) AS n_tokens,
+           ROUND(CASE WHEN len(list_filter(string_split(text, ' '),
+                                           x -> x != '')) > 0
+                 THEN CAST(len(list_filter(
+                          list_filter(string_split(text, ' '), x -> x != ''),
+                          x -> x IN {_STOPLIST_SQL})) AS DOUBLE)
+                      / len(list_filter(string_split(text, ' '), x -> x != ''))
+                 ELSE 0.0 END, 6) AS score
+    FROM documents
+),
+ranked AS (
+    SELECT *, PERCENT_RANK() OVER (ORDER BY score) AS pr FROM sig
+)
+SELECT LEAST(CAST(FLOOR(pr * 10) AS BIGINT), 9) AS decile,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(score) AS min_score,
+       MAX(score) AS max_score
+FROM ranked
+GROUP BY 1
+""",
+)
+def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bins over a stopword-density quality score (curriculum /
+    quality-stratified sampling input). percent_rank runs via the
+    distinct-value machinery of operators/ranks.py — the wide frame
+    never shuffles into one partition, so the binning holds at any
+    corpus size."""
+    from asritha_metamorphetl_spark.operators.ranks import global_percent_rank
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    text = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        T.token_count(text).cast("bigint").alias("n_tokens"),
+        F.round(T.stopword_ratio(text), 6).alias("score"),
+    )
+    ranked = global_percent_rank(
+        scored, F.col("score"), descending=False, out_col="pr"
+    )
+    return (
+        ranked.withColumn(
+            "decile",
+            F.least(F.floor(F.col("pr") * 10), F.lit(9)).cast("bigint"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+    )

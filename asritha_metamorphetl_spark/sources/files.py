@@ -121,6 +121,44 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table)
 
 
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    num_files: int | None = None,
+) -> None:
+    """Persist parquet laid out for scan pruning at 100 TB.
+
+    ``partition_cols`` become directory partitions — equality/range
+    predicates on them prune whole directories before any I/O
+    (PartitionFilters in the scan). ``cluster_cols`` drive a
+    range-repartition + within-partition sort, so each row group's
+    parquet min/max statistics cover a narrow value band and predicate
+    pushdown skips most groups inside the files that survive partition
+    pruning. Two layers of skipping, both free at read time; the sort
+    is paid once at write.
+
+    The range keys lead with the partition columns so each write task
+    lands in O(1) partition directories instead of fanning small files
+    across all of them (the small-files antipattern). ``num_files``
+    pins the range-partition count — an EXPLICIT count is exempt from
+    AQE partition coalescing, which otherwise collapses a small write
+    into one file and erases the per-file clustering."""
+    keys = [*(partition_cols or []), *cluster_cols]
+    key_cols = [F.col(c) for c in keys]
+    if num_files is not None:
+        out = df.repartitionByRange(num_files, *key_cols)
+    else:
+        out = df.repartitionByRange(*key_cols)
+    out = out.sortWithinPartitions(*keys)
+    writer = out.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
 def dated_path(base: str, entity: str, day: _dt.date, ext: str = "csv") -> str:
     """``{base}/{YYYYMMDD}/{entity}_{YYYYMMDD}.{ext}`` — the reference's
     daily-drop layout (Rest-API/main.py:47-48, ingestion_task.py:235-238)."""

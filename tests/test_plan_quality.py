@@ -188,3 +188,44 @@ def test_asof_join_is_one_sort_no_pair_explosion(spark):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert plan.count("Sort") == 1  # the window's in-partition sort
     assert "Window" in plan
+
+
+def test_clustered_write_enables_partition_pruning_and_pushdown(spark, tmp_path):
+    """write_clustered's layout must make both skipping layers visible in
+    the read plan: directory-partition pruning (PartitionFilters) and
+    parquet predicate pushdown (PushedFilters) on the cluster key."""
+    from asritha_metamorphetl_spark.sources.files import write_clustered
+
+    orders = spark.read.parquet(f"{SF_CORRECT}/orders.parquet").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_clustered")
+    write_clustered(
+        orders, path, cluster_cols=["o_orderdate"], partition_cols=["o_year"]
+    )
+
+    back = spark.read.parquet(path)
+    one_year = sorted(
+        r["o_year"] for r in back.select("o_year").distinct().collect()
+    )[0]
+    pruned = back.filter(
+        (F.col("o_year") == one_year)
+        & (F.col("o_orderdate") < "1993-02-01")
+    )
+    plan = _plan(pruned)
+    scan = plan[plan.index("FileScan") :]
+    assert "PartitionFilters: [" in scan and "o_year" in scan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], "year predicate must prune directories"
+    pushed = scan.split("PushedFilters")[1].split("]")[0]
+    assert "o_orderdate" in pushed, "date predicate must reach parquet"
+    # Pruning is real, not cosmetic: the pruned read touches only the
+    # one year directory's files.
+    total_files = len(back.inputFiles())
+    year_files = [f for f in back.inputFiles() if f"o_year={one_year}" in f]
+    assert 0 < len(year_files) < total_files
+    # And the filtered result is correct vs the unpartitioned source.
+    expect = orders.filter(
+        (F.col("o_year") == one_year) & (F.col("o_orderdate") < "1993-02-01")
+    ).count()
+    assert pruned.count() == expect
