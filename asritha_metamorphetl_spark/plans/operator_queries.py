@@ -846,3 +846,91 @@ def salted_hot_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         exact_sum(F.col("value"), "total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel: view → click → purchase, each stage strictly after the
+# previous user-level milestone. Three conditional-min aggregations — no
+# window over raw events, no self-join explosion; state per user is three
+# timestamps.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_funnel",
+    oracle="""
+WITH e AS (
+    SELECT user_id, event_type,
+           CAST(FLOOR(EXTRACT(EPOCH FROM ts)) AS BIGINT) AS ts_sec
+    FROM events
+),
+v AS (
+    SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts_sec END) AS v_sec
+    FROM e GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(e.ts_sec) AS c_sec
+    FROM e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts_sec > v.v_sec
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts_sec) AS p_sec
+    FROM e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts_sec > c.c_sec
+    GROUP BY e.user_id
+)
+SELECT
+    CAST((SELECT COUNT(*) FROM v WHERE v_sec IS NOT NULL) AS BIGINT)
+        AS n_viewed,
+    CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_after_view,
+    CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_after_click
+""",
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered three-stage funnel. Each stage is a conditional
+    MIN over (user, stage-gate) — one narrow shuffle per stage on
+    user_id, which AQE co-partitions across the chained joins; the
+    events table is scanned once per stage with the type filter pushed
+    to the parquet scan."""
+    ev = (
+        Catalog(sf_dir)
+        .load(spark, "events")
+        .select(
+            "user_id", "event_type", F.unix_timestamp("ts").alias("ts_sec")
+        )
+    )
+    v = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_sec"))).alias(
+            "v_sec"
+        )
+    ).filter(F.col("v_sec").isNotNull())
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_sec") > F.col("v_sec"))
+        .groupBy("user_id")
+        .agg(F.min("ts_sec").alias("c_sec"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_sec") > F.col("c_sec"))
+        .groupBy("user_id")
+        .agg(F.min("ts_sec").alias("p_sec"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).cast("bigint").alias("n_viewed"))
+        .crossJoin(
+            c.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_clicked_after_view")
+            )
+        )
+        .crossJoin(
+            p.agg(
+                F.count(F.lit(1))
+                .cast("bigint")
+                .alias("n_purchased_after_click")
+            )
+        )
+    )

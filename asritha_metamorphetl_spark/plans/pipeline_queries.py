@@ -272,3 +272,44 @@ def stratified_label_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "label", "vec_id", {lbl: 20 for lbl in range(5)}, default_pct=50
     )
     return sampled.select("vec_id", "label")
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix: where near-duplicate mass concentrates
+# (intra-source boilerplate vs cross-source scraping overlap) — the
+# curation view that decides which source pair gets deduped first.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=f"""
+WITH pairs AS ({MINHASH_PAIRS_ORACLE})
+SELECT LEAST(da.source, db.source) AS source_x,
+       GREATEST(da.source, db.source) AS source_y,
+       COUNT(*) AS n_dup_pairs
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+GROUP BY 1, 2
+""",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair counts per unordered source pair. The pair frame is
+    the MinHash-LSH candidate set (banded, never all-pairs); the two
+    source lookups are broadcastable narrow projections of documents,
+    and the unordered (x, y) key makes the matrix triangular."""
+    docs = Catalog(sf_dir).load(spark, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "text", "doc_id")
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    )
