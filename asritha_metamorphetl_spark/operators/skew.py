@@ -60,8 +60,16 @@ def salted_join(
             F.when(is_hot, F.floor(F.rand(seed=42) * n_salts).cast("int"))
             .otherwise(F.lit(0)),
         )
+        # Branch-free generator child (a when()-typed array input drops
+        # explode off codegen): slice the full salt array to n for hot
+        # keys, 1 (just salt 0) otherwise.
         small_s = small.withColumn(
-            _SALT, F.explode(F.when(is_hot, salts).otherwise(F.array(F.lit(0))))
+            _SALT,
+            F.explode(
+                F.slice(
+                    salts, 1, F.when(is_hot, F.lit(n_salts)).otherwise(F.lit(1))
+                )
+            ),
         )
 
     out = large_s.join(small_s, on=[on, _SALT], how=how)

@@ -923,3 +923,89 @@ def embedding_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("cid").alias("cluster_id"))
         .agg(F.count(F.lit(1)).alias("n_members"))
     )
+
+
+@register(
+    "kmeans_step_centroids",
+    oracle="""
+WITH centroids AS (
+    SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+    FROM embeddings ORDER BY vec_id LIMIT 8
+),
+scored AS (
+    SELECT e.vec_id, c.cid,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6)
+               AS sim
+    FROM embeddings e CROSS JOIN centroids c
+),
+assigned AS (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cid ASC) AS rn
+    FROM scored
+),
+members AS (
+    SELECT a.cid, e.embedding::DOUBLE[] AS ev
+    FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
+    WHERE a.rn = 1
+),
+exploded AS (
+    -- two unnests in one SELECT expand in lockstep (zip semantics)
+    SELECT cid, unnest(ev) AS val,
+           unnest(generate_series(1, len(ev))) AS i
+    FROM members
+)
+SELECT cid AS cluster_id,
+       CAST(i - 1 AS BIGINT) AS dim,
+       ROUND(AVG(val), 6) AS centroid_val,
+       COUNT(*) AS n_members
+FROM exploded
+GROUP BY 1, 2
+""",
+)
+def kmeans_step_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means, the iterative-ML building block:
+    assign every vector to its nearest seed centroid (broadcast 8-row
+    centroid side, row-local scoring), then recompute each centroid as
+    the member mean per dimension. The posexplode expands rows × dim —
+    data-proportional, no shuffle until the (cluster, dim) hash agg,
+    whose output is k × dim rows (bounded). Iterating = feeding the
+    result back as the next centroid frame; every round is this same
+    one-shuffle shape. Mean components are rounded so the cross-engine
+    compare is insensitive to summation order."""
+    from asritha_metamorphetl_spark.operators.similarity import _to_double, cosine
+
+    emb = Catalog(sf_dir).load(spark, "embeddings")
+    cent = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("cid"), _to_double(F.col("embedding")).alias("cv")
+        )
+    )
+    scored = (
+        emb.select("vec_id", _to_double(F.col("embedding")).alias("ev"))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "ev",
+            "cid",
+            F.round(cosine(F.col("ev"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid").asc())
+    members = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cid", "ev")
+    )
+    return (
+        members.select("cid", F.posexplode("ev").alias("dim", "val"))
+        .groupBy(
+            F.col("cid").alias("cluster_id"), F.col("dim").cast("bigint").alias("dim")
+        )
+        .agg(
+            F.round(F.avg("val"), 6).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
