@@ -934,3 +934,52 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide measures → long form) — the melt shape reporting layers
+# need; Spark's native unpivot, oracled as a portable UNION ALL.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_measures_long",
+    oracle="""
+WITH long AS (
+    SELECT l_returnflag, 'quantity' AS measure,
+           CAST(l_quantity AS DECIMAL(18,2)) AS v FROM lineitem
+    UNION ALL
+    SELECT l_returnflag, 'extendedprice',
+           CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+    UNION ALL
+    SELECT l_returnflag, 'discount',
+           CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+)
+SELECT l_returnflag, measure,
+       CAST(SUM(v) AS DOUBLE) AS total,
+       COUNT(*) AS n
+FROM long
+GROUP BY 1, 2
+""",
+)
+def lineitem_measures_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot of three lineitem measures, then a per-measure
+    rollup. unpivot expands 3× inside the scan stage (no shuffle until
+    the bounded (flag, measure) agg); sums are decimal-quantized per row
+    so the cross-engine totals are exact."""
+    li = Catalog(sf_dir).load(spark, "lineitem")
+    long = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(18,2)").alias("quantity"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("extendedprice"),
+        F.col("l_discount").cast("decimal(18,2)").alias("discount"),
+    ).unpivot(
+        ["l_returnflag"],
+        ["quantity", "extendedprice", "discount"],
+        "measure",
+        "v",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.sum("v").cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -113,3 +113,65 @@ def streaming_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").cast("double").alias("max_value"),
     )
     return _materialize(totals, mode="complete")
+
+
+@register(
+    "streaming_sessions_parity",
+    # The batch gaps-and-islands oracle (event_sessions) re-keyed to
+    # engine-neutral session identity: (user, first/last event micros).
+    # Gap compare is exact integer microseconds on both sides. Session
+    # membership matches session_window() whenever no inter-event gap is
+    # EXACTLY the 1800s boundary (streaming's [start, last+gap) interval
+    # is half-open where the islands rule is gap > 1800s) — the event
+    # fixtures have zero exact-boundary gaps at every SF, so the
+    # comparison is deterministic.
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events
+),
+flagged AS (
+    SELECT *,
+        CASE WHEN us - LAG(us) OVER (
+                 PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+             > 1800000000
+             OR LAG(us) OVER (
+                 PARTITION BY user_id ORDER BY us ASC, event_id ASC) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+),
+numbered AS (
+    SELECT *,
+        SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY us ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       MIN(us) AS start_us,
+       MAX(us) AS end_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM numbered
+GROUP BY user_id, sid
+""",
+)
+def streaming_sessions_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows executed as a REAL streaming query
+    (session_window state merging under AvailableNow) and compared to
+    the batch islands oracle on engine-neutral session identity. This is
+    the strongest batch/stream parity claim in the repo: a stateful
+    MERGING window whose result must be row-identical to a window-free
+    SQL derivation."""
+    stream = Catalog(sf_dir).stream(spark, "events")
+    sess = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.min(F.unix_micros("ts")).alias("start_us"),
+            F.max(F.unix_micros("ts")).alias("end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum(F.col("value"), "total_value"),
+        )
+        .select("user_id", "start_us", "end_us", "n_events", "total_value")
+    )
+    return _materialize(sess, mode="complete")
