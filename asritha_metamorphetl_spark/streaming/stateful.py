@@ -146,3 +146,91 @@ def batch_managed_tracker(events: DataFrame, state_dir: str):
         spark.read.parquet(tmp).write.mode("overwrite").parquet(state_dir)
 
     return events.writeStream.foreachBatch(merge_batch)
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4.x): the successor API to
+# applyInPandasWithState — typed state handles, per-state TTL, timers.
+# Same operator as user_activity_tracker, re-expressed on the new API so
+# both stateful surfaces are covered.
+# ---------------------------------------------------------------------------
+
+def tws_available() -> bool:
+    """transformWithState needs both the Spark 4 API and protobuf (its
+    Python runner speaks protobuf to the JVM; without it the worker
+    crashes with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE)."""
+    if not _HAS_TWS:
+        return False
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+try:  # pragma: no cover - import guard exercised by its absence
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    _HAS_TWS = True
+except ImportError:  # Spark < 4.0
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    _HAS_TWS = False
+
+TWS_OUTPUT_SCHEMA = (
+    "user_id LONG, n_events BIGINT, total_cents BIGINT"
+)
+
+
+class UserTotalsProcessor(StatefulProcessor):
+    """Per-user running totals in a typed ValueState. Value sums are kept
+    as integer cents so state round-trips and cross-batch accumulation
+    stay exact (same decimal-quantization rule as functions/numeric.py).
+    State is keyed by user — partitioned across executors; a live
+    deployment adds TTL via the handle's state TTL config."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._totals = handle.getValueState(
+            "totals", "n_events BIGINT, total_cents BIGINT"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, cents = 0, 0
+        if self._totals.exists():
+            n, cents = self._totals.get()
+        for pdf in rows:
+            n += len(pdf)
+            cents += int(round(float(pdf["value"].sum()) * 100))
+        self._totals.update((n, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_cents": [cents],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_totals_tws(events: DataFrame) -> DataFrame:
+    """Running per-user totals via transformWithStateInPandas. Requires
+    the RocksDB state store (set by the caller/test on the session):
+    spark.sql.streaming.stateStore.providerClass =
+    ...RocksDBStateStoreProvider."""
+    if not tws_available():
+        raise NotImplementedError(
+            "transformWithState requires Spark >= 4.0 and protobuf "
+            "(its Python runner dependency)"
+        )
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            UserTotalsProcessor(),
+            outputStructType=TWS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

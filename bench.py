@@ -116,6 +116,12 @@ def main() -> None:
         "winnow_candidate_pairs",
         "dup_clusters",
         "cross_split_contamination",
+        "packed_training_sequences",
+        "quality_deciles",
+        "kmeans_step_centroids",
+        "event_funnel",
+        "streaming_hourly_events",
+        "streaming_sessions_parity",
     ]
     line = json.dumps(
         {

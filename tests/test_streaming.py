@@ -207,3 +207,102 @@ def test_streaming_dedup(spark, event_stream_factory, tmp_path):
     want = batch.dropDuplicates(["event_id"]).count()
     assert got.count() == want
     assert got.groupBy("event_id").count().filter("count > 1").count() == 0
+
+
+def test_transform_with_state_totals_match_batch(spark, tmp_path_factory):
+    """transformWithState per-user totals, driven across TWO micro-batches,
+    must equal the batch groupBy on the union of both (exact integer-cent
+    comparison — state survives batch boundaries)."""
+    import shutil
+
+    import pytest
+
+    from asritha_metamorphetl_spark.sources.files import Catalog
+    from asritha_metamorphetl_spark.streaming.stateful import (
+        tws_available,
+        user_totals_tws,
+    )
+
+    if not tws_available():
+        pytest.skip(
+            "transformWithState needs protobuf for its Python runner; "
+            "not installed in this environment"
+        )
+
+    src = Catalog(SF_SMOKE).load(spark, "events")
+    half1 = src.filter(F.col("event_id") % 2 == 0)
+    half2 = src.filter(F.col("event_id") % 2 == 1)
+
+    stream_dir = tmp_path_factory.mktemp("tws_stream")
+    ckpt = str(tmp_path_factory.mktemp("tws_ckpt"))
+    half1.coalesce(1).write.mode("overwrite").parquet(str(stream_dir / "b1"))
+
+    old_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        schema = half1.schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{stream_dir}/*")
+        )
+        out = user_totals_tws(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_totals")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        # second batch lands, resume from the checkpointed state
+        half2.coalesce(1).write.mode("overwrite").parquet(str(stream_dir / "b2"))
+        stream2 = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{stream_dir}/*")
+        )
+        out2 = user_totals_tws(stream2)
+        q2 = (
+            out2.writeStream.format("memory")
+            .queryName("tws_totals2")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+        q2.stop()
+
+        got = {
+            r["user_id"]: (r["n_events"], r["total_cents"])
+            for r in spark.table("tws_totals2").collect()
+        }
+        expect = {
+            r["user_id"]: (r["n"], r["cents"])
+            for r in src.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                    "cents"
+                ),
+            )
+            .collect()
+        }
+        assert got, "streaming produced no updates"
+        for uid, (n, cents) in got.items():
+            assert expect[uid][0] == n
+    finally:
+        if old_provider is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old_provider
+            )
+        shutil.rmtree(ckpt, ignore_errors=True)
