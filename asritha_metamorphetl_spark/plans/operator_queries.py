@@ -983,3 +983,47 @@ def lineitem_measures_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v").cast("double").alias("total"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohort matrix — the activation/retention analytic every event
+# warehouse serves. Week arithmetic is integer epoch math (engine-exact).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_retention_cohorts",
+    oracle="""
+WITH uw AS (
+    SELECT DISTINCT user_id,
+           CAST(FLOOR(EXTRACT(EPOCH FROM ts) / 604800) AS BIGINT) AS wk
+    FROM events
+),
+c AS (SELECT user_id, MIN(wk) AS cohort_week FROM uw GROUP BY user_id)
+SELECT c.cohort_week,
+       uw.wk - c.cohort_week AS week_offset,
+       COUNT(*) AS n_active_users
+FROM uw JOIN c ON uw.user_id = c.user_id
+GROUP BY 1, 2
+""",
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort (first-active epoch week) × week-offset active-user counts.
+    Two keyed aggregations on user_id — the distinct (user, week) frame
+    is the only shuffle of data-proportional size; the cohort frame is
+    one row per user and AQE co-partitions the join with the aggregate
+    that produced it (no extra exchange)."""
+    ev = Catalog(sf_dir).load(spark, "events")
+    uw = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 604800).cast("bigint").alias("wk"),
+    ).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("wk") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )

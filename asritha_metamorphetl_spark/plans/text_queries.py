@@ -1013,3 +1013,79 @@ def kmeans_step_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_members"),
         )
     )
+
+
+@register(
+    "embedding_int8_profile",
+    oracle="""
+WITH base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS ev, label FROM embeddings
+),
+scaled AS (
+    SELECT vec_id, label, ev,
+           list_max(list_transform(ev, x -> abs(x))) AS mx
+    FROM base
+),
+quant AS (
+    SELECT vec_id, label, len(ev) AS n_dims,
+           ROUND(mx, 6) AS scale,
+           CASE WHEN mx > 0 THEN
+               list_transform(ev, x -> CAST(FLOOR(x / mx * 127.0) AS BIGINT))
+           ELSE list_transform(ev, x -> CAST(0 AS BIGINT)) END AS q
+    FROM scaled
+),
+exploded AS (
+    SELECT vec_id, label, n_dims, scale,
+           unnest(q) AS qv,
+           unnest(generate_series(1, len(q))) AS i
+    FROM quant
+)
+SELECT vec_id, label, CAST(n_dims AS BIGINT) AS n_dims, scale,
+       CAST(SUM(qv) AS BIGINT) AS q_sum,
+       CAST(MIN(qv) AS BIGINT) AS q_min,
+       CAST(MAX(qv) AS BIGINT) AS q_max,
+       CAST(SUM(qv * i) AS BIGINT) AS q_checksum
+FROM exploded
+GROUP BY 1, 2, 3, 4
+""",
+)
+def embedding_int8_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization manifest (the storage/serving compression pass):
+    per-vector max-abs scale and floor-quantized component profile with
+    a position-weighted checksum proving the quantized stream
+    byte-identical across engines. Quantization uses floor (engine-exact
+    on identical IEEE doubles) — never round, whose half-way ties differ
+    between engines. Row-local until one bounded per-vector aggregate."""
+    from asritha_metamorphetl_spark.operators.similarity import _to_double
+
+    emb = Catalog(sf_dir).load(spark, "embeddings")
+    ev = _to_double(F.col("embedding"))
+    mx = F.array_max(F.transform(ev, F.abs))
+    staged = emb.select("vec_id", "label", ev.alias("ev"), mx.alias("mx"))
+    q = F.when(
+        F.col("mx") > 0,
+        F.transform(
+            F.col("ev"),
+            lambda x: F.floor(x / F.col("mx") * 127.0).cast("long"),
+        ),
+    ).otherwise(F.transform(F.col("ev"), lambda x: F.lit(0).cast("long")))
+    quant = staged.select(
+        "vec_id",
+        "label",
+        F.size("ev").cast("bigint").alias("n_dims"),
+        F.round(F.col("mx"), 6).alias("scale"),
+        q.alias("q"),
+    )
+    exploded = quant.select(
+        "vec_id",
+        "label",
+        "n_dims",
+        "scale",
+        F.posexplode("q").alias("i0", "qv"),
+    )
+    return exploded.groupBy("vec_id", "label", "n_dims", "scale").agg(
+        F.sum("qv").cast("bigint").alias("q_sum"),
+        F.min("qv").cast("bigint").alias("q_min"),
+        F.max("qv").cast("bigint").alias("q_max"),
+        F.sum(F.col("qv") * (F.col("i0") + 1)).cast("bigint").alias("q_checksum"),
+    )
