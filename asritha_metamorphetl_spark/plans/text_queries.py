@@ -1089,3 +1089,123 @@ def embedding_int8_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("qv").cast("bigint").alias("q_max"),
         F.sum(F.col("qv") * (F.col("i0") + 1)).cast("bigint").alias("q_checksum"),
     )
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           list_filter(string_split(text, ' '), x -> x != '') AS t
+    FROM documents
+),
+scored AS (
+    SELECT lang,
+        CASE WHEN len(t) > 0
+             AND CAST(len(list_filter(t, x -> x IN {_STOPLIST_SQL}))
+                      AS DOUBLE) / len(t) >= 0.03
+             THEN 'en' ELSE 'unk' END AS lang_pred
+    FROM toks
+)
+SELECT lang, lang_pred, COUNT(*) AS n_docs
+FROM scored
+GROUP BY 1, 2
+""",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval shape: the language-ID heuristic's confusion
+    matrix against the corpus's labeled lang column. Row-local scoring,
+    one bounded (label × prediction) aggregate — the pattern any model
+    evaluation over a labeled corpus follows."""
+    docs = Catalog(sf_dir).load(spark, "documents")
+    return (
+        docs.select("lang", T.language_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "minhash_recall_eval",
+    oracle=f"""
+WITH {_SHINGLE_CTE},
+sh_d AS (
+    SELECT doc_id, unnest(list_distinct(s)) AS sh
+    FROM shingled WHERE len(s) > 0
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh_d GROUP BY doc_id),
+rare AS (SELECT sh FROM sh_d GROUP BY sh HAVING COUNT(*) <= 100),
+idx AS (SELECT d.doc_id, d.sh FROM sh_d d JOIN rare USING (sh)),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM idx a JOIN idx b USING (sh)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+    SELECT doc_a, doc_b
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+),
+cand AS ({MINHASH_PAIRS_ORACLE}),
+counts AS (
+    SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+           (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM truth t
+            JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+               AS n_hits
+)
+SELECT CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CASE WHEN n_truth > 0
+            THEN ROUND(CAST(n_hits AS DOUBLE) / n_truth, 6) ELSE 1.0 END
+           AS recall,
+       CASE WHEN n_candidates > 0
+            THEN ROUND(CAST(n_hits AS DOUBLE) / n_candidates, 6) ELSE 1.0 END
+           AS precision
+FROM counts
+""",
+)
+def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation harness for the dedup stack: MinHash-LSH candidate
+    pairs scored against exact rare-shingle Jaccard >= 0.5 ground truth.
+    Both sides reuse the production operators; the three counts are
+    1-row aggregates cross-joined (no driver collect). The recall number
+    is the banded-LSH guarantee made continuously checkable — a
+    signature/banding regression shows up as a dropped recall row, not a
+    silent quality drift."""
+    docs = Catalog(sf_dir).load(spark, "documents")
+    truth = D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.5, max_doc_freq=100
+    ).select("doc_a", "doc_b")
+    cand = D.minhash_lsh_pairs(docs, "text", "doc_id")
+    hits = truth.join(cand, ["doc_a", "doc_b"])
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    n_hits = hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    return (
+        n_truth.crossJoin(n_cand)
+        .crossJoin(n_hits)
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hits",
+            F.when(
+                F.col("n_truth") > 0,
+                F.round(F.col("n_hits").cast("double") / F.col("n_truth"), 6),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("recall"),
+            F.when(
+                F.col("n_candidates") > 0,
+                F.round(
+                    F.col("n_hits").cast("double") / F.col("n_candidates"), 6
+                ),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("precision"),
+        )
+    )
