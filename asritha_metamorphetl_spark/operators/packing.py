@@ -14,9 +14,11 @@ partition (the same hazard SURVEY.md §7.3 flags for percent_rank).
 key, a per-partition cumulative window (bounded by partition size), and
 a driver-side prefix sum over ONE number per partition — the only
 collect is O(partitions), never O(rows). At 100 TB the collected frame
-is a few thousand longs while the wide data shuffles exactly once (the
-range exchange), so the op scales like a sort, which is optimal: a
-total order is part of the packing contract.
+is a few thousand longs; the data pays the range exchange plus a hash
+exchange on the partition id for the local window, both over the
+NARROW (order-key, count) projection — callers should project before
+packing, as plans/corpus_queries.py does. The op scales like a sort,
+which is optimal: a total order is part of the packing contract.
 
 No equivalent exists in the reference (its engine is single-node and
 row-at-a-time; a running total there is a trivial loop) — this is the
