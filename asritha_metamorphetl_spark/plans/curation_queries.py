@@ -12,7 +12,7 @@ pairs with an exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from asritha_metamorphetl_spark.functions import text as T
@@ -439,5 +439,106 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
             F.min("score").alias("min_score"),
             F.max("score").alias("max_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quota sampling (domain balancing): cap each source's doc
+# count with a deterministic hash order, so re-runs keep the same docs.
+# ---------------------------------------------------------------------------
+
+SOURCE_CAP = 120
+
+
+@register(
+    "source_quota_sample",
+    oracle=f"""
+WITH ranked AS (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+    FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_kept,
+       CAST(MIN(doc_id) AS BIGINT) AS min_kept_doc,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                      ORDER BY rk)) AS kept_sig
+FROM ranked
+WHERE rk <= {SOURCE_CAP}
+GROUP BY source
+""",
+)
+def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-balancing cap: keep at most SOURCE_CAP docs per source in
+    md5(doc_id) order — deterministic across runs and engines, no RNG
+    state. The window partitions by source (parallel across sources;
+    per-source state is one counter), and the signature column pins the
+    exact kept set, not just its size."""
+    docs = Catalog(sf_dir).load(spark, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    kept = (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SOURCE_CAP)
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").cast("bigint").alias("min_kept_doc"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.collect_list(F.struct("rk", "doc_id"))
+                ).getField("doc_id").cast("array<string>"),
+            )
+        ).alias("kept_sig"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log2-bucketed length histogram — the corpus length profile behind
+# curriculum/packing decisions. log2 is IEEE-exact at powers of two, so
+# floor(log2(n)) buckets identically across engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_length_histogram",
+    oracle="""
+WITH toks AS (
+    SELECT source,
+           GREATEST(len(list_filter(string_split(text, ' '), x -> x != '')),
+                    1) AS n
+    FROM documents
+)
+SELECT source,
+       CAST(FLOOR(LOG2(n)) AS BIGINT) AS len_bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens
+FROM toks
+GROUP BY 1, 2
+""",
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source histogram over power-of-two token-length buckets (the
+    [2^k, 2^(k+1)) bands a packing/curriculum planner consumes). One
+    row-local projection plus a bounded (source × bucket) aggregate."""
+    docs = Catalog(sf_dir).load(spark, "documents")
+    n = F.greatest(T.token_count(F.col("text")), F.lit(1))
+    return (
+        docs.select(
+            "source",
+            F.floor(F.log2(n.cast("double"))).cast("bigint").alias("len_bucket"),
+            n.alias("n"),
+        )
+        .groupBy("source", "len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
         )
     )

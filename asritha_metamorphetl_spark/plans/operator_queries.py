@@ -1027,3 +1027,59 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-customer order cadence: exact median over integer day gaps
+# (integer inputs → interpolated medians land on .0/.5 — engine-exact).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_order_gaps",
+    oracle="""
+WITH o AS (
+    SELECT o_custkey,
+           CAST(FLOOR(EXTRACT(EPOCH FROM o_orderdate) / 86400) AS BIGINT)
+               AS day
+    FROM orders
+),
+gaps AS (
+    SELECT o_custkey,
+           day - LAG(day) OVER (PARTITION BY o_custkey ORDER BY day) AS gap
+    FROM (SELECT DISTINCT o_custkey, day FROM o)
+)
+SELECT o_custkey,
+       COUNT(*) AS n_gaps,
+       CAST(MEDIAN(gap) AS DOUBLE) AS median_gap_days,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_days
+FROM gaps
+WHERE gap IS NOT NULL
+GROUP BY o_custkey
+""",
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap profile per customer: distinct order days, LAG
+    within the per-customer window (fully partitioned), exact median
+    over integer day gaps. Median interpolation on integers yields only
+    .0/.5 values — deterministic across engines, unlike medians over
+    accumulated doubles."""
+    orders = Catalog(sf_dir).load(spark, "orders")
+    days = (
+        orders.select(
+            "o_custkey",
+            F.floor(F.unix_timestamp("o_orderdate") / 86400)
+            .cast("bigint")
+            .alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day")
+    gaps = days.withColumn("gap", F.col("day") - F.lag("day").over(w)).filter(
+        F.col("gap").isNotNull()
+    )
+    return gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.median("gap").cast("double").alias("median_gap_days"),
+        F.max("gap").cast("bigint").alias("max_gap_days"),
+    )

@@ -44,6 +44,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     warmup_dir = "/root/testdata/sf0.001"
+
+    # Pre-warm the benchmark tables once: a full count per table pulls
+    # the parquet files through the OS page cache and finalizes scan
+    # codegen, so the FIRST timed query measures engine throughput, not
+    # cold-disk reads it happens to be scheduled before.
+    from asritha_metamorphetl_spark.sources.files import Catalog
+
+    cat = Catalog(sf_dir)
+    for table in cat.tables:
+        if os.path.exists(cat.path(table)):
+            cat.load(spark, table).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     failed: list[str] = []
     total = 0.0
