@@ -474,16 +474,27 @@ GROUP BY source
 def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-balancing cap: keep at most SOURCE_CAP docs per source in
     md5(doc_id) order — deterministic across runs and engines, no RNG
-    state. The window partitions by source (parallel across sources;
-    per-source state is one counter), and the signature column pins the
-    exact kept set, not just its size."""
+    state; the signature column pins the exact kept set, not just its
+    size.
+
+    Two-phase top-cap: a single window partitioned by source would give
+    each source ONE task — a billion-doc source funnels into it. Phase
+    1 pre-prunes to the per-(source, salt-of-32) top-cap (parallel,
+    bounded state), phase 2 ranks the ≤ 32·cap survivors per source.
+    Top-cap under a total order is prefix-stable, so pruning anything
+    below a local cap can never change the global result."""
     docs = Catalog(sf_dir).load(spark, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    hk = F.md5(F.col("doc_id").cast("string"))
+    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(32))
+    w1 = Window.partitionBy("source", "salt").orderBy("hk", "doc_id")
+    pruned = (
+        docs.select("doc_id", "source", hk.alias("hk"), salt.alias("salt"))
+        .withColumn("lrk", F.row_number().over(w1))
+        .filter(F.col("lrk") <= SOURCE_CAP)
     )
+    w2 = Window.partitionBy("source").orderBy("hk", "doc_id")
     kept = (
-        docs.select("doc_id", "source")
-        .withColumn("rk", F.row_number().over(w))
+        pruned.withColumn("rk", F.row_number().over(w2))
         .filter(F.col("rk") <= SOURCE_CAP)
     )
     return kept.groupBy("source").agg(

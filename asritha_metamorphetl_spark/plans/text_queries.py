@@ -1076,18 +1076,27 @@ def embedding_int8_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mx"), 6).alias("scale"),
         q.alias("q"),
     )
-    exploded = quant.select(
+    # Entirely row-local: per-vector sums/extremes/checksum fold over
+    # the array in place. A posexplode + re-group would shuffle
+    # rows × dims only to reassemble the very rows we started from —
+    # a 64× exchange bought nothing at scale.
+    idx_weighted = F.zip_with(
+        "q",
+        F.sequence(F.lit(1), F.size("q").cast("int")),
+        lambda v, i: v * i.cast("long"),
+    )
+    fold_sum = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return quant.select(
         "vec_id",
         "label",
         "n_dims",
         "scale",
-        F.posexplode("q").alias("i0", "qv"),
-    )
-    return exploded.groupBy("vec_id", "label", "n_dims", "scale").agg(
-        F.sum("qv").cast("bigint").alias("q_sum"),
-        F.min("qv").cast("bigint").alias("q_min"),
-        F.max("qv").cast("bigint").alias("q_max"),
-        F.sum(F.col("qv") * (F.col("i0") + 1)).cast("bigint").alias("q_checksum"),
+        fold_sum(F.col("q")).cast("bigint").alias("q_sum"),
+        F.array_min("q").cast("bigint").alias("q_min"),
+        F.array_max("q").cast("bigint").alias("q_max"),
+        fold_sum(idx_weighted).cast("bigint").alias("q_checksum"),
     )
 
 
