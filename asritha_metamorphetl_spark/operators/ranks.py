@@ -152,3 +152,117 @@ def global_percent_rank(
     if broadcast_map:
         pr_map = F.broadcast(pr_map)
     return df.join(pr_map, value == F.col("__v")).drop("__v")
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    k: int,
+    out_col: str = "rnk",
+) -> DataFrame:
+    """Top-k rows per group under a total order, without giving each
+    group a single task.
+
+    A plain ``row_number().over(partitionBy(group))`` puts EVERY row of
+    a group in one partition — fatal when group cardinality is bounded
+    (brands, segments) and group size scales with the data. Phase 1
+    prunes to the per-(group, physical-partition) top-k — any row in
+    the global top-k has local rank ≤ its global rank ≤ k, so pruning
+    below a local cap can never drop a global winner, REGARDLESS of how
+    rows are spread (no salt column needed; the incoming partitioning
+    is the salt). Phase 2 ranks the ≤ k·partitions survivors per group.
+    ``order_by`` must be a total order for a deterministic result."""
+    staged = df.withColumn("__seg", F.spark_partition_id())
+    w1 = Window.partitionBy(*group_cols, "__seg").orderBy(*order_by)
+    pruned = (
+        staged.withColumn("__lrk", F.row_number().over(w1))
+        .filter(F.col("__lrk") <= k)
+        .drop("__seg", "__lrk")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return pruned.withColumn(out_col, F.row_number().over(w2)).filter(
+        F.col(out_col) <= k
+    )
+
+
+def grouped_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    out_col: str = "rn",
+    count_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group 1-based row number under a total order, partition-
+    parallel WITHIN each group (the grouped twin of global_row_number).
+
+    Range-repartition on (group, order) spreads each group across many
+    partitions in order; per-(partition, group) counts — O(partitions +
+    groups) rows, since ranged partitions touch few groups each — feed
+    a driver-side prefix sum, and the final rank is local row_number +
+    broadcast offset. ``count_col`` additionally attaches the group's
+    total row count (free from the same pass), which NTILE-style
+    bucketing needs."""
+    parts = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"
+    )
+    gcols = [F.col(c) for c in group_cols]
+    ranged = df.repartitionByRange(int(parts), *gcols, *order_by).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    ranged = ranged.persist()
+
+    sizes = (
+        ranged.groupBy("__pid", *group_cols)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .collect()
+    )
+    totals: dict[tuple, int] = {}
+    offsets = []
+    for row in sorted(sizes, key=lambda r: r["__pid"]):
+        key = tuple(row[c] for c in group_cols)
+        offsets.append((row["__pid"], *key, totals.get(key, 0)))
+        totals[key] = totals.get(key, 0) + row["__cnt"]
+
+    schema = ", ".join(
+        ["__pid int"]
+        + [f"{c} {dict(df.dtypes)[c]}" for c in group_cols]
+        + ["__offset long"]
+    )
+    offset_df = df.sparkSession.createDataFrame(offsets, schema)
+    local = Window.partitionBy("__pid", *group_cols).orderBy(*order_by)
+    out = (
+        ranged.withColumn("__lrn", F.row_number().over(local))
+        .join(F.broadcast(offset_df), ["__pid", *group_cols])
+        .withColumn(out_col, (F.col("__lrn") + F.col("__offset")).cast("long"))
+        .drop("__pid", "__lrn", "__offset")
+    )
+    if count_col is not None:
+        counts_df = df.sparkSession.createDataFrame(
+            [(*k, v) for k, v in totals.items()],
+            ", ".join(
+                [f"{c} {dict(df.dtypes)[c]}" for c in group_cols]
+                + [f"{count_col} long"]
+            ),
+        )
+        out = out.join(F.broadcast(counts_df), list(group_cols))
+    return out
+
+
+def ntile_from_rank(rn: Column, n: Column, buckets: int) -> Column:
+    """SQL NTILE(buckets) as a pure function of (row_number, group
+    count): the first n % buckets tiles hold ceil(n/buckets) rows, the
+    rest floor(n/buckets) — exactly Spark's and DuckDB's NTILE when the
+    window order is total."""
+    big = n % buckets
+    size_big = F.floor(n / buckets) + 1
+    size_small = F.floor(n / buckets)
+    in_big = rn <= big * size_big
+    return (
+        F.when(in_big, F.floor((rn - 1) / size_big) + 1)
+        .otherwise(
+            big + F.floor((rn - big * size_big - 1) / size_small) + 1
+        )
+        .cast("int")
+    )

@@ -102,14 +102,18 @@ def top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
-    w = Window.partitionBy("p_brand").orderBy(
-        F.col("revenue").desc(), F.col("p_partkey").asc()
-    )
-    return (
-        rev.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 3)
-        .select("p_brand", "p_partkey", "revenue", "rnk")
-    )
+    # Two-phase top-k (operators/ranks.py): p_brand has bounded
+    # cardinality while parts-per-brand scales with the data, so a
+    # brand-partitioned window would funnel each brand into one task.
+    from asritha_metamorphetl_spark.operators.ranks import top_k_per_group
+
+    return top_k_per_group(
+        rev,
+        ["p_brand"],
+        [F.col("revenue").desc(), F.col("p_partkey").asc()],
+        k=3,
+        out_col="rnk",
+    ).select("p_brand", "p_partkey", "revenue", "rnk")
 
 
 # ---------------------------------------------------------------------------

@@ -660,17 +660,32 @@ GROUP BY c_mktsegment, quartile
 """,
 )
 def segment_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE(4) within each market segment (partitioned window — each
-    segment ranks independently, no global ordering pass), rolled up to
-    quartile-level counts and balance totals. c_custkey pins tie order."""
+    """NTILE(4) within each market segment, computed WITHOUT a
+    segment-partitioned window: five segments would mean five tasks
+    holding every customer. grouped_row_number (operators/ranks.py)
+    range-spreads each segment across partitions with an O(partitions +
+    groups) offset collect, and NTILE is then a closed-form function of
+    (per-group rank, group count) — identical tiling to the window,
+    c_custkey pinning tie order."""
+    from asritha_metamorphetl_spark.operators.ranks import (
+        grouped_row_number,
+        ntile_from_rank,
+    )
+
     cust = Catalog(sf_dir).load(spark, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    ranked = grouped_row_number(
+        cust,
+        ["c_mktsegment"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+        out_col="rn",
+        count_col="n_seg",
     )
     return (
-        cust.withColumn("quartile", F.ntile(4).over(w))
+        ranked.withColumn(
+            "quartile", ntile_from_rank(F.col("rn"), F.col("n_seg"), 4)
+        )
         .groupBy("c_mktsegment", "quartile")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),

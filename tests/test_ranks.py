@@ -49,3 +49,65 @@ def test_global_percent_rank_raw_frame_never_single_partition(spark):
         agg = seg.find("HashAggregate")
         scan = seg.find("Range (")
         assert agg != -1 and (scan == -1 or agg < scan), plan
+
+
+def test_top_k_per_group_matches_window(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from asritha_metamorphetl_spark.operators.ranks import top_k_per_group
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("g"),
+        (F.xxhash64("id") % 10000).alias("v"),
+        F.col("id"),
+    ).repartition(13)
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = {
+        (r["g"], r["id"], r["rnk"])
+        for r in top_k_per_group(df, ["g"], order, k=5).collect()
+    }
+    w = Window.partitionBy("g").orderBy(*order)
+    want = {
+        (r["g"], r["id"], r["rnk"])
+        for r in df.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .collect()
+    }
+    assert got == want
+
+
+def test_grouped_row_number_and_ntile_match_window(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from asritha_metamorphetl_spark.operators.ranks import (
+        grouped_row_number,
+        ntile_from_rank,
+    )
+
+    # group 9 has only 2 rows — exercises the n < buckets NTILE edge.
+    df = spark.range(500).select(
+        F.when(F.col("id") < 2, 9).otherwise(F.col("id") % 4).alias("g"),
+        (F.xxhash64("id") % 1000).alias("v"),
+        F.col("id"),
+    )
+    order = [F.col("v").asc(), F.col("id").asc()]
+    ranked = grouped_row_number(
+        df, ["g"], order, out_col="rn", count_col="n", num_partitions=11
+    )
+    got = {
+        (r["g"], r["id"]): (r["rn"], ntile)
+        for r in ranked.withColumn(
+            "q", ntile_from_rank(F.col("rn"), F.col("n"), 4)
+        ).collect()
+        for ntile in [r["q"]]
+    }
+    w = Window.partitionBy("g").orderBy(*order)
+    want = {
+        (r["g"], r["id"]): (r["rn"], r["q"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .withColumn("q", F.ntile(4).over(w))
+        .collect()
+    }
+    assert got == want
