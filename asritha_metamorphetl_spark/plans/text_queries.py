@@ -1218,3 +1218,60 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("precision"),
         )
     )
+
+
+@register(
+    "label_centering_profile",
+    oracle="""
+WITH base AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings
+),
+expl AS (
+    SELECT vec_id, label, unnest(ev) AS v,
+           unnest(generate_series(1, len(ev))) AS i
+    FROM base
+),
+dim_means AS (
+    SELECT label, i, AVG(v) AS mu FROM expl GROUP BY 1, 2
+)
+SELECT e.label,
+       COUNT(DISTINCT e.vec_id) AS n_vectors,
+       ROUND(SUM(ABS(e.v - m.mu)), 4) AS total_abs_dev,
+       ROUND(MAX(ABS(e.v - m.mu)), 6) AS max_abs_dev
+FROM expl e
+JOIN dim_means m ON e.label = m.label AND e.i = m.i
+GROUP BY e.label
+""",
+)
+def label_centering_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centering (feature whitening's first step) as
+    a grouped ``applyInPandas`` kernel: each label's vectors arrive as
+    one Arrow batch, numpy subtracts the per-dimension mean, and the
+    deviation profile comes back — the grouped-map UDF surface (§2.12)
+    with an exact SQL twin. Groups are labels (bounded count, each a
+    numpy matrix); a label too large for one task would move to the
+    mean-broadcast join the oracle itself uses."""
+    import numpy as np
+    import pandas as pd
+
+    emb = Catalog(sf_dir).load(spark, "embeddings")
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.array(pdf["ev"].tolist(), dtype=np.float64)
+        dev = np.abs(mat - mat.mean(axis=0, keepdims=True))
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_vectors": [len(pdf)],
+                "total_abs_dev": [round(float(dev.sum()), 4)],
+                "max_abs_dev": [round(float(dev.max()), 6)],
+            }
+        )
+
+    from asritha_metamorphetl_spark.operators.similarity import _to_double
+
+    staged = emb.select("vec_id", "label", _to_double(F.col("embedding")).alias("ev"))
+    return staged.groupBy("label").applyInPandas(
+        center,
+        "label LONG, n_vectors BIGINT, total_abs_dev DOUBLE, max_abs_dev DOUBLE",
+    )
