@@ -53,8 +53,10 @@ def global_running_sum(
         .withColumn("__pid", F.spark_partition_id())
     )
     # Range boundaries are sampled; pin them so the sizing pass and the
-    # cumsum pass below see one consistent partitioning.
-    ranged = ranged.persist()
+    # cumsum pass below see one consistent partitioning. localCheckpoint
+    # (not persist): same pinning, but blocks are GC-released instead of
+    # occupying executor storage for the session's lifetime.
+    ranged = ranged.localCheckpoint(eager=True)
 
     part_sums = {
         r["__pid"]: r["s"]

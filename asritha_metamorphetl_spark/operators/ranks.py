@@ -59,7 +59,10 @@ def _global_row_number_with_total(
     )
     # Range boundaries are sampled; pin them so the two consumers below
     # (sizes + ranking) agree and re-runs see one consistent partitioning.
-    ranged = ranged.persist()
+    # localCheckpoint (not persist): same materialization guarantee, but
+    # the blocks are released when the plan is garbage-collected instead
+    # of occupying executor storage for the session's lifetime.
+    ranged = ranged.localCheckpoint(eager=True)
 
     sizes = {
         r["__pid"]: r["cnt"]
@@ -211,7 +214,9 @@ def grouped_row_number(
     ranged = df.repartitionByRange(int(parts), *gcols, *order_by).withColumn(
         "__pid", F.spark_partition_id()
     )
-    ranged = ranged.persist()
+    # See global_row_number: checkpoint pins the sampled range boundaries
+    # for both consumers without leaking session-lifetime cache.
+    ranged = ranged.localCheckpoint(eager=True)
 
     sizes = (
         ranged.groupBy("__pid", *group_cols)
@@ -232,9 +237,24 @@ def grouped_row_number(
     )
     offset_df = df.sparkSession.createDataFrame(offsets, schema)
     local = Window.partitionBy("__pid", *group_cols).orderBy(*order_by)
+
+    # Null-safe equi-joins: a NULL group key is an ordinary group under
+    # Window.partitionBy (the semantics this replaces); a plain join
+    # would silently drop those rows.
+    def _nsafe(left, right, keys):
+        cond = None
+        for c in keys:
+            term = left[c].eqNullSafe(right[c])
+            cond = term if cond is None else cond & term
+        return cond
+
+    ranked = ranged.withColumn("__lrn", F.row_number().over(local))
     out = (
-        ranged.withColumn("__lrn", F.row_number().over(local))
-        .join(F.broadcast(offset_df), ["__pid", *group_cols])
+        ranked.join(
+            F.broadcast(offset_df),
+            _nsafe(ranked, offset_df, ["__pid", *group_cols]),
+        )
+        .drop(*[offset_df[c] for c in ["__pid", *group_cols]])
         .withColumn(out_col, (F.col("__lrn") + F.col("__offset")).cast("long"))
         .drop("__pid", "__lrn", "__offset")
     )
@@ -246,7 +266,12 @@ def grouped_row_number(
                 + [f"{count_col} long"]
             ),
         )
-        out = out.join(F.broadcast(counts_df), list(group_cols))
+        out = (
+            out.join(
+                F.broadcast(counts_df), _nsafe(out, counts_df, list(group_cols))
+            )
+            .drop(*[counts_df[c] for c in group_cols])
+        )
     return out
 
 

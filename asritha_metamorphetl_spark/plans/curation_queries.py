@@ -477,25 +477,20 @@ def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     state; the signature column pins the exact kept set, not just its
     size.
 
-    Two-phase top-cap: a single window partitioned by source would give
-    each source ONE task — a billion-doc source funnels into it. Phase
-    1 pre-prunes to the per-(source, salt-of-32) top-cap (parallel,
-    bounded state), phase 2 ranks the ≤ 32·cap survivors per source.
-    Top-cap under a total order is prefix-stable, so pruning anything
-    below a local cap can never change the global result."""
+    A single window partitioned by source would give each source ONE
+    task — a billion-doc source funnels into it; top_k_per_group
+    (operators/ranks.py) pre-prunes per physical partition before the
+    global rank."""
+    from asritha_metamorphetl_spark.operators.ranks import top_k_per_group
+
     docs = Catalog(sf_dir).load(spark, "documents")
     hk = F.md5(F.col("doc_id").cast("string"))
-    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(32))
-    w1 = Window.partitionBy("source", "salt").orderBy("hk", "doc_id")
-    pruned = (
-        docs.select("doc_id", "source", hk.alias("hk"), salt.alias("salt"))
-        .withColumn("lrk", F.row_number().over(w1))
-        .filter(F.col("lrk") <= SOURCE_CAP)
-    )
-    w2 = Window.partitionBy("source").orderBy("hk", "doc_id")
-    kept = (
-        pruned.withColumn("rk", F.row_number().over(w2))
-        .filter(F.col("rk") <= SOURCE_CAP)
+    kept = top_k_per_group(
+        docs.select("doc_id", "source", hk.alias("hk")),
+        ["source"],
+        [F.col("hk"), F.col("doc_id")],
+        k=SOURCE_CAP,
+        out_col="rk",
     )
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"),

@@ -50,7 +50,14 @@ def _materialize(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
         .start()
     )
     try:
-        query.awaitTermination(_AWAIT_SEC)
+        finished = query.awaitTermination(_AWAIT_SEC)
+        if not finished:
+            # awaitTermination returns False on timeout instead of
+            # raising — surface it loudly rather than hash-comparing a
+            # partial memory-sink snapshot downstream.
+            raise TimeoutError(
+                f"streaming query {name} still running after {_AWAIT_SEC}s"
+            )
     finally:
         query.stop()
     return stream_df.sparkSession.table(name)

@@ -202,12 +202,18 @@ class Catalog:
                 "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
             )
         if isinstance(ts_type, TimestampNTZType):
-            # NTZ → LTZ in the session timezone: wall-clock fields
-            # (date_trunc, hour) and unix_* epoch math stay consistent
-            # with the naive reading the oracle uses. Must spell the type
-            # "timestamp_ltz" — under spark.sql.timestampType=TIMESTAMP_NTZ
-            # the bare name "timestamp" resolves back to NTZ.
-            return df.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+            # NTZ → instant with the naive value read AS UTC, computed
+            # via integer micros since the NTZ epoch. A plain
+            # cast("timestamp_ltz") would interpret the wall clock in
+            # the SESSION timezone — epoch math (unix_micros,
+            # watermarks) would then shift by the machine's UTC offset
+            # and DST gaps could distort spring-forward times. The
+            # timestampdiff path is timezone-free and exact.
+            micros = F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
+            return df.withColumn("ts", F.timestamp_micros(micros))
         return df
 
     def load(self, spark: SparkSession, table: str) -> DataFrame:

@@ -200,7 +200,12 @@ class UserTotalsProcessor(StatefulProcessor):
             n, cents = self._totals.get()
         for pdf in rows:
             n += len(pdf)
-            cents += int(round(float(pdf["value"].sum()) * 100))
+            # Quantize PER VALUE before summing (the money() rule):
+            # rounding the chunk's float sum would make the total depend
+            # on how rows split across Arrow chunks / micro-batches.
+            cents += int(
+                pdf["value"].mul(100).round().astype("int64").sum()
+            )
         self._totals.update((n, cents))
         yield pd.DataFrame(
             {

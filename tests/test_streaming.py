@@ -299,10 +299,12 @@ def test_transform_with_state_totals_match_batch(spark, tmp_path_factory):
         }
         assert got, "streaming produced no updates"
         for uid, (n, cents) in got.items():
-            assert expect[uid][0] == n
+            assert expect[uid] == (n, cents)
     finally:
         if old_provider is not None:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", old_provider
             )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         shutil.rmtree(ckpt, ignore_errors=True)
