@@ -182,3 +182,24 @@ def streaming_sessions_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "start_us", "end_us", "n_events", "total_value")
     )
     return _materialize(sess, mode="complete")
+
+
+@register(
+    "streaming_distinct_pairs",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+)
+def streaming_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication state (dropDuplicates keyed on
+    (user, type)) run to completion and compared as a SET: which row of
+    each key survives depends on arrival order, so only the key columns
+    are emitted — those are order-invariant and exactly the batch
+    DISTINCT. Exercises streaming/windows.py's dedup shape with
+    driver-checked parity; a live deployment bounds the state with
+    withWatermark + event-time keys."""
+    stream = Catalog(sf_dir).stream(spark, "events")
+    deduped = stream.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return _materialize(deduped, mode="append")
