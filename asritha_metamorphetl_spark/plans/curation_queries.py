@@ -12,7 +12,7 @@ pairs with an exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from asritha_metamorphetl_spark.functions import text as T

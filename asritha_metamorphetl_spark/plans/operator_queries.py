@@ -1072,7 +1072,12 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = (
         orders.select(
             "o_custkey",
-            F.floor(F.unix_timestamp("o_orderdate") / 86400)
+            # unix_date is timezone-free days-since-epoch — exactly the
+            # oracle's EXTRACT(EPOCH FROM date)/86400. unix_timestamp would
+            # route through the session timezone and shift by a day across
+            # DST transitions when the driver session isn't UTC. The column
+            # is TIMESTAMP_NTZ in the parquet; NTZ→date is also tz-free.
+            F.unix_date(F.col("o_orderdate").cast("date"))
             .cast("bigint")
             .alias("day"),
         )

@@ -1236,8 +1236,9 @@ dim_means AS (
 )
 SELECT e.label,
        COUNT(DISTINCT e.vec_id) AS n_vectors,
-       ROUND(SUM(ABS(e.v - m.mu)), 4) AS total_abs_dev,
-       ROUND(MAX(ABS(e.v - m.mu)), 6) AS max_abs_dev
+       CAST(SUM(CAST(FLOOR(ABS(e.v - m.mu) * 1000) AS BIGINT)) AS BIGINT)
+           AS total_abs_dev_q3,
+       MAX(CAST(FLOOR(ABS(e.v - m.mu) * 1000000) AS BIGINT)) AS max_abs_dev_q6
 FROM expl e
 JOIN dim_means m ON e.label = m.label AND e.i = m.i
 GROUP BY e.label
@@ -1250,7 +1251,14 @@ def label_centering_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviation profile comes back — the grouped-map UDF surface (§2.12)
     with an exact SQL twin. Groups are labels (bounded count, each a
     numpy matrix); a label too large for one task would move to the
-    mean-broadcast join the oracle itself uses."""
+    mean-broadcast join the oracle itself uses.
+
+    Deviations are floor-quantized to integers *per element* before
+    aggregating (the int8-profile pattern): numpy's pairwise-summation
+    mean and DuckDB's sequential AVG differ in the last ulps, and a
+    float SUM over 1e5 such terms can land on opposite sides of a
+    decimal-rounding boundary. Integer sums of quantized deviations are
+    order-independent and compare exactly."""
     import numpy as np
     import pandas as pd
 
@@ -1263,8 +1271,8 @@ def label_centering_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "label": [int(pdf["label"].iloc[0])],
                 "n_vectors": [len(pdf)],
-                "total_abs_dev": [round(float(dev.sum()), 4)],
-                "max_abs_dev": [round(float(dev.max()), 6)],
+                "total_abs_dev_q3": [int(np.floor(dev * 1000.0).astype(np.int64).sum())],
+                "max_abs_dev_q6": [int(np.floor(dev.max() * 1000000.0))],
             }
         )
 
@@ -1273,5 +1281,5 @@ def label_centering_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = emb.select("vec_id", "label", _to_double(F.col("embedding")).alias("ev"))
     return staged.groupBy("label").applyInPandas(
         center,
-        "label LONG, n_vectors BIGINT, total_abs_dev DOUBLE, max_abs_dev DOUBLE",
+        "label LONG, n_vectors BIGINT, total_abs_dev_q3 BIGINT, max_abs_dev_q6 BIGINT",
     )

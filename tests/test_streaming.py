@@ -261,7 +261,7 @@ def test_transform_with_state_totals_match_batch(spark, tmp_path_factory):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "first tws batch timed out"
         q.stop()
         # second batch lands, resume from the checkpointed state
         half2.coalesce(1).write.mode("overwrite").parquet(str(stream_dir / "b2"))
@@ -279,7 +279,7 @@ def test_transform_with_state_totals_match_batch(spark, tmp_path_factory):
             .trigger(availableNow=True)
             .start()
         )
-        q2.awaitTermination(120)
+        assert q2.awaitTermination(120), "second tws batch timed out"
         q2.stop()
 
         got = {
