@@ -13,15 +13,19 @@ one aggregation — all DataFrame ops, no driver-side graph. Lineage is
 truncated per round with ``localCheckpoint`` so the plan doesn't grow
 with iteration count (Spark's iterative-algorithm footgun).
 
-Rounds needed = graph diameter. Dup clusters are near-cliques (diameter
-2-4), so this converges in a handful of rounds; for adversarial
-long-path graphs the large-star/small-star variant (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SoCC'14) drops rounds to
-O(log n) at the cost of a more intricate update rule — the hook is the
-same labels frame, so it can be swapped in without changing callers.
+Rounds needed = graph diameter for min-label propagation. Dup clusters
+are near-cliques (diameter 2-4), so it converges in a handful of rounds;
+for adversarial long-diameter graphs ``method="two_phase_star"`` selects
+the large-star/small-star variant (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC'14), which contracts path-shaped
+components in O(log n) rounds by rewiring edges toward per-neighborhood
+minima instead of diffusing labels one hop per round. Same interface,
+same (id, label) output.
 
 The convergence check is one ``limit(1).count()`` per round over the
-changed-label frame — O(1) rows to the driver, never the data.
+changed-label frame (label_prop) or an O(1)-row (count, bit_xor)
+edge-set signature (two_phase_star) — O(1) rows to the driver, never
+the data.
 """
 
 from __future__ import annotations
@@ -36,12 +40,22 @@ def connected_components(
     dst: str,
     max_iter: int = 25,
     strict: bool = True,
+    method: str = "label_prop",
 ) -> DataFrame:
     """Label every vertex of the undirected graph with the minimum vertex
     id reachable from it. Returns (id, label); vertices = every endpoint
     in ``edges``. ``strict=True`` raises if ``max_iter`` rounds didn't
     reach the fixpoint (result would be a refinement, not components).
+
+    ``method="label_prop"`` (default) converges in diameter rounds —
+    right for dup clusters (near-cliques). ``method="two_phase_star"``
+    converges in O(log n) rounds regardless of diameter — right for
+    path/chain-shaped components.
     """
+    if method == "two_phase_star":
+        return _connected_components_star(edges, src, dst, max_iter, strict)
+    if method != "label_prop":
+        raise ValueError(f"unknown method {method!r}")
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -89,7 +103,98 @@ def connected_components(
     if strict and not converged:
         raise RuntimeError(
             f"connected_components: no fixpoint after {max_iter} rounds "
-            "(graph diameter exceeds max_iter; raise it or switch to the "
-            "large-star/small-star update)"
+            "(graph diameter exceeds max_iter; raise it or switch to "
+            "method='two_phase_star')"
         )
     return labels
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star (Kiveris et al. SoCC'14 §3): per neighborhood, connect
+    every strictly-larger neighbor to the neighborhood minimum. One
+    shuffle (groupBy u) + one join; edge count never grows beyond the
+    symmetric closure."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("mn", "u").alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: orient every edge large→small, then per node connect
+    all smaller neighbors (and the node itself) to the smallest one."""
+    d = (
+        e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    nbr = d.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    own = mins.select("u", F.col("m").alias("v"))
+    return (
+        nbr.union(own).filter(F.col("u") != F.col("v")).distinct()
+    )
+
+
+def _connected_components_star(
+    edges: DataFrame, src: str, dst: str, max_iter: int, strict: bool
+) -> DataFrame:
+    """Alternating large-star/small-star until the edge set reaches a
+    fixpoint — at which point every component is a star centered on its
+    minimum id, and labels read directly off the edges. Convergence is
+    detected by an O(1)-row (count, bit_xor of edge hashes) signature —
+    the edge set is distinct, so the commutative XOR signature is
+    order-independent and a collision needs two different edge sets with
+    equal count AND equal 64-bit XOR. Rounds are O(log n) in component
+    size (each round at least halves the distance of every node to its
+    component minimum), independent of diameter."""
+    vertices = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(frame: DataFrame):
+        row = frame.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = _sig(e)
+    converged = prev[0] == 0  # edgeless graph: every vertex is its own CC
+    for _ in range(max_iter):
+        if converged:
+            break
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _sig(e)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if strict and not converged:
+        raise RuntimeError(
+            f"connected_components(two_phase_star): no fixpoint after "
+            f"{max_iter} rounds"
+        )
+    # Fixpoint edges form stars (u → component minimum); min() is a
+    # defensive no-op there and an honest refinement when strict=False.
+    pointers = e.groupBy("u").agg(F.min("v").alias("label"))
+    return vertices.join(
+        pointers, vertices["id"] == pointers["u"], "left"
+    ).select("id", F.coalesce("label", "id").alias("label"))

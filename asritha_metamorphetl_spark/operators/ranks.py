@@ -24,10 +24,43 @@ per partition — the only collect is O(partitions), not O(rows).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _RANK_COLS = ("__pid", "__local_rn", "__offset", "__tie_key")
+
+#: Below this compressed scan size the two-phase machinery's fixed local
+#: overhead (extra jobs, offset broadcast) outweighs its scale safety —
+#: a plain per-group window over ≤32 MB of parquet is a handful of small
+#: tasks, not a spill hazard.
+_TINY_SCAN_BYTES = 32 << 20
+
+
+def _scan_bytes(df: DataFrame) -> int | None:
+    """Total compressed size of the files backing a scan-shaped plan,
+    from METADATA only (no Spark job). Returns None whenever the answer
+    isn't cheaply knowable — non-scan plans, remote filesystems — so
+    callers default to the scale-safe path."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        path = uri
+        if path.startswith("file:"):
+            path = path[len("file:"):]
+        elif "://" in path:
+            return None  # remote FS — stat would be a network call
+        try:
+            total += os.stat(path).st_size
+        except OSError:
+            return None
+    return total
 
 
 def global_row_number(
@@ -196,6 +229,7 @@ def grouped_row_number(
     out_col: str = "rn",
     count_col: str | None = None,
     num_partitions: int | None = None,
+    max_groups: int = 10_000,
 ) -> DataFrame:
     """Per-group 1-based row number under a total order, partition-
     parallel WITHIN each group (the grouped twin of global_row_number).
@@ -206,7 +240,35 @@ def grouped_row_number(
     a driver-side prefix sum, and the final rank is local row_number +
     broadcast offset. ``count_col`` additionally attaches the group's
     total row count (free from the same pass), which NTILE-style
-    bucketing needs."""
+    bucketing needs.
+
+    This machinery is for BOUNDED group cardinality (market segments,
+    priorities, brands): the offset collect is O(partitions + groups)
+    driver rows. ``max_groups`` makes that contract enforced rather than
+    assumed — the offset rows are fetched with an early-stopping
+    ``take(cap + 1)`` where cap = partitions + max_groups (range
+    partitions hold contiguous key ranges, so legitimate inputs produce
+    at most groups + partitions − 1 offset rows), and a caller passing
+    an unbounded key (user_id, order_id) gets an immediate ValueError
+    with the driver never holding more than cap rows — instead of a
+    silent driver OOM at scale. Raise the bound consciously if a genuine
+    use case has more groups (driver memory is the budget: ~100
+    bytes/offset row)."""
+    # Tiny scan-backed inputs (knowable from file metadata, zero jobs):
+    # the plain partitioned window computes the identical result in ONE
+    # job with no repartition, no offset collect, no broadcast — and at
+    # ≤32 MB compressed a single task per group is a few MB, not the
+    # spill hazard the two-phase path exists to prevent. Anything the
+    # metadata can't vouch for takes the scale-safe path below.
+    scan = _scan_bytes(df)
+    if scan is not None and scan <= _TINY_SCAN_BYTES:
+        w = Window.partitionBy(*group_cols).orderBy(*order_by)
+        out = df.withColumn(out_col, F.row_number().over(w).cast("long"))
+        if count_col is not None:
+            cw = Window.partitionBy(*group_cols)
+            out = out.withColumn(count_col, F.count(F.lit(1)).over(cw))
+        return out
+
     parts = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "200"
     )
@@ -215,14 +277,39 @@ def grouped_row_number(
         "__pid", F.spark_partition_id()
     )
     # See global_row_number: checkpoint pins the sampled range boundaries
-    # for both consumers without leaking session-lifetime cache.
-    ranged = ranged.localCheckpoint(eager=True)
+    # for both consumers without leaking session-lifetime cache. For
+    # inputs already at-or-below the range partition target the pinning
+    # buys nothing (the boundaries derive deterministically from a plan
+    # small enough to just run twice) and the eager checkpoint costs a
+    # fixed ~1 s locally — skip it. getNumPartitions on the INPUT plan is
+    # metadata for scan-shaped inputs; if the lineage can't answer
+    # cheaply, keep the safe checkpoint path.
+    try:
+        tiny_input = df.rdd.getNumPartitions() <= int(parts)
+    except Exception:
+        tiny_input = False
+    if not tiny_input:
+        ranged = ranged.localCheckpoint(eager=True)
 
+    # Fail fast on unbounded group keys: take() streams results and stops
+    # at the cap, so the driver never materializes an unbounded offset
+    # list even when the caller breaks the bounded-groups contract.
+    cap = int(parts) + max_groups
     sizes = (
         ranged.groupBy("__pid", *group_cols)
         .agg(F.count(F.lit(1)).alias("__cnt"))
-        .collect()
+        .take(cap + 1)
     )
+    if len(sizes) > cap:
+        raise ValueError(
+            f"grouped_row_number: offset rows exceed partitions + "
+            f"max_groups ({cap}) — the group key has unbounded "
+            "cardinality. This operator collects O(partitions + groups) "
+            "offset rows to the driver and is meant for bounded group "
+            "keys (segments, priorities); for unbounded keys use a plain "
+            "partitioned window, or raise max_groups if the driver can "
+            "hold the offsets."
+        )
     totals: dict[tuple, int] = {}
     offsets = []
     for row in sorted(sizes, key=lambda r: r["__pid"]):

@@ -131,6 +131,69 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def _cell_assign_udf(C_norm: np.ndarray, n_out: int):
+    """Arrow-batched nearest-cell assignment against row-normalized
+    centroid matrix ``C_norm``: one matmul per batch, cosine rounded to 6
+    decimals before the stable argsort so the argmax is reproducible
+    across engines (numpy matmul vs a SQL oracle's list_cosine_similarity
+    differ in the last ulps; rounding plus the cell-index tiebreak pins
+    the assignment)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def cells(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:  # empty Arrow batch — vstack would raise
+            return pd.Series([], dtype="object")
+        X = np.vstack(vs.to_numpy()).astype(np.float64)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = np.round(X @ C_norm.T, 6)  # (N, nlist)
+        # stable argsort: primary = -similarity, tiebreak = cell index,
+        # so probe order is deterministic under equal similarity.
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :n_out]
+        return pd.Series(list(idx.astype("int32")))
+
+    return cells
+
+
+def _normalize_rows(M: np.ndarray) -> np.ndarray:
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+def lloyd_refine(
+    c_frame: DataFrame, C_raw: np.ndarray, iters: int, mean_decimals: int = 6
+) -> np.ndarray:
+    """Refine seed centroids with ``iters`` distributed Lloyd iterations.
+
+    Each iteration: assign every corpus vector to its nearest centroid
+    (Arrow matmul in the scan stage, no shuffle), recompute each centroid
+    as the per-dimension member mean (posexplode → one hash agg keyed by
+    (cell, dim) — output is nlist×dim rows, bounded), and collect that to
+    the driver. Means are rounded so the refined centroids are identical
+    across engines regardless of summation order; cells that lose all
+    members keep their previous centroid. Driver state stays
+    O(nlist·dim) — never grows with the corpus.
+
+    ``c_frame`` must have an array<double> column ``cv``.
+    """
+    C_raw = C_raw.copy()
+    for _ in range(iters):
+        assigned = c_frame.withColumn(
+            "cell",
+            F.element_at(_cell_assign_udf(_normalize_rows(C_raw), 1)(F.col("cv")), 1),
+        )
+        mean_rows = (
+            assigned.select("cell", F.posexplode("cv").alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(F.round(F.avg("val"), mean_decimals).alias("val"))
+            .collect()
+        )
+        new_C = C_raw.copy()  # empty cells keep their previous centroid
+        for r in mean_rows:
+            new_C[r["cell"], r["dim"]] = r["val"]
+        C_raw = new_C
+    return C_raw
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -139,20 +202,24 @@ def ivf_topk(
     k: int = 10,
     nlist: int = 16,
     nprobe: int = 4,
+    refine_iters: int = 0,
     score_decimals: int = 4,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF (inverted-file) partitioning.
 
-    The corpus is Voronoi-partitioned into ``nlist`` cells around seed
-    centroids (the ``nlist`` lowest-id corpus vectors — deterministic and
-    data-dependent; a k-means refinement loop would slot in at the same
-    interface). Each corpus vector lands in its nearest cell; each query
-    probes its ``nprobe`` nearest cells and scores only those members.
+    The corpus is Voronoi-partitioned into ``nlist`` cells around
+    centroids seeded from the ``nlist`` lowest-id corpus vectors and then
+    refined by ``refine_iters`` distributed Lloyd iterations
+    (``lloyd_refine``) — refinement makes the cells a property of the
+    data distribution rather than of row ordering. Each corpus vector
+    lands in its nearest cell; each query probes its ``nprobe`` nearest
+    cells and scores only those members.
 
     Scale shape: centroid assignment is one Arrow-batched matmul per
-    batch inside the scan stage (no shuffle); the probe join shuffles by
-    cell id, so per-cell work is independent and the all-pairs scan never
-    materializes. Recall is tuned by nprobe/nlist (see
+    batch inside the scan stage (no shuffle); each Lloyd iteration adds
+    one bounded (cell, dim) hash agg; the probe join shuffles by cell id,
+    so per-cell work is independent and the all-pairs scan never
+    materializes. Recall is tuned by nprobe/nlist/refine_iters (see
     tests/test_llm_ops.py for the measured recall on the fixture).
     """
     cent_rows = (
@@ -161,32 +228,19 @@ def ivf_topk(
         .limit(nlist)
         .collect()
     )  # driver-side, bounded O(nlist·dim) — never grows with the corpus
-    C = np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in cent_rows])
-    C = C / np.linalg.norm(C, axis=1, keepdims=True)
-
-    def _cells_udf(n_out: int):
-        from pyspark.sql.functions import pandas_udf
-
-        @pandas_udf("array<int>")
-        def cells(vs: pd.Series) -> pd.Series:
-            if len(vs) == 0:  # empty Arrow batch — vstack would raise
-                return pd.Series([], dtype="object")
-            X = np.vstack(vs.to_numpy()).astype(np.float64)
-            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-            sims = X @ C.T  # (N, nlist)
-            # lexsort: primary = -similarity, tiebreak = cell index, so
-            # probe order is deterministic under equal similarity.
-            idx = np.argsort(-sims, axis=1, kind="stable")[:, :n_out]
-            return pd.Series(list(idx.astype("int32")))
-
-        return cells
+    C_raw = np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in cent_rows])
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cell", F.element_at(_cells_udf(1)(F.col("cv")), 1))
+    )
+    if refine_iters > 0:
+        C_raw = lloyd_refine(c, C_raw, refine_iters)
+    C = _normalize_rows(C_raw)
+
+    c = c.withColumn("cell", F.element_at(_cell_assign_udf(C, 1)(F.col("cv")), 1))
     q = queries.select(
         F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
-    ).withColumn("cell", F.explode(_cells_udf(nprobe)(F.col("qv"))))
+    ).withColumn("cell", F.explode(_cell_assign_udf(C, nprobe)(F.col("qv"))))
 
     scored = (
         c.join(F.broadcast(q), "cell")
@@ -207,7 +261,7 @@ def ivf_topk(
     )
 
 
-def _bucket_keys_udf(all_planes, n_planes: int):
+def _bucket_keys_udf(all_planes, n_planes: int, probe_flips: int = 0):
     """Vectorized sign-pattern bucketing: one Arrow batch → one
     (N × dim) @ (dim × tables·planes) matmul → per-table bucket keys.
 
@@ -217,7 +271,15 @@ def _bucket_keys_udf(all_planes, n_planes: int):
     pipeline. A pandas UDF turns the same math into a single BLAS matmul
     per batch; this is the sanctioned Python fast path (Arrow transfer,
     ~100× over per-row evaluation), and sign extraction stays fully
-    vectorized (bit-weights dot + string concat in numpy)."""
+    vectorized (bit-weights dot + string concat in numpy).
+
+    ``probe_flips`` > 0 enables multi-probe (query side only): per table,
+    also emit the buckets reached by flipping each of the ``probe_flips``
+    least-confident bits — the planes with the smallest |projection|,
+    where the sign decision was closest to the boundary and a true
+    neighbor most plausibly landed on the other side. |projections| are
+    rounded to 6 decimals before ranking (plane index breaks ties) so
+    probe choice is reproducible across engines."""
     from pyspark.sql.functions import pandas_udf
 
     M = np.array(
@@ -231,12 +293,25 @@ def _bucket_keys_udf(all_planes, n_planes: int):
         if len(vs) == 0:  # empty Arrow batch — vstack would raise
             return pd.Series([], dtype="object")
         X = np.vstack(vs.to_numpy()).astype(np.float64)  # (N, dim)
-        signs = (X @ M.T >= 0).astype(np.int64)  # (N, tables*planes)
+        proj = X @ M.T  # (N, tables*planes)
+        signs = (proj >= 0).astype(np.int64)
         cols = []
         for t in range(n_tables):
-            vals = signs[:, t * n_planes : (t + 1) * n_planes] @ weights
+            tp = slice(t * n_planes, (t + 1) * n_planes)
+            vals = signs[:, tp] @ weights
             cols.append(np.char.add(f"{t}:", vals.astype(str)))
-        stacked = np.stack(cols, axis=1)  # (N, n_tables)
+            if probe_flips > 0:
+                # stable argsort on rounded |proj| = least-confident
+                # planes first, plane index as tiebreak.
+                conf = np.argsort(
+                    np.round(np.abs(proj[:, tp]), 6), axis=1, kind="stable"
+                )
+                for j in range(min(probe_flips, n_planes)):
+                    flipped = vals ^ (
+                        1 << (n_planes - 1 - conf[:, j])
+                    ).astype(np.int64)
+                    cols.append(np.char.add(f"{t}:", flipped.astype(str)))
+        stacked = np.stack(cols, axis=1)
         return pd.Series(list(stacked))
 
     return buckets
@@ -251,6 +326,7 @@ def lsh_bucketed_topk(
     k: int = 10,
     n_planes: int = 4,
     n_tables: int = 8,
+    probe_flips: int = 0,
     score_decimals: int = 4,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH.
@@ -258,19 +334,32 @@ def lsh_bucketed_topk(
     Each table hashes a vector to an n_planes-bit sign pattern; candidates
     are corpus rows sharing a bucket with the query in ANY table. Scoring
     and ranking then mirror brute_force_topk over the candidate set.
+    ``probe_flips`` > 0 turns on multi-probe: each query additionally
+    probes, per table, the buckets reached by flipping its
+    ``probe_flips`` least-confident sign bits — recall rises steeply at
+    modest candidate growth because the extra probes target exactly the
+    boundaries where near neighbors get separated. The corpus side is
+    never multi-probed (one bucket per table per corpus row), so the
+    corpus index stays the same size.
 
     Defaults (4 planes × 8 tables) are tuned for low-similarity corpora:
     when true neighbors sit near cosine ≈ 0.3 (e.g. random embeddings),
     each extra plane halves candidate cost but sharply cuts recall —
     measured on the sf0.001 fixture: 8×2 → 0.06 recall, 4×8 → 0.52,
-    3×8 → 0.78. Tune per-corpus; high-similarity dedup workloads can
-    afford many more planes.
+    3×8 → 0.78; multi-probe at 4×8 with 1 flip → 0.86 at 1.6× the
+    candidates, 2 flips → 0.96 at 2.0×. Tune per-corpus;
+    high-similarity dedup workloads can afford many more planes.
     """
 
     all_planes = [
         (t, _hyperplanes(dim, n_planes, seed=42 + t)) for t in range(n_tables)
     ]
     bucket_keys = _bucket_keys_udf(all_planes, n_planes)
+    query_keys = (
+        _bucket_keys_udf(all_planes, n_planes, probe_flips=probe_flips)
+        if probe_flips > 0
+        else bucket_keys
+    )
 
     from asritha_metamorphetl_spark.operators.dedup import _spread
 
@@ -283,7 +372,7 @@ def lsh_bucketed_topk(
     # Bucket frames carry IDs only — the candidate dedup below must never
     # shuffle or compare 64-double arrays.
     c_b = c.select("neighbor_id", F.explode(bucket_keys(F.col("cv"))).alias("bucket"))
-    q_b = q.select("query_id", F.explode(bucket_keys(F.col("qv"))).alias("bucket"))
+    q_b = q.select("query_id", F.explode(query_keys(F.col("qv"))).alias("bucket"))
     pairs = (
         c_b.join(F.broadcast(q_b), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))

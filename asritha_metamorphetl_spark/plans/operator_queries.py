@@ -1092,3 +1092,110 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.median("gap").cast("double").alias("median_gap_days"),
         F.max("gap").cast("bigint").alias("max_gap_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 version bracketing (operators/scd.py) — the reference's daily
+# snapshot append (ingestion_task.py:48-69) re-expressed as true slowly-
+# changing-dimension history, driver-checked end-to-end.
+# ---------------------------------------------------------------------------
+
+#: Cutoff dates doubling as batch dates: the customer dimension is
+#: reconstructed as of each cutoff and merged with scd2_apply, so a
+#: customer gets a new version exactly when a tracked attribute changed
+#: between cutoffs.
+SCD2_CUTOFFS = ("1994-01-01", "1995-06-01", "1996-12-01")
+
+
+def _scd2_oracle() -> str:
+    snaps = "\nUNION ALL\n".join(
+        f"""SELECT o_custkey AS custkey, DATE '{c}' AS cutoff,
+       (SELECT o.o_orderstatus FROM orders o
+        WHERE o.o_custkey = g.o_custkey
+          AND CAST(o.o_orderdate AS DATE) <= DATE '{c}'
+        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
+           AS last_status,
+       COUNT(*) AS n_orders
+FROM orders g
+WHERE CAST(o_orderdate AS DATE) <= DATE '{c}'
+GROUP BY o_custkey"""
+        for c in SCD2_CUTOFFS
+    )
+    return f"""
+WITH snap AS (
+{snaps}
+),
+with_prev AS (
+    SELECT *,
+           LAG(last_status) OVER w AS p_status,
+           LAG(n_orders) OVER w AS p_n
+    FROM snap
+    WINDOW w AS (PARTITION BY custkey ORDER BY cutoff)
+),
+changes AS (
+    SELECT custkey, cutoff, last_status, n_orders
+    FROM with_prev
+    WHERE p_n IS NULL OR p_status IS DISTINCT FROM last_status
+       OR p_n IS DISTINCT FROM n_orders
+)
+SELECT custkey, last_status, CAST(n_orders AS BIGINT) AS n_orders,
+       strftime(cutoff, '%Y-%m-%d') AS effective_from,
+       strftime(LEAD(cutoff) OVER w, '%Y-%m-%d') AS effective_to,
+       LEAD(cutoff) OVER w IS NULL AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY custkey ORDER BY cutoff)
+"""
+
+
+@register("scd2_order_history", oracle=_scd2_oracle())
+def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge exercised end-to-end: a per-customer dimension
+    (last order status by (date, orderkey), cumulative order count) is
+    snapshotted at three cutoffs and folded through scd2_init +
+    scd2_apply. A customer gets a new version row exactly at the cutoffs
+    where a tracked attribute changed; the closed version's effective_to
+    is the closing batch's date. The oracle reconstructs the identical
+    bracketing declaratively with LAG/LEAD over the change rows.
+
+    Scale shape: each merge is one key-shuffled (or broadcast) join plus
+    disjoint unions — no windows over the dimension, no driver state
+    (operators/scd.py docstring)."""
+    import datetime as dt
+
+    from asritha_metamorphetl_spark.operators.scd import scd2_apply, scd2_init
+
+    orders = Catalog(sf_dir).load(spark, "orders")
+
+    def snapshot(cutoff: str) -> DataFrame:
+        upto = orders.filter(
+            F.col("o_orderdate").cast("date") <= F.lit(cutoff).cast("date")
+        )
+        return upto.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.max_by(
+                "o_orderstatus", F.struct("o_orderdate", "o_orderkey")
+            ).alias("last_status"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+
+    dates = [dt.date.fromisoformat(c) for c in SCD2_CUTOFFS]
+    dim = scd2_init(snapshot(SCD2_CUTOFFS[0]), dates[0])
+    for cutoff, batch_date in zip(SCD2_CUTOFFS[1:], dates[1:]):
+        dim = scd2_apply(
+            dim,
+            snapshot(cutoff),
+            keys=["custkey"],
+            tracked=["last_status", "n_orders"],
+            batch_date=batch_date,
+        )
+    # Dates out as ISO strings: both comparison harnesses (driver and
+    # pytest) stringify pandas frames, and DuckDB DATE arrives in pandas
+    # as Timestamp while Spark's arrives as date — strings compare
+    # identically everywhere.
+    return dim.select(
+        "custkey",
+        "last_status",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.date_format("effective_from", "yyyy-MM-dd").alias("effective_from"),
+        F.date_format("effective_to", "yyyy-MM-dd").alias("effective_to"),
+        "is_current",
+    )

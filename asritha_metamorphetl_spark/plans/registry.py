@@ -27,6 +27,72 @@ class RegisteredQuery:
 
 _REGISTRY: dict[str, RegisteredQuery] = {}
 
+#: Names surfaced FIRST by all_queries(), in this order; everything else
+#: follows in registration order. The correctness driver checks the
+#: first 50 registry entries directly, so this front window holds the
+#: newest and semantically riskiest queries — new operators, changed
+#: approximation knobs (ANN, recall evals), the LLM-data-pipeline
+#: surface, streaming parity — with the long-stable TPC-H tail behind
+#: them. test_registry_oracle pins that every name here exists (a typo
+#: must fail tests, not silently demote a query out of the window).
+QUERY_PRIORITY: tuple[str, ...] = (
+    # flagship marts
+    "supplier_performance",
+    "product_performance",
+    "customer_sales_report",
+    # round-4 additions / changed knobs
+    "scd2_order_history",
+    "legacy_day_slice",
+    "knn_lsh_recall_eval",
+    "knn_lsh_topk",
+    "knn_ivf_topk",
+    "knn_cosine_topk",
+    "minhash_recall_eval",
+    "label_centering_profile",
+    "customer_order_gaps",
+    "segment_balance_quartiles",
+    # dedup + similarity stack
+    "exact_dup_groups",
+    "minhash_near_dups",
+    "ngram_jaccard_pairs",
+    "simhash_docs",
+    "winnow_fingerprint_profile",
+    "winnow_candidate_pairs",
+    "dup_clusters",
+    "embedding_near_dups",
+    "embedding_label_stats",
+    "embedding_cluster_sizes",
+    "kmeans_step_centroids",
+    "embedding_int8_profile",
+    # corpus curation / splits / sampling
+    "corpus_splits",
+    "cross_split_contamination",
+    "pii_scrub_profile",
+    "stratified_label_sample",
+    "source_quota_sample",
+    "packed_training_sequences",
+    "packed_sequence_stats",
+    "doc_chunks",
+    "doc_repetition_profile",
+    "gopher_quality_flags",
+    "doc_text_stats",
+    "doc_language_counts",
+    "doc_length_histogram",
+    "quality_deciles",
+    "curated_corpus",
+    "bpe_token_stats",
+    "media_asset_features",
+    "lang_id_confusion",
+    "source_mix_weights",
+    "token_frequencies",
+    "view_purchase_asof",
+    # streaming parity + reconcile orchestration
+    "streaming_sessions_parity",
+    "streaming_distinct_pairs",
+    "reconcile_orchestrated",
+    "reconcile_orders_cells",
+)
+
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
@@ -38,14 +104,20 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+def _ordered() -> list[RegisteredQuery]:
+    front = [_REGISTRY[n] for n in QUERY_PRIORITY if n in _REGISTRY]
+    seen = set(QUERY_PRIORITY)
+    return front + [q for q in _REGISTRY.values() if q.name not in seen]
+
+
 def all_queries() -> dict[str, QueryFn]:
     _load_all()
-    return {q.name: q.fn for q in _REGISTRY.values()}
+    return {q.name: q.fn for q in _ordered()}
 
 
 def all_oracles() -> dict[str, str]:
     _load_all()
-    return {q.name: q.oracle for q in _REGISTRY.values() if q.oracle is not None}
+    return {q.name: q.oracle for q in _ordered() if q.oracle is not None}
 
 
 _LOADED = False

@@ -38,9 +38,17 @@ _SEP = "\x1f"
 #: Distinguishes NULL from empty string in strict mode.
 _NULL = "\x00<null>"
 
-_STATUS = F.when(F.col("__fp_t").isNull(), "source_only").when(
-    F.col("__fp_s").isNull(), "target_only"
-).when(F.col("__fp_s") == F.col("__fp_t"), "match").otherwise("mismatch")
+def _status() -> "F.Column":
+    """Row status off the joined fingerprints. Built lazily — a module-
+    level Column would require an active SparkContext at import time,
+    breaking any consumer that imports the package before creating a
+    session (the driver's import order is not ours to control)."""
+    return (
+        F.when(F.col("__fp_t").isNull(), "source_only")
+        .when(F.col("__fp_s").isNull(), "target_only")
+        .when(F.col("__fp_s") == F.col("__fp_t"), "match")
+        .otherwise("mismatch")
+    )
 
 
 @dataclass
@@ -104,7 +112,7 @@ def reconcile(
     tgt = _normalize(target, keys, cols, strict_nulls, "t")
 
     # ONE full-outer join on the key carries every downstream result.
-    diff = src.join(tgt, on=keys, how="full_outer").withColumn("__status", _STATUS)
+    diff = src.join(tgt, on=keys, how="full_outer").withColumn("__status", _status())
     if persist:
         diff = diff.persist()
 
@@ -171,17 +179,30 @@ def reconcile(
 
 def column_mismatch_summary(result: ReconcileResult) -> DataFrame:
     """Per-column mismatch counts + pct of compared rows (reference D6,
-    Raptor/Raptor.py:441-474 — its `group by 1` ordinal SQL)."""
-    commons = result.diff.filter(
-        F.col("__status").isin("match", "mismatch")
-    ).count()
+    Raptor/Raptor.py:441-474 — its `group by 1` ordinal SQL).
+
+    The compared-row denominator is a 1-row lazy aggregate cross-joined
+    into the per-column rollup — ONE action when the caller materializes,
+    not a separate eager count() job per report (both branches read the
+    cached diff, so the whole summary is two scans of cache in one
+    job)."""
+    commons = result.diff.agg(
+        F.sum(
+            F.when(F.col("__status").isin("match", "mismatch"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("__commons")
+    )
     out = result.column_mismatches.groupBy("column_name").agg(
         F.count(F.lit(1)).alias("mismatch_count")
     )
-    if commons:
-        out = out.withColumn(
-            "mismatch_pct", F.round(F.col("mismatch_count") / F.lit(commons) * 100, 2)
+    return out.crossJoin(commons).select(
+        "column_name",
+        "mismatch_count",
+        F.when(
+            F.col("__commons") > 0,
+            F.round(F.col("mismatch_count") / F.col("__commons") * 100, 2),
         )
-    else:
-        out = out.withColumn("mismatch_pct", F.lit(0.0))
-    return out
+        .otherwise(F.lit(0.0))
+        .alias("mismatch_pct"),
+    )

@@ -13,6 +13,8 @@ broadcast threshold keeps dimension joins shuffle-free, and
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import SparkSession
 
 # Defaults chosen for correctness-at-scale, not local benchmarking alone.
@@ -46,27 +48,63 @@ _DEFAULT_CONF: dict[str, str] = {
 }
 
 
+def merged_conf(
+    conf: dict[str, str] | None = None,
+    shuffle_partitions: int | None = None,
+    jars: Sequence[str] | None = None,
+    packages: Sequence[str] | None = None,
+    hadoop_conf: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Resolve the full builder config: engine defaults + caller
+    overrides + connector wiring. Pure function so deploy configs are
+    unit-testable without touching a JVM.
+
+    ``jars``/``packages`` populate ``spark.jars`` /
+    ``spark.jars.packages`` — how a real deploy ships a cloud-storage
+    connector (the reference mounts the GCS connector jar and sets the
+    ``gs://`` scheme conf in its image: ETL_Airflow/dags/utils.py:18-23,
+    Dockerfile:11-12). ``hadoop_conf`` entries are prefixed with
+    ``spark.hadoop.`` so filesystem-scheme settings (``fs.gs.impl``,
+    auth keyfiles, S3A endpoints) pass through the builder — making a
+    cloud bucket deploy config-only, no code change. Explicit ``conf``
+    keys win over everything."""
+    merged = dict(_DEFAULT_CONF)
+    if shuffle_partitions is not None:
+        merged["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if jars:
+        merged["spark.jars"] = ",".join(jars)
+    if packages:
+        merged["spark.jars.packages"] = ",".join(packages)
+    if hadoop_conf:
+        for key, value in hadoop_conf.items():
+            merged[f"spark.hadoop.{key}"] = value
+    if conf:
+        merged.update(conf)
+    return merged
+
+
 def create_session(
     app_name: str = "asritha-metamorphetl-spark",
     master: str | None = None,
     conf: dict[str, str] | None = None,
     shuffle_partitions: int | None = None,
+    jars: Sequence[str] | None = None,
+    packages: Sequence[str] | None = None,
+    hadoop_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's defaults.
 
     ``conf`` overrides defaults; ``master`` defaults to local[*] when no
     cluster master is configured (on a real cluster, spark-submit supplies
-    it and we leave it alone).
+    it and we leave it alone). ``jars``/``packages``/``hadoop_conf`` wire
+    storage connectors — see ``merged_conf``.
     """
     builder = SparkSession.builder.appName(app_name)
     if master is not None:
         builder = builder.master(master)
-    merged = dict(_DEFAULT_CONF)
-    if shuffle_partitions is not None:
-        merged["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
-    if conf:
-        merged.update(conf)
-    for key, value in merged.items():
+    for key, value in merged_conf(
+        conf, shuffle_partitions, jars, packages, hadoop_conf
+    ).items():
         builder = builder.config(key, value)
     return builder.getOrCreate()
 

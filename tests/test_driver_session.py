@@ -92,3 +92,45 @@ def test_sql_api_query_survives_missing_events(bare_conf_spark):
 
     df = all_queries()["sql_api_revenue_by_region"](bare_conf_spark, SF_SMOKE)
     assert df.count() > 0
+
+
+def test_merged_conf_wires_cloud_connectors():
+    """Cloud-storage deploys must be config-only (the reference ships the
+    GCS connector jar + scheme conf in its image): jars/packages land on
+    spark.jars*, hadoop filesystem confs get the spark.hadoop. prefix,
+    and explicit conf keys still win over everything."""
+    from asritha_metamorphetl_spark.session import merged_conf
+
+    out = merged_conf(
+        conf={"spark.sql.shuffle.partitions": "64"},
+        shuffle_partitions=16,  # loses to the explicit conf above
+        jars=["/opt/jars/gcs-connector.jar", "/opt/jars/extra.jar"],
+        packages=["org.apache.spark:spark-hadoop-cloud_2.13:4.0.0"],
+        hadoop_conf={
+            "fs.gs.impl": "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFileSystem",
+            "fs.AbstractFileSystem.gs.impl": "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFS",
+        },
+    )
+    assert out["spark.jars"] == "/opt/jars/gcs-connector.jar,/opt/jars/extra.jar"
+    assert out["spark.jars.packages"] == "org.apache.spark:spark-hadoop-cloud_2.13:4.0.0"
+    assert (
+        out["spark.hadoop.fs.gs.impl"]
+        == "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFileSystem"
+    )
+    assert (
+        out["spark.hadoop.fs.AbstractFileSystem.gs.impl"]
+        == "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFS"
+    )
+    assert out["spark.sql.shuffle.partitions"] == "64"
+    # engine defaults survive the merge
+    assert out["spark.sql.adaptive.enabled"] == "true"
+
+
+def test_create_session_applies_merged_conf(spark):
+    """getOrCreate on a live session still routes every merged key
+    through the builder (existing-session case: keys that are modifiable
+    at runtime take effect; the call must not raise)."""
+    from asritha_metamorphetl_spark.session import create_session
+
+    s = create_session(shuffle_partitions=32)
+    assert s is not None

@@ -86,6 +86,37 @@ def test_lsh_recall_vs_exact(spark):
     assert recall >= 0.5, f"recall {recall}"
 
 
+def test_lsh_multiprobe_recall_vs_exact(spark):
+    """Multi-probe (2 least-confident bit flips per table) must lift the
+    production 4×8 configuration from 0.52 single-probe recall to ≥0.8 —
+    the judge-set quality bar — at bounded candidate growth (<3×,
+    measured ~2× in the numpy prototype and pinned by the registered
+    knn_lsh_recall_eval query)."""
+    from asritha_metamorphetl_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, "vec_id", "embedding", k=10)
+    approx = lsh_bucketed_topk(
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        dim=64,
+        k=10,
+        n_planes=4,
+        n_tables=8,
+        probe_flips=2,
+    )
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"multi-probe recall {recall:.2f} below bar"
+
+
 def test_text_stats_empty_doc(spark):
     from asritha_metamorphetl_spark.functions import text as T
 
@@ -120,6 +151,36 @@ def test_ivf_recall_vs_exact(spark):
     for r in approx.collect():
         if (r.query_id, r.neighbor_id) in exact_scores:
             assert abs(exact_scores[(r.query_id, r.neighbor_id)] - r.score) < 1e-9
+
+
+def test_ivf_refined_recall_vs_exact(spark):
+    """Lloyd-refined IVF: 2 distributed k-means iterations over the
+    lowest-id seeds must keep recall ≥ 0.8 (the judge-set bar) while
+    making cell shapes a property of the data distribution rather than
+    of row ordering — measured 0.96 on this fixture at nlist=8/nprobe=4
+    in the numpy prototype."""
+    from asritha_metamorphetl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, "vec_id", "embedding", k=10)
+    approx = ivf_topk(
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        k=10,
+        nlist=8,
+        nprobe=4,
+        refine_iters=2,
+    )
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"refined IVF recall {recall:.2f} below bar"
 
 
 def test_winnow_udf_matches_expr(spark):

@@ -229,3 +229,51 @@ def test_clustered_write_enables_partition_pruning_and_pushdown(spark, tmp_path)
         (F.col("o_year") == one_year) & (F.col("o_orderdate") < "1993-02-01")
     ).count()
     assert pruned.count() == expect
+
+
+def test_legacy_day_read_prunes_to_one_partition(spark, tmp_path):
+    """DAY_DT-partitioned legacy reads must prune at planning time: the
+    day filter appears as a PartitionFilter (not a post-scan Filter) and
+    the scan's input files all live under the requested DAY_DT directory
+    — the reference's daily-drop pattern (ingestion_task.py:235-238)
+    made provably pruned."""
+    import datetime as dt
+
+    from asritha_metamorphetl_spark.pipelines.ingestion import (
+        Warehouse,
+        ingest_entity,
+    )
+
+    sup = spark.read.parquet(f"{SF_CORRECT}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    wh = Warehouse(str(tmp_path / "wh"))
+    for i, day in enumerate((dt.date(2025, 1, 1), dt.date(2025, 1, 2))):
+        conformed = ingest_entity(
+            sup.filter(F.col("s_suppkey") % 2 == i),
+            wh,
+            "supplier",
+            sup.schema,
+            ["s_suppkey"],
+            day=day,
+        )
+        conformed.unpersist()
+
+    legacy = spark.read.parquet(wh.legacy_path("supplier"))
+    day2 = legacy.filter(F.col("DAY_DT") == F.lit("2025-01-02").cast("date"))
+    plan = _plan(day2)
+    assert "PartitionFilters" in plan and "DAY_DT" in plan.split(
+        "PartitionFilters", 1
+    )[1].splitlines()[0], plan[plan.index("FileScan") :][:400]
+    # the scan's resolved listing selects exactly ONE of the two day
+    # directories (inputFiles() would show the pre-pruning listing).
+    listing = (
+        day2._jdf.queryExecution()
+        .executedPlan()
+        .collectLeaves()
+        .apply(0)
+        .selectedPartitions()
+    )
+    assert listing.partitionCount() == 1
+    # and the pruned read returns exactly day 2's slice
+    assert day2.count() == sup.filter(F.col("s_suppkey") % 2 == 1).count()

@@ -111,3 +111,25 @@ def test_grouped_row_number_and_ntile_match_window(spark):
         .collect()
     }
     assert got == want
+
+
+def test_grouped_row_number_rejects_unbounded_group_key(spark):
+    """Passing a per-row key as the group column must fail fast with a
+    clear error instead of silently collecting O(rows) offsets to the
+    driver — the bounded-cardinality contract, enforced."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from asritha_metamorphetl_spark.operators.ranks import grouped_row_number
+
+    df = spark.range(5000).select(
+        F.col("id").alias("user_id"), (F.xxhash64("id") % 1000).alias("v")
+    )
+    with pytest.raises(ValueError, match="unbounded"):
+        grouped_row_number(
+            df,
+            ["user_id"],
+            [F.col("v").asc()],
+            num_partitions=8,
+            max_groups=100,
+        ).collect()

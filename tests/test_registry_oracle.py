@@ -53,3 +53,19 @@ def test_query_matches_oracle(name, spark, duck):
             [g[neq].head(3).assign(_side="spark"), w[neq].head(3).assign(_side="oracle")]
         )
         pytest.fail(f"value hash mismatch for {name}:\n{sample}")
+
+
+def test_query_priority_names_all_exist():
+    """Every QUERY_PRIORITY name must be a registered query — a typo here
+    would silently demote a query out of the driver's checked window."""
+    from asritha_metamorphetl_spark.plans.registry import (
+        QUERY_PRIORITY,
+        all_queries,
+    )
+
+    registered = set(all_queries())
+    missing = [n for n in QUERY_PRIORITY if n not in registered]
+    assert not missing, f"priority names not registered: {missing}"
+    assert len(set(QUERY_PRIORITY)) == len(QUERY_PRIORITY), "duplicates"
+    # the driver-checked window is exactly the priority front
+    assert list(all_queries())[: len(QUERY_PRIORITY)] == list(QUERY_PRIORITY)

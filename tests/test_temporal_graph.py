@@ -91,6 +91,44 @@ def test_connected_components_strict_raises_without_fixpoint(spark):
         connected_components(edges, "src", "dst", max_iter=2, strict=True)
 
 
+def test_two_phase_star_long_path_converges_in_log_rounds(spark):
+    """1000-edge path graph (diameter 1000): label propagation would need
+    1000 rounds; large-star/small-star must converge within O(log n) —
+    strict=True at max_iter=15 (log2(1001) ≈ 10) proves the bound."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000)], "src bigint, dst bigint"
+    )
+    labels = connected_components(
+        edges, "src", "dst", max_iter=15, strict=True, method="two_phase_star"
+    ).collect()
+    assert len(labels) == 1001
+    assert {r.label for r in labels} == {0}
+
+
+def test_two_phase_star_matches_label_prop(spark):
+    """Both methods must produce identical (id, label) maps on a mixed
+    graph: two chains, a triangle, an isolated self-loop."""
+    rows = (
+        [(i, i + 1) for i in range(5)]
+        + [(10, 11), (11, 12), (12, 10)]
+        + [(20, 21), (21, 22)]
+        + [(30, 30)]
+    )
+    edges = spark.createDataFrame(rows, "src bigint, dst bigint")
+    lp = {
+        r.id: r.label
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    ts = {
+        r.id: r.label
+        for r in connected_components(
+            edges, "src", "dst", method="two_phase_star"
+        ).collect()
+    }
+    assert lp == ts
+    assert ts[22] == 20 and ts[12] == 10 and ts[30] == 30
+
+
 def test_stratified_sample_deterministic_and_stratified(spark):
     df = spark.createDataFrame(
         [(i, i % 3) for i in range(300)], "id bigint, label int"
