@@ -78,3 +78,12 @@ def morton_key(x: Column, y: Column, bits: int = 16) -> Column:
             )
         )
     return out
+
+
+def morton_key_sql(x: str, y: str, bits: int = 16) -> str:
+    """``morton_key`` as ANSI SQL (DuckDB-runnable), bit-for-bit equal —
+    x on even bit positions, y on odd. Lets a registered query's oracle
+    verify the interleave itself, not just downstream aggregates."""
+    terms = [f"((({x} >> {i}) & 1) << {2 * i})" for i in range(bits)]
+    terms += [f"((({y} >> {i}) & 1) << {2 * i + 1})" for i in range(bits)]
+    return "(" + " | ".join(terms) + ")"

@@ -1,0 +1,78 @@
+"""Changelog (CDC) apply: last-writer-wins upsert/delete merge.
+
+The reference keeps tables fresh by re-writing full daily snapshots
+(``ingestion_task.py`` — every row, every day). A change-data-capture
+merge is the incremental alternative: the day's feed is only the rows
+that CHANGED, tagged with an operation (insert/update/delete) and a
+monotonically increasing sequence (commit LSN, binlog offset, Kafka
+offset). Applying the changelog to the previous snapshot produces the
+new snapshot while reading/writing orders of magnitude less data — at
+100 TB the difference between an hourly merge and an impossible daily
+rewrite.
+
+Scale shape (two shuffles, both on the business key):
+
+1. ``cdc_latest`` reduces the changelog to one winning operation per key
+   with ``max_by`` — a hash aggregate, map-side combinable, so a
+   billion-row changelog with hot keys partially collapses before the
+   exchange.
+2. ``cdc_apply`` anti-joins the base snapshot against the winning keys
+   (untouched rows pass through) and unions the surviving upserts. When
+   the day's changelog is small relative to the base — the typical CDC
+   regime — AQE converts the anti join to a broadcast and the base never
+   shuffles at all.
+
+No windows, no driver-side state; deletes are data (op = 'D'), not a
+separate code path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Operation tags understood by cdc_apply. 'I' and 'U' both mean "the
+#: payload is the new row image" (idempotent upsert); 'D' removes the key.
+CDC_OPS = ("I", "U", "D")
+
+
+def cdc_latest(
+    changelog: DataFrame, keys: Sequence[str], seq_col: str = "seq"
+) -> DataFrame:
+    """Collapse a changelog to the highest-sequence operation per key.
+
+    Sequences must be unique per key (they are commit positions); with
+    duplicates the winner among equal sequences is unspecified. One
+    map-side-combinable hash aggregate — never a window sort."""
+    keys = list(keys)
+    rest = [c for c in changelog.columns if c not in keys]
+    return (
+        changelog.groupBy(*keys)
+        .agg(F.max_by(F.struct(*rest), F.col(seq_col)).alias("_w"))
+        .select(*keys, "_w.*")
+    )
+
+
+def cdc_apply(
+    base: DataFrame,
+    changelog: DataFrame,
+    keys: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC changelog to a base snapshot (last writer wins).
+
+    ``base`` holds the previous snapshot (payload columns only).
+    ``changelog`` holds ``keys + payload + op_col + seq_col``; the
+    payload of a 'D' row is ignored. Returns the next snapshot with
+    exactly ``base.columns``. Keys present in both take the changelog's
+    winning image; keys only in ``base`` pass through untouched; winning
+    'D' rows disappear."""
+    keys = list(keys)
+    payload = list(base.columns)
+    latest = cdc_latest(changelog, keys, seq_col)
+    untouched = base.join(latest.select(*keys), keys, "left_anti")
+    survivors = latest.filter(F.col(op_col) != "D").select(*payload)
+    return untouched.unionByName(survivors)

@@ -88,3 +88,171 @@ def legacy_day_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_bal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog apply — the incremental alternative to the reference's
+# full daily snapshot rewrite (ingestion_task.py re-writes every row
+# every day). Money moves as integer cents so Spark and DuckDB agree
+# bit-for-bit with no float-summation or decimal-scale drift.
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), changelog AS (
+  SELECT o_orderkey, o_custkey, 'X1' AS o_orderstatus,
+         cents + 500 AS cents, 'U' AS op, 10 AS seq
+  FROM base WHERE o_orderkey % 7 = 1
+  UNION ALL
+  SELECT o_orderkey, o_custkey, 'X2', cents - 700, 'U', 20
+  FROM base WHERE o_orderkey % 14 = 1
+  UNION ALL
+  SELECT o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+         CAST(NULL AS BIGINT), 'D', 15
+  FROM base WHERE o_orderkey % 7 = 2
+  UNION ALL
+  SELECT o_orderkey, o_custkey, 'X0', cents, 'U', 5
+  FROM base WHERE o_orderkey % 7 = 2
+  UNION ALL
+  SELECT o_orderkey + 100000, o_custkey, 'N', cents * 2, 'I', 1
+  FROM base WHERE o_orderkey % 7 = 3
+), latest AS (
+  SELECT * FROM changelog
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) = 1
+), merged AS (
+  SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.cents
+  FROM base b ANTI JOIN latest l ON b.o_orderkey = l.o_orderkey
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, cents
+  FROM latest WHERE op <> 'D'
+)
+SELECT o_orderstatus, o_orderkey % 25 AS bucket,
+       COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS total_cents,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+       CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+FROM merged
+GROUP BY o_orderstatus, o_orderkey % 25
+"""
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout: the multi-column pruning story, made checkable.
+# The oracle runs the IDENTICAL interleave expression generated as SQL.
+# ---------------------------------------------------------------------------
+
+
+def _zorder_oracle() -> str:
+    from asritha_metamorphetl_spark.functions.numeric import morton_key_sql
+
+    z = morton_key_sql("xb", "yb", bits=8)
+    return f"""
+WITH base AS (
+  SELECT o_custkey % 256 AS xb,
+         LEAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 10000, 255) AS yb
+  FROM orders
+)
+SELECT ({z} >> 6) AS zbucket,
+       COUNT(*) AS n,
+       MIN(xb) AS min_x, MAX(xb) AS max_x,
+       MIN(yb) AS min_y, MAX(yb) AS max_y
+FROM base
+GROUP BY ({z} >> 6)
+"""
+
+
+@register("zorder_layout_profile", oracle=_zorder_oracle())
+def zorder_layout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-code the orders along (customer band, price band) and
+    profile each 64-code z-range: every bucket's (min,max) box in BOTH
+    dimensions stays small, which is exactly why a z-clustered file
+    layout lets parquet footer stats skip files for predicates on EITHER
+    column (``functions.numeric.morton_key`` + ``files.write_clustered``;
+    per-file box shrinkage is pinned by tests/test_layout.py). Pure JVM
+    bit arithmetic — one codegen'd projection plus one hash aggregate.
+    Unlike the layout test, the ORACLE here verifies the interleave
+    itself: DuckDB runs the identical generated bit expression."""
+    from asritha_metamorphetl_spark.functions.numeric import morton_key
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = Catalog(sf_dir).load(spark, "orders").select(
+        (F.col("o_custkey") % 256).alias("xb"),
+        F.least(F.floor(cents / 10000), F.lit(255)).cast("long").alias("yb"),
+    )
+    z = morton_key(F.col("xb"), F.col("yb"), bits=8)
+    return (
+        base.withColumn("zbucket", F.shiftright(z, 6))
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("xb").alias("min_x"),
+            F.max("xb").alias("max_x"),
+            F.min("yb").alias("min_y"),
+            F.max("yb").alias("max_y"),
+        )
+    )
+
+
+@register("cdc_orders_snapshot", oracle=_CDC_ORACLE)
+def cdc_orders_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a five-branch synthetic changelog (two competing updates, a
+    delete that outranks an earlier update, and brand-new inserted keys)
+    to the orders snapshot via ``operators.cdc.cdc_apply`` — last writer
+    wins per key, winning deletes vanish, untouched rows pass through.
+
+    Scale shape: the changelog collapses to one winner per key with a
+    map-side-combinable ``max_by`` aggregate (one shuffle), then the base
+    anti-joins the winning keys (AQE broadcasts when the day's delta is
+    small — the typical CDC regime) and unions the surviving row images.
+    The profile aggregate exists only to keep the driver compare compact;
+    the merge itself is full-row."""
+    from asritha_metamorphetl_spark.operators.cdc import cdc_apply
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = (
+        Catalog(sf_dir)
+        .load(spark, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            cents.alias("cents"),
+        )
+    )
+    k = F.col("o_orderkey")
+
+    def branch(pred, key, cust, status, cents_expr, op, seq):
+        return base.filter(pred).select(
+            key.alias("o_orderkey"),
+            cust.cast("long").alias("o_custkey"),
+            status.cast("string").alias("o_orderstatus"),
+            cents_expr.cast("long").alias("cents"),
+            F.lit(op).alias("op"),
+            F.lit(seq).cast("int").alias("seq"),
+        )
+
+    null = F.lit(None)
+    changelog = (
+        branch(k % 7 == 1, k, F.col("o_custkey"), F.lit("X1"),
+               F.col("cents") + 500, "U", 10)
+        .unionByName(branch(k % 14 == 1, k, F.col("o_custkey"), F.lit("X2"),
+                            F.col("cents") - 700, "U", 20))
+        .unionByName(branch(k % 7 == 2, k, null, null, null, "D", 15))
+        .unionByName(branch(k % 7 == 2, k, F.col("o_custkey"), F.lit("X0"),
+                            F.col("cents"), "U", 5))
+        .unionByName(branch(k % 7 == 3, k + 100000, F.col("o_custkey"),
+                            F.lit("N"), F.col("cents") * 2, "I", 1))
+    )
+
+    snapshot = cdc_apply(base, changelog, keys=["o_orderkey"])
+    return snapshot.groupBy(
+        "o_orderstatus", (F.col("o_orderkey") % 25).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("total_cents"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.sum("o_custkey").alias("cust_sum"),
+    )

@@ -41,6 +41,10 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "product_performance",
     "customer_sales_report",
     # round-4 additions / changed knobs
+    "cdc_orders_snapshot",
+    "zorder_layout_profile",
+    "approx_distinct_audit",
+    "quantile_sketch_audit",
     "scd2_order_history",
     "legacy_day_slice",
     "knn_lsh_recall_eval",
@@ -135,6 +139,7 @@ def _load_all() -> None:
         operator_queries,
         pipeline_queries,
         quality_queries,
+        sketch_queries,
         streaming_queries,
         text_queries,
         tpch_deep,

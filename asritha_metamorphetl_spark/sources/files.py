@@ -159,6 +159,68 @@ def write_clustered(
     writer.parquet(path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> dict[str, int]:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files.
+
+    Streaming/incremental writers (micro-batches, per-day CDC merges,
+    many-task appends) accumulate small files; at 100 TB the file COUNT
+    — task-scheduling overhead, NameNode/listing pressure, footer reads
+    — becomes the bottleneck long before the bytes do. Periodic
+    compaction is the standard maintenance rewrite (Delta OPTIMIZE,
+    Iceberg rewrite_data_files), re-expressed on plain parquet.
+
+    File listing and the final swap go through the Hadoop FileSystem
+    API, so the same code works on file://, HDFS, or any object-store
+    scheme the session has a connector for (see ``session.create_session``
+    jar/conf passthrough). The rewrite lands in a sibling temp dir and
+    is renamed over the original — readers never observe a half-written
+    directory (rename is atomic on HDFS; best-effort on object stores).
+    ``sort_cols`` optionally re-clusters while compacting (the
+    OPTIMIZE ... ZORDER pattern combined with ``morton_key``).
+
+    Returns ``{files_before, files_after, bytes}``."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+
+    it = fs.listFiles(jpath, True)
+    total, files_before = 0, 0
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("part-"):
+            total += st.getLen()
+            files_before += 1
+
+    n_files = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(path)
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.repartition(n_files)
+
+    tmp = path.rstrip("/") + ".__compacting__"
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs.delete(tmp_path, True)
+    out.write.mode("overwrite").parquet(tmp)
+    fs.delete(jpath, True)
+    if not fs.rename(tmp_path, jpath):
+        raise IOError(f"compaction rename failed: {tmp} -> {path}")
+    return {
+        "files_before": files_before,
+        "files_after": int(n_files),
+        "bytes": int(total),
+    }
+
+
 def dated_path(base: str, entity: str, day: _dt.date, ext: str = "csv") -> str:
     """``{base}/{YYYYMMDD}/{entity}_{YYYYMMDD}.{ext}`` — the reference's
     daily-drop layout (Rest-API/main.py:47-48, ingestion_task.py:235-238)."""

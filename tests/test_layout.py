@@ -77,3 +77,89 @@ def test_morton_clustering_bounds_both_dimensions(spark, tmp_path):
     assert s_dt > 0.9
     # Z-order bounds both dimensions well below that.
     assert z_ck < 0.7 and z_dt < 0.7, (z_ck, z_dt, s_dt)
+
+
+def test_morton_key_sql_matches_spark_and_python(spark, tmp_path):
+    """The generated SQL interleave (the oracle side of
+    zorder_layout_profile) is bit-for-bit the Spark expression — checked
+    against an independent pure-python Morton reference."""
+    import duckdb
+
+    from asritha_metamorphetl_spark.functions.numeric import morton_key_sql
+
+    def py_morton(x: int, y: int, bits: int) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    pts = [(x, y) for x in (0, 1, 5, 170, 255) for y in (0, 3, 128, 255)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn(
+            "z", morton_key(F.col("x"), F.col("y"), bits=8)
+        ).collect()
+    }
+    con = duckdb.connect()
+    expr = morton_key_sql("x", "y", bits=8)
+    for x, y in pts:
+        want = py_morton(x, y, 8)
+        assert got[(x, y)] == want
+        (sql_z,) = con.sql(
+            f"SELECT {expr} FROM (SELECT {x} AS x, {y} AS y)"
+        ).fetchone()
+        assert sql_z == want
+    con.close()
+
+
+def test_compact_parquet_reduces_file_count_preserving_data(spark, tmp_path):
+    """64 small files -> a handful of target-size files, same rows; the
+    swap leaves no temp directory behind."""
+    import glob
+    import os
+
+    from asritha_metamorphetl_spark.sources.files import compact_parquet
+
+    src = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+    path = str(tmp_path / "orders_small")
+    src.repartition(64).write.parquet(path)
+    assert len(glob.glob(f"{path}/part-*")) == 64
+    before = src.count()
+
+    stats = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert stats["files_before"] == 64
+    n_after = len(glob.glob(f"{path}/part-*"))
+    assert n_after == stats["files_after"] <= 4
+    assert spark.read.parquet(path).count() == before
+    assert not os.path.exists(path + ".__compacting__")
+
+
+def test_compact_parquet_with_sort_recovers_clustering(spark, tmp_path):
+    """Compacting with sort_cols re-establishes per-file min/max
+    locality destroyed by random small-file appends."""
+    from asritha_metamorphetl_spark.sources.files import compact_parquet
+
+    src = spark.read.parquet(f"{SF_CORRECT}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    path = str(tmp_path / "orders_scattered")
+    src.repartition(32).write.parquet(path)
+    lo, hi = 1, src.agg(F.max("o_custkey")).first()[0]
+    scattered = _coverage(f"{path}/part-*.parquet", "o_custkey", lo, hi)
+    assert scattered > 0.9  # random appends: every file spans the domain
+
+    import glob as _glob
+    import os as _os
+
+    total = sum(
+        _os.path.getsize(f) for f in _glob.glob(f"{path}/part-*.parquet")
+    )
+    stats = compact_parquet(
+        spark, path, target_file_bytes=max(1, total // 8),
+        sort_cols=["o_custkey"],
+    )
+    assert stats["files_after"] >= 4
+    clustered = _coverage(f"{path}/part-*.parquet", "o_custkey", lo, hi)
+    assert clustered < 0.5, (scattered, clustered)
