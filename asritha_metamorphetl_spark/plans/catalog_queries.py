@@ -139,6 +139,59 @@ GROUP BY o_orderstatus, o_orderkey % 25
 
 
 # ---------------------------------------------------------------------------
+# Incremental aggregation maintenance: three deltas folded into a state
+# table must equal the full recompute — the O(delta) rollup pattern.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_revenue_state",
+    oracle="""
+WITH base AS (
+  SELECT o_orderpriority, o_custkey % 20 AS cust_bucket,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderpriority, cust_bucket,
+       COUNT(*) AS n,
+       CAST(SUM(cents) AS BIGINT) AS total,
+       MIN(cents) AS vmin,
+       MAX(cents) AS vmax,
+       CAST(SUM(cents) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avg_value
+FROM base
+GROUP BY o_orderpriority, cust_bucket
+""",
+)
+def incremental_revenue_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build per-(priority, customer-bucket) aggregate state from three
+    disjoint order deltas and fold them together with
+    ``operators.incremental.merge_agg_states`` — proving
+    ``merge(state(d1), state(d2), state(d3)) == state(full)`` against a
+    full-recompute oracle. This is the O(delta + state) daily-rollup
+    maintenance pattern: at 100 TB the increment reads one day, never
+    the history. Money is integer cents, so every merge order yields
+    identical bits."""
+    from asritha_metamorphetl_spark.operators.incremental import (
+        agg_state,
+        finalize_state,
+        merge_agg_states,
+    )
+
+    base = Catalog(sf_dir).load(spark, "orders").select(
+        "o_orderpriority",
+        (F.col("o_custkey") % 20).alias("cust_bucket"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    deltas = [base.filter(F.col("cents") % 3 == i) for i in range(3)]
+    states = [
+        agg_state(d, ["o_orderpriority", "cust_bucket"], "cents")
+        for d in deltas
+    ]
+    merged = merge_agg_states(*states)
+    return finalize_state(merged)
+
+
+# ---------------------------------------------------------------------------
 # Z-order (Morton) layout: the multi-column pruning story, made checkable.
 # The oracle runs the IDENTICAL interleave expression generated as SQL.
 # ---------------------------------------------------------------------------

@@ -31,36 +31,61 @@ from pyspark.sql import functions as F
 from asritha_metamorphetl_spark.functions.numeric import exact_sum
 from asritha_metamorphetl_spark.plans.registry import register
 from asritha_metamorphetl_spark.sources.files import Catalog
-from asritha_metamorphetl_spark.streaming.windows import hourly_event_counts
+from asritha_metamorphetl_spark.streaming.windows import (
+    hourly_event_counts,
+    interval_self_join,
+)
 
 _AWAIT_SEC = 120
 
 
-def _materialize(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
+def _materialize(
+    stream_df: DataFrame,
+    mode: str = "complete",
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Run a bounded streaming query to completion (AvailableNow) into a
     uniquely-named in-memory sink and return the result table. The sink
     holds only the aggregated output (windows × types — bounded), never
-    the raw stream."""
+    the raw stream.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    DURATION OF THIS STREAMING QUERY ONLY (restored after). For stateful
+    streaming this is a first-class deploy knob, not a tuning hack: the
+    partition count is frozen into the state store at first checkpoint,
+    and every partition costs a state-store instance per stateful
+    operator per micro-batch (measured locally: the interval join is
+    5× slower at 32 partitions than at 8 on the same data — pure
+    per-instance overhead). Size it to the expected key cardinality in
+    the watermark horizon; the parity fixtures' horizons are small."""
+    spark = stream_df.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(key)
+    if state_partitions is not None:
+        spark.conf.set(key, str(state_partitions))
     name = f"stream_result_{uuid.uuid4().hex[:12]}"
-    query = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
     try:
-        finished = query.awaitTermination(_AWAIT_SEC)
-        if not finished:
-            # awaitTermination returns False on timeout instead of
-            # raising — surface it loudly rather than hash-comparing a
-            # partial memory-sink snapshot downstream.
-            raise TimeoutError(
-                f"streaming query {name} still running after {_AWAIT_SEC}s"
-            )
+        query = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            finished = query.awaitTermination(_AWAIT_SEC)
+            if not finished:
+                # awaitTermination returns False on timeout instead of
+                # raising — surface it loudly rather than hash-comparing a
+                # partial memory-sink snapshot downstream.
+                raise TimeoutError(
+                    f"streaming query {name} still running after {_AWAIT_SEC}s"
+                )
+        finally:
+            query.stop()
     finally:
-        query.stop()
-    return stream_df.sparkSession.table(name)
+        spark.conf.set(key, saved)
+    return spark.table(name)
 
 
 @register(
@@ -85,7 +110,7 @@ def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization on the stream path."""
     stream = Catalog(sf_dir).stream(spark, "events")
     hourly = hourly_event_counts(stream)
-    out = _materialize(hourly, mode="complete")
+    out = _materialize(hourly, mode="complete", state_partitions=8)
     return out.select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
@@ -119,7 +144,7 @@ def streaming_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").cast("double").alias("min_value"),
         F.max("value").cast("double").alias("max_value"),
     )
-    return _materialize(totals, mode="complete")
+    return _materialize(totals, mode="complete", state_partitions=8)
 
 
 @register(
@@ -181,7 +206,7 @@ def streaming_sessions_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "start_us", "end_us", "n_events", "total_value")
     )
-    return _materialize(sess, mode="complete")
+    return _materialize(sess, mode="complete", state_partitions=8)
 
 
 @register(
@@ -202,4 +227,36 @@ def streaming_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = stream.dropDuplicates(["user_id", "event_type"]).select(
         "user_id", "event_type"
     )
-    return _materialize(deduped, mode="append")
+    return _materialize(deduped, mode="append", state_partitions=8)
+
+
+@register(
+    "streaming_interval_join_parity",
+    # The batch twin: a plain interval self-join — every (view, purchase)
+    # pair for a user where the view precedes the purchase by <= 1 hour.
+    oracle="""
+SELECT p.user_id,
+       v.event_id AS left_id,
+       p.event_id AS right_id,
+       epoch_us(v.ts) AS left_us,
+       epoch_us(p.ts) AS right_us
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view'
+ AND p.event_type = 'purchase'
+ AND v.ts <= p.ts
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+""",
+)
+def streaming_interval_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (view→purchase
+    attribution) run as a REAL streaming query in append mode and
+    hash-compared to the batch join. Inner interval joins emit exactly
+    the matched pairs regardless of arrival order, so the streaming
+    result is row-identical to the batch twin; the double-bounded time
+    condition is what lets Spark reap join state at the watermark
+    (streaming/windows.interval_self_join)."""
+    stream = Catalog(sf_dir).stream(spark, "events")
+    joined = interval_self_join(stream, "view", "purchase", gap="1 hour")
+    return _materialize(joined, mode="append", state_partitions=8)

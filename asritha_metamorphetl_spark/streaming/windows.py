@@ -114,6 +114,61 @@ def stream_static_enrich(
     return events.join(dim, on, how)
 
 
+def interval_self_join(
+    events: DataFrame,
+    left_type: str,
+    right_type: str,
+    gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair each ``right_type``
+    event with the same user's ``left_type`` events in the preceding
+    ``gap`` (attribution: views that led to a purchase).
+
+    Both sides carry a watermark and the join condition bounds event
+    time on BOTH ends — exactly what Spark needs to reap join state:
+    a left row can be dropped once the right watermark passes
+    ``left.ts + gap``, so state size tracks the horizon's event rate,
+    not the stream's history. Without the time bounds this would be an
+    ever-growing-state join Spark rightly refuses in append mode.
+
+    Join keys are (user_id, time-range); the equality key hash-
+    partitions both sides so each user's state co-locates on one task."""
+    v = (
+        events.filter(F.col("event_type") == left_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("left_id"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    p = (
+        events.filter(F.col("event_type") == right_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("right_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = v.join(
+        p,
+        F.expr(
+            f"v_user = user_id AND v_ts <= p_ts "
+            f"AND v_ts >= p_ts - INTERVAL {gap}"
+        ),
+        "inner",
+    )
+    return joined.select(
+        "user_id",
+        "left_id",
+        "right_id",
+        F.unix_micros("v_ts").alias("left_us"),
+        F.unix_micros("p_ts").alias("right_us"),
+    )
+
+
 def streaming_dedup(
     events: DataFrame, key_cols: list[str], watermark: str = "2 hours"
 ) -> DataFrame:

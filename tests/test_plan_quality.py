@@ -277,3 +277,42 @@ def test_legacy_day_read_prunes_to_one_partition(spark, tmp_path):
     assert listing.partitionCount() == 1
     # and the pruned read returns exactly day 2's slice
     assert day2.count() == sup.filter(F.col("s_suppkey") % 2 == 1).count()
+
+
+def test_cdc_apply_anti_join_shape(spark):
+    """CDC merge must be (partial-agg max_by) + one anti join — never a
+    cartesian or a window sort over the changelog."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    df = all_queries()["cdc_orders_snapshot"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan  # LWW via max_by aggregate, not row_number
+    assert "LeftAnti" in plan
+    # the changelog reduction is a real hash agg with a partial stage
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_zorder_profile_stays_jvm_side(spark):
+    """The Morton interleave must compile to JVM bit arithmetic — no
+    Python evaluation anywhere in the plan."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["zorder_layout_profile"](spark, SF_CORRECT))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the interleave itself is JVM shift/mask arithmetic in the projection
+    # (codegen-eligible expressions; no UDF anywhere in the plan)
+    assert "shiftleft" in plan and "shiftright" in plan
+    assert "pythonUDF" not in plan
+
+
+def test_incremental_state_merge_has_partial_aggregates(spark):
+    """Every aggregate in the state algebra (batch states AND the merge)
+    must keep its map-side partial stage — the property that makes the
+    daily fold O(delta + state) instead of a full shuffle of raw rows."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["incremental_revenue_state"](spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan
+    # partial + final pairs: 3 batch states + 1 merge = at least 8 nodes
+    assert plan.count("HashAggregate") >= 8
