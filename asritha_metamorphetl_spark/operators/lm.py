@@ -1,0 +1,81 @@
+"""N-gram language-model quality scoring (CCNet-style perplexity filter).
+
+The standard web-corpus curation step (CCNet, RefinedWeb, Gopher's
+downstream filters): train a cheap n-gram LM, score every document,
+drop the tails. Re-expressed for Spark at 100 TB:
+
+* **Train** = two map-side-combinable hash aggregates (bigram counts,
+  prefix counts). No driver-side model object.
+* **Score** = explode each document's bigrams and JOIN against the
+  count tables, then re-aggregate per document. The model is DATA, not
+  a broadcast blob — at web scale the bigram table is billions of rows
+  and a join on the bigram key (hash-partitioned, AQE-skew-handled)
+  is the only shape that works. For small models Spark's AQE converts
+  the same plan to broadcast joins automatically.
+
+Scores are integer-quantized conditional probabilities (ppm,
+``(1e6 * c(w1,w2)) div c(w1)``) rather than float log-probs: the
+division is integer math, so Spark and a SQL oracle agree bit-for-bit
+and the score is safe to hash-gate in CI. ``avg_ppm`` is monotone in
+the geometric-mean-free average conditional probability — low = the
+LM finds the document surprising. A production deployment can swap in
+``F.log`` of the same joined columns for true log-perplexity; the
+plan shape (and everything this module tests) is identical.
+
+Tokenization is whitespace splitting — matching the repo's other text
+operators (functions/text.py) and SQL-replicable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_PPM = 1_000_000
+
+
+def doc_bigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Explode each document into (doc_id, w1, w2) bigram rows via a
+    JVM higher-order function — no Python in the loop."""
+    toks = docs.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("t")
+    )
+    pairs = F.expr(
+        "transform(slice(t, 1, size(t) - 1), (w, i) -> "
+        "struct(w AS w1, t[i + 1] AS w2))"
+    )
+    return (
+        toks.select("doc_id", F.explode(pairs).alias("bg"))
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+
+
+def train_bigram_counts(bigrams: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The 'model': (bigram counts, prefix counts). Both are partial-agg
+    hash aggregates; prefix counts derive from the bigram table so the
+    raw corpus is scanned once."""
+    bg = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cbg"))
+    prefix = bg.groupBy("w1").agg(F.sum("cbg").alias("cp"))
+    return bg, prefix
+
+
+def score_documents(
+    bigrams: DataFrame, bg_counts: DataFrame, prefix_counts: DataFrame
+) -> DataFrame:
+    """Per-document LM score: join each bigram occurrence to its counts,
+    quantize the conditional probability to integer ppm, aggregate.
+    Returns (doc_id, n_bigrams, sum_ppm, avg_ppm); low avg_ppm = the
+    model is surprised by the document."""
+    scored = (
+        bigrams.join(bg_counts, ["w1", "w2"])
+        .join(prefix_counts, ["w1"])
+        .select(
+            "doc_id",
+            F.expr(f"({_PPM} * cbg) div cp").alias("ppm"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("ppm").alias("sum_ppm"),
+        (F.sum("ppm") / F.count(F.lit(1)).cast("double")).alias("avg_ppm"),
+    )

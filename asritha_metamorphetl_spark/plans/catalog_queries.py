@@ -139,6 +139,117 @@ GROUP BY o_orderstatus, o_orderkey % 25
 
 
 # ---------------------------------------------------------------------------
+# N-gram LM quality scoring (CCNet-style perplexity filter), bit-exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bigram_lm_scores",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+), counts AS (
+  SELECT w1, w2, COUNT(*) AS cbg FROM bg GROUP BY w1, w2
+), prefix AS (
+  SELECT w1, CAST(SUM(cbg) AS BIGINT) AS cp FROM counts GROUP BY w1
+), scored AS (
+  SELECT b.doc_id, (1000000 * c.cbg) // p.cp AS ppm
+  FROM bg b
+  JOIN counts c ON b.w1 = c.w1 AND b.w2 = c.w2
+  JOIN prefix p ON b.w1 = p.w1
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(ppm) AS BIGINT) AS sum_ppm,
+       CAST(SUM(ppm) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avg_ppm
+FROM scored GROUP BY doc_id
+""",
+)
+def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a bigram LM on the corpus (two partial-agg hash
+    aggregates) and score every document by joining its bigrams back to
+    the count tables (operators/lm.py) — the CCNet-style LM quality
+    filter with the model kept as DATA so web-scale bigram tables join
+    instead of broadcasting. Scores are integer-ppm conditional
+    probabilities, so the oracle compare is bit-exact (no float
+    summation anywhere)."""
+    from asritha_metamorphetl_spark.operators.lm import (
+        doc_bigrams,
+        score_documents,
+        train_bigram_counts,
+    )
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    bigrams = doc_bigrams(docs)
+    bg_counts, prefix_counts = train_bigram_counts(bigrams)
+    return score_documents(bigrams, bg_counts, prefix_counts)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-manifest tables: atomic publish + time travel + change feed,
+# driver-checked end to end (sources/manifest.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "snapshot_time_travel",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT 'v1' AS src, o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM base WHERE o_orderkey % 2 = 0
+GROUP BY o_orderstatus
+UNION ALL
+SELECT 'delta', o_orderstatus, COUNT(*),
+       CAST(SUM(cents) AS BIGINT)
+FROM base WHERE o_orderkey % 2 = 1
+GROUP BY o_orderstatus
+""",
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two commits into a manifest table, then (a) time-travel back to
+    version 1 and (b) consume the v1→v2 change feed — each aggregated
+    and tagged. The oracle recomputes both slices from the source, so a
+    torn read (files leaking across versions) or a change feed that
+    re-delivers history breaks the hash. This is the atomic-publish
+    story the reference's dated directories approximate, made a
+    correctness-gated capability (sources/manifest.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from asritha_metamorphetl_spark.sources.manifest import SnapshotTable
+
+    base = Catalog(sf_dir).load(spark, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(tempfile.gettempdir(), "ametl_snapshot_tbl", tag)
+    shutil.rmtree(root, ignore_errors=True)
+    t = SnapshotTable(spark, root)
+    t.commit(base.filter(F.col("o_orderkey") % 2 == 0))
+    t.commit(base.filter(F.col("o_orderkey") % 2 == 1))
+
+    def profile(df: DataFrame, src: str) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("total_cents"),
+        ).select(F.lit(src).alias("src"), "o_orderstatus", "n", "total_cents")
+
+    return profile(t.read(version=1), "v1").unionByName(
+        profile(t.changes(since=1), "delta")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental aggregation maintenance: three deltas folded into a state
 # table must equal the full recompute — the O(delta) rollup pattern.
 # ---------------------------------------------------------------------------

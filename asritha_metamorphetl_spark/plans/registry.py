@@ -42,6 +42,8 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "customer_sales_report",
     # round-4 additions / changed knobs
     "cdc_orders_snapshot",
+    "snapshot_time_travel",
+    "bigram_lm_scores",
     "incremental_revenue_state",
     "streaming_interval_join_parity",
     "zorder_layout_profile",
