@@ -46,6 +46,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "bigram_lm_scores",
     "incremental_revenue_state",
     "streaming_interval_join_parity",
+    "streaming_outer_join_parity",
     "zorder_layout_profile",
     "approx_distinct_audit",
     "quantile_sketch_audit",

@@ -34,6 +34,7 @@ from asritha_metamorphetl_spark.sources.files import Catalog
 from asritha_metamorphetl_spark.streaming.windows import (
     hourly_event_counts,
     interval_self_join,
+    interval_self_join_outer,
 )
 
 _AWAIT_SEC = 120
@@ -259,4 +260,43 @@ def streaming_interval_join_parity(spark: SparkSession, sf_dir: str) -> DataFram
     (streaming/windows.interval_self_join)."""
     stream = Catalog(sf_dir).stream(spark, "events")
     joined = interval_self_join(stream, "view", "purchase", gap="1 hour")
+    return _materialize(joined, mode="append", state_partitions=8)
+
+
+@register(
+    "streaming_outer_join_parity",
+    # Batch twin: LEFT JOIN with the same double-bounded interval. The
+    # WHERE clause is the WATERMARK CLOSABILITY RULE, verified exactly:
+    # a left row may only be declared unmatched once the watermark
+    # (final value: max event time - 2h delay) passes its join horizon
+    # (v.ts + 1h gap) — so unmatched views emit iff
+    # v.ts + 3h <= max(ts); later unmatched views stay in state forever
+    # on a bounded run. Matched pairs emit regardless. A Spark release
+    # that changed outer-emission timing would break this hash.
+    oracle="""
+SELECT v.user_id,
+       v.event_id AS left_id,
+       p.event_id AS right_id,
+       epoch_us(v.ts) AS left_us,
+       epoch_us(p.ts) AS right_us
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND v.ts <= p.ts
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+WHERE p.event_id IS NOT NULL
+   OR v.ts + INTERVAL 3 HOUR <= (SELECT MAX(ts) FROM events)
+""",
+)
+def streaming_outer_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join run as a real streaming
+    query. Outer rows only emit when the watermark passes their join
+    horizon — the part of stream-stream joins most pipelines get wrong
+    (outer results are late by gap + watermark delay, and the tail of a
+    bounded run never closes). The oracle encodes that closability rule
+    explicitly, so this parity check pins Spark's documented emission
+    semantics, not just the join condition
+    (streaming/windows.interval_self_join_outer)."""
+    stream = Catalog(sf_dir).stream(spark, "events")
+    joined = interval_self_join_outer(stream, "view", "purchase", gap="1 hour")
     return _materialize(joined, mode="append", state_partitions=8)

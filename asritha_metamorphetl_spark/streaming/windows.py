@@ -134,6 +134,36 @@ def interval_self_join(
 
     Join keys are (user_id, time-range); the equality key hash-
     partitions both sides so each user's state co-locates on one task."""
+    return _interval_join(events, left_type, right_type, gap, watermark, "inner")
+
+
+def interval_self_join_outer(
+    events: DataFrame,
+    left_type: str,
+    right_type: str,
+    gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER variant of :func:`interval_self_join`: left events with
+    no match in the window emit once with a null right side — but only
+    when the right watermark has passed their join horizon (before that,
+    a match could still arrive). This is the stream-stream case people
+    get wrong: outer results are inherently LATE by the watermark delay,
+    and rows arriving after the watermark are dropped. Under an
+    AvailableNow backfill the final watermark sweep flushes every
+    unmatched left, so the bounded result equals the batch LEFT JOIN —
+    which is exactly what the parity query checks."""
+    return _interval_join(events, left_type, right_type, gap, watermark, "leftOuter")
+
+
+def _interval_join(
+    events: DataFrame,
+    left_type: str,
+    right_type: str,
+    gap: str,
+    watermark: str,
+    how: str,
+) -> DataFrame:
     v = (
         events.filter(F.col("event_type") == left_type)
         .withWatermark("ts", watermark)
@@ -158,10 +188,13 @@ def interval_self_join(
             f"v_user = user_id AND v_ts <= p_ts "
             f"AND v_ts >= p_ts - INTERVAL {gap}"
         ),
-        "inner",
+        how,
+    )
+    out_user = (
+        F.col("v_user") if how == "leftOuter" else F.col("user_id")
     )
     return joined.select(
-        "user_id",
+        out_user.alias("user_id"),
         "left_id",
         "right_id",
         F.unix_micros("v_ts").alias("left_us"),

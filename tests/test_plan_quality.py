@@ -316,3 +316,17 @@ def test_incremental_state_merge_has_partial_aggregates(spark):
     assert "CartesianProduct" not in plan
     # partial + final pairs: 3 batch states + 1 merge = at least 8 nodes
     assert plan.count("HashAggregate") >= 8
+
+
+def test_bigram_lm_stays_jvm_side_hash_joins(spark):
+    """LM scoring: bigram explosion is a JVM HOF (no Python eval) and
+    the model joins are equi-joins — never a cartesian or a broadcast
+    of something corpus-sized forced by hint."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    df = all_queries()["bigram_lm_scores"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    logical = str(df._jdf.queryExecution().optimizedPlan().toString())
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical

@@ -133,3 +133,73 @@ def test_global_percent_rank_matches_window(spark, rows):
     got = sorted((r.id, r.amount, round(r.percent_rank, 12)) for r in ours.collect())
     want = sorted((r.id, r.amount, round(r.ref_pr, 12)) for r in ref.collect())
     assert got == want
+
+
+cdc_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),    # key
+        st.sampled_from(["I", "U", "D"]),          # op
+        st.integers(min_value=0, max_value=60),    # payload value
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(ops=cdc_strategy)
+@settings(**_SETTINGS)
+def test_cdc_apply_matches_reference_model(spark, ops):
+    """cdc_apply == a sequential dict replay of the changelog (unique
+    seqs assigned by position), for any base overlap."""
+    from pyspark.sql import Row
+
+    from asritha_metamorphetl_spark.operators.cdc import cdc_apply
+
+    base_rows = [Row(k=k, v=k * 100) for k in range(0, 5)]
+    base = spark.createDataFrame(base_rows, schema="k int, v int")
+    log_rows = [
+        Row(k=k, v=v, op=op, seq=i) for i, (k, op, v) in enumerate(ops)
+    ]
+    # reference: replay in seq order over a dict
+    model = {r.k: r.v for r in base_rows}
+    for k, op, v in ops:
+        if op == "D":
+            model.pop(k, None)
+        else:
+            model[k] = v
+    log = spark.createDataFrame(
+        log_rows, schema="k int, v int, op string, seq int"
+    )
+    got = {
+        r.k: r.v for r in cdc_apply(base, log, keys=["k"]).collect()
+    }
+    assert got == model
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(-1000, 1000)),
+        min_size=1, max_size=30,
+    ),
+    cut=st.integers(min_value=0, max_value=30),
+)
+@settings(**_SETTINGS)
+def test_incremental_state_split_invariance(spark, vals, cut):
+    """state(all) == merge(state(head), state(tail)) for any split."""
+    from asritha_metamorphetl_spark.operators.incremental import (
+        agg_state,
+        merge_agg_states,
+    )
+
+    cut = min(cut, len(vals))
+    schema = "k int, v int"
+    full = spark.createDataFrame(vals, schema=schema)
+    want = sorted(agg_state(full, ["k"], "v").collect())
+    head = spark.createDataFrame(vals[:cut] or [], schema=schema)
+    tail = spark.createDataFrame(vals[cut:] or [], schema=schema)
+    got = sorted(
+        merge_agg_states(
+            agg_state(head, ["k"], "v"), agg_state(tail, ["k"], "v")
+        ).collect()
+    )
+    assert got == want
