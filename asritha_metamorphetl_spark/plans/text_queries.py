@@ -503,14 +503,19 @@ SELECT
 def knn_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuously-checked ANN quality: multi-probe LSH top-k scored
     against the exact brute-force top-k, the vector-side twin of
-    ``minhash_recall_eval``. The three counts are 1-row aggregates
-    cross-joined (no driver collect); a hyperplane / probe-selection
-    regression shows up as a dropped recall value in CORRECTNESS rather
-    than a silent quality drift. Fixture recall ≥ 0.94 at these knobs."""
+    ``minhash_recall_eval`` — and the same single-pass shape: the two
+    pair sets meet in ONE full-outer join with membership flags and
+    collapse in one global aggregate, so the brute-force scorer and the
+    LSH pipeline each execute exactly once. A hyperplane /
+    probe-selection regression shows up as a dropped recall value in
+    CORRECTNESS rather than a silent quality drift. Fixture recall
+    ≥ 0.94 at these knobs."""
     emb = Catalog(sf_dir).load(spark, "embeddings")
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
-    truth = brute_force_topk(emb, queries, "vec_id", "embedding", k=KNN_K).select(
-        "query_id", "neighbor_id"
+    truth = (
+        brute_force_topk(emb, queries, "vec_id", "embedding", k=KNN_K)
+        .select("query_id", "neighbor_id")
+        .withColumn("in_t", F.lit(1))
     )
     approx = lsh_bucketed_topk(
         emb,
@@ -522,15 +527,19 @@ def knn_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_planes=LSH_PLANES,
         n_tables=LSH_TABLES,
         probe_flips=LSH_PROBE_FLIPS,
-    ).select("query_id", "neighbor_id")
-    hits = truth.join(approx, ["query_id", "neighbor_id"])
-    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
-    n_approx = approx.agg(F.count(F.lit(1)).cast("bigint").alias("n_approx"))
-    n_hits = hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    ).select("query_id", "neighbor_id").withColumn("in_a", F.lit(1))
+    both = truth.join(approx, ["query_id", "neighbor_id"], "full_outer")
+    counts = both.agg(
+        F.sum("in_t").cast("bigint").alias("n_truth"),
+        F.sum("in_a").cast("bigint").alias("n_approx"),
+        F.sum(F.col("in_t") * F.col("in_a")).cast("bigint").alias("n_hits"),
+    )
     return (
-        n_truth.crossJoin(n_approx)
-        .crossJoin(n_hits)
-        .select(
+        counts.select(
+            F.coalesce(F.col("n_truth"), F.lit(0)).alias("n_truth"),
+            F.coalesce(F.col("n_approx"), F.lit(0)).alias("n_approx"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        ).select(
             "n_truth",
             "n_approx",
             "n_hits",
