@@ -72,6 +72,47 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    **options: str,
+) -> tuple[DataFrame, DataFrame]:
+    """CSV scan that ROUTES malformed rows instead of dropping or dying.
+
+    The reference's loader is all-or-nothing: FAILFAST kills a 100 TB
+    backfill at the first bad row, DROPMALFORMED silently loses data.
+    The production pattern is a dead-letter channel: read PERMISSIVE
+    with a corrupt-record column, split once, land the bad raw lines in
+    a quarantine sink for replay/alerting while the clean frame flows
+    on. Returns ``(good, bad)`` — ``good`` has exactly the contract
+    columns; ``bad`` is ``(_corrupt_record)`` raw lines. One scan, one
+    predicate; both sides share the cached parse."""
+    from pyspark.sql.types import StringType, StructField
+
+    corrupt = "_corrupt_record"
+    # build a fresh StructType: StructType.add mutates the receiver,
+    # which would silently widen the caller's contract object
+    full = StructType([*schema.fields, StructField(corrupt, StringType())])
+    parsed = (
+        spark.read.options(
+            header=str(header).lower(),
+            mode="PERMISSIVE",
+            columnNameOfCorruptRecord=corrupt,
+            **options,
+        )
+        .schema(full)
+        .csv(path)
+        # cache the parse so good/bad split doesn't re-scan; unpersist is
+        # the caller's choice once both sides are consumed
+        .cache()
+    )
+    good = parsed.filter(F.col(corrupt).isNull()).drop(corrupt)
+    bad = parsed.filter(F.col(corrupt).isNotNull()).select(corrupt)
+    return good, bad
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,

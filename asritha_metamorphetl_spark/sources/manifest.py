@@ -150,7 +150,11 @@ class SnapshotTable:
         if v not in versions:
             raise FileNotFoundError(f"version {v} not in {versions}")
         dirs = self._read_manifest(v)["data_dirs"]
-        return self.spark.read.parquet(*dirs)
+        # mergeSchema: additive evolution across commits — a later commit
+        # may carry new columns; older files surface them as NULL. The
+        # manifest records each commit's schema, so an audit can diff
+        # them; the read just unifies.
+        return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
 
     def changes(self, since: int, until: int | None = None) -> DataFrame:
         """Rows ADDED by append commits in ``(since, until]`` — the

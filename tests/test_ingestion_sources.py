@@ -268,3 +268,51 @@ def test_jsonl_source(spark, tmp_path):
     # dispatcher route
     via_registry = read(spark, "jsonl", path=str(p), schema=schema)
     assert via_registry.collect() == df.collect()
+
+
+def test_csv_quarantine_routes_malformed_rows(spark, tmp_path):
+    """Dead-letter channel: bad rows land in quarantine with their raw
+    line; good rows flow on with exactly the contract columns."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from asritha_metamorphetl_spark.sources.files import read_csv_quarantine
+
+    p = tmp_path / "feed.csv"
+    p.write_text(
+        "id,name,qty\n"
+        "1,alpha,10\n"
+        "2,beta,not_a_number\n"  # type violation -> quarantine
+        "3,gamma,30\n"
+    )
+    schema = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("name", StringType()),
+            StructField("qty", IntegerType()),
+        ]
+    )
+    good, bad = read_csv_quarantine(spark, str(p), schema)
+    assert len(schema.fields) == 3  # caller's contract object not mutated
+    assert good.columns == ["id", "name", "qty"]
+    assert sorted(r.id for r in good.collect()) == [1, 3]
+    bad_rows = [r._corrupt_record for r in bad.collect()]
+    assert bad_rows == ["2,beta,not_a_number"]
+
+
+def test_csv_quarantine_all_good_feed_is_empty_quarantine(spark, tmp_path):
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from asritha_metamorphetl_spark.sources.files import read_csv_quarantine
+
+    p = tmp_path / "clean.csv"
+    p.write_text("a,b\n1,2\n3,4\n")
+    schema = StructType(
+        [StructField("a", IntegerType()), StructField("b", IntegerType())]
+    )
+    good, bad = read_csv_quarantine(spark, str(p), schema)
+    assert good.count() == 2 and bad.count() == 0

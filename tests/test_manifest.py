@@ -83,3 +83,20 @@ def test_racing_writers_cannot_publish_same_version(spark, tmp_path):
     t.commit(_batch(spark, 0, 5))
     with pytest.raises(RuntimeError, match="concurrent commit"):
         t._write_manifest(1, {"version": 1, "mode": "append", "data_dirs": []})
+
+
+def test_additive_schema_evolution_across_commits(spark, tmp_path):
+    """A later commit may add columns; the unified read surfaces them
+    with NULLs for older files, and time travel still sees the old
+    shape."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(_batch(spark, 0, 5))
+    from pyspark.sql import functions as F
+
+    widened = _batch(spark, 5, 8).withColumn("src", F.lit("web"))
+    t.commit(widened)
+    latest = t.read()
+    assert set(latest.columns) == {"k", "v", "src"}
+    rows = {r.k: r.src for r in latest.collect()}
+    assert rows[0] is None and rows[5] == "web"
+    assert set(t.read(version=1).columns) == {"k", "v"}
