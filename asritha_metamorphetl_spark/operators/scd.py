@@ -95,3 +95,40 @@ def scd2_apply(
         .unionByName(untouched)
         .unionByName(new_rows)
     )
+
+
+def scd2_asof_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time join: each fact row gets the dimension VERSION that
+    was valid at the fact's own time (``effective_from <= ts`` and
+    ``ts < effective_to``, open current version included). This is what
+    makes reports time-correct — joining facts to ``is_current`` instead
+    silently rewrites history with today's attributes (and makes a
+    training-data snapshot unreproducible).
+
+    Scale shape: a hash equi-join on the business key with the bracket
+    as a residual post-join filter. Per-key fan-out before the filter is
+    the key's version count — bounded by update cadence, not data size —
+    so this never degenerates toward a cartesian the way a pure range
+    join would. At most one version matches each fact (brackets are
+    disjoint by construction), so no dedup pass is needed."""
+    keys = list(keys)
+    f = facts.alias("f")
+    d = dim.alias("d")
+    ts = F.col(f"f.{ts_col}")
+    cond = [F.col(f"f.{k}") == F.col(f"d.{k}") for k in keys]
+    cond.append(F.col("d.effective_from") <= ts)
+    cond.append(
+        F.col("d.effective_to").isNull() | (ts < F.col("d.effective_to"))
+    )
+    dim_cols = [
+        F.col(f"d.{c}").alias(c) for c in dim.columns if c not in keys
+    ]
+    fact_cols = [F.col(f"f.{c}").alias(c) for c in facts.columns]
+    joined = f.join(d, cond, how)
+    return joined.select(*fact_cols, *dim_cols)

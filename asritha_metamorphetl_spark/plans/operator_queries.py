@@ -1107,7 +1107,10 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 SCD2_CUTOFFS = ("1994-01-01", "1995-06-01", "1996-12-01")
 
 
-def _scd2_oracle() -> str:
+def _scd2_dim_sql() -> str:
+    """SQL subquery reconstructing the SCD2 customer dimension (DATE-
+    typed brackets) — shared by the scd2_order_history oracle and the
+    point-in-time join oracle."""
     snaps = "\nUNION ALL\n".join(
         f"""SELECT o_custkey AS custkey, DATE '{c}' AS cutoff,
        (SELECT o.o_orderstatus FROM orders o
@@ -1122,44 +1125,42 @@ GROUP BY o_custkey"""
         for c in SCD2_CUTOFFS
     )
     return f"""
-WITH snap AS (
-{snaps}
-),
-with_prev AS (
-    SELECT *,
-           LAG(last_status) OVER w AS p_status,
-           LAG(n_orders) OVER w AS p_n
-    FROM snap
-    WINDOW w AS (PARTITION BY custkey ORDER BY cutoff)
-),
-changes AS (
+SELECT custkey, last_status, CAST(n_orders AS BIGINT) AS n_orders,
+       cutoff AS effective_from,
+       LEAD(cutoff) OVER w AS effective_to,
+       LEAD(cutoff) OVER w IS NULL AS is_current
+FROM (
     SELECT custkey, cutoff, last_status, n_orders
-    FROM with_prev
+    FROM (
+        SELECT *,
+               LAG(last_status) OVER v AS p_status,
+               LAG(n_orders) OVER v AS p_n
+        FROM (
+{snaps}
+        )
+        WINDOW v AS (PARTITION BY custkey ORDER BY cutoff)
+    )
     WHERE p_n IS NULL OR p_status IS DISTINCT FROM last_status
        OR p_n IS DISTINCT FROM n_orders
 )
-SELECT custkey, last_status, CAST(n_orders AS BIGINT) AS n_orders,
-       strftime(cutoff, '%Y-%m-%d') AS effective_from,
-       strftime(LEAD(cutoff) OVER w, '%Y-%m-%d') AS effective_to,
-       LEAD(cutoff) OVER w IS NULL AS is_current
-FROM changes
 WINDOW w AS (PARTITION BY custkey ORDER BY cutoff)
 """
 
 
-@register("scd2_order_history", oracle=_scd2_oracle())
-def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 merge exercised end-to-end: a per-customer dimension
-    (last order status by (date, orderkey), cumulative order count) is
-    snapshotted at three cutoffs and folded through scd2_init +
-    scd2_apply. A customer gets a new version row exactly at the cutoffs
-    where a tracked attribute changed; the closed version's effective_to
-    is the closing batch's date. The oracle reconstructs the identical
-    bracketing declaratively with LAG/LEAD over the change rows.
+def _scd2_oracle() -> str:
+    return f"""
+SELECT custkey, last_status, n_orders,
+       strftime(effective_from, '%Y-%m-%d') AS effective_from,
+       strftime(effective_to, '%Y-%m-%d') AS effective_to,
+       is_current
+FROM ({_scd2_dim_sql()})
+"""
 
-    Scale shape: each merge is one key-shuffled (or broadcast) join plus
-    disjoint unions — no windows over the dimension, no driver state
-    (operators/scd.py docstring)."""
+
+def _orders_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the SCD2 customer dimension by folding three cutoff
+    snapshots through scd2_init + scd2_apply (DATE-typed brackets) —
+    shared by scd2_order_history and the point-in-time join query."""
     import datetime as dt
 
     from asritha_metamorphetl_spark.operators.scd import scd2_apply, scd2_init
@@ -1187,6 +1188,23 @@ def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             tracked=["last_status", "n_orders"],
             batch_date=batch_date,
         )
+    return dim
+
+
+@register("scd2_order_history", oracle=_scd2_oracle())
+def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge exercised end-to-end: a per-customer dimension
+    (last order status by (date, orderkey), cumulative order count) is
+    snapshotted at three cutoffs and folded through scd2_init +
+    scd2_apply. A customer gets a new version row exactly at the cutoffs
+    where a tracked attribute changed; the closed version's effective_to
+    is the closing batch's date. The oracle reconstructs the identical
+    bracketing declaratively with LAG/LEAD over the change rows.
+
+    Scale shape: each merge is one key-shuffled (or broadcast) join plus
+    disjoint unions — no windows over the dimension, no driver state
+    (operators/scd.py docstring)."""
+    dim = _orders_scd2_dim(spark, sf_dir)
     # Dates out as ISO strings: both comparison harnesses (driver and
     # pytest) stringify pandas frames, and DuckDB DATE arrives in pandas
     # as Timestamp while Spark's arrives as date — strings compare
@@ -1198,4 +1216,57 @@ def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("effective_from", "yyyy-MM-dd").alias("effective_from"),
         F.date_format("effective_to", "yyyy-MM-dd").alias("effective_to"),
         "is_current",
+    )
+
+
+@register(
+    "scd2_pointintime_totals",
+    oracle=f"""
+WITH dim AS ({_scd2_dim_sql()}),
+facts AS (
+  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS d,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT strftime(dim.effective_from, '%Y-%m-%d') AS version_from,
+       dim.last_status AS version_status,
+       COUNT(*) AS n_facts,
+       COUNT(DISTINCT facts.custkey) AS n_cust,
+       CAST(SUM(facts.cents) AS BIGINT) AS total_cents
+FROM facts
+JOIN dim
+  ON facts.custkey = dim.custkey
+ AND dim.effective_from <= facts.d
+ AND (dim.effective_to IS NULL OR facts.d < dim.effective_to)
+GROUP BY 1, 2
+""",
+)
+def scd2_pointintime_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (operators/scd.scd2_asof_join): every order
+    joins the dimension VERSION valid on its own order date — not
+    today's is_current row — then rolls up per (version start, version
+    status). Joining time-correct versions is what keeps a rebuilt
+    report (or a training-data snapshot) reproducible after the
+    dimension moves on; the oracle replays the identical bracket join
+    declaratively.
+
+    Scale shape: hash equi-join on custkey with the bracket as a
+    residual filter — per-key fan-out is the version count (≤3 here),
+    bounded by update cadence, never O(rows)."""
+    from asritha_metamorphetl_spark.operators.scd import scd2_asof_join
+
+    dim = _orders_scd2_dim(spark, sf_dir)
+    facts = Catalog(sf_dir).load(spark, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    joined = scd2_asof_join(facts, dim, keys=["custkey"], ts_col="d")
+    return joined.groupBy(
+        F.date_format("effective_from", "yyyy-MM-dd").alias("version_from"),
+        F.col("last_status").alias("version_status"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_facts"),
+        F.countDistinct("custkey").alias("n_cust"),
+        F.sum("cents").alias("total_cents"),
     )

@@ -51,6 +51,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "approx_distinct_audit",
     "quantile_sketch_audit",
     "scd2_order_history",
+    "scd2_pointintime_totals",
     "legacy_day_slice",
     "knn_lsh_recall_eval",
     "knn_lsh_topk",

@@ -151,3 +151,37 @@ def test_expect_unique_null_keys_match_sql_twin(spark):
         " FROM (VALUES (1),(1),(NULL),(NULL),(2)) t(k)"
     ).fetchone()[0]
     assert got["unique_k"] == want == 2
+
+
+def test_scd2_asof_join_selects_version_valid_at_fact_time(spark):
+    """Each fact gets the bracket covering its own timestamp; facts
+    before all versions drop on inner / null on left."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from asritha_metamorphetl_spark.operators.scd import scd2_asof_join
+
+    d = dt.date
+    dim = spark.createDataFrame(
+        [
+            Row(k=1, attr="old", effective_from=d(2020, 1, 1),
+                effective_to=d(2021, 1, 1), is_current=False),
+            Row(k=1, attr="new", effective_from=d(2021, 1, 1),
+                effective_to=None, is_current=True),
+        ]
+    )
+    facts = spark.createDataFrame(
+        [
+            Row(k=1, ts=d(2019, 6, 1), x=1),   # pre-history
+            Row(k=1, ts=d(2020, 6, 1), x=2),   # old version
+            Row(k=1, ts=d(2021, 1, 1), x=3),   # boundary: new (from <= ts)
+            Row(k=1, ts=d(2025, 1, 1), x=4),   # open current version
+        ]
+    )
+    inner = {r.x: r.attr for r in
+             scd2_asof_join(facts, dim, ["k"], "ts").collect()}
+    assert inner == {2: "old", 3: "new", 4: "new"}
+    left = {r.x: r.attr for r in
+            scd2_asof_join(facts, dim, ["k"], "ts", how="left").collect()}
+    assert left == {1: None, 2: "old", 3: "new", 4: "new"}
