@@ -548,3 +548,129 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-sampled source mixture — the dataset-mixing step between
+# per-source caps and training: quotas follow n^(1/2) (temperature-
+# flattened), selection stays the deterministic md5 order. Integer
+# arithmetic end to end: floor(sqrt(n)) is exact cross-engine (IEEE
+# sqrt is correctly rounded), everything after is BIGINT div.
+# ---------------------------------------------------------------------------
+
+#: Keep 40% of the corpus overall, distributed across sources by sqrt
+#: weight (alpha = 0.5 temperature) — over-represented sources are
+#: flattened, small sources keep proportionally more.
+MIX_TARGET_PCT = 40
+
+
+@register(
+    "temperature_mix_sample",
+    oracle=f"""
+WITH counts AS (
+    SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+),
+w AS (
+    SELECT source, CAST(n AS BIGINT) AS n,
+           CAST(FLOOR(SQRT(n)) AS BIGINT) AS wt
+    FROM counts
+),
+tot AS (
+    SELECT CAST(SUM(wt) AS BIGINT) AS tw, CAST(SUM(n) AS BIGINT) AS tn
+    FROM w
+),
+quota AS (
+    SELECT source, n, wt,
+           (((tn * {MIX_TARGET_PCT}) // 100) * wt) // tw AS quota
+    FROM w, tot
+),
+ranked AS (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+    FROM documents
+),
+kept AS (
+    SELECT r.source, r.doc_id, r.rk
+    FROM ranked r JOIN quota q ON r.source = q.source
+    WHERE r.rk <= q.quota
+)
+SELECT q.source, q.n AS n_total, q.wt AS weight, q.quota,
+       COUNT(k.doc_id) AS n_kept,
+       md5(string_agg(CAST(k.doc_id AS VARCHAR), ',' ORDER BY k.rk))
+           AS kept_sig
+FROM quota q LEFT JOIN kept k ON q.source = k.source
+GROUP BY q.source, q.n, q.wt, q.quota
+""",
+)
+def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture: per-source quotas proportional to
+    sqrt(count) (alpha=0.5), summing to ~MIX_TARGET_PCT% of the corpus;
+    selection inside each source is the engine's deterministic md5
+    order (same machinery as source_quota_sample, pre-pruned per
+    physical partition — no one-task-per-source window). The kept set
+    is pinned by an order-sensitive signature, so the oracle verifies
+    WHICH documents the mixture keeps, not just how many.
+
+    The quota table is materialized driver-side — O(#sources) rows, the
+    same bounded-cardinality contract as IVF's centroid collect; the
+    documents themselves never leave the executors."""
+    from asritha_metamorphetl_spark.operators.ranks import top_k_per_group
+
+    docs = Catalog(sf_dir).load(spark, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w = counts.withColumn("wt", F.floor(F.sqrt(F.col("n"))).cast("long"))
+    rows = w.crossJoin(
+        F.broadcast(
+            w.agg(
+                F.sum("wt").alias("tw"),
+                F.sum("n").alias("tn"),
+            )
+        )
+    ).select(
+        "source",
+        F.col("n").cast("long").alias("n"),
+        "wt",
+        F.expr(f"(((tn * {MIX_TARGET_PCT}) div 100) * wt) div tw").alias(
+            "quota"
+        ),
+    ).collect()
+    kmax = max((r.quota for r in rows), default=0)
+    quota = F.broadcast(
+        spark.createDataFrame(rows, schema="source string, n long, wt long, quota long")
+    )
+
+    hk = F.md5(F.col("doc_id").cast("string"))
+    ranked = top_k_per_group(
+        docs.select("doc_id", "source", hk.alias("hk")),
+        ["source"],
+        [F.col("hk"), F.col("doc_id")],
+        k=max(int(kmax), 1),
+        out_col="rk",
+    )
+    kept = ranked.join(quota.select("source", "quota"), "source").filter(
+        F.col("rk") <= F.col("quota")
+    )
+    kept_agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.collect_list(F.struct("rk", "doc_id"))
+                ).getField("doc_id").cast("array<string>"),
+            )
+        ).alias("kept_sig"),
+    )
+    return (
+        quota.join(kept_agg, "source", "left")
+        .select(
+            "source",
+            F.col("n").alias("n_total"),
+            F.col("wt").alias("weight"),
+            "quota",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            "kept_sig",
+        )
+    )

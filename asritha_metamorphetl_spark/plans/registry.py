@@ -80,6 +80,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "pii_scrub_profile",
     "stratified_label_sample",
     "source_quota_sample",
+    "temperature_mix_sample",
     "packed_training_sequences",
     "packed_sequence_stats",
     "doc_chunks",
