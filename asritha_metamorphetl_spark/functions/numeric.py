@@ -17,6 +17,8 @@ partition count is a correctness bug, not a rounding detail.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -86,4 +88,36 @@ def morton_key_sql(x: str, y: str, bits: int = 16) -> str:
     verify the interleave itself, not just downstream aggregates."""
     terms = [f"((({x} >> {i}) & 1) << {2 * i})" for i in range(bits)]
     terms += [f"((({y} >> {i}) & 1) << {2 * i + 1})" for i in range(bits)]
+    return "(" + " | ".join(terms) + ")"
+
+
+def morton_key_n(cols: Sequence[Column], bits: int = 16) -> Column:
+    """N-dimensional Morton interleave: bit i of column j lands at
+    position ``i * d + j`` (the 2-column ``morton_key`` is the d=2
+    layout). Keep ``d * bits <= 62`` for a LongType code. Use for
+    3-4-column clustered layouts (e.g. tenant x day x region); beyond
+    that, per-dimension resolution drops too low to prune well."""
+    d = len(cols)
+    if d == 0:
+        raise ValueError("morton_key_n needs at least one column")
+    if d * bits > 62:
+        raise ValueError(f"{d} cols x {bits} bits overflows a long")
+    out = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        ic = c.cast("long")
+        for i in range(bits):
+            out = out.bitwiseOR(
+                F.shiftleft(F.shiftright(ic, i).bitwiseAND(F.lit(1)), i * d + j)
+            )
+    return out
+
+
+def morton_key_n_sql(cols: Sequence[str], bits: int = 16) -> str:
+    """``morton_key_n`` as ANSI SQL, bit-for-bit equal."""
+    d = len(cols)
+    terms = [
+        f"((({c} >> {i}) & 1) << {i * d + j})"
+        for j, c in enumerate(cols)
+        for i in range(bits)
+    ]
     return "(" + " | ".join(terms) + ")"

@@ -163,3 +163,60 @@ def test_compact_parquet_with_sort_recovers_clustering(spark, tmp_path):
     assert stats["files_after"] >= 4
     clustered = _coverage(f"{path}/part-*.parquet", "o_custkey", lo, hi)
     assert clustered < 0.5, (scattered, clustered)
+
+
+def test_morton_key_n_matches_python_and_sql_at_3d(spark):
+    """3-dimensional interleave: Spark expression == pure-python
+    reference == generated SQL, and d=2 layout equals morton_key."""
+    import duckdb
+
+    from asritha_metamorphetl_spark.functions.numeric import (
+        morton_key_n,
+        morton_key_n_sql,
+    )
+
+    def py_morton_n(vals, bits):
+        d = len(vals)
+        z = 0
+        for j, v in enumerate(vals):
+            for i in range(bits):
+                z |= ((v >> i) & 1) << (i * d + j)
+        return z
+
+    pts = [(0, 0, 0), (1, 2, 3), (7, 5, 6), (7, 7, 7), (3, 0, 7)]
+    df = spark.createDataFrame(pts, ["x", "y", "z"])
+    got = {
+        (r.x, r.y, r.z): r.m
+        for r in df.withColumn(
+            "m", morton_key_n([F.col("x"), F.col("y"), F.col("z")], bits=3)
+        ).collect()
+    }
+    con = duckdb.connect()
+    expr = morton_key_n_sql(["x", "y", "z"], bits=3)
+    for x, y, z in pts:
+        want = py_morton_n((x, y, z), 3)
+        assert got[(x, y, z)] == want
+        (sql_m,) = con.sql(
+            f"SELECT {expr} FROM (SELECT {x} AS x, {y} AS y, {z} AS z)"
+        ).fetchone()
+        assert sql_m == want
+    con.close()
+
+    # d=2 layout equality with morton_key
+    two = spark.createDataFrame([(170, 85)], ["x", "y"])
+    a = two.select(morton_key(F.col("x"), F.col("y"), bits=8).alias("m")).first().m
+    b = two.select(
+        morton_key_n([F.col("x"), F.col("y")], bits=8).alias("m")
+    ).first().m
+    assert a == b
+
+
+def test_morton_key_n_overflow_guard(spark):
+    import pytest
+
+    from asritha_metamorphetl_spark.functions.numeric import morton_key_n
+
+    with pytest.raises(ValueError, match="overflows"):
+        morton_key_n([F.col("a")] * 4, bits=16)
+    with pytest.raises(ValueError, match="at least one"):
+        morton_key_n([], bits=8)
