@@ -203,3 +203,41 @@ def test_incremental_state_split_invariance(spark, vals, cut):
         ).collect()
     )
     assert got == want
+
+
+snapshot_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["append", "overwrite"]),
+        st.integers(min_value=1, max_value=5),  # batch size
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(ops=snapshot_ops)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_snapshot_table_matches_model(spark, ops, tmp_path_factory):
+    """Random append/overwrite sequences: every historical version reads
+    back exactly what a python list model says it contained."""
+    from pyspark.sql import Row
+
+    from asritha_metamorphetl_spark.sources.manifest import SnapshotTable
+
+    root = str(tmp_path_factory.mktemp("snap"))
+    t = SnapshotTable(spark, root)
+    model: list[list[int]] = []  # model[v-1] = sorted keys at version v
+    next_key = 0
+    for mode, size in ops:
+        keys = list(range(next_key, next_key + size))
+        next_key += size
+        df = spark.createDataFrame([Row(k=k) for k in keys])
+        t.commit(df, mode=mode)
+        prev = model[-1] if (model and mode == "append") else []
+        model.append(sorted(prev + keys))
+    assert t.versions() == list(range(1, len(model) + 1))
+    for v, want in enumerate(model, start=1):
+        got = sorted(r.k for r in t.read(version=v).collect())
+        assert got == want, (v, got, want)
