@@ -90,6 +90,60 @@ def legacy_day_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder3_oracle() -> str:
+    from asritha_metamorphetl_spark.functions.numeric import morton_key_n_sql
+
+    z = morton_key_n_sql(["xb", "yb", "zb"], bits=6)
+    return f"""
+WITH base AS (
+  SELECT o_custkey % 64 AS xb,
+         LEAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 40000, 63) AS yb,
+         o_orderkey % 64 AS zb
+  FROM orders
+)
+SELECT ({z} >> 9) AS zbucket,
+       COUNT(*) AS n,
+       MIN(xb) AS min_x, MAX(xb) AS max_x,
+       MIN(yb) AS min_y, MAX(yb) AS max_y,
+       MIN(zb) AS min_z, MAX(zb) AS max_z
+FROM base
+GROUP BY ({z} >> 9)
+"""
+
+
+@register("zorder3_layout_profile", oracle=_zorder3_oracle())
+def zorder3_layout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-dimensional Morton code (customer x price-band x key band,
+    6 bits each) profiled per 512-code z-range: every bucket's bounding
+    box stays small in ALL THREE dimensions — the layout for tables
+    queried along three independent axes (tenant x day x region). The
+    oracle runs the identical generated 18-bit interleave
+    (functions/numeric.morton_key_n + morton_key_n_sql); same pure
+    shift/mask projection + hash aggregate as the 2-D profile."""
+    from asritha_metamorphetl_spark.functions.numeric import morton_key_n
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = Catalog(sf_dir).load(spark, "orders").select(
+        (F.col("o_custkey") % 64).alias("xb"),
+        F.least(F.floor(cents / 40000), F.lit(63)).cast("long").alias("yb"),
+        (F.col("o_orderkey") % 64).alias("zb"),
+    )
+    z = morton_key_n([F.col("xb"), F.col("yb"), F.col("zb")], bits=6)
+    return (
+        base.withColumn("zbucket", F.shiftright(z, 9))
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("xb").alias("min_x"),
+            F.max("xb").alias("max_x"),
+            F.min("yb").alias("min_y"),
+            F.max("yb").alias("max_y"),
+            F.min("zb").alias("min_z"),
+            F.max("zb").alias("max_z"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # CDC changelog apply — the incremental alternative to the reference's
 # full daily snapshot rewrite (ingestion_task.py re-writes every row

@@ -48,6 +48,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "streaming_interval_join_parity",
     "streaming_outer_join_parity",
     "zorder_layout_profile",
+    "zorder3_layout_profile",
     "approx_distinct_audit",
     "quantile_sketch_audit",
     "scd2_order_history",
