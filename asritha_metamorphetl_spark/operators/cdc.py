@@ -55,6 +55,36 @@ def cdc_latest(
     )
 
 
+def cdc_merge_batch(
+    state: DataFrame | None,
+    changelog: DataFrame,
+    keys: Sequence[str],
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Fold one changelog batch into a TOMBSTONE-RETAINING state table.
+
+    ``state`` holds, per key, the winning record so far INCLUDING its
+    op and sequence ('D' rows stay as tombstones); ``None`` starts a
+    fresh table. Because every record keeps its sequence and deletes
+    are data, this merge is order-independent and idempotent across
+    batches: replaying batches in any order (or twice) converges to the
+    same state — exactly what a micro-batch upsert sink needs when the
+    source may deliver files out of order. Contrast ``cdc_apply``,
+    which produces a clean snapshot but requires batches applied in
+    sequence order (it drops tombstones and sequences).
+
+    Read the live table with :func:`cdc_live`. Tombstones are garbage —
+    vacuum them only once upstream can no longer emit older sequences
+    for those keys (a watermark on the sequence domain)."""
+    u = changelog if state is None else state.unionByName(changelog)
+    return cdc_latest(u, keys, seq_col)
+
+
+def cdc_live(state: DataFrame, op_col: str = "op") -> DataFrame:
+    """The live rows of a tombstone-retaining CDC state table."""
+    return state.filter(F.col(op_col) != "D")
+
+
 def cdc_apply(
     base: DataFrame,
     changelog: DataFrame,

@@ -219,6 +219,34 @@ def streaming_dedup(
     )
 
 
+def cdc_upsert_stream(
+    changelog: DataFrame,
+    table,
+    keys: list[str],
+    seq_col: str = "seq",
+):
+    """Streaming upsert sink: each micro-batch of a CDC changelog folds
+    into a :class:`~asritha_metamorphetl_spark.sources.manifest.SnapshotTable`
+    via the tombstone-retaining ``cdc_merge_batch`` — the lakehouse
+    MERGE-on-stream pattern on plain parquet. Every micro-batch
+    publishes a new atomic version (readers never tear), history stays
+    time-travelable, and because the merge is order-independent and
+    idempotent, out-of-order file arrivals and Spark's at-least-once
+    ``foreachBatch`` retries both converge to the same state. Read the
+    live rows with ``cdc_live(table.read())``.
+
+    Returns the DataStreamWriter — caller adds checkpoint/trigger and
+    ``.start()``."""
+    from asritha_metamorphetl_spark.operators.cdc import cdc_merge_batch
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        state = table.read() if table.versions() else None
+        merged = cdc_merge_batch(state, batch_df, keys, seq_col)
+        table.commit(merged, mode="overwrite")
+
+    return changelog.writeStream.foreachBatch(apply_batch)
+
+
 def snapshot_stream(events: DataFrame, raw_path: str, legacy_path: str):
     """The reference's raw/legacy dual-write as a streaming sink: each
     micro-batch overwrites the ``raw`` staging area and appends a

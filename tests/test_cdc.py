@@ -72,3 +72,95 @@ def test_cdc_empty_changelog_is_identity(spark):
     assert sorted(out.collect(), key=lambda r: r.k) == sorted(
         base.collect(), key=lambda r: r.k
     )
+
+
+def test_cdc_merge_batch_is_order_independent_and_idempotent(spark):
+    """Tombstone-retaining merge: any batch order (and replays)
+    converge; a late lower-seq update cannot resurrect a deleted key."""
+    from pyspark.sql import functions as F
+
+    from asritha_metamorphetl_spark.operators.cdc import (
+        cdc_live,
+        cdc_merge_batch,
+    )
+
+    b1 = spark.createDataFrame(
+        [Row(k=1, val="x", amt=1, op="U", seq=10),
+         Row(k=2, val=None, amt=None, op="D", seq=9)]
+    )
+    b2 = spark.createDataFrame(
+        [Row(k=1, val="y", amt=2, op="U", seq=5),   # older than b1's
+         Row(k=2, val="z", amt=3, op="U", seq=4),   # older than delete
+         Row(k=3, val="w", amt=4, op="I", seq=1)]
+    )
+
+    def final(*batches):
+        st = None
+        for b in batches:
+            st = cdc_merge_batch(st, b, keys=["k"])
+        return sorted(
+            (r.k, r.val, r.amt) for r in cdc_live(st).drop("op", "seq").collect()
+        )
+
+    fwd = final(b1, b2)
+    rev = final(b2, b1)
+    replay = final(b1, b2, b2, b1)
+    assert fwd == rev == replay == [(1, "x", 1), (3, "w", 4)]
+
+
+def test_cdc_upsert_stream_into_snapshot_table(spark, tmp_path):
+    """foreachBatch micro-batches land as atomic snapshot versions; the
+    final live table equals the all-at-once merge."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from asritha_metamorphetl_spark.operators.cdc import (
+        cdc_live,
+        cdc_merge_batch,
+    )
+    from asritha_metamorphetl_spark.sources.manifest import SnapshotTable
+    from asritha_metamorphetl_spark.streaming.windows import cdc_upsert_stream
+
+    schema = StructType(
+        [
+            StructField("k", IntegerType()),
+            StructField("val", StringType()),
+            StructField("op", StringType()),
+            StructField("seq", IntegerType()),
+        ]
+    )
+    src = tmp_path / "changelog"
+    src.mkdir()
+    rows1 = [Row(k=1, val="a", op="U", seq=1), Row(k=2, val="b", op="U", seq=2)]
+    rows2 = [Row(k=1, val="a2", op="U", seq=3), Row(k=2, val=None, op="D", seq=4)]
+    spark.createDataFrame(rows1, schema).write.parquet(str(src / "p1"))
+    spark.createDataFrame(rows2, schema).write.parquet(str(src / "p2"))
+
+    table = SnapshotTable(spark, str(tmp_path / "tbl"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    q = (
+        cdc_upsert_stream(stream, table, keys=["k"])
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    assert len(table.versions()) >= 2  # one atomic version per micro-batch
+    live = {r.k: r.val for r in cdc_live(table.read()).collect()}
+    want_state = cdc_merge_batch(
+        None,
+        spark.createDataFrame(rows1 + rows2, schema),
+        keys=["k"],
+    )
+    want = {r.k: r.val for r in cdc_live(want_state).collect()}
+    assert live == want == {1: "a2"}
