@@ -303,6 +303,97 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDC_RESUMABLE_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), changelog AS (
+  SELECT o_orderkey, o_custkey, cents + 500 AS cents, 'U' AS op, 10 AS seq
+  FROM base WHERE o_orderkey % 5 = 1
+  UNION ALL
+  SELECT o_orderkey, o_custkey, cents - 900, 'U', 20
+  FROM base WHERE o_orderkey % 10 = 1
+  UNION ALL
+  SELECT o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), 'D', 15
+  FROM base WHERE o_orderkey % 5 = 2
+  UNION ALL
+  SELECT o_orderkey, o_custkey, cents * 3, 'I', 5
+  FROM base WHERE o_orderkey % 5 = 2
+  UNION ALL
+  SELECT o_orderkey + 500000, o_custkey, cents, 'I', 1
+  FROM base WHERE o_orderkey % 5 = 3
+), latest AS (
+  SELECT * FROM changelog
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) = 1
+)
+SELECT o_orderkey % 40 AS bucket, COUNT(*) AS n,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(SUM(seq) AS BIGINT) AS seq_sum
+FROM latest WHERE op <> 'D'
+GROUP BY o_orderkey % 40
+"""
+
+
+@register("cdc_resumable_state", oracle=_CDC_RESUMABLE_ORACLE)
+def cdc_resumable_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORDER-INDEPENDENT CDC path (cdc_merge_batch): the changelog
+    is split into three batches by sequence band and deliberately folded
+    OUT OF ORDER (middle, newest, oldest) into the tombstone-retaining
+    state; the oracle computes plain last-writer-wins over the union.
+    Equality proves what the streaming upsert sink
+    (streaming/windows.cdc_upsert_stream) relies on: batch order and
+    replays don't matter, and a delete outranks any older update even
+    when the older update arrives last. seq_sum pins that the WINNING
+    RECORDS (not just payloads) survive the scrambled fold."""
+    from asritha_metamorphetl_spark.operators.cdc import (
+        cdc_live,
+        cdc_merge_batch,
+    )
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = Catalog(sf_dir).load(spark, "orders").select(
+        "o_orderkey", "o_custkey", cents.alias("cents")
+    )
+    k = F.col("o_orderkey")
+
+    def branch(pred, key, cust, cents_expr, op, seq):
+        return base.filter(pred).select(
+            key.alias("o_orderkey"),
+            cust.cast("long").alias("o_custkey"),
+            cents_expr.cast("long").alias("cents"),
+            F.lit(op).alias("op"),
+            F.lit(seq).cast("int").alias("seq"),
+        )
+
+    null = F.lit(None)
+    changelog = (
+        branch(k % 5 == 1, k, F.col("o_custkey"), F.col("cents") + 500, "U", 10)
+        .unionByName(branch(k % 10 == 1, k, F.col("o_custkey"),
+                            F.col("cents") - 900, "U", 20))
+        .unionByName(branch(k % 5 == 2, k, null, null, "D", 15))
+        .unionByName(branch(k % 5 == 2, k, F.col("o_custkey"),
+                            F.col("cents") * 3, "I", 5))
+        .unionByName(branch(k % 5 == 3, k + 500000, F.col("o_custkey"),
+                            F.col("cents"), "I", 1))
+    )
+    batches = [
+        changelog.filter(F.col("seq").between(10, 15)),  # middle first
+        changelog.filter(F.col("seq") == 20),            # newest second
+        changelog.filter(F.col("seq") < 10),             # oldest last
+    ]
+    state = None
+    for b in batches:
+        state = cdc_merge_batch(state, b, keys=["o_orderkey"])
+    return cdc_live(state).groupBy(
+        (F.col("o_orderkey") % 40).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("total_cents"),
+        F.sum("seq").alias("seq_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental aggregation maintenance: three deltas folded into a state
 # table must equal the full recompute — the O(delta) rollup pattern.

@@ -42,6 +42,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "customer_sales_report",
     # round-4 additions / changed knobs
     "cdc_orders_snapshot",
+    "cdc_resumable_state",
     "snapshot_time_travel",
     "bigram_lm_scores",
     "incremental_revenue_state",
