@@ -75,7 +75,15 @@ def cdc_merge_batch(
 
     Read the live table with :func:`cdc_live`. Tombstones are garbage —
     vacuum them only once upstream can no longer emit older sequences
-    for those keys (a watermark on the sequence domain)."""
+    for those keys (a watermark on the sequence domain).
+
+    Cost note: each call re-aggregates ``state ∪ changelog`` — O(state)
+    per fold by construction. Fine when callers fold daily/occasionally;
+    a per-micro-batch streaming caller over large state should use the
+    bucketed path instead
+    (``sources.bucketed.BucketedCdcTable.merge_delta`` /
+    ``streaming.windows.cdc_upsert_stream_bucketed``), which applies
+    this same merge to only the delta-touched hash buckets."""
     u = changelog if state is None else state.unionByName(changelog)
     return cdc_latest(u, keys, seq_col)
 

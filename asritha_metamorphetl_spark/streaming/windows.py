@@ -227,13 +227,20 @@ def cdc_upsert_stream(
 ):
     """Streaming upsert sink: each micro-batch of a CDC changelog folds
     into a :class:`~asritha_metamorphetl_spark.sources.manifest.SnapshotTable`
-    via the tombstone-retaining ``cdc_merge_batch`` — the lakehouse
-    MERGE-on-stream pattern on plain parquet. Every micro-batch
+    via the tombstone-retaining ``cdc_merge_batch``. Every micro-batch
     publishes a new atomic version (readers never tear), history stays
     time-travelable, and because the merge is order-independent and
     idempotent, out-of-order file arrivals and Spark's at-least-once
     ``foreachBatch`` retries both converge to the same state. Read the
     live rows with ``cdc_live(table.read())``.
+
+    **Write amplification warning**: this sink reads and REWRITES the
+    FULL state table every micro-batch — per-batch cost is
+    O(state + delta), so total I/O over many batches is quadratic in
+    state size. Fine for small/medium state (dimension tables,
+    control-plane state); for large keyed state use
+    :func:`cdc_upsert_stream_bucketed`, which rewrites only the hash
+    buckets the batch touches.
 
     Returns the DataStreamWriter — caller adds checkpoint/trigger and
     ``.start()``."""
@@ -243,6 +250,30 @@ def cdc_upsert_stream(
         state = table.read() if table.versions() else None
         merged = cdc_merge_batch(state, batch_df, keys, seq_col)
         table.commit(merged, mode="overwrite")
+
+    return changelog.writeStream.foreachBatch(apply_batch)
+
+
+def cdc_upsert_stream_bucketed(changelog: DataFrame, table):
+    """Streaming upsert sink over a
+    :class:`~asritha_metamorphetl_spark.sources.bucketed.BucketedCdcTable`:
+    each micro-batch merges into ONLY the hash buckets its keys touch;
+    untouched buckets' directories carry into the new manifest verbatim
+    (never read, never rewritten). Per-batch cost is
+    O(delta + touched-bucket state) — the file-pruned lakehouse MERGE,
+    and the scale-safe replacement for :func:`cdc_upsert_stream`'s
+    full-state rewrite at large state. Same convergence guarantees: the
+    merge is order-independent and idempotent, so at-least-once
+    ``foreachBatch`` retries and out-of-order arrivals both land on the
+    same state; every version is an atomic manifest publish. The table
+    carries the merge keys and sequence column, so only the changelog
+    and table are needed here.
+
+    Returns the DataStreamWriter — caller adds checkpoint/trigger and
+    ``.start()``."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        table.merge_delta(batch_df)
 
     return changelog.writeStream.foreachBatch(apply_batch)
 

@@ -1,0 +1,200 @@
+"""Bucketed CDC state tables: O(delta) upserts that rewrite only
+delta-touched hash buckets, carrying untouched bucket directories
+forward untouched — the scale-safe streaming MERGE."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from asritha_metamorphetl_spark.operators.cdc import cdc_live, cdc_merge_batch
+from asritha_metamorphetl_spark.sources.bucketed import BucketedCdcTable
+
+
+def _log(spark, rows):
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", IntegerType()),
+            StructField("val", StringType()),
+            StructField("op", StringType()),
+            StructField("seq", IntegerType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+B1 = [
+    Row(k=1, val="a", op="U", seq=1),
+    Row(k=2, val="b", op="U", seq=2),
+    Row(k=3, val="c", op="U", seq=3),
+    Row(k=4, val="d", op="U", seq=4),
+]
+B2 = [
+    Row(k=1, val="a2", op="U", seq=5),
+    Row(k=2, val=None, op="D", seq=6),
+]
+B3 = [
+    Row(k=5, val="e", op="I", seq=7),
+    Row(k=3, val="c0", op="U", seq=1),  # stale: must lose to seq=3
+]
+
+
+def _full_merge(spark, *batches):
+    state = None
+    for rows in batches:
+        state = cdc_merge_batch(state, _log(spark, rows), keys=["k"])
+    return state
+
+
+def _state_dict(df):
+    return {
+        r.k: (r.val, r.op, r.seq) for r in df.collect()
+    }
+
+
+def test_bucketed_merge_equals_full_merge(spark, tmp_path):
+    """The headline invariant: folding batches through the bucketed
+    table yields byte-for-byte the same state as the unbucketed
+    cdc_merge_batch fold — bucketing is layout, not semantics."""
+    t = BucketedCdcTable(spark, str(tmp_path / "tbl"), keys=["k"], n_buckets=4)
+    for rows in (B1, B2, B3):
+        t.merge_delta(_log(spark, rows))
+    assert _state_dict(t.read()) == _state_dict(_full_merge(spark, B1, B2, B3))
+    # and the live view drops exactly the tombstone
+    assert set(r.k for r in cdc_live(t.read()).collect()) == {1, 3, 4, 5}
+
+
+def test_untouched_buckets_carry_forward_not_rewritten(spark, tmp_path):
+    """A batch touching a strict subset of buckets must leave every
+    other bucket's directory entry AND files untouched."""
+    t = BucketedCdcTable(spark, str(tmp_path / "tbl"), keys=["k"], n_buckets=8)
+    v1 = t.merge_delta(_log(spark, B1))
+    m1 = t._buckets_map(v1)
+
+    # a single-key delta touches exactly one bucket
+    delta = _log(spark, [Row(k=1, val="z", op="U", seq=9)])
+    touched_bucket = str(
+        delta.select(t.bucket_of(F.col("k")).alias("b")).first().b
+    )
+    before = {
+        bid: sorted(
+            (p, os.path.getmtime(p))
+            for p in glob.glob(f"{d}/*")
+        )
+        for bid, d in m1.items()
+    }
+    v2 = t.merge_delta(delta)
+    m2 = t._buckets_map(v2)
+
+    assert m2[touched_bucket] != m1.get(touched_bucket)
+    for bid, d in m1.items():
+        if bid == touched_bucket:
+            continue
+        assert m2[bid] == d  # same directory string, carried forward
+        after = sorted((p, os.path.getmtime(p)) for p in glob.glob(f"{d}/*"))
+        assert after == before[bid]  # same files, same mtimes: not rewritten
+
+
+def test_changes_feed_converges_downstream_replica(spark, tmp_path):
+    """changes(v1, v2) returns rewritten-bucket rows; a replica at v1
+    folding the feed with cdc_merge_batch lands on v2's state exactly."""
+    t = BucketedCdcTable(spark, str(tmp_path / "tbl"), keys=["k"], n_buckets=4)
+    v1 = t.merge_delta(_log(spark, B1))
+    t.merge_delta(_log(spark, B2))
+    v3 = t.merge_delta(_log(spark, B3))
+
+    replica = t.read(version=v1)
+    feed = t.changes(since=v1, until=v3)
+    caught_up = cdc_merge_batch(replica, feed, keys=["k"])
+    assert _state_dict(caught_up) == _state_dict(t.read(version=v3))
+
+
+def test_changes_empty_when_no_bucket_rewritten(spark, tmp_path):
+    t = BucketedCdcTable(spark, str(tmp_path / "tbl"), keys=["k"], n_buckets=4)
+    v1 = t.merge_delta(_log(spark, B1))
+    assert t.changes(since=v1, until=v1).count() == 0
+
+
+def test_time_travel_snapshots_stay_exact(spark, tmp_path):
+    t = BucketedCdcTable(spark, str(tmp_path / "tbl"), keys=["k"], n_buckets=4)
+    v1 = t.merge_delta(_log(spark, B1))
+    t.merge_delta(_log(spark, B2))
+    assert _state_dict(t.read(version=v1)) == _state_dict(
+        _full_merge(spark, B1)
+    )
+    assert _state_dict(t.read()) == _state_dict(_full_merge(spark, B1, B2))
+
+
+def test_plain_commit_is_refused(spark, tmp_path):
+    t = BucketedCdcTable(spark, str(tmp_path / "tbl"), keys=["k"], n_buckets=4)
+    with pytest.raises(ValueError, match="merge_delta"):
+        t.commit(_log(spark, B1))
+
+
+def test_vacuum_is_bucket_granular(spark, tmp_path):
+    """After pruning old manifests, vacuum removes superseded bucket
+    dirs but keeps still-referenced buckets inside the same commit."""
+    root = str(tmp_path / "tbl")
+    t = BucketedCdcTable(spark, root, keys=["k"], n_buckets=8)
+    t.merge_delta(_log(spark, B1))
+    v2 = t.merge_delta(_log(spark, [Row(k=1, val="z", op="U", seq=9)]))
+    live_dirs = set(t._buckets_map(v2).values())
+
+    # prune manifest v1 (history retention expired)
+    os.remove(os.path.join(root, "_manifests", "v00001.json"))
+    deleted = t.vacuum()
+
+    assert len(deleted) == 1  # only k=1's superseded v1 bucket dir
+    assert deleted[0] not in live_dirs
+    for d in live_dirs:
+        assert os.path.isdir(d)
+    assert _state_dict(t.read()) == _state_dict(
+        _full_merge(spark, B1, [Row(k=1, val="z", op="U", seq=9)])
+    )
+
+
+def test_streaming_bucketed_upsert_sink(spark, tmp_path):
+    """foreachBatch micro-batches through the bucketed sink: final live
+    state equals the all-at-once merge, one atomic version per batch,
+    and batches never rewrite buckets they don't touch."""
+    from asritha_metamorphetl_spark.streaming.windows import (
+        cdc_upsert_stream_bucketed,
+    )
+
+    src = tmp_path / "changelog"
+    src.mkdir()
+    _log(spark, B1).write.parquet(str(src / "p1"))
+    _log(spark, B2).write.parquet(str(src / "p2"))
+
+    table = BucketedCdcTable(
+        spark, str(tmp_path / "tbl"), keys=["k"], n_buckets=8
+    )
+    schema = _log(spark, B1).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    q = (
+        cdc_upsert_stream_bucketed(stream, table)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    assert len(table.versions()) >= 2
+    assert _state_dict(table.read()) == _state_dict(
+        _full_merge(spark, B1, B2)
+    )
