@@ -69,6 +69,8 @@ def morton_key(x: Column, y: Column, bits: int = 16) -> Column:
 
     Pure shift/mask arithmetic: 2·bits codegen'd terms, no UDF.
     """
+    if 2 * bits > 62:
+        raise ValueError(f"2 cols x {bits} bits overflows a long")
     ix = x.cast("long")
     iy = y.cast("long")
     out = F.lit(0).cast("long")
@@ -86,6 +88,8 @@ def morton_key_sql(x: str, y: str, bits: int = 16) -> str:
     """``morton_key`` as ANSI SQL (DuckDB-runnable), bit-for-bit equal —
     x on even bit positions, y on odd. Lets a registered query's oracle
     verify the interleave itself, not just downstream aggregates."""
+    if 2 * bits > 62:
+        raise ValueError(f"2 cols x {bits} bits overflows a long")
     terms = [f"((({x} >> {i}) & 1) << {2 * i})" for i in range(bits)]
     terms += [f"((({y} >> {i}) & 1) << {2 * i + 1})" for i in range(bits)]
     return "(" + " | ".join(terms) + ")"
@@ -113,8 +117,15 @@ def morton_key_n(cols: Sequence[Column], bits: int = 16) -> Column:
 
 
 def morton_key_n_sql(cols: Sequence[str], bits: int = 16) -> str:
-    """``morton_key_n`` as ANSI SQL, bit-for-bit equal."""
+    """``morton_key_n`` as ANSI SQL, bit-for-bit equal. Enforces the
+    same ``d * bits <= 62`` long-overflow guard as the Column form —
+    generated SQL past that bound would silently shift into the sign
+    bit and diverge between engines."""
     d = len(cols)
+    if d == 0:
+        raise ValueError("morton_key_n_sql needs at least one column")
+    if d * bits > 62:
+        raise ValueError(f"{d} cols x {bits} bits overflows a long")
     terms = [
         f"((({c} >> {i}) & 1) << {i * d + j})"
         for j, c in enumerate(cols)

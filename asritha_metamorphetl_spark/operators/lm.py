@@ -65,13 +65,23 @@ def score_documents(
     """Per-document LM score: join each bigram occurrence to its counts,
     quantize the conditional probability to integer ppm, aggregate.
     Returns (doc_id, n_bigrams, sum_ppm, avg_ppm); low avg_ppm = the
-    model is surprised by the document."""
+    model is surprised by the document.
+
+    The joins are LEFT outer: a bigram absent from the model scores
+    ppm = 0 — maximal surprise — and still counts in ``n_bigrams``.
+    (Inner joins would silently DROP unseen bigrams, inflating avg_ppm
+    for exactly the out-of-corpus documents a perplexity filter exists
+    to catch.) When the model was trained on the scored corpus itself
+    every bigram hits, and the left join degenerates to the inner plan
+    — same shuffles, no extra cost."""
     scored = (
-        bigrams.join(bg_counts, ["w1", "w2"])
-        .join(prefix_counts, ["w1"])
+        bigrams.join(bg_counts, ["w1", "w2"], "left")
+        .join(prefix_counts, ["w1"], "left")
         .select(
             "doc_id",
-            F.expr(f"({_PPM} * cbg) div cp").alias("ppm"),
+            F.coalesce(
+                F.expr(f"({_PPM} * cbg) div cp"), F.lit(0).cast("long")
+            ).alias("ppm"),
         )
     )
     return scored.groupBy("doc_id").agg(

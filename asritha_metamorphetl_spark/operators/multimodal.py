@@ -3,9 +3,12 @@
 Image HEADER decoding (PNG/BMP/GIF/JPEG dimensions + channels) and WAV
 audio decoding are REAL — pure stdlib (``struct``/``zlib``/``wave``), no
 Pillow/opencv needed, so the container's lack of media libraries costs
-nothing for metadata-level features. Full pixel decode / resampling /
-video codec work would need a real media library; those steps remain
-deterministic stubs (clearly marked) behind the same Spark plumbing.
+nothing for metadata-level features. Pixel resampling uses Pillow WHEN
+the executor environment provides it (lazy per-process probe,
+``pillow_or_none``) and otherwise falls back to a clearly-marked
+deterministic stub — a real deploy gets real decode with zero code
+change; video codec work remains stubbed behind the same Spark
+plumbing.
 
 Scale notes: media blobs dominate row size, so the operators (a) never
 collect blobs to the driver, (b) run decode/feature steps as mapInPandas
@@ -26,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -319,18 +323,36 @@ RESIZED_SCHEMA = StructType(
         StructField("target_height", IntegerType(), False),
         StructField("content", BinaryType(), True),
         StructField("n_bytes", LongType(), True),
+        StructField("resized_real", BooleanType(), False),
     ]
 )
 
 
-def _resize_image_stub(blob: bytes, width: int, height: int) -> bytes:
-    """STUB — deterministic fake resizer.
+_PIL_CACHE: list = []  # memoized [module-or-None]; one probe per process
 
-    A real implementation decodes, resamples, and re-encodes
-    (``Image.open(...).resize((w, h)).save(buf, format)``) — Pillow is not
-    in this container. The fake emits a deterministic payload whose size
-    scales with the target area, so partition-sizing behavior downstream
-    of a resize is exercised realistically.
+
+def pillow_or_none():
+    """Lazily probe for Pillow ONCE per process; returns the PIL.Image
+    module or None. The probe runs wherever the caller runs — inside a
+    mapInPandas worker it is per-executor-process, so a deploy that
+    ships Pillow in its environment gets real pixel decode with zero
+    code change, while this container (no Pillow) takes the
+    deterministic fallback."""
+    if not _PIL_CACHE:
+        try:
+            from PIL import Image
+
+            _PIL_CACHE.append(Image)
+        except ImportError:
+            _PIL_CACHE.append(None)
+    return _PIL_CACHE[0]
+
+
+def _resize_image_stub(blob: bytes, width: int, height: int) -> bytes:
+    """Deterministic FALLBACK resizer, used when Pillow is absent or the
+    blob doesn't decode. Emits a payload whose size scales with the
+    target area, so partition-sizing behavior downstream of a resize is
+    exercised realistically even without a media library.
     """
     if not blob:
         return b""
@@ -339,11 +361,35 @@ def _resize_image_stub(blob: bytes, width: int, height: int) -> bytes:
     return seed * reps
 
 
+def _resize_image_real(image_mod, blob: bytes, width: int, height: int) -> bytes | None:
+    """Real pixel path: decode → resample → re-encode in the source
+    format via Pillow. Returns None when the blob doesn't decode (the
+    caller falls back to the stub)."""
+    import io
+
+    try:
+        img = image_mod.open(io.BytesIO(blob))
+        fmt = img.format or "PNG"
+        buf = io.BytesIO()
+        img.resize((width, height)).save(buf, format=fmt)
+        return buf.getvalue()
+    except Exception:
+        return None
+
+
 def resize_images(
     df: DataFrame, width: int = 224, height: int = 224
 ) -> DataFrame:
     """Arrow-batched image resize to a fixed target geometry (the
     normalization step before feature extraction / embedding).
+
+    Pixel work uses Pillow when the executor environment has it
+    (``pillow_or_none`` probes lazily per process — a real deploy gets
+    real decode/resample/re-encode with zero code change); otherwise,
+    or for undecodable blobs, the deterministic ``_resize_image_stub``
+    keeps the pipeline flowing. ``resized_real`` records which path
+    produced each row, so a mixed fleet can't silently pass fakes off
+    as pixels.
 
     Same mapInPandas shape as extract_image_features: one JVM↔Python
     crossing per Arrow batch, per-blob Python only for the codec work.
@@ -351,11 +397,22 @@ def resize_images(
     multi-MB so a batch stays within executor memory."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        image_mod = pillow_or_none()
         for pdf in batches:
-            out = [
-                _resize_image_stub(b if b is not None else b"", width, height)
-                for b in pdf["content"]
-            ]
+            out, real_flags = [], []
+            for b in pdf["content"]:
+                b = b if b is not None else b""
+                resized = (
+                    _resize_image_real(image_mod, b, width, height)
+                    if image_mod is not None
+                    else None
+                )
+                real_flags.append(resized is not None)
+                out.append(
+                    resized
+                    if resized is not None
+                    else _resize_image_stub(b, width, height)
+                )
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -364,6 +421,7 @@ def resize_images(
                     "target_height": height,
                     "content": out,
                     "n_bytes": [len(b) for b in out],
+                    "resized_real": real_flags,
                 }
             )
 

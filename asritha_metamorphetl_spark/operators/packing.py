@@ -44,8 +44,13 @@ def global_running_sum(
     ``order_by`` (the first row gets 0). ``order_by`` must be a total
     order — include tie-break keys — or offsets are nondeterministic.
     """
-    parts = num_partitions or df.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "200"
+    from asritha_metamorphetl_spark.operators.ranks import check_partition_bound
+
+    parts = check_partition_bound(
+        num_partitions
+        if num_partitions is not None
+        else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"),
+        "global_running_sum",
     )
     ranged = (
         df.withColumn("__val", value.cast("long"))

@@ -37,6 +37,32 @@ _RANK_COLS = ("__pid", "__local_rn", "__offset", "__tie_key")
 #: tasks, not a spill hazard.
 _TINY_SCAN_BYTES = 32 << 20
 
+#: Hard ceiling for the O(partitions) driver collects below. The prefix-sum
+#: operators collect ONE tiny row per range partition; 2^20 partitions is
+#: already far past any sane shuffle width (a 100 TB input at a healthy
+#: 128 MB/partition is ~800 k partitions), so a bound above it almost
+#: certainly means a caller passed a row count — which would turn the
+#: bounded collect into a driver OOM — and deserves an error, not an OOM.
+_MAX_OFFSET_PARTITIONS = 1 << 20
+
+
+def check_partition_bound(parts: int, operator: str) -> int:
+    """Validate a prefix-sum partition count before it sizes a driver
+    collect. Raises on non-positive or absurd values (the pattern set by
+    grouped_row_number's take(cap+1) guard, applied at the input)."""
+    parts = int(parts)
+    if parts < 1:
+        raise ValueError(f"{operator}: num_partitions must be >= 1, got {parts}")
+    if parts > _MAX_OFFSET_PARTITIONS:
+        raise ValueError(
+            f"{operator}: num_partitions={parts} exceeds the "
+            f"{_MAX_OFFSET_PARTITIONS} ceiling for the O(partitions) "
+            "driver-side offset collect — this is almost certainly a row "
+            "count passed where a partition count belongs. Size partitions "
+            "so each holds ~128 MB instead."
+        )
+    return parts
+
 
 def _scan_bytes(df: DataFrame) -> int | None:
     """Total compressed size of the files backing a scan-shaped plan,
@@ -84,8 +110,11 @@ def _global_row_number_with_total(
 ) -> tuple[DataFrame, int]:
     """Also returns the total row count — free from the partition-size
     pass, saving callers a separate count() job."""
-    parts = num_partitions or df.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "200"
+    parts = check_partition_bound(
+        num_partitions
+        if num_partitions is not None
+        else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"),
+        "global_row_number",
     )
     ranged = df.repartitionByRange(int(parts), *order_by).withColumn(
         "__pid", F.spark_partition_id()
@@ -269,8 +298,11 @@ def grouped_row_number(
             out = out.withColumn(count_col, F.count(F.lit(1)).over(cw))
         return out
 
-    parts = num_partitions or df.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "200"
+    parts = check_partition_bound(
+        num_partitions
+        if num_partitions is not None
+        else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"),
+        "grouped_row_number",
     )
     gcols = [F.col(c) for c in group_cols]
     ranged = df.repartitionByRange(int(parts), *gcols, *order_by).withColumn(

@@ -210,10 +210,10 @@ WITH toks AS (
 ), prefix AS (
   SELECT w1, CAST(SUM(cbg) AS BIGINT) AS cp FROM counts GROUP BY w1
 ), scored AS (
-  SELECT b.doc_id, (1000000 * c.cbg) // p.cp AS ppm
+  SELECT b.doc_id, COALESCE((1000000 * c.cbg) // p.cp, 0) AS ppm
   FROM bg b
-  JOIN counts c ON b.w1 = c.w1 AND b.w2 = c.w2
-  JOIN prefix p ON b.w1 = p.w1
+  LEFT JOIN counts c ON b.w1 = c.w1 AND b.w2 = c.w2
+  LEFT JOIN prefix p ON b.w1 = p.w1
 )
 SELECT doc_id, COUNT(*) AS n_bigrams,
        CAST(SUM(ppm) AS BIGINT) AS sum_ppm,
@@ -335,22 +335,11 @@ GROUP BY o_orderkey % 40
 """
 
 
-@register("cdc_resumable_state", oracle=_CDC_RESUMABLE_ORACLE)
-def cdc_resumable_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ORDER-INDEPENDENT CDC path (cdc_merge_batch): the changelog
-    is split into three batches by sequence band and deliberately folded
-    OUT OF ORDER (middle, newest, oldest) into the tombstone-retaining
-    state; the oracle computes plain last-writer-wins over the union.
-    Equality proves what the streaming upsert sink
-    (streaming/windows.cdc_upsert_stream) relies on: batch order and
-    replays don't matter, and a delete outranks any older update even
-    when the older update arrives last. seq_sum pins that the WINNING
-    RECORDS (not just payloads) survive the scrambled fold."""
-    from asritha_metamorphetl_spark.operators.cdc import (
-        cdc_live,
-        cdc_merge_batch,
-    )
-
+def _orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The five-branch synthetic orders changelog shared by the CDC
+    queries (competing updates, a delete outranking an earlier update,
+    brand-new keys). Mirrors the ``changelog`` CTE in
+    ``_CDC_RESUMABLE_ORACLE`` exactly."""
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     base = Catalog(sf_dir).load(spark, "orders").select(
         "o_orderkey", "o_custkey", cents.alias("cents")
@@ -367,7 +356,7 @@ def cdc_resumable_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     null = F.lit(None)
-    changelog = (
+    return (
         branch(k % 5 == 1, k, F.col("o_custkey"), F.col("cents") + 500, "U", 10)
         .unionByName(branch(k % 10 == 1, k, F.col("o_custkey"),
                             F.col("cents") - 900, "U", 20))
@@ -377,11 +366,36 @@ def cdc_resumable_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(branch(k % 5 == 3, k + 500000, F.col("o_custkey"),
                             F.col("cents"), "I", 1))
     )
-    batches = [
+
+
+def _seq_band_batches(changelog: DataFrame) -> list[DataFrame]:
+    """Three batches split by sequence band, ordered OUT OF sequence
+    (middle, newest, oldest) — the fold order the order-independent
+    merge must shrug off."""
+    return [
         changelog.filter(F.col("seq").between(10, 15)),  # middle first
         changelog.filter(F.col("seq") == 20),            # newest second
         changelog.filter(F.col("seq") < 10),             # oldest last
     ]
+
+
+@register("cdc_resumable_state", oracle=_CDC_RESUMABLE_ORACLE)
+def cdc_resumable_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORDER-INDEPENDENT CDC path (cdc_merge_batch): the changelog
+    is split into three batches by sequence band and deliberately folded
+    OUT OF ORDER (middle, newest, oldest) into the tombstone-retaining
+    state; the oracle computes plain last-writer-wins over the union.
+    Equality proves what the streaming upsert sink
+    (streaming/windows.cdc_upsert_stream) relies on: batch order and
+    replays don't matter, and a delete outranks any older update even
+    when the older update arrives last. seq_sum pins that the WINNING
+    RECORDS (not just payloads) survive the scrambled fold."""
+    from asritha_metamorphetl_spark.operators.cdc import (
+        cdc_live,
+        cdc_merge_batch,
+    )
+
+    batches = _seq_band_batches(_orders_changelog(spark, sf_dir))
     state = None
     for b in batches:
         state = cdc_merge_batch(state, b, keys=["o_orderkey"])
@@ -391,6 +405,135 @@ def cdc_resumable_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").alias("total_cents"),
         F.sum("seq").alias("seq_sum"),
+    )
+
+
+_CDC_LATEST_CTE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), changelog AS (
+  SELECT o_orderkey, o_custkey, cents + 500 AS cents, 'U' AS op, 10 AS seq
+  FROM base WHERE o_orderkey % 5 = 1
+  UNION ALL
+  SELECT o_orderkey, o_custkey, cents - 900, 'U', 20
+  FROM base WHERE o_orderkey % 10 = 1
+  UNION ALL
+  SELECT o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), 'D', 15
+  FROM base WHERE o_orderkey % 5 = 2
+  UNION ALL
+  SELECT o_orderkey, o_custkey, cents * 3, 'I', 5
+  FROM base WHERE o_orderkey % 5 = 2
+  UNION ALL
+  SELECT o_orderkey + 500000, o_custkey, cents, 'I', 1
+  FROM base WHERE o_orderkey % 5 = 3
+), latest AS (
+  SELECT * FROM changelog
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) = 1
+)
+"""
+
+
+@register(
+    "cdc_bucketed_state",
+    oracle=_CDC_LATEST_CTE
+    + """
+SELECT o_orderkey % 32 AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tombstones,
+       CAST(SUM(CASE WHEN op <> 'D' THEN cents ELSE 0 END) AS BIGINT)
+         AS live_cents,
+       CAST(SUM(seq) AS BIGINT) AS seq_sum
+FROM latest
+GROUP BY o_orderkey % 32
+""",
+)
+def cdc_bucketed_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold the out-of-order changelog batches through a
+    :class:`~asritha_metamorphetl_spark.sources.bucketed.BucketedCdcTable`
+    — the O(delta) streaming-state layout that rewrites only
+    delta-touched hash buckets per commit — and profile the FULL final
+    state (tombstones included). The oracle is the plain last-writer-
+    wins merge over the whole changelog, so a hash match proves
+    bucketed-merge state ≡ full-merge state: bucketing is physical
+    layout, never semantics. The untouched-bucket carry-forward (same
+    directory, same files, not rewritten) is pinned separately by
+    tests/test_bucketed.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from asritha_metamorphetl_spark.sources.bucketed import BucketedCdcTable
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(tempfile.gettempdir(), "ametl_bucketed_tbl", tag)
+    shutil.rmtree(root, ignore_errors=True)
+    t = BucketedCdcTable(spark, root, keys=["o_orderkey"], n_buckets=16)
+    for b in _seq_band_batches(_orders_changelog(spark, sf_dir)):
+        t.merge_delta(b)
+    state = t.read()
+    d = F.col("op") == "D"
+    return state.groupBy((F.col("o_orderkey") % 32).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(d, 1).otherwise(0)).alias("n_tombstones"),
+        F.sum(F.when(~d, F.col("cents")).otherwise(0)).alias("live_cents"),
+        F.sum("seq").alias("seq_sum"),
+    )
+
+
+@register(
+    "cdc_bucketed_changefeed",
+    oracle=_CDC_LATEST_CTE
+    + """
+SELECT o_orderkey % 24 AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       MAX(seq) AS max_seq
+FROM latest WHERE op <> 'D'
+GROUP BY o_orderkey % 24
+""",
+)
+def cdc_bucketed_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-consumption loop end-to-end: changelog batches →
+    bucketed upsert sink (three commits) → a REPLICA that read version
+    1 catches up by folding ``changes(v1, v3)`` — the bucket-granular
+    change feed of only rewritten buckets — through the same
+    order-independent merge. The result profiled here is the replica's
+    LIVE state; the oracle recomputes last-writer-wins over the raw
+    changelog, so equality proves the feed re-delivers enough (every
+    rewritten bucket) and nothing stale survives (stale records lose
+    the merge). Feed volume is O(changed buckets), never O(state) —
+    this is what lets a downstream consumer track a 100 TB state table
+    without rescanning it."""
+    import os
+    import shutil
+    import tempfile
+
+    from asritha_metamorphetl_spark.operators.cdc import (
+        cdc_live,
+        cdc_merge_batch,
+    )
+    from asritha_metamorphetl_spark.sources.bucketed import BucketedCdcTable
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(tempfile.gettempdir(), "ametl_bucketed_feed", tag)
+    shutil.rmtree(root, ignore_errors=True)
+    t = BucketedCdcTable(spark, root, keys=["o_orderkey"], n_buckets=16)
+    versions = [
+        t.merge_delta(b)
+        for b in _seq_band_batches(_orders_changelog(spark, sf_dir))
+    ]
+    replica = t.read(version=versions[0])
+    feed = t.changes(since=versions[0], until=versions[-1])
+    caught_up = cdc_merge_batch(replica, feed, keys=["o_orderkey"])
+    return cdc_live(caught_up).groupBy(
+        (F.col("o_orderkey") % 24).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("total_cents"),
+        F.max("seq").alias("max_seq"),
     )
 
 

@@ -268,6 +268,82 @@ def reconcile_orders_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# J5/D2 on a COMPOSITE key: the reference's Raptor parses multi-column
+# primary keys (Raptor/Raptor.py:548) — reconcile keyed on
+# (l_orderkey, l_linenumber), the natural two-part lineitem key.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "reconcile_lineitem_composite",
+    oracle="""
+WITH source AS (
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+),
+target AS (
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN (l_orderkey + l_linenumber) % 53 = 0
+                THEN l_quantity + 1.0 ELSE l_quantity END AS l_quantity,
+           l_returnflag
+    FROM lineitem
+    WHERE NOT (l_orderkey % 89 = 7 AND l_linenumber = 1)
+),
+joined AS (
+    SELECT
+        s.l_orderkey AS sk, t.l_orderkey AS tk,
+        CASE WHEN s.l_quantity = t.l_quantity
+              AND s.l_returnflag = t.l_returnflag
+             THEN 1 ELSE 0 END AS is_match
+    FROM source s
+    FULL OUTER JOIN target t
+      ON s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber
+)
+SELECT
+    CAST(COUNT(sk) AS BIGINT) AS source_rows,
+    CAST(COUNT(tk) AS BIGINT) AS target_rows,
+    CAST(SUM(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS common_rows,
+    CAST(SUM(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL AND is_match = 1
+             THEN 1 ELSE 0 END) AS BIGINT) AS matched_rows,
+    CAST(SUM(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL AND is_match = 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS mismatched_rows,
+    CAST(SUM(CASE WHEN tk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS source_only_rows,
+    CAST(SUM(CASE WHEN sk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS target_only_rows,
+    ROUND(SUM(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL AND is_match = 0
+              THEN 1 ELSE 0 END)
+          / SUM(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL THEN 1 ELSE 0 END)
+          * 100, 2) AS mismatch_pct
+FROM joined
+""",
+)
+def reconcile_lineitem_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconcile on a two-column primary key: the full-outer diff joins
+    on (l_orderkey, l_linenumber) — the shuffle hashes the composite
+    key, so the plan is identical in shape to the single-key path (one
+    exchange per side, no extra stage). Perturbations hit both a
+    measure (quantity bump on a composite-derived predicate, so neither
+    key column alone determines it) and row presence (line 1 of every
+    89th order deleted)."""
+    from asritha_metamorphetl_spark.quality import reconcile
+
+    li = Catalog(sf_dir).load(spark, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    target = li.withColumn(
+        "l_quantity",
+        F.when(
+            (F.col("l_orderkey") + F.col("l_linenumber")) % 53 == 0,
+            F.col("l_quantity") + 1.0,
+        ).otherwise(F.col("l_quantity")),
+    ).filter(
+        ~((F.col("l_orderkey") % 89 == 7) & (F.col("l_linenumber") == 1))
+    )
+    return reconcile(
+        li, target, ["l_orderkey", "l_linenumber"], persist=False
+    ).summary
+
+
+# ---------------------------------------------------------------------------
 # S7/A6: temp-view + spark.sql API path, GROUP BY ordinal
 # ---------------------------------------------------------------------------
 

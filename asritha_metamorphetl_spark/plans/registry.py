@@ -40,6 +40,12 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "supplier_performance",
     "product_performance",
     "customer_sales_report",
+    # round-5 additions: bucketed CDC state + feed, IVF recall telemetry,
+    # composite-key reconcile (VERDICT r4 directives #1/#3/#4/#8)
+    "cdc_bucketed_state",
+    "cdc_bucketed_changefeed",
+    "knn_ivf_recall_eval",
+    "reconcile_lineitem_composite",
     # round-4 additions / changed knobs
     "cdc_orders_snapshot",
     "cdc_resumable_state",

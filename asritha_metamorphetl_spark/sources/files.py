@@ -72,13 +72,32 @@ def read_csv(
     return reader.csv(path)
 
 
+class QuarantineRead:
+    """Result of :func:`read_csv_quarantine`. Unpacks as ``good, bad =``
+    for ergonomic use; ``unpersist()`` releases the CACHED PARENT parse
+    both sides derive from — calling unpersist on ``good``/``bad``
+    themselves would be a no-op (they are children of the cached frame),
+    which is why the handle lives here."""
+
+    def __init__(self, good: DataFrame, bad: DataFrame, parsed: DataFrame):
+        self.good = good
+        self.bad = bad
+        self.parsed = parsed
+
+    def __iter__(self):
+        return iter((self.good, self.bad))
+
+    def unpersist(self) -> None:
+        self.parsed.unpersist()
+
+
 def read_csv_quarantine(
     spark: SparkSession,
     path: str,
     schema: StructType,
     header: bool = True,
     **options: str,
-) -> tuple[DataFrame, DataFrame]:
+) -> QuarantineRead:
     """CSV scan that ROUTES malformed rows instead of dropping or dying.
 
     The reference's loader is all-or-nothing: FAILFAST kills a 100 TB
@@ -86,9 +105,12 @@ def read_csv_quarantine(
     The production pattern is a dead-letter channel: read PERMISSIVE
     with a corrupt-record column, split once, land the bad raw lines in
     a quarantine sink for replay/alerting while the clean frame flows
-    on. Returns ``(good, bad)`` — ``good`` has exactly the contract
-    columns; ``bad`` is ``(_corrupt_record)`` raw lines. One scan, one
-    predicate; both sides share the cached parse."""
+    on. Returns a :class:`QuarantineRead` (unpacks as ``(good, bad)``)
+    — ``good`` has exactly the contract columns; ``bad`` is
+    ``(_corrupt_record)`` raw lines. One scan, one predicate; both
+    sides share one cached parse — call ``result.unpersist()`` once
+    both sides are consumed, or the parse stays pinned in executor
+    cache until ``spark.catalog.clearCache()``."""
     from pyspark.sql.types import StringType, StructField
 
     corrupt = "_corrupt_record"
@@ -104,13 +126,12 @@ def read_csv_quarantine(
         )
         .schema(full)
         .csv(path)
-        # cache the parse so good/bad split doesn't re-scan; unpersist is
-        # the caller's choice once both sides are consumed
+        # cache the parse so the good/bad split doesn't re-scan
         .cache()
     )
     good = parsed.filter(F.col(corrupt).isNull()).drop(corrupt)
     bad = parsed.filter(F.col(corrupt).isNotNull()).select(corrupt)
-    return good, bad
+    return QuarantineRead(good, bad, parsed)
 
 
 def read_jsonl(
@@ -218,11 +239,17 @@ def compact_parquet(
     File listing and the final swap go through the Hadoop FileSystem
     API, so the same code works on file://, HDFS, or any object-store
     scheme the session has a connector for (see ``session.create_session``
-    jar/conf passthrough). The rewrite lands in a sibling temp dir and
-    is renamed over the original — readers never observe a half-written
-    directory (rename is atomic on HDFS; best-effort on object stores).
-    ``sort_cols`` optionally re-clusters while compacting (the
-    OPTIMIZE ... ZORDER pattern combined with ``morton_key``).
+    jar/conf passthrough). The swap is rename-based: the original is
+    renamed ASIDE, the rewrite renamed into place, then the aside copy
+    deleted — so there is no window where the path is absent, a crash
+    mid-swap leaves either the old or the new directory restorable (the
+    aside dir is kept on failure), and readers see old-or-new, never
+    half. Each individual rename is atomic on HDFS/POSIX; object stores
+    emulate rename with copy+delete, so there the swap is best-effort —
+    prefer a manifest table (``sources.manifest.SnapshotTable``) for
+    true atomic publishes on S3-like stores. ``sort_cols`` optionally
+    re-clusters while compacting (the OPTIMIZE ... ZORDER pattern
+    combined with ``morton_key``).
 
     Returns ``{files_before, files_after, bytes}``."""
     jvm = spark._jvm
@@ -249,12 +276,23 @@ def compact_parquet(
         out = df.repartition(n_files)
 
     tmp = path.rstrip("/") + ".__compacting__"
+    aside = path.rstrip("/") + ".__old__"
     tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+    aside_path = jvm.org.apache.hadoop.fs.Path(aside)
     fs.delete(tmp_path, True)
+    fs.delete(aside_path, True)
     out.write.mode("overwrite").parquet(tmp)
-    fs.delete(jpath, True)
+    # Swap: original → aside, rewrite → original, drop aside. Never a
+    # moment with no directory at `path`; on a failed second rename the
+    # original is restored from the aside copy.
+    if not fs.rename(jpath, aside_path):
+        fs.delete(tmp_path, True)
+        raise IOError(f"compaction aside-rename failed: {path} -> {aside}")
     if not fs.rename(tmp_path, jpath):
+        fs.rename(aside_path, jpath)  # restore
+        fs.delete(tmp_path, True)
         raise IOError(f"compaction rename failed: {tmp} -> {path}")
+    fs.delete(aside_path, True)
     return {
         "files_before": files_before,
         "files_after": int(n_files),

@@ -89,16 +89,33 @@ class SnapshotTable:
         return json.loads(data.decode("utf-8"))
 
     def _write_manifest(self, version: int, manifest: dict) -> None:
-        """Temp-file + rename publish. rename() refuses to clobber an
-        existing destination on HDFS/POSIX, so two racing writers of the
-        same version cannot both succeed — optimistic concurrency at
-        the commit level, the same contract Delta's log store relies
-        on."""
+        """Temp-file + rename publish with read-back verification.
+
+        On HDFS, rename() refuses to clobber an existing destination, so
+        a racing writer of the same version fails at the rename — the
+        contract Delta's HDFS log store relies on. But Hadoop's
+        RawLocalFileSystem (POSIX ``File.renameTo``) and most object-
+        store connectors OVERWRITE on rename, so two racing committers
+        could both "succeed" with one commit silently lost. Guard: a
+        unique token is embedded in the payload, and after the rename
+        the destination is re-read and must carry OUR token — the loser
+        of an overwrite race sees the winner's token and raises instead
+        of reporting a lost commit as success. (Read-back costs one tiny
+        JSON GET per commit; manifests are O(commits) entries.)"""
+        token = uuid.uuid4().hex
+        manifest = dict(manifest, commit_token=token)
         tmp = self._Path(
-            f"{self._manifest_dir()}/.tmp-{uuid.uuid4().hex}.json"
+            f"{self._manifest_dir()}/.tmp-{token}.json"
         )
         dest = self._Path(self._manifest_path(version))
         self._fs.mkdirs(self._Path(self._manifest_dir()))
+        if self._fs.exists(dest):
+            # cheap pre-check; the read-back below closes the race window
+            self._fs.delete(tmp, False)
+            raise RuntimeError(
+                f"concurrent commit detected publishing version {version} "
+                f"of {self.root}"
+            )
         out = self._fs.create(tmp, False)
         try:
             out.write(bytearray(json.dumps(manifest, indent=1).encode()))
@@ -109,6 +126,11 @@ class SnapshotTable:
             raise RuntimeError(
                 f"concurrent commit detected publishing version {version} "
                 f"of {self.root}"
+            )
+        if self._read_manifest(version).get("commit_token") != token:
+            raise RuntimeError(
+                f"concurrent commit detected publishing version {version} "
+                f"of {self.root}: another writer's manifest won the rename"
             )
 
     # -- public API --------------------------------------------------------

@@ -198,3 +198,22 @@ def test_streaming_bucketed_upsert_sink(spark, tmp_path):
     assert _state_dict(table.read()) == _state_dict(
         _full_merge(spark, B1, B2)
     )
+
+
+def test_changes_feed_scans_only_rewritten_bucket_dirs(spark, tmp_path):
+    """I/O gate: the change feed's scan must list files ONLY under the
+    buckets rewritten in the range — at 100 TB this is what keeps an
+    incremental consumer from re-reading the state table."""
+    t = BucketedCdcTable(spark, str(tmp_path / "tbl"), keys=["k"], n_buckets=8)
+    v1 = t.merge_delta(_log(spark, B1))
+    delta = _log(spark, [Row(k=1, val="z", op="U", seq=9)])
+    v2 = t.merge_delta(delta)
+    rewritten = {
+        d
+        for bid, d in t._buckets_map(v2).items()
+        if t._buckets_map(v1).get(bid) != d
+    }
+    assert len(rewritten) == 1
+    files = t.changes(since=v1, until=v2).inputFiles()
+    only = rewritten.pop()
+    assert files and all(only in f for f in files)

@@ -316,3 +316,21 @@ def test_csv_quarantine_all_good_feed_is_empty_quarantine(spark, tmp_path):
     )
     good, bad = read_csv_quarantine(spark, str(p), schema)
     assert good.count() == 2 and bad.count() == 0
+
+
+def test_csv_quarantine_unpersist_releases_the_cached_parse(spark, tmp_path):
+    """good/bad are children of one cached parse; result.unpersist()
+    must release it (unpersisting the children would be a no-op)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from asritha_metamorphetl_spark.sources.files import read_csv_quarantine
+
+    p = tmp_path / "cached.csv"
+    p.write_text("a\n1\n2\n")
+    schema = StructType([StructField("a", IntegerType())])
+    result = read_csv_quarantine(spark, str(p), schema)
+    good, bad = result  # tuple-unpacking compatibility
+    assert good.count() == 2 and bad.count() == 0
+    assert result.parsed.storageLevel.useMemory
+    result.unpersist()
+    assert not result.parsed.storageLevel.useMemory

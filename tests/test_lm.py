@@ -43,3 +43,36 @@ def test_scores_match_hand_computation(spark):
     assert d2.avg_ppm == d2.sum_ppm / 2.0
     # doc 1 contains the rarer continuations -> lower average probability
     assert d1.avg_ppm < d2.avg_ppm
+
+
+def test_unseen_bigrams_penalize_not_vanish(spark):
+    """A document whose bigrams are absent from the model must score
+    ppm=0 for them (maximal surprise) with n_bigrams counting ALL its
+    bigrams — inner-join semantics would drop them and make an
+    out-of-corpus document look FLUENT (ADVICE r4)."""
+    from pyspark.sql import Row
+
+    from asritha_metamorphetl_spark.operators.lm import (
+        doc_bigrams,
+        score_documents,
+        train_bigram_counts,
+    )
+
+    train = spark.createDataFrame(
+        [Row(doc_id=1, text="the cat sat"), Row(doc_id=2, text="the cat ran")]
+    )
+    model_bg, model_prefix = train_bigram_counts(doc_bigrams(train))
+    # doc 10: one in-model bigram ("the cat", ppm=1e6) + two unseen
+    score_in = spark.createDataFrame(
+        [Row(doc_id=10, text="zig zag the cat")]
+    )
+    out = {
+        r.doc_id: r
+        for r in score_documents(
+            doc_bigrams(score_in), model_bg, model_prefix
+        ).collect()
+    }
+    r = out[10]
+    assert r.n_bigrams == 3          # zig-zag, zag-the, the-cat all counted
+    assert r.sum_ppm == 1_000_000    # only "the cat" scores; unseen = 0
+    assert abs(r.avg_ppm - 1_000_000 / 3) < 1e-9

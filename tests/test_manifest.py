@@ -100,3 +100,16 @@ def test_additive_schema_evolution_across_commits(spark, tmp_path):
     rows = {r.k: r.src for r in latest.collect()}
     assert rows[0] is None and rows[5] == "web"
     assert set(t.read(version=1).columns) == {"k", "v"}
+
+
+def test_change_feed_valid_after_overwrite_boundary(spark, tmp_path):
+    """Mixed histories: the feed is defined across append commits that
+    FOLLOW an overwrite; only ranges crossing the overwrite raise."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(_batch(spark, 0, 5))                       # v1 append
+    t.commit(_batch(spark, 100, 102), mode="overwrite") # v2 overwrite
+    t.commit(_batch(spark, 200, 204))                   # v3 append
+    # since the overwrite itself: well-defined, yields only v3's rows
+    assert sorted(r.k for r in t.changes(since=2).collect()) == [200, 201, 202, 203]
+    with pytest.raises(ValueError, match="overwrite"):
+        t.changes(since=1, until=3)

@@ -133,3 +133,23 @@ def test_grouped_row_number_rejects_unbounded_group_key(spark):
             num_partitions=8,
             max_groups=100,
         ).collect()
+
+
+def test_absurd_num_partitions_rejected_before_any_job(spark):
+    """A row count passed as num_partitions would turn the O(partitions)
+    offset collect into a driver OOM — both prefix-sum operators must
+    raise on it up front, and on non-positive counts too."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from asritha_metamorphetl_spark.operators.packing import global_running_sum
+    from asritha_metamorphetl_spark.operators.ranks import global_row_number
+
+    df = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    for bad in (2_000_000, 0, -4):
+        with pytest.raises(ValueError, match="num_partitions"):
+            global_row_number(df, [F.col("id").asc()], num_partitions=bad)
+        with pytest.raises(ValueError, match="num_partitions"):
+            global_running_sum(
+                df, [F.col("id").asc()], F.col("v"), num_partitions=bad
+            )
