@@ -43,3 +43,48 @@ def stratified_sample(
     for stratum, p in pct_by_stratum.items():
         pct = F.when(F.col(strata_col) == stratum, F.lit(p)).otherwise(pct)
     return df.filter(hash_bucket(F.col(id_col)) < pct)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    token_col: str,
+    budget_by_source: Mapping[object, int] | None = None,
+    default_budget: int = 0,
+) -> DataFrame:
+    """Cap each source's contribution by TOKENS, not document count —
+    how training mixes are actually specified ("100 B tokens of web,
+    10 B of code"). Documents are taken in stable ``md5(id)`` order (a
+    deterministic shuffle — reruns, engines, and cluster sizes all pick
+    the same set, and the selection never flips for existing docs when
+    new ones arrive with new ids); a document is kept while the tokens
+    BEFORE it stay under the budget, so every source with a positive
+    budget contributes at least one document and overshoot is bounded
+    by one document's length.
+
+    Adds ``tokens_before`` (the exclusive running total) to the kept
+    rows. One window partitioned by source: cumulative-sum state is
+    O(1) per row, but each source sorts in a single task — the
+    per-SOURCE-cardinality contract of a domain-mix step (tens to
+    thousands of sources), same as ``source_quota_sample``. A
+    pathological single-source corpus should pre-shard the source
+    label before budgeting."""
+    from pyspark.sql import Window
+
+    budget: Column = F.lit(default_budget)
+    for src, b in (budget_by_source or {}).items():
+        budget = F.when(F.col(source_col) == src, F.lit(b)).otherwise(budget)
+    hk = F.md5(F.col(id_col).cast("string"))
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(hk, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn(
+            "tokens_before",
+            F.coalesce(F.sum(F.col(token_col).cast("long")).over(w), F.lit(0)),
+        )
+        .filter(F.col("tokens_before") < budget)
+    )

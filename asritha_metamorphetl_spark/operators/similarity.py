@@ -159,6 +159,33 @@ def _normalize_rows(M: np.ndarray) -> np.ndarray:
     return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
 
 
+def _cell_sim_udf(C_norm: np.ndarray, sim_decimals: int = 6):
+    """Arrow-batched (nearest cell, rounded similarity) assignment — the
+    same rounded-matmul-argmax as ``_cell_assign_udf``, additionally
+    surfacing the winning similarity so callers that need both never
+    recompute the cosine with a different summation order (which could
+    flip a rounding boundary vs the SQL oracle)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<cell:int,csim:double>")
+    def cell_sim(vs: pd.Series) -> pd.DataFrame:
+        if len(vs) == 0:
+            return pd.DataFrame({"cell": pd.array([], dtype="int32"),
+                                 "csim": pd.array([], dtype="float64")})
+        X = np.vstack(vs.to_numpy()).astype(np.float64)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = np.round(X @ C_norm.T, sim_decimals)
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, 0]
+        return pd.DataFrame(
+            {
+                "cell": idx.astype("int32"),
+                "csim": sims[np.arange(len(idx)), idx],
+            }
+        )
+
+    return cell_sim
+
+
 def lloyd_refine(
     c_frame: DataFrame, C_raw: np.ndarray, iters: int, mean_decimals: int = 6
 ) -> np.ndarray:
@@ -258,6 +285,98 @@ def ivf_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "score", "rnk")
+    )
+
+
+def semdedup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nlist: int = 16,
+    threshold: float = 0.95,
+    sim_decimals: int = 4,
+    csim_decimals: int = 6,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embeddings, then inside each cluster
+    drop all but one member of every near-duplicate group — the
+    embedding-space complement of MinHash/exact dedup, catching
+    paraphrases and templated rewrites that share no n-grams.
+
+    Clustering makes the pairwise comparison tractable at scale: the
+    all-pairs test runs only WITHIN a cluster (sum of cluster² work,
+    shuffled on the bounded cell id), never across the corpus. Cells
+    are Voronoi regions around the ``nlist`` lowest-id vectors — the
+    same deterministic seeding as ``ivf_topk`` — and assignment is the
+    same Arrow-batched matmul in the scan stage.
+
+    Keep rule (deterministic, SQL-replicable): ``x`` is dropped iff
+    some same-cluster ``y`` has ``round(cos(x, y)) >= threshold`` and
+    ``(csim_y, y_id) < (csim_x, x_id)`` — i.e. among near-duplicates
+    the member FARTHEST from its centroid survives (the paper's
+    keep-low-centroid-similarity choice: edge points carry more
+    information than cluster-center boilerplate), ids breaking ties.
+    Unlike the paper's greedy scan this EXISTS-rule drops every member
+    that has any kept-ranked near-duplicate, so chains of duplicates
+    collapse slightly more aggressively — but it is order-independent,
+    partitioning-independent, and expressible as one self-join + one
+    anti-join (no sequential state), which is what makes it both
+    scalable and oracle-checkable.
+
+    Returns one row per corpus vector: (id, cell, csim, kept)."""
+    cent_rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy("cid")
+        .limit(nlist)
+        .collect()
+    )  # bounded O(nlist·dim) driver state, as in ivf_topk
+    C_raw = np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in cent_rows])
+    C = _normalize_rows(C_raw)
+
+    assigned = (
+        corpus.select(
+            F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("v")
+        )
+        .withColumn(
+            "a", _cell_sim_udf(C, csim_decimals)(F.col("v"))
+        )
+        .select(
+            "vid",
+            "v",
+            F.col("a.cell").alias("cell"),
+            F.col("a.csim").alias("csim"),
+        )
+    )
+
+    a = assigned.select("cell", F.col("vid").alias("x_id"),
+                        F.col("v").alias("xv"), F.col("csim").alias("x_csim"))
+    b = assigned.select("cell", F.col("vid").alias("y_id"),
+                        F.col("v").alias("yv"), F.col("csim").alias("y_csim"))
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("x_id") != F.col("y_id"))
+        .filter(
+            F.round(cosine(F.col("xv"), F.col("yv")), sim_decimals)
+            >= F.lit(threshold)
+        )
+        .filter(
+            (F.col("y_csim") < F.col("x_csim"))
+            | (
+                (F.col("y_csim") == F.col("x_csim"))
+                & (F.col("y_id") < F.col("x_id"))
+            )
+        )
+        .select(F.col("x_id").alias("vid"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_d", F.lit(1)), "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cell",
+            "csim",
+            F.col("_d").isNull().alias("kept"),
+        )
     )
 
 

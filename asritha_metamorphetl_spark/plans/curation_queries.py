@@ -507,6 +507,82 @@ def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Token-budget source mixing: cap each source's contribution by TOKENS
+# (how training mixes are specified), deterministic md5 order, exclusive
+# running total — operators/sampling.token_budget_sample.
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET_DEFAULT = 600
+TOKEN_BUDGETS = {"src0": 300, "src1": 1200}  # per-source overrides
+
+
+@register(
+    "token_budget_mix",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+           md5(CAST(doc_id AS VARCHAR)) AS hk
+    FROM documents
+), cum AS (
+    SELECT doc_id, source, n_tokens, hk,
+           COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY hk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS tokens_before,
+           CASE WHEN source = 'src0' THEN 300
+                WHEN source = 'src1' THEN 1200
+                ELSE {TOKEN_BUDGET_DEFAULT} END AS budget
+    FROM toks
+)
+SELECT source,
+       COUNT(*) AS n_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                      ORDER BY hk, doc_id)) AS kept_sig
+FROM cum WHERE tokens_before < budget
+GROUP BY source
+""",
+)
+def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget domain mixing: each source contributes documents in
+    stable md5(doc_id) order until its TOKEN budget is exhausted
+    (exclusive running total < budget, so overshoot is bounded by one
+    document) — the "N tokens of web, M of code" mix spec made
+    deterministic and engine-verifiable. Two sources carry overrides so
+    the budget mapping itself is under test; kept_sig pins the exact
+    kept set per source, kept_tokens the realized mix."""
+    from asritha_metamorphetl_spark.functions.text import token_count
+    from asritha_metamorphetl_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    docs = Catalog(sf_dir).load(spark, "documents").select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    kept = token_budget_sample(
+        docs,
+        "source",
+        "doc_id",
+        "n_tokens",
+        budget_by_source=TOKEN_BUDGETS,
+        default_budget=TOKEN_BUDGET_DEFAULT,
+    ).withColumn("hk", F.md5(F.col("doc_id").cast("string")))
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.collect_list(F.struct("hk", "doc_id"))
+                ).getField("doc_id").cast("array<string>"),
+            )
+        ).alias("kept_sig"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Log2-bucketed length histogram — the corpus length profile behind
 # curriculum/packing decisions. log2 is IEEE-exact at powers of two, so
 # floor(log2(n)) buckets identically across engines.

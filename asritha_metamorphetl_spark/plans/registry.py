@@ -46,6 +46,8 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "cdc_bucketed_changefeed",
     "knn_ivf_recall_eval",
     "reconcile_lineitem_composite",
+    "semdedup_survivors",
+    "token_budget_mix",
     # round-4 additions / changed knobs
     "cdc_orders_snapshot",
     "cdc_resumable_state",

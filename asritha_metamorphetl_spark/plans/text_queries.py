@@ -1098,6 +1098,75 @@ def knn_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup: embedding-space near-duplicate pruning inside clusters — the
+# semantic complement of the MinHash/exact dedup stack.
+# ---------------------------------------------------------------------------
+
+#: Pair-similarity threshold for the fixture corpus (random-ish
+#: embeddings: intra-cluster pair sims p99 ~ 0.34, max ~ 0.49 — 0.30
+#: drops a real tail while most of the corpus survives). Production
+#: text embeddings use ~0.95+.
+SEMDEDUP_TAU = 0.30
+
+
+@register(
+    "semdedup_survivors",
+    oracle=f"""
+WITH vecs AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cent AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cell, v AS cv
+    FROM (SELECT * FROM vecs ORDER BY vec_id LIMIT {IVF_NLIST})
+),
+sims AS (
+    SELECT e.vec_id, c.cell,
+           ROUND(list_cosine_similarity(e.v, c.cv), 6) AS sim
+    FROM vecs e CROSS JOIN cent c
+),
+asg AS (
+    SELECT vec_id, cell, sim AS csim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY sim DESC, cell ASC) AS rn FROM sims)
+    WHERE rn = 1
+),
+dropped AS (
+    SELECT DISTINCT x.vec_id
+    FROM asg x
+    JOIN asg y ON x.cell = y.cell AND x.vec_id != y.vec_id
+    JOIN vecs xv ON xv.vec_id = x.vec_id
+    JOIN vecs yv ON yv.vec_id = y.vec_id
+    WHERE ROUND(list_cosine_similarity(xv.v, yv.v), 4) >= {SEMDEDUP_TAU}
+      AND (y.csim < x.csim OR (y.csim = x.csim AND y.vec_id < x.vec_id))
+)
+SELECT a.vec_id, a.cell, a.csim, d.vec_id IS NULL AS kept
+FROM asg a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+""",
+)
+def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540) over the embeddings table: Voronoi-
+    cluster on the deterministic IVF seeds, then inside each cluster
+    drop every vector with a kept-ranked near-duplicate (cos >= tau),
+    keeping the member FARTHEST from its centroid. The oracle re-runs
+    the identical rounded assignment + pair test + keep rule in SQL, so
+    the driver verifies clustering, similarity, and survivor selection
+    end-to-end — per-row (500 rows, each with its cell, centroid
+    similarity, and kept flag), not just aggregate counts.
+
+    Scale shape: assignment is an Arrow matmul in the scan stage; the
+    pair test shuffles once on the bounded cell id and runs within
+    clusters only (sum-of-cluster² work — the clustering IS the
+    blocking); the keep rule is one anti-join. No global operation
+    anywhere (operators/similarity.semdedup)."""
+    from asritha_metamorphetl_spark.operators.similarity import semdedup
+
+    emb = Catalog(sf_dir).load(spark, "embeddings")
+    return semdedup(
+        emb, "vec_id", "embedding", nlist=IVF_NLIST, threshold=SEMDEDUP_TAU
+    )
+
+
+# ---------------------------------------------------------------------------
 # Training-data partitioning: deterministic splits + centroid clustering
 # ---------------------------------------------------------------------------
 

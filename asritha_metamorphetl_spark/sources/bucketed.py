@@ -154,23 +154,80 @@ class BucketedCdcTable(SnapshotTable):
         else:
             merged = self._merge(None, delta)
 
+        # a touched bucket always has rows here (tombstones are retained,
+        # deltas never vanish), so every touched bucket gets a new dir
+        written = self._write_buckets(merged, version, len(touched))
+        new_buckets = dict(buckets)
+        new_buckets.update(written)
+        self._publish(version, new_buckets)
+        return version
+
+    def _write_buckets(
+        self, df: DataFrame, version: int, n_tasks: int
+    ) -> dict[str, str]:
+        """Write ``df`` (carrying the bucket column) as ``_b=`` partition
+        directories under one commit dir; returns {bucket_id: dir} for
+        the directories actually written."""
+        b = self.BUCKET_COL
         commit_dir = (
             f"{self.root}/data/commit-{version:05d}-{uuid.uuid4().hex[:8]}"
         )
         (
-            merged.repartition(max(len(touched), 1), F.col(b))
+            df.repartition(max(n_tasks, 1), F.col(b))
             .write.mode("error")
             .partitionBy(b)
             .parquet(commit_dir)
         )
-        # Enumerate the bucket dirs actually written (a touched bucket
-        # always has rows: tombstones are retained, deltas never vanish).
         written = {}
         for st in self._fs.listStatus(self._Path(commit_dir)):
             name = st.getPath().getName()
             if name.startswith(f"{b}="):
                 written[name[len(b) + 1 :]] = f"{commit_dir}/{name}"
-        new_buckets = dict(buckets)
+        return written
+
+    def vacuum_tombstones(self, seq_watermark) -> int | None:
+        """Garbage-collect tombstones whose sequence is below
+        ``seq_watermark``, rewriting ONLY the buckets that contain one
+        (buckets without expired tombstones carry forward verbatim,
+        same as :meth:`merge_delta`). Publishes and returns a new
+        version, or None when nothing expired.
+
+        Safety contract: only call with a watermark below which
+        upstream can no longer emit sequences for these keys — a 'D'
+        removed too early lets a late stale update resurrect the key
+        (the tombstone's whole job). This is the sequence-domain twin
+        of a streaming watermark. The finder pass scans only the
+        (keys, op, seq) projection — column pruning keeps it cheap even
+        when payloads are wide; a bucket left EMPTY by the purge drops
+        out of the manifest entirely."""
+        b = self.BUCKET_COL
+        op = F.col("op")
+        seq = F.col(self.seq_col)
+        expired = (op == "D") & (seq < F.lit(seq_watermark))
+        prior = self.versions()
+        if not prior:
+            return None
+        state = self.read().withColumn(b, self.bucket_of())
+        affected = sorted(
+            r[b]
+            for r in state.filter(expired)
+            .select(b)
+            .distinct()
+            .collect()
+        )  # bounded by n_buckets
+        if not affected:
+            return None
+        version = prior[-1] + 1
+        buckets = self._buckets_map(prior[-1])
+        sub = self.spark.read.option("mergeSchema", "true").parquet(
+            *[buckets[str(t)] for t in affected]
+        ).withColumn(b, self.bucket_of())
+        written = self._write_buckets(
+            sub.filter(~expired), version, len(affected)
+        )
+        new_buckets = {
+            bid: d for bid, d in buckets.items() if int(bid) not in set(affected)
+        }
         new_buckets.update(written)
         self._publish(version, new_buckets)
         return version

@@ -201,6 +201,21 @@ class SnapshotTable:
             return self.read(until).limit(0)
         return self.spark.read.parquet(*new)
 
+    def prune_manifests(self, keep_last: int = 10) -> list[int]:
+        """History retention: drop manifests older than the newest
+        ``keep_last`` versions. Time travel to pruned versions becomes
+        impossible; their data directories become unreferenced, so a
+        following ``vacuum()`` reclaims the space (the Delta
+        ``logRetentionDuration`` + VACUUM pair, by count instead of
+        age). Never prunes the latest manifest. Returns the pruned
+        version numbers."""
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        victims = self.versions()[:-keep_last]
+        for v in victims:
+            self._fs.delete(self._Path(self._manifest_path(v)), False)
+        return victims
+
     def vacuum(self) -> list[str]:
         """Delete data directories no manifest references (crashed
         writers, pre-overwrite history after manifests are pruned).

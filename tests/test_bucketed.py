@@ -217,3 +217,52 @@ def test_changes_feed_scans_only_rewritten_bucket_dirs(spark, tmp_path):
     files = t.changes(since=v1, until=v2).inputFiles()
     only = rewritten.pop()
     assert files and all(only in f for f in files)
+
+
+def test_vacuum_tombstones_rewrites_only_affected_buckets(spark, tmp_path):
+    """Tombstones below the sequence watermark disappear; live rows and
+    young tombstones survive; buckets without expired tombstones keep
+    their exact directories."""
+    t = BucketedCdcTable(spark, str(tmp_path / "tbl"), keys=["k"], n_buckets=8)
+    t.merge_delta(_log(spark, B1))
+    v2 = t.merge_delta(
+        _log(spark, [
+            Row(k=2, val=None, op="D", seq=6),   # expired under wm=10
+            Row(k=3, val=None, op="D", seq=12),  # young: survives
+        ])
+    )
+    m2 = t._buckets_map(v2)
+    v3 = t.vacuum_tombstones(seq_watermark=10)
+    assert v3 == v2 + 1
+    state = _state_dict(t.read())
+    assert 2 not in state                      # expired tombstone purged
+    assert state[3] == (None, "D", 12)         # young tombstone retained
+    assert state[1][1] == "U" and state[4][1] == "U"
+    # only buckets containing k=2's expired tombstone were rewritten
+    m3 = t._buckets_map(v3)
+    expired_bucket = (
+        _log(spark, [Row(k=2, val=None, op="D", seq=6)])
+        .select(t.bucket_of(F.col("k")).alias("b"))
+        .first()
+        .b
+    )
+    for bid, d in m2.items():
+        if bid == str(expired_bucket):
+            assert m3.get(bid) != d
+        else:
+            assert m3.get(bid) == d
+    # idempotent: nothing left to purge
+    assert t.vacuum_tombstones(seq_watermark=10) is None
+
+
+def test_prune_manifests_then_vacuum_reclaims_history(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    t = BucketedCdcTable(spark, root, keys=["k"], n_buckets=4)
+    for rows in (B1, B2, B3):
+        t.merge_delta(_log(spark, rows))
+    assert t.versions() == [1, 2, 3]
+    pruned = t.prune_manifests(keep_last=1)
+    assert pruned == [1, 2] and t.versions() == [3]
+    deleted = t.vacuum()
+    assert deleted  # superseded bucket dirs reclaimed
+    assert _state_dict(t.read()) == _state_dict(_full_merge(spark, B1, B2, B3))

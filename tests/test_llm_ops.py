@@ -227,3 +227,94 @@ def test_exact_duplicates_cap_keeps_smallest_ids(spark):
     assert len(groups) == 1
     assert groups[0].member_ids == [1, 3, 5]
     assert groups[0].n_dupes == 5
+
+
+def test_semdedup_keeps_farthest_from_centroid(spark):
+    """Planted near-duplicate group: all members but one dropped, the
+    survivor being the member FARTHEST from its centroid (the paper's
+    keep-low-centroid-similarity rule); singletons untouched."""
+    from pyspark.sql import Row
+
+    from asritha_metamorphetl_spark.operators.similarity import semdedup
+
+    # 2 seed centroids (ids 0,1). ids 10,11,12 are near-copies of seed 0
+    # with increasing perturbation (so 12 is farthest from the centroid);
+    # id 20 sits alone near seed 1.
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=10, embedding=[1.0, 0.01, 0.0]),
+        Row(vec_id=11, embedding=[1.0, 0.02, 0.0]),
+        Row(vec_id=12, embedding=[1.0, 0.08, 0.0]),
+        Row(vec_id=20, embedding=[0.5, 1.0, 0.0]),  # cos to seed 1 ~ 0.894 < tau
+    ]
+    out = {
+        r.vec_id: r
+        for r in semdedup(
+            spark.createDataFrame(rows),
+            "vec_id",
+            "embedding",
+            nlist=2,
+            threshold=0.95,
+        ).collect()
+    }
+    assert len(out) == 6
+    cluster0 = {0, 10, 11, 12}
+    assert all(out[i].cell == out[0].cell for i in cluster0)
+    # the whole near-dup group collapses to its lowest-csim member (12)
+    kept0 = {i for i in cluster0 if out[i].kept}
+    assert kept0 == {12}
+    assert out[20].kept and out[1].kept  # not near-duplicated
+    assert out[12].csim == min(out[i].csim for i in cluster0)
+
+
+def test_semdedup_high_threshold_keeps_everything(spark):
+    from pyspark.sql import Row
+
+    from asritha_metamorphetl_spark.operators.similarity import semdedup
+
+    rows = [Row(vec_id=i, embedding=[float(i + 1), 1.0, 0.0]) for i in range(6)]
+    out = semdedup(
+        spark.createDataFrame(rows), "vec_id", "embedding", nlist=2,
+        threshold=1.0001,
+    ).collect()
+    assert all(r.kept for r in out)
+
+
+def test_token_budget_sample_semantics(spark):
+    """Exclusive-prefix budget: every positive-budget source keeps >= 1
+    doc, overshoot is bounded by one document, order is the stable md5
+    rank, and a zero-budget source keeps nothing."""
+    from pyspark.sql import Row
+
+    from asritha_metamorphetl_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    rows = [
+        Row(doc_id=i, source=f"s{i % 3}", n_tokens=40 + (i * 7) % 25)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows)
+    kept = token_budget_sample(
+        df, "source", "doc_id", "n_tokens",
+        budget_by_source={"s2": 0}, default_budget=100,
+    ).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r.source, []).append(r)
+    assert "s2" not in by_src  # zero budget keeps nothing
+    for src in ("s0", "s1"):
+        docs = by_src[src]
+        assert docs  # at least one doc under a positive budget
+        total = sum(r.n_tokens for r in docs)
+        max_doc = max(r.n_tokens for r in docs)
+        assert total < 100 + max_doc  # overshoot bounded by one doc
+        # every kept doc's exclusive prefix is under the budget
+        assert all(r.tokens_before < 100 for r in docs)
+    # determinism: rerun yields the identical kept set
+    again = token_budget_sample(
+        df, "source", "doc_id", "n_tokens",
+        budget_by_source={"s2": 0}, default_budget=100,
+    ).collect()
+    assert sorted(r.doc_id for r in kept) == sorted(r.doc_id for r in again)

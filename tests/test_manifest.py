@@ -113,3 +113,16 @@ def test_change_feed_valid_after_overwrite_boundary(spark, tmp_path):
     assert sorted(r.k for r in t.changes(since=2).collect()) == [200, 201, 202, 203]
     with pytest.raises(ValueError, match="overwrite"):
         t.changes(since=1, until=3)
+
+
+def test_prune_manifests_retention(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    for lo in (0, 10, 20):
+        t.commit(_batch(spark, lo, lo + 5))
+    assert t.prune_manifests(keep_last=2) == [1]
+    assert t.versions() == [2, 3]
+    with pytest.raises(FileNotFoundError):
+        t.read(version=1)
+    assert t.read().count() == 15  # latest still reads all appended dirs
+    with pytest.raises(ValueError, match="keep_last"):
+        t.prune_manifests(keep_last=0)
