@@ -48,6 +48,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "reconcile_lineitem_composite",
     "semdedup_survivors",
     "token_budget_mix",
+    "streaming_bucketed_cdc_parity",
     # round-4 additions / changed knobs
     "cdc_orders_snapshot",
     "cdc_resumable_state",

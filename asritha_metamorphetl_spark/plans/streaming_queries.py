@@ -300,3 +300,100 @@ def streaming_outer_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = Catalog(sf_dir).stream(spark, "events")
     joined = interval_self_join_outer(stream, "view", "purchase", gap="1 hour")
     return _materialize(joined, mode="append", state_partitions=8)
+
+
+@register(
+    "streaming_bucketed_cdc_parity",
+    # Batch twin: plain last-writer-wins over the whole changelog (the
+    # same QUALIFY merge the batch CDC queries pin), profiled live-only.
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), changelog AS (
+  SELECT o_orderkey, o_custkey, cents + 500 AS cents, 'U' AS op, 10 AS seq
+  FROM base WHERE o_orderkey % 5 = 1
+  UNION ALL
+  SELECT o_orderkey, o_custkey, cents - 900, 'U', 20
+  FROM base WHERE o_orderkey % 10 = 1
+  UNION ALL
+  SELECT o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), 'D', 15
+  FROM base WHERE o_orderkey % 5 = 2
+  UNION ALL
+  SELECT o_orderkey, o_custkey, cents * 3, 'I', 5
+  FROM base WHERE o_orderkey % 5 = 2
+  UNION ALL
+  SELECT o_orderkey + 500000, o_custkey, cents, 'I', 1
+  FROM base WHERE o_orderkey % 5 = 3
+), latest AS (
+  SELECT * FROM changelog
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) = 1
+)
+SELECT o_orderkey % 36 AS bucket, COUNT(*) AS n,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(SUM(seq) AS BIGINT) AS seq_sum
+FROM latest WHERE op <> 'D'
+GROUP BY o_orderkey % 36
+""",
+)
+def streaming_bucketed_cdc_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed CDC upsert sink under a REAL streaming query: the
+    changelog's three sequence bands land as parquet files, a
+    ``readStream`` with ``maxFilesPerTrigger=1`` delivers them as
+    separate micro-batches into ``cdc_upsert_stream_bucketed`` (one
+    atomic bucketed version per batch, only delta-touched buckets
+    rewritten), and the final live state is profiled against the plain
+    all-at-once last-writer-wins oracle. Whatever order the source
+    lists the files in, the tombstone-retaining merge converges — the
+    property the sink's at-least-once ``foreachBatch`` contract needs.
+    This puts the micro-batch path itself (not just the batch merge
+    math) under a CORRECTNESS row."""
+    import os
+    import shutil
+    import tempfile
+
+    from asritha_metamorphetl_spark.operators.cdc import cdc_live
+    from asritha_metamorphetl_spark.plans.catalog_queries import (
+        _orders_changelog,
+        _seq_band_batches,
+    )
+    from asritha_metamorphetl_spark.sources.bucketed import BucketedCdcTable
+    from asritha_metamorphetl_spark.streaming.windows import (
+        cdc_upsert_stream_bucketed,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(tempfile.gettempdir(), "ametl_stream_bucketed", tag)
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "changelog")
+    batches = _seq_band_batches(_orders_changelog(spark, sf_dir))
+    for i, b in enumerate(batches):
+        b.write.parquet(os.path.join(src, f"band{i}"))
+    schema = batches[0].schema
+
+    table = BucketedCdcTable(
+        spark, os.path.join(root, "tbl"), keys=["o_orderkey"], n_buckets=16
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    q = (
+        cdc_upsert_stream_bucketed(stream, table)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(_AWAIT_SEC):
+        q.stop()
+        raise TimeoutError("bucketed CDC stream did not finish")
+
+    return cdc_live(table.read()).groupBy(
+        (F.col("o_orderkey") % 36).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("total_cents"),
+        F.sum("seq").alias("seq_sum"),
+    )

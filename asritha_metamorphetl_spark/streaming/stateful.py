@@ -104,7 +104,10 @@ def batch_managed_tracker(events: DataFrame, state_dir: str):
 
     Trade-off vs the native state store: state is rewritten per batch
     (fine for dimension-sized state; for billions of keys prefer the
-    native store or an upsert-capable table format).
+    native store, or — for last-writer-wins-shaped state — the
+    hash-bucketed upsert table that rewrites only delta-touched buckets,
+    ``sources.bucketed.BucketedCdcTable`` +
+    ``streaming.windows.cdc_upsert_stream_bucketed``).
 
     Returns an un-started DataStreamWriter.
     """

@@ -330,3 +330,30 @@ def test_bigram_lm_stays_jvm_side_hash_joins(spark):
     assert "CartesianProduct" not in plan
     logical = str(df._jdf.queryExecution().optimizedPlan().toString())
     assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+
+
+def test_semdedup_pair_test_shuffles_on_cell_never_cartesian(spark):
+    """SemDeDup's all-pairs test must be an equi-join on the bounded
+    cell id (the clustering IS the blocking) — a cartesian across the
+    corpus would be quadratic at scale."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["semdedup_survivors"](spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan
+    assert "cell" in plan  # pair join keyed on the cluster id
+
+
+def test_token_budget_window_is_partitioned_by_source(spark):
+    """The budget cumsum must run per source (bounded state, one task
+    per source) — never an unpartitioned global window."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["token_budget_mix"](spark, SF_CORRECT))
+    assert "Window" in plan
+    # the window's partition spec carries the source column; a global
+    # window would show an empty partitionBy and a SinglePartition
+    # exchange feeding raw rows
+    import re
+
+    window_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert any("source" in ln for ln in window_lines)
