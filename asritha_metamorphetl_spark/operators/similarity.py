@@ -346,6 +346,12 @@ def semdedup(
             F.col("a.cell").alias("cell"),
             F.col("a.csim").alias("csim"),
         )
+        # The assignment frame feeds THREE consumers (both pair-join
+        # sides and the final anti-join) — without pinning, the scan +
+        # Arrow assignment kernel re-runs per consumer (measured 3× the
+        # cost locally). localCheckpoint materializes it once; blocks
+        # free with the plan, unlike persist.
+        .localCheckpoint(eager=False)
     )
 
     a = assigned.select("cell", F.col("vid").alias("x_id"),
@@ -355,8 +361,14 @@ def semdedup(
     dropped = (
         a.join(b, "cell")
         .filter(F.col("x_id") != F.col("y_id"))
+        # Arrow-batched cosine (one einsum per batch) — the interpreted
+        # HOF fold was the dominant cost at sum-of-cluster² pairs. Safe
+        # vs the oracle: the rounded score feeds only the >= threshold
+        # comparison, so a <=1-ulp summation difference only matters for
+        # a pair landing exactly on the threshold's rounding boundary
+        # (measure zero; same rule as the LSH/embedding dedup paths).
         .filter(
-            F.round(cosine(F.col("xv"), F.col("yv")), sim_decimals)
+            F.round(cosine_batch(F.col("xv"), F.col("yv")), sim_decimals)
             >= F.lit(threshold)
         )
         .filter(

@@ -137,7 +137,7 @@ class BucketedCdcTable(SnapshotTable):
         buckets = self._buckets_map(prior[-1]) if prior else {}
 
         if not touched:  # empty batch: republish the same layout
-            self._publish(version, buckets)
+            self._publish(version, buckets, changelog.schema.jsonValue())
             return version
 
         prior_dirs = [
@@ -159,7 +159,7 @@ class BucketedCdcTable(SnapshotTable):
         written = self._write_buckets(merged, version, len(touched))
         new_buckets = dict(buckets)
         new_buckets.update(written)
-        self._publish(version, new_buckets)
+        self._publish(version, new_buckets, changelog.schema.jsonValue())
         return version
 
     def _write_buckets(
@@ -229,7 +229,9 @@ class BucketedCdcTable(SnapshotTable):
             bid: d for bid, d in buckets.items() if int(bid) not in set(affected)
         }
         new_buckets.update(written)
-        self._publish(version, new_buckets)
+        self._publish(
+            version, new_buckets, self._read_manifest(prior[-1])["schema"]
+        )
         return version
 
     def _merge(self, state: DataFrame | None, delta: DataFrame) -> DataFrame:
@@ -237,7 +239,9 @@ class BucketedCdcTable(SnapshotTable):
 
         return cdc_merge_batch(state, delta, self.keys, self.seq_col)
 
-    def _publish(self, version: int, buckets: dict[str, str]) -> None:
+    def _publish(
+        self, version: int, buckets: dict[str, str], schema_json: dict
+    ) -> None:
         self._write_manifest(
             version,
             {
@@ -246,6 +250,8 @@ class BucketedCdcTable(SnapshotTable):
                 "n_buckets": self.n_buckets,
                 "keys": self.keys,
                 "buckets": buckets,
+                # read() needs the schema when every bucket is empty
+                "schema": schema_json,
                 # flat list keeps the inherited read()/time-travel working
                 "data_dirs": [buckets[k] for k in sorted(buckets, key=int)],
             },

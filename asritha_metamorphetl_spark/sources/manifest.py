@@ -171,7 +171,17 @@ class SnapshotTable:
         v = versions[-1] if version is None else version
         if v not in versions:
             raise FileNotFoundError(f"version {v} not in {versions}")
-        dirs = self._read_manifest(v)["data_dirs"]
+        manifest = self._read_manifest(v)
+        dirs = manifest["data_dirs"]
+        if not dirs:
+            # a legal empty snapshot (e.g. a bucketed table whose only
+            # commits were empty batches): typed empty frame from the
+            # recorded schema rather than a parquet read of nothing
+            from pyspark.sql.types import StructType
+
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(manifest["schema"])
+            )
         # mergeSchema: additive evolution across commits — a later commit
         # may carry new columns; older files surface them as NULL. The
         # manifest records each commit's schema, so an audit can diff

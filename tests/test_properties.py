@@ -241,3 +241,55 @@ def test_snapshot_table_matches_model(spark, ops, tmp_path_factory):
     for v, want in enumerate(model, start=1):
         got = sorted(r.k for r in t.read(version=v).collect())
         assert got == want, (v, got, want)
+
+
+# -- Bucketed CDC table fuzz: random changelog batches through the
+# bucketed fold must equal the plain cdc_merge_batch fold, for ANY
+# batch split, op mix, and bucket count (layout never changes state).
+
+cdc_batches_strategy = st.lists(  # a history of micro-batches
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),          # key
+            st.sampled_from(["I", "U", "D"]),                # op
+            st.integers(min_value=0, max_value=50),          # seq
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(batches=cdc_batches_strategy, n_buckets=st.sampled_from([1, 3, 8]))
+@settings(**_SETTINGS)
+def test_bucketed_fold_equals_plain_fold_for_any_history(
+    spark, tmp_path_factory, batches, n_buckets
+):
+    from pyspark.sql import Row
+
+    from asritha_metamorphetl_spark.operators.cdc import cdc_merge_batch
+    from asritha_metamorphetl_spark.sources.bucketed import BucketedCdcTable
+
+    root = str(tmp_path_factory.mktemp("fuzz") / "tbl")
+    t = BucketedCdcTable(spark, root, keys=["k"], n_buckets=n_buckets)
+    model = None
+    schema = "k int, val string, op string, seq int"
+    for batch in batches:
+        rows = [Row(k=k, val=f"v{k}.{s}", op=o, seq=s) for k, o, s in batch]
+        df = spark.createDataFrame(rows, schema)
+        t.merge_delta(df)
+        model = cdc_merge_batch(model, df, keys=["k"])
+
+    # duplicate (k, seq) pairs make the max_by winner unspecified — keep
+    # only histories where the fold is deterministic for the compare
+    from collections import Counter
+
+    pair_counts = Counter((k, s) for b in batches for k, _, s in b)
+    if any(v > 1 for v in pair_counts.values()):
+        return
+
+    got = {(r.k): (r.op, r.seq) for r in t.read().collect()} if t.versions() and t.read().columns else {}
+    want = {(r.k): (r.op, r.seq) for r in model.collect()} if model is not None else {}
+    assert got == want
