@@ -5,6 +5,9 @@ registered queries without writing any code.
     python -m asritha_metamorphetl_spark run pricing_summary --sf-dir /root/testdata/sf0.01 -n 10
     python -m asritha_metamorphetl_spark explain cdc_orders_snapshot
     python -m asritha_metamorphetl_spark oracle pricing_summary --sf-dir /root/testdata/sf0.01
+    python -m asritha_metamorphetl_spark table versions /warehouse/orders_state
+    python -m asritha_metamorphetl_spark table prune /warehouse/orders_state --keep-last 5
+    python -m asritha_metamorphetl_spark table vacuum /warehouse/orders_state
 
 The reference exposes its pipelines only as Airflow DAG tasks; this CLI
 is the standalone equivalent — every registered query is runnable,
@@ -42,6 +45,19 @@ def _build_parser() -> argparse.ArgumentParser:
         if name == "run":
             s.add_argument("-n", "--rows", type=int, default=20)
         s.add_argument("--master", default="local[*]")
+
+    t = sub.add_parser(
+        "table", help="snapshot/bucketed table maintenance (versions, "
+        "retention, space reclaim)"
+    )
+    t.add_argument(
+        "action", choices=["versions", "vacuum", "prune"],
+        help="versions: list; prune: drop manifests beyond --keep-last; "
+        "vacuum: delete unreferenced data",
+    )
+    t.add_argument("root", help="table root directory")
+    t.add_argument("--keep-last", type=int, default=10)
+    t.add_argument("--master", default="local[*]")
     return p
 
 
@@ -77,6 +93,25 @@ def main(argv: list[str] | None = None) -> int:
         for name in all_queries():
             tag = "oracle" if name in oracles else "rows-only"
             print(f"{name}  [{tag}]")
+        return 0
+
+    if args.cmd == "table":
+        from asritha_metamorphetl_spark.sources.bucketed import open_table
+
+        spark = _session(args.master)
+        # open_table dispatches plain vs bucketed by the manifest — the
+        # plain vacuum run against a bucketed root would reclaim LIVE
+        # commit dirs (bucketed manifests reference _b= subdirectories)
+        table = open_table(spark, args.root)
+        if args.action == "versions":
+            for v in table.versions():
+                print(v)
+        elif args.action == "prune":
+            for v in table.prune_manifests(keep_last=args.keep_last):
+                print(f"pruned manifest v{v}")
+        else:
+            for d in table.vacuum():
+                print(f"deleted {d}")
         return 0
 
     fn = _resolve(args.query)

@@ -250,6 +250,10 @@ def embedding_near_dup_pairs(
     its own partitions. ``block_col=None`` is the exact small-N path
     (all-pairs within one virtual block) — correct at any size but
     O(n^2), so callers at corpus scale must supply a block key.
+    ``operators.similarity.semdedup`` is the self-blocking composition:
+    it derives the block key itself (Voronoi cells around deterministic
+    seeds) and applies the SemDeDup keep rule on top of this pair
+    machinery's shape — reach for it when no natural block key exists.
 
     Exactness contract: within a block the pairs are EXACT (full cosine
     on every candidate), unlike minhash_lsh_pairs where the signature can

@@ -367,9 +367,14 @@ def streaming_bucketed_cdc_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     root = os.path.join(tempfile.gettempdir(), "ametl_stream_bucketed", tag)
     shutil.rmtree(root, ignore_errors=True)
     src = os.path.join(root, "changelog")
-    batches = _seq_band_batches(_orders_changelog(spark, sf_dir))
+    # materialize the 5-branch changelog ONCE (the three band writes
+    # would otherwise each rescan orders per branch), and land each band
+    # as a single file so maxFilesPerTrigger=1 delivers EXACTLY three
+    # micro-batches — one per sequence band, the semantics under test
+    changelog = _orders_changelog(spark, sf_dir).localCheckpoint(eager=True)
+    batches = _seq_band_batches(changelog)
     for i, b in enumerate(batches):
-        b.write.parquet(os.path.join(src, f"band{i}"))
+        b.coalesce(1).write.parquet(os.path.join(src, f"band{i}"))
     schema = batches[0].schema
 
     table = BucketedCdcTable(

@@ -318,3 +318,23 @@ class BucketedCdcTable(SnapshotTable):
             if kept == 0:
                 self._fs.delete(commit_path, True)
         return deleted
+
+
+def open_table(spark: SparkSession, root: str) -> SnapshotTable:
+    """Open an existing table at ``root`` as the right class by
+    inspecting its latest manifest: bucketed manifests record their
+    ``buckets``/``keys``/``n_buckets``, plain ones don't. Maintenance
+    tooling MUST go through this — running the plain
+    ``SnapshotTable.vacuum`` (which reclaims whole unreferenced commit
+    directories) against a bucketed root would treat every commit dir
+    as unreferenced, because bucketed manifests reference ``_b=``
+    SUBdirectories; the bucketed vacuum is leaf-granular."""
+    t = SnapshotTable(spark, root)
+    versions = t.versions()
+    if versions:
+        m = t._read_manifest(versions[-1])
+        if "buckets" in m:
+            return BucketedCdcTable(
+                spark, root, keys=m["keys"], n_buckets=m["n_buckets"]
+            )
+    return t

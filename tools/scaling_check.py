@@ -35,6 +35,8 @@ QUERIES = [
     ("event_sessions", "sessionization (gaps-and-islands)"),
     ("packed_training_sequences", "distributed prefix-sum packing"),
     ("cdc_bucketed_state", "bucketed CDC fold (O(delta) bucket rewrite)"),
+    ("semdedup_survivors", "cluster-blocked embedding dedup (SemDeDup)"),
+    ("token_budget_mix", "per-source token-budget mixing"),
     ("streaming_interval_join_parity", "stream-stream interval join (micro-batch)"),
     ("streaming_outer_join_parity", "stream-stream LEFT OUTER join (micro-batch)"),
 ]
