@@ -92,6 +92,118 @@ def global_running_sum(
     )
 
 
+def grouped_running_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    value: Column,
+    out_col: str = "running_before",
+    num_partitions: int | None = None,
+    max_groups: int = 10_000,
+) -> DataFrame:
+    """Exclusive prefix sum of ``value`` PER GROUP under the total order
+    ``order_by`` — partition-parallel WITHIN each group (the grouped
+    twin of ``global_running_sum``, sharing its shape with
+    ``ranks.grouped_row_number``).
+
+    A plain ``sum().over(Window.partitionBy(group).orderBy(...))``
+    funnels every row of a group into ONE task — fatal when one group
+    dominates the corpus (the token-budget "100 B tokens of web" case).
+    Here the data is range-repartitioned on (group, order), so a huge
+    group spreads across many partitions in order; per-(partition,
+    group) sums — O(partitions + groups) rows, since range partitions
+    hold contiguous key runs — feed a driver-side prefix sum, and the
+    final value is the bounded local window plus a broadcast offset.
+
+    Bounded-group contract, enforced: the offset fetch early-stops at
+    ``partitions + max_groups`` rows (``take(cap+1)``), raising on an
+    unbounded group key instead of a silent driver OOM. ``order_by``
+    must be a total order within each group or sums are
+    nondeterministic.
+    """
+    from asritha_metamorphetl_spark.operators.ranks import check_partition_bound
+
+    parts = check_partition_bound(
+        num_partitions
+        if num_partitions is not None
+        else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"),
+        "grouped_running_sum",
+    )
+    gcols = [F.col(c) for c in group_cols]
+    ranged = (
+        df.withColumn("__val", value.cast("long"))
+        .repartitionByRange(int(parts), *gcols, *order_by)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # Pin the sampled range boundaries for the two consumers (sums +
+    # cumsum) — see global_running_sum. Skip the eager checkpoint when
+    # the input is already at-or-below the range target: boundaries then
+    # derive deterministically from a plan cheap enough to run twice,
+    # and the checkpoint's fixed cost dominates (grouped_row_number's
+    # tiny-input rule).
+    try:
+        tiny_input = df.rdd.getNumPartitions() <= int(parts)
+    except Exception:
+        tiny_input = False
+    if not tiny_input:
+        ranged = ranged.localCheckpoint(eager=True)
+
+    cap = int(parts) + max_groups
+    sums = (
+        ranged.groupBy("__pid", *group_cols)
+        .agg(F.sum("__val").alias("__s"))
+        .take(cap + 1)
+    )
+    if len(sums) > cap:
+        raise ValueError(
+            f"grouped_running_sum: offset rows exceed partitions + "
+            f"max_groups ({cap}) — the group key has unbounded "
+            "cardinality. This operator collects O(partitions + groups) "
+            "offset rows to the driver; for unbounded keys raise "
+            "max_groups consciously or restructure the group key."
+        )
+    totals: dict[tuple, int] = {}
+    offsets = []
+    for row in sorted(sums, key=lambda r: r["__pid"]):
+        key = tuple(row[c] for c in group_cols)
+        offsets.append((row["__pid"], *key, totals.get(key, 0)))
+        totals[key] = totals.get(key, 0) + (row["__s"] or 0)
+
+    schema = ", ".join(
+        ["__pid int"]
+        + [f"{c} {dict(df.dtypes)[c]}" for c in group_cols]
+        + ["__offset long"]
+    )
+    offset_df = df.sparkSession.createDataFrame(offsets, schema)
+
+    # Null-safe equi-join: a NULL group key is an ordinary group under
+    # the window semantics this replaces (same rule as grouped_row_number).
+    def _nsafe(left, right, keys):
+        cond = None
+        for c in keys:
+            term = left[c].eqNullSafe(right[c])
+            cond = term if cond is None else cond & term
+        return cond
+
+    local = (
+        Window.partitionBy("__pid", *group_cols)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cumed = ranged.withColumn(
+        "__local", F.coalesce(F.sum("__val").over(local), F.lit(0))
+    )
+    return (
+        cumed.join(
+            F.broadcast(offset_df),
+            _nsafe(cumed, offset_df, ["__pid", *group_cols]),
+        )
+        .drop(*[offset_df[c] for c in ["__pid", *group_cols]])
+        .withColumn(out_col, (F.col("__local") + F.col("__offset")).cast("bigint"))
+        .drop("__pid", "__local", "__offset", "__val")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,

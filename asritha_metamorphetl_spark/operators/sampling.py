@@ -8,9 +8,11 @@ every engine, run, and cluster size selects the same rows, and adding
 documents never flips the decision for existing ones (stable under
 incremental ingest).
 
-Row-local (no shuffle, no RNG state); the hash is the md5-derived 48-bit
-bucket shared with the dedup operators (functions/hashing.py), so the
-oracle SQL can reproduce it bit-for-bit.
+``stratified_sample`` is row-local (no shuffle, no RNG state);
+``token_budget_sample`` pays one range exchange for its per-source
+running total but never funnels a source into a single task. The hash
+is the md5-derived 48-bit bucket shared with the dedup operators
+(functions/hashing.py), so the oracle SQL can reproduce it bit-for-bit.
 """
 
 from __future__ import annotations
@@ -52,6 +54,7 @@ def token_budget_sample(
     token_col: str,
     budget_by_source: Mapping[object, int] | None = None,
     default_budget: int = 0,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Cap each source's contribution by TOKENS, not document count —
     how training mixes are actually specified ("100 B tokens of web,
@@ -64,27 +67,26 @@ def token_budget_sample(
     by one document's length.
 
     Adds ``tokens_before`` (the exclusive running total) to the kept
-    rows. One window partitioned by source: cumulative-sum state is
-    O(1) per row, but each source sorts in a single task — the
-    per-SOURCE-cardinality contract of a domain-mix step (tens to
-    thousands of sources), same as ``source_quota_sample``. A
-    pathological single-source corpus should pre-shard the source
-    label before budgeting."""
-    from pyspark.sql import Window
+    rows. The running total is ``packing.grouped_running_sum`` —
+    range-repartition on (source, md5(id), id), per-(partition, source)
+    sums, a driver prefix sum over O(partitions + sources) rows, local
+    window + broadcast offset — so a dominant source (web is ALWAYS
+    the dominant source at corpus scale) spreads its cumulative scan
+    across many tasks instead of serializing into one. The only
+    bounded-cardinality contract left is on SOURCES (tens to
+    thousands), enforced by the offset-row cap."""
+    from asritha_metamorphetl_spark.operators.packing import grouped_running_sum
 
     budget: Column = F.lit(default_budget)
     for src, b in (budget_by_source or {}).items():
         budget = F.when(F.col(source_col) == src, F.lit(b)).otherwise(budget)
-    hk = F.md5(F.col(id_col).cast("string"))
-    w = (
-        Window.partitionBy(source_col)
-        .orderBy(hk, F.col(id_col))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return (
-        df.withColumn(
-            "tokens_before",
-            F.coalesce(F.sum(F.col(token_col).cast("long")).over(w), F.lit(0)),
-        )
-        .filter(F.col("tokens_before") < budget)
-    )
+    with_hk = df.withColumn("__hk", F.md5(F.col(id_col).cast("string")))
+    out = grouped_running_sum(
+        with_hk,
+        [source_col],
+        [F.col("__hk"), F.col(id_col)],
+        F.col(token_col).cast("long"),
+        out_col="tokens_before",
+        num_partitions=num_partitions,
+    ).drop("__hk")
+    return out.filter(F.col("tokens_before") < budget)

@@ -83,3 +83,84 @@ def test_adjacent_docs_tile_the_stream(docs):
     )
     for prev, cur in zip(out, out[1:]):
         assert cur["begin_offset"] == prev["begin_offset"] + prev["n_tokens"]
+
+
+# ---------------------------------------------------------------------------
+# grouped_running_sum: the per-group partitioned prefix sum must equal the
+# per-group single-task window exactly, under any partition count.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def grouped_docs(spark):
+    # Three sources of very different sizes: a dominant one (the "web"
+    # case the distributed shape exists for), a small one, and a
+    # singleton; one row with a NULL group key (a window treats NULL as
+    # an ordinary group — the operator must too).
+    rows = [(i, "web", (i * 37) % 100 + 1) for i in range(200)]
+    rows += [(1000 + i, "code", 10 * i + 5) for i in range(7)]
+    rows += [(2000, "books", 999), (3000, None, 42)]
+    return spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+
+
+def _naive_grouped(docs):
+    hk = F.md5(F.col("doc_id").cast("string"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(hk, "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("rb"),
+    )
+
+
+@pytest.mark.parametrize("parts", [1, 4, 32])
+def test_grouped_running_sum_matches_window_any_partitioning(
+    grouped_docs, parts
+):
+    from asritha_metamorphetl_spark.operators.packing import grouped_running_sum
+
+    hk_docs = grouped_docs.withColumn(
+        "__hk", F.md5(F.col("doc_id").cast("string"))
+    )
+    got = {
+        (r["doc_id"], r["source"]): r["rb"]
+        for r in grouped_running_sum(
+            hk_docs,
+            ["source"],
+            [F.col("__hk"), F.col("doc_id")],
+            F.col("n_tokens"),
+            out_col="rb",
+            num_partitions=parts,
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["source"]): r["rb"]
+        for r in _naive_grouped(grouped_docs).collect()
+    }
+    assert got == want
+
+
+def test_grouped_running_sum_rejects_unbounded_group_key(spark):
+    """The offset collect is O(partitions + groups); a group key with
+    unbounded cardinality must raise, never OOM the driver."""
+    from asritha_metamorphetl_spark.operators.packing import grouped_running_sum
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.col("id").cast("string").alias("source"),  # unique per row
+        F.lit(1).alias("n_tokens"),
+    )
+    with pytest.raises(ValueError, match="unbounded"):
+        grouped_running_sum(
+            df,
+            ["source"],
+            [F.col("doc_id")],
+            F.col("n_tokens"),
+            num_partitions=4,
+            max_groups=50,
+        ).collect()

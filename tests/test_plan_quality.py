@@ -343,17 +343,25 @@ def test_semdedup_pair_test_shuffles_on_cell_never_cartesian(spark):
     assert "cell" in plan  # pair join keyed on the cluster id
 
 
-def test_token_budget_window_is_partitioned_by_source(spark):
-    """The budget cumsum must run per source (bounded state, one task
-    per source) — never an unpartitioned global window."""
+def test_token_budget_cumsum_is_partition_parallel_within_source(spark):
+    """The budget cumsum must never give each source a single task: the
+    running total is grouped_running_sum's two-phase shape, so every
+    Window in the plan partitions by (__pid, source) — a physical range
+    partition AND the source — never by source alone (which would
+    serialize the dominant source, the '100 B tokens of web' hazard),
+    and never by nothing (global single-partition window)."""
     from asritha_metamorphetl_spark.plans.registry import all_queries
 
     plan = _plan(all_queries()["token_budget_mix"](spark, SF_CORRECT))
     assert "Window" in plan
-    # the window's partition spec carries the source column; a global
-    # window would show an empty partitionBy and a SinglePartition
-    # exchange feeding raw rows
-    import re
-
-    window_lines = [ln for ln in plan.splitlines() if "Window" in ln]
-    assert any("source" in ln for ln in window_lines)
+    window_lines = [
+        ln for ln in plan.splitlines()
+        if "Window" in ln and "tokens_before" not in ln and "__local" in ln
+    ] or [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    cumsum_lines = [ln for ln in window_lines if "source" in ln]
+    assert cumsum_lines, "budget cumsum window not found in plan"
+    for ln in cumsum_lines:
+        assert "__pid" in ln, (
+            "cumsum window partitions by source alone — one task per "
+            f"source:\n{ln}"
+        )
