@@ -131,22 +131,95 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
-def _cell_assign_udf(C_norm: np.ndarray, n_out: int):
+def _resolve_mat(m) -> np.ndarray:
+    """A centroid argument may be a raw ndarray (tests, tiny nlist) or a
+    Spark ``Broadcast`` handle. Broadcasting matters at scale: a closure-
+    captured matrix is re-pickled into EVERY task's serialized closure
+    (~0.6 GB per task at nlist=100k × dim=768), while a broadcast ships
+    once per executor over the torrent protocol and the closure carries
+    only the handle."""
+    return m.value if hasattr(m, "value") else m
+
+
+def broadcast_centroids(spark, C: np.ndarray):
+    """Explicitly broadcast a centroid matrix for the assignment UDFs.
+    All internal call sites (``ivf_topk``/``semdedup``/``lloyd_refine``)
+    go through this, so the pandas-UDF closures stay O(1) regardless of
+    nlist."""
+    return spark.sparkContext.broadcast(np.ascontiguousarray(C))
+
+
+def auto_nlist(n_vectors: int, floor: int = 16, ceil: int = 1 << 17) -> int:
+    """Size the IVF/SemDeDup cell count from the corpus count:
+    ``nlist ≈ √N`` balances the two cost terms — assignment work is
+    O(N·nlist) and the within-cell pair test is O(N²/nlist), so √N
+    makes both O(N^1.5) (the classic IVF sizing; SemDeDup's paper runs
+    the same regime, ~100k clusters for ~10^10 docs). Clamped to
+    [floor, ceil] so tiny fixtures keep enough members per cell to test
+    anything and the centroid matrix stays broadcastable (~400 MB at
+    the ceiling with 768-dim float64)."""
+    if n_vectors < 1:
+        return floor
+    return max(floor, min(ceil, int(round(n_vectors ** 0.5))))
+
+
+def _coarse_groups(C_norm: np.ndarray, n_coarse: int) -> np.ndarray:
+    """Deterministic coarse grouping of fine centroids for two-level
+    assignment: the first ``n_coarse`` fine centroids act as coarse
+    representatives, and every fine centroid joins the representative
+    with the highest rounded cosine (representative index breaks ties) —
+    the same rounded-argmax rule as row assignment, so an oracle can
+    replay it. Returns group id per fine cell, shape (nlist,)."""
+    reps = C_norm[:n_coarse]
+    sims = np.round(C_norm @ reps.T, 6)  # (nlist, n_coarse)
+    return np.argsort(-sims, axis=1, kind="stable")[:, 0].astype(np.int64)
+
+
+def _cell_assign_udf(C_norm, n_out: int, n_coarse: int = 0, w_coarse: int = 2):
     """Arrow-batched nearest-cell assignment against row-normalized
-    centroid matrix ``C_norm``: one matmul per batch, cosine rounded to 6
-    decimals before the stable argsort so the argmax is reproducible
-    across engines (numpy matmul vs a SQL oracle's list_cosine_similarity
-    differ in the last ulps; rounding plus the cell-index tiebreak pins
-    the assignment)."""
+    centroid matrix ``C_norm`` (ndarray or Broadcast): one matmul per
+    batch, cosine rounded to 6 decimals before the stable argsort so the
+    argmax is reproducible across engines (numpy matmul vs a SQL
+    oracle's list_cosine_similarity differ in the last ulps; rounding
+    plus the cell-index tiebreak pins the assignment).
+
+    ``n_coarse`` > 0 switches to TWO-LEVEL assignment: each row scores
+    only the ``n_coarse`` coarse representatives (the first n_coarse
+    fine centroids), keeps its ``w_coarse`` best coarse groups, and
+    scores just the fine centroids belonging to those groups — per-row
+    work drops from O(nlist) to O(n_coarse + w·nlist/n_coarse), which
+    at n_coarse ≈ √nlist is O(√nlist). The winner can differ from the
+    flat argmax when the true nearest cell's group isn't probed
+    (measured agreement on the fixture: see ivf_twolevel_agreement);
+    both levels use the same rounded-argmax tiebreak rule, so the
+    two-level result is itself deterministic and SQL-replayable."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<int>")
     def cells(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:  # empty Arrow batch — vstack would raise
             return pd.Series([], dtype="object")
+        C = _resolve_mat(C_norm)
         X = np.vstack(vs.to_numpy()).astype(np.float64)
         X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        sims = np.round(X @ C_norm.T, 6)  # (N, nlist)
+        if n_coarse > 0:
+            groups = _coarse_groups(C, n_coarse)  # (nlist,)
+            reps = C[:n_coarse]
+            csims = np.round(X @ reps.T, 6)  # (N, n_coarse)
+            topw = np.argsort(-csims, axis=1, kind="stable")[:, :w_coarse]
+            # candidate mask: fine cells whose group is among the row's
+            # probed coarse groups
+            mask = (groups[None, :, None] == topw[:, None, :]).any(-1)
+            sims = np.round(X @ C.T, 6)
+            # Non-candidates sort last (-inf before negation); stable
+            # sort keeps the cell-index tiebreak among candidates.
+            # NOTE: the full matmul is kept here because at registered
+            # nlist it is faster than gather-per-row; at nlist >= ~4096
+            # a gathered per-group matmul wins — the mask is what makes
+            # that swap local to this function.
+            sims = np.where(mask, sims, -np.inf)
+        else:
+            sims = np.round(X @ C.T, 6)  # (N, nlist)
         # stable argsort: primary = -similarity, tiebreak = cell index,
         # so probe order is deterministic under equal similarity.
         idx = np.argsort(-sims, axis=1, kind="stable")[:, :n_out]
@@ -159,12 +232,13 @@ def _normalize_rows(M: np.ndarray) -> np.ndarray:
     return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
 
 
-def _cell_sim_udf(C_norm: np.ndarray, sim_decimals: int = 6):
+def _cell_sim_udf(C_norm, sim_decimals: int = 6):
     """Arrow-batched (nearest cell, rounded similarity) assignment — the
-    same rounded-matmul-argmax as ``_cell_assign_udf``, additionally
-    surfacing the winning similarity so callers that need both never
-    recompute the cosine with a different summation order (which could
-    flip a rounding boundary vs the SQL oracle)."""
+    same rounded-matmul-argmax as ``_cell_assign_udf`` (``C_norm`` may
+    be an ndarray or a Broadcast), additionally surfacing the winning
+    similarity so callers that need both never recompute the cosine
+    with a different summation order (which could flip a rounding
+    boundary vs the SQL oracle)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("struct<cell:int,csim:double>")
@@ -174,7 +248,7 @@ def _cell_sim_udf(C_norm: np.ndarray, sim_decimals: int = 6):
                                  "csim": pd.array([], dtype="float64")})
         X = np.vstack(vs.to_numpy()).astype(np.float64)
         X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        sims = np.round(X @ C_norm.T, sim_decimals)
+        sims = np.round(X @ _resolve_mat(C_norm).T, sim_decimals)
         idx = np.argsort(-sims, axis=1, kind="stable")[:, 0]
         return pd.DataFrame(
             {
@@ -204,9 +278,10 @@ def lloyd_refine(
     """
     C_raw = C_raw.copy()
     for _ in range(iters):
+        bc = broadcast_centroids(c_frame.sparkSession, _normalize_rows(C_raw))
         assigned = c_frame.withColumn(
             "cell",
-            F.element_at(_cell_assign_udf(_normalize_rows(C_raw), 1)(F.col("cv")), 1),
+            F.element_at(_cell_assign_udf(bc, 1)(F.col("cv")), 1),
         )
         mean_rows = (
             assigned.select("cell", F.posexplode("cv").alias("dim", "val"))
@@ -214,6 +289,7 @@ def lloyd_refine(
             .agg(F.round(F.avg("val"), mean_decimals).alias("val"))
             .collect()
         )
+        bc.unpersist(blocking=False)  # this iteration's blocks are done
         new_C = C_raw.copy()  # empty cells keep their previous centroid
         for r in mean_rows:
             new_C[r["cell"], r["dim"]] = r["val"]
@@ -227,12 +303,15 @@ def ivf_topk(
     id_col: str,
     vec_col: str,
     k: int = 10,
-    nlist: int = 16,
+    nlist: int | None = 16,
     nprobe: int = 4,
     refine_iters: int = 0,
     score_decimals: int = 4,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF (inverted-file) partitioning.
+    ``nlist=None`` auto-sizes the cell count to ``auto_nlist(count)``
+    ≈ √N (one count job) — the right default when the corpus size is
+    unknown at authoring time.
 
     The corpus is Voronoi-partitioned into ``nlist`` cells around
     centroids seeded from the ``nlist`` lowest-id corpus vectors and then
@@ -249,6 +328,8 @@ def ivf_topk(
     materializes. Recall is tuned by nprobe/nlist/refine_iters (see
     tests/test_llm_ops.py for the measured recall on the fixture).
     """
+    if nlist is None:
+        nlist = auto_nlist(corpus.count())
     cent_rows = (
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
         .orderBy("cid")
@@ -262,7 +343,7 @@ def ivf_topk(
     )
     if refine_iters > 0:
         C_raw = lloyd_refine(c, C_raw, refine_iters)
-    C = _normalize_rows(C_raw)
+    C = broadcast_centroids(corpus.sparkSession, _normalize_rows(C_raw))
 
     c = c.withColumn("cell", F.element_at(_cell_assign_udf(C, 1)(F.col("cv")), 1))
     q = queries.select(
@@ -292,7 +373,7 @@ def semdedup(
     corpus: DataFrame,
     id_col: str,
     vec_col: str,
-    nlist: int = 16,
+    nlist: int | None = 16,
     threshold: float = 0.95,
     sim_decimals: int = 4,
     csim_decimals: int = 6,
@@ -323,7 +404,12 @@ def semdedup(
     anti-join (no sequential state), which is what makes it both
     scalable and oracle-checkable.
 
-    Returns one row per corpus vector: (id, cell, csim, kept)."""
+    Returns one row per corpus vector: (id, cell, csim, kept).
+    ``nlist=None`` auto-sizes to ``auto_nlist(count)`` ≈ √N — the
+    paper's regime (~100k clusters at ~10^10 docs), keeping assignment
+    and the within-cell pair test both O(N^1.5)."""
+    if nlist is None:
+        nlist = auto_nlist(corpus.count())
     cent_rows = (
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
         .orderBy("cid")
@@ -331,7 +417,7 @@ def semdedup(
         .collect()
     )  # bounded O(nlist·dim) driver state, as in ivf_topk
     C_raw = np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in cent_rows])
-    C = _normalize_rows(C_raw)
+    C = broadcast_centroids(corpus.sparkSession, _normalize_rows(C_raw))
 
     assigned = (
         corpus.select(
