@@ -35,7 +35,8 @@ Choosing ``n_buckets``: state_bytes / n_buckets should fit a
 comfortable rewrite unit (e.g. 1–4 GB). More buckets = finer rewrite
 granularity but more files; the bucket count is fixed at table creation
 (changing it means rewriting the table — same contract as Hive/Spark
-bucketing).
+bucketing; ``rebucket`` performs exactly that rewrite when state
+outgrows the sizing).
 
 Reference contrast: the closest pattern in the reference is the daily
 full-snapshot rewrite (ETL_Airflow/dags/tasks/ingestion_task.py:66-69);
@@ -87,6 +88,38 @@ class BucketedCdcTable(SnapshotTable):
         self.keys = list(keys)
         self.n_buckets = int(n_buckets)
         self.seq_col = seq_col
+        self._layout_ok = False
+
+    def _validate_layout(self) -> None:
+        """Direct construction accepts any keys/n_buckets/seq_col; if
+        they disagree with an EXISTING table's manifest, ``bucket_of``
+        computes a different layout and the next ``merge_delta`` would
+        silently corrupt it (rows landing in buckets the manifest maps
+        elsewhere). Checked once, lazily, before the first mutating or
+        layout-dependent operation — ``open_table`` constructs from the
+        manifest and is always consistent; this guards the constructor
+        path. ``rebucket`` is the sanctioned way to change the count."""
+        if self._layout_ok:
+            return
+        prior = self.versions()
+        if prior:
+            m = self._read_manifest(prior[-1])
+            if "buckets" in m:
+                recorded = (
+                    int(m["n_buckets"]),
+                    list(m["keys"]),
+                    m.get("seq_col", "seq"),
+                )
+                mine = (self.n_buckets, self.keys, self.seq_col)
+                if recorded != mine:
+                    raise ValueError(
+                        f"bucketed table layout mismatch at {self.root}: "
+                        f"manifest records (n_buckets, keys, seq_col)="
+                        f"{recorded} but this handle was constructed with "
+                        f"{mine}. Use open_table() to adopt the recorded "
+                        "layout, or rebucket() to change the bucket count."
+                    )
+        self._layout_ok = True
 
     # -- bucketing ---------------------------------------------------------
 
@@ -126,8 +159,19 @@ class BucketedCdcTable(SnapshotTable):
         each write task lands in O(1) partition directories — both
         sized by (delta + touched-bucket state), never by the full
         table."""
+        self._validate_layout()
         b = self.BUCKET_COL
         delta = changelog.withColumn(b, self.bucket_of())
+        # Pin the delta before ANY consumer: the touched-set collect,
+        # the merge, and the write must all see the same rows. Without
+        # this, a nondeterministic changelog plan (sampling, rand
+        # salting) could write _b= directories outside the collected
+        # touched set, whose manifest entries would then REPLACE prior
+        # bucket state without having merged it. localCheckpoint
+        # materializes once; foreachBatch micro-batch frames support it
+        # (the streaming sink path is under test). The written⊆touched
+        # assertion in the write step backstops this pin.
+        delta = delta.localCheckpoint(eager=True)
         # Bounded collect: at most n_buckets rows, independent of data size.
         touched = sorted(
             r[b] for r in delta.select(b).distinct().collect()
@@ -157,6 +201,16 @@ class BucketedCdcTable(SnapshotTable):
         # a touched bucket always has rows here (tombstones are retained,
         # deltas never vanish), so every touched bucket gets a new dir
         written = self._write_buckets(merged, version, len(touched))
+        extra = set(written) - {str(t) for t in touched}
+        if extra:
+            raise RuntimeError(
+                f"merge_delta wrote buckets {sorted(extra)} outside the "
+                f"collected touched set {touched} — the changelog plan "
+                "produced different rows across evaluations (it is "
+                "nondeterministic despite the checkpoint pin). Aborting "
+                "before publishing a manifest that would replace those "
+                "buckets' prior state unmerged."
+            )
         new_buckets = dict(buckets)
         new_buckets.update(written)
         self._publish(version, new_buckets, changelog.schema.jsonValue())
@@ -200,6 +254,7 @@ class BucketedCdcTable(SnapshotTable):
         (keys, op, seq) projection — column pruning keeps it cheap even
         when payloads are wide; a bucket left EMPTY by the purge drops
         out of the manifest entirely."""
+        self._validate_layout()
         b = self.BUCKET_COL
         op = F.col("op")
         seq = F.col(self.seq_col)
@@ -249,6 +304,7 @@ class BucketedCdcTable(SnapshotTable):
                 "mode": "upsert",
                 "n_buckets": self.n_buckets,
                 "keys": self.keys,
+                "seq_col": self.seq_col,
                 "buckets": buckets,
                 # read() needs the schema when every bucket is empty
                 "schema": schema_json,
@@ -256,6 +312,40 @@ class BucketedCdcTable(SnapshotTable):
                 "data_dirs": [buckets[k] for k in sorted(buckets, key=int)],
             },
         )
+
+    def rebucket(self, n_new: int) -> int | None:
+        """Rewrite the WHOLE table into ``n_new`` hash buckets and
+        publish the result as the next version — the escape hatch for
+        the "bucket count is fixed at creation" contract when a table
+        outgrows its rewrite-unit sizing (state_bytes / n_buckets should
+        stay ~1-4 GB). One full read + one partitioned write, exactly
+        the cost contract of Hive/Spark re-bucketing; history before
+        the rebucket stays time-travelable (old manifests keep naming
+        the old bucket directories), and the ``changes`` feed across
+        the boundary reports every bucket as rewritten — which is true,
+        and the replica's merge absorbs it. This handle adopts the new
+        count on success. Returns the new version (None for an empty
+        table, which just adopts the count — nothing to rewrite)."""
+        if n_new < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_new}")
+        self._validate_layout()
+        prior = self.versions()
+        if not prior:
+            self.n_buckets = int(n_new)
+            return None
+        b = self.BUCKET_COL
+        state = self.read().withColumn(
+            b,
+            F.pmod(
+                F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(int(n_new))
+            ),
+        )
+        version = prior[-1] + 1
+        written = self._write_buckets(state, version, int(n_new))
+        schema = self._read_manifest(prior[-1])["schema"]
+        self.n_buckets = int(n_new)  # _publish records the new layout
+        self._publish(version, written, schema)
+        return version
 
     # -- incremental consumption ------------------------------------------
 
@@ -335,6 +425,10 @@ def open_table(spark: SparkSession, root: str) -> SnapshotTable:
         m = t._read_manifest(versions[-1])
         if "buckets" in m:
             return BucketedCdcTable(
-                spark, root, keys=m["keys"], n_buckets=m["n_buckets"]
+                spark,
+                root,
+                keys=m["keys"],
+                n_buckets=m["n_buckets"],
+                seq_col=m.get("seq_col", "seq"),
             )
     return t

@@ -241,10 +241,12 @@ def compact_parquet(
     scheme the session has a connector for (see ``session.create_session``
     jar/conf passthrough). The swap is rename-based: the original is
     renamed ASIDE, the rewrite renamed into place, then the aside copy
-    deleted — so there is no window where the path is absent, a crash
-    mid-swap leaves either the old or the new directory restorable (the
-    aside dir is kept on failure), and readers see old-or-new, never
-    half. Each individual rename is atomic on HDFS/POSIX; object stores
+    deleted — the path-absent window shrinks to the gap BETWEEN those
+    two metadata renames (a reader resolving the path exactly then sees
+    path-not-found and should retry; the window is two namenode ops,
+    not a data copy), a crash mid-swap leaves either the old or the new
+    directory restorable (the aside dir is kept on failure), and
+    readers otherwise see old-or-new, never half. Each individual rename is atomic on HDFS/POSIX; object stores
     emulate rename with copy+delete, so there the swap is best-effort —
     prefer a manifest table (``sources.manifest.SnapshotTable``) for
     true atomic publishes on S3-like stores. ``sort_cols`` optionally

@@ -96,12 +96,18 @@ class SnapshotTable:
         contract Delta's HDFS log store relies on. But Hadoop's
         RawLocalFileSystem (POSIX ``File.renameTo``) and most object-
         store connectors OVERWRITE on rename, so two racing committers
-        could both "succeed" with one commit silently lost. Guard: a
-        unique token is embedded in the payload, and after the rename
-        the destination is re-read and must carry OUR token — the loser
-        of an overwrite race sees the winner's token and raises instead
-        of reporting a lost commit as success. (Read-back costs one tiny
-        JSON GET per commit; manifests are O(commits) entries.)"""
+        could both "succeed" with one commit silently lost. Guard
+        (BEST-EFFORT on such stores): a unique token is embedded in the
+        payload, and after the rename the destination is re-read and
+        must carry OUR token. This narrows the race to the window
+        between the loser's rename and its read-back — writer A can
+        still pass its read-back before writer B renames over the same
+        version, leaving both reporting success with A's commit lost.
+        Closing it fully needs a primitive the store must provide
+        (atomic create-exclusive, or a conditional PUT); on HDFS the
+        non-clobbering rename already IS that primitive and the
+        read-back is pure redundancy. (Read-back costs one tiny JSON
+        GET per commit; manifests are O(commits) entries.)"""
         token = uuid.uuid4().hex
         manifest = dict(manifest, commit_token=token)
         tmp = self._Path(

@@ -266,3 +266,91 @@ def test_prune_manifests_then_vacuum_reclaims_history(spark, tmp_path):
     deleted = t.vacuum()
     assert deleted  # superseded bucket dirs reclaimed
     assert _state_dict(t.read()) == _state_dict(_full_merge(spark, B1, B2, B3))
+
+
+# ---------------------------------------------------------------------------
+# Layout hardening (r5 directive #4 + advisor findings): constructor
+# params are validated against the manifest, seq_col round-trips through
+# open_table, and rebucket() is the sanctioned full-rewrite escape hatch.
+# ---------------------------------------------------------------------------
+
+
+def test_layout_mismatch_raises_before_corrupting(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    t = BucketedCdcTable(spark, root, keys=["k"], n_buckets=4)
+    t.merge_delta(_log(spark, B1))
+    # wrong n_buckets: bucket_of() would route keys differently
+    bad = BucketedCdcTable(spark, root, keys=["k"], n_buckets=8)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        bad.merge_delta(_log(spark, B2))
+    # wrong keys
+    bad2 = BucketedCdcTable(spark, root, keys=["val"], n_buckets=4)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        bad2.vacuum_tombstones(99)
+    # matching params stay fine
+    ok = BucketedCdcTable(spark, root, keys=["k"], n_buckets=4)
+    ok.merge_delta(_log(spark, B2))
+    assert _state_dict(cdc_live(ok.read())) == _state_dict(
+        cdc_live(_full_merge(spark, B1, B2))
+    )
+
+
+def test_seq_col_roundtrips_through_open_table(spark, tmp_path):
+    """A custom sequence column must be recorded in the manifest and
+    re-adopted by open_table — otherwise merge/vacuum on the reopened
+    handle would order by the wrong column."""
+    from pyspark.sql import Row
+
+    from asritha_metamorphetl_spark.sources.bucketed import open_table
+
+    root = str(tmp_path / "tbl")
+    t = BucketedCdcTable(
+        spark, root, keys=["k"], n_buckets=2, seq_col="lsn"
+    )
+    rows = [Row(k=1, val="a", op="U", lsn=1), Row(k=2, val="b", op="U", lsn=2)]
+    t.merge_delta(spark.createDataFrame(rows, "k int, val string, op string, lsn int"))
+    reopened = open_table(spark, root)
+    assert isinstance(reopened, BucketedCdcTable)
+    assert reopened.seq_col == "lsn"
+    # stale row must lose under the custom column on the REOPENED handle
+    stale = [Row(k=1, val="old", op="U", lsn=0)]
+    reopened.merge_delta(
+        spark.createDataFrame(stale, "k int, val string, op string, lsn int")
+    )
+    got = {r.k: r.val for r in cdc_live(reopened.read()).collect()}
+    assert got == {1: "a", 2: "b"}
+
+
+def test_rebucket_preserves_state_exactly(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    t = BucketedCdcTable(spark, root, keys=["k"], n_buckets=2)
+    t.merge_delta(_log(spark, B1))
+    t.merge_delta(_log(spark, B2))
+    before = _state_dict(t.read())
+    v = t.rebucket(7)
+    assert v == 3 and t.n_buckets == 7
+    assert _state_dict(t.read()) == before  # layout, not semantics
+    # the manifest now records 7 buckets and open_table adopts them
+    from asritha_metamorphetl_spark.sources.bucketed import open_table
+
+    reopened = open_table(spark, root)
+    assert reopened.n_buckets == 7
+    # merges keep working under the new layout, old handles at the old
+    # count are rejected
+    t.merge_delta(_log(spark, B3))
+    want = _state_dict(_full_merge(spark, B1, B2, B3))
+    assert _state_dict(t.read()) == want
+    stale_handle = BucketedCdcTable(spark, root, keys=["k"], n_buckets=2)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        stale_handle.merge_delta(_log(spark, B1))
+    # history before the rebucket stays time-travelable
+    assert _state_dict(t.read(version=2)) == before
+
+
+def test_rebucket_empty_table_adopts_count(spark, tmp_path):
+    t = BucketedCdcTable(spark, str(tmp_path / "t"), keys=["k"], n_buckets=2)
+    assert t.rebucket(5) is None
+    assert t.n_buckets == 5
+    t.merge_delta(_log(spark, B1))
+    assert t._buckets_map(t.versions()[-1])  # wrote under the adopted count
+    assert _state_dict(t.read()) == _state_dict(_full_merge(spark, B1))

@@ -262,10 +262,15 @@ cdc_batches_strategy = st.lists(  # a history of micro-batches
 )
 
 
-@given(batches=cdc_batches_strategy, n_buckets=st.sampled_from([1, 3, 8]))
+@given(
+    batches=cdc_batches_strategy,
+    n_buckets=st.sampled_from([1, 3, 8]),
+    rebucket_to=st.sampled_from([None, 1, 2, 5]),
+    rebucket_after=st.integers(min_value=0, max_value=3),
+)
 @settings(**_SETTINGS)
 def test_bucketed_fold_equals_plain_fold_for_any_history(
-    spark, tmp_path_factory, batches, n_buckets
+    spark, tmp_path_factory, batches, n_buckets, rebucket_to, rebucket_after
 ):
     from pyspark.sql import Row
 
@@ -276,7 +281,12 @@ def test_bucketed_fold_equals_plain_fold_for_any_history(
     t = BucketedCdcTable(spark, root, keys=["k"], n_buckets=n_buckets)
     model = None
     schema = "k int, val string, op string, seq int"
-    for batch in batches:
+    for i, batch in enumerate(batches):
+        # a mid-history rebucket is layout-only: the fold must be
+        # unaffected wherever it lands (including before any data, and
+        # to a count equal to the current one)
+        if rebucket_to is not None and i == rebucket_after:
+            t.rebucket(rebucket_to)
         rows = [Row(k=k, val=f"v{k}.{s}", op=o, seq=s) for k, o, s in batch]
         df = spark.createDataFrame(rows, schema)
         t.merge_delta(df)
