@@ -155,6 +155,7 @@ def global_percent_rank(
     tiebreak: list[Column] | None = None,
     out_col: str = "percent_rank",
     broadcast_map: bool = False,
+    max_distinct: int = 50_000_000,
 ) -> DataFrame:
     """Partition-parallel equivalent of
     ``percent_rank().over(Window.orderBy(value))`` with SQL tie semantics:
@@ -179,7 +180,15 @@ def global_percent_rank(
     For values with genuinely unbounded distinct cardinality, rank a
     quantized projection instead (round/bucket the value first), or use
     ``global_row_number`` and derive pr — the partitioned machinery there
-    never single-partitions anything.
+    never single-partitions anything. That contract is now ENFORCED, not
+    assumed: ``max_distinct`` bounds the collapsed frame with an
+    in-plan ``assert_true`` evaluated in the same single-partition
+    window stage — zero extra jobs, the plan stays lazy, and a caller
+    ranking an unbounded key (order_id, raw timestamps) gets a clean
+    runtime error carrying the quantize-first guidance instead of a
+    silent spill-or-OOM. 50M distinct 16-byte rows ≈ 800 MB in one
+    sort — the default sits at the edge of a healthy executor; raise
+    it consciously.
 
     ``tiebreak`` is accepted for API stability but unused: pr values never
     depend on the order within a tie group.
@@ -204,13 +213,28 @@ def global_percent_rank(
     all_w = Window.orderBy(order).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    # The guard column MUST stay referenced by the output expression —
+    # a free-standing assert_true column would be pruned away by the
+    # optimizer together with its check.
+    guard = F.assert_true(
+        F.count(F.lit(1)).over(all_w) <= F.lit(int(max_distinct)),
+        F.lit(
+            f"global_percent_rank: distinct-value cardinality exceeds "
+            f"max_distinct={int(max_distinct)} — the collapsed "
+            "single-partition stage is bounded by the VALUE DOMAIN, not "
+            "the row count. Quantize the value first (round/bucket), use "
+            "global_row_number and derive pr, or raise max_distinct "
+            "consciously (driver of one sort task's memory)."
+        ),
+    )
     pr_map = vc.select(
         "__v",
         F.coalesce(F.sum("__c").over(cum_w), F.lit(0)).alias("__better"),
         F.sum("__c").over(all_w).alias("__n"),
+        guard.alias("__guard"),
     ).select(
         "__v",
-        F.when(F.col("__n") <= 1, F.lit(0.0))
+        F.when(F.col("__guard").isNull() & (F.col("__n") <= 1), F.lit(0.0))
         .otherwise(F.col("__better") / (F.col("__n") - F.lit(1)))
         .alias(out_col),
     )

@@ -254,7 +254,12 @@ def cdc_upsert_stream(
     return changelog.writeStream.foreachBatch(apply_batch)
 
 
-def cdc_upsert_stream_bucketed(changelog: DataFrame, table):
+def cdc_upsert_stream_bucketed(
+    changelog: DataFrame,
+    table,
+    maintain_every: int | None = None,
+    keep_versions: int = 10,
+):
     """Streaming upsert sink over a
     :class:`~asritha_metamorphetl_spark.sources.bucketed.BucketedCdcTable`:
     each micro-batch merges into ONLY the hash buckets its keys touch;
@@ -269,11 +274,27 @@ def cdc_upsert_stream_bucketed(changelog: DataFrame, table):
     carries the merge keys and sequence column, so only the changelog
     and table are needed here.
 
+    ``maintain_every`` wires RETENTION into the sink — the place commit
+    dirs accrue fastest (one manifest + one commit dir per micro-batch:
+    a 10 s trigger is ~8.6k versions/day). Every N-th batch, after its
+    merge publishes, the sink prunes manifests to the newest
+    ``keep_versions`` and runs the bucket-granular ``vacuum`` so
+    superseded bucket directories are reclaimed while the stream runs.
+    Retention is maintenance, not correctness: a crash between merge
+    and maintenance just defers the cleanup to the next N-th batch, and
+    time travel within ``keep_versions`` keeps working. Size
+    ``keep_versions`` to the downstream ``changes()`` consumers' lag —
+    a replica reading the change feed needs its ``since`` version still
+    present.
+
     Returns the DataStreamWriter — caller adds checkpoint/trigger and
     ``.start()``."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         table.merge_delta(batch_df)
+        if maintain_every and (int(batch_id) + 1) % int(maintain_every) == 0:
+            table.prune_manifests(keep_last=keep_versions)
+            table.vacuum()
 
     return changelog.writeStream.foreachBatch(apply_batch)
 

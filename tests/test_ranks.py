@@ -153,3 +153,30 @@ def test_absurd_num_partitions_rejected_before_any_job(spark):
             global_running_sum(
                 df, [F.col("id").asc()], F.col("v"), num_partitions=bad
             )
+
+
+def test_global_percent_rank_enforces_distinct_cardinality(spark):
+    """The collapsed single-partition stage is bounded by value-domain
+    cardinality; past max_distinct the plan must raise with the
+    quantize-first guidance, never silently funnel (r5 directive #7)."""
+    import pytest
+    from asritha_metamorphetl_spark.operators.ranks import global_percent_rank
+
+    df = spark.range(500).select(F.col("id").alias("v"))  # 500 distinct
+    with pytest.raises(Exception, match="[Qq]uantize"):
+        global_percent_rank(df, F.col("v"), max_distinct=100).collect()
+    # under the bound: exact SQL percent_rank semantics, guard invisible
+    from pyspark.sql import Window
+
+    got = {
+        r["v"]: r["percent_rank"]
+        for r in global_percent_rank(df, F.col("v"), max_distinct=1000).collect()
+    }
+    want = {
+        r["v"]: r["pr"]
+        for r in df.select(
+            "v",
+            F.percent_rank().over(Window.orderBy(F.col("v").desc())).alias("pr"),
+        ).collect()
+    }
+    assert got == want
