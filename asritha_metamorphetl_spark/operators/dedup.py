@@ -16,7 +16,7 @@ loops) — the scale path is the shuffle on content keys:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from asritha_metamorphetl_spark.functions import hashing as H
@@ -305,4 +305,65 @@ def embedding_near_dup_pairs(
             F.round(score, score_decimals).alias("score"),
         )
         .filter(F.col("score") >= threshold)
+    )
+
+
+def duplicated_passage_spans(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal duplicated-passage spans: for each document, the token
+    ranges [span_start, span_end] (1-based, inclusive) in which every
+    contiguous k-gram (k = SHINGLE_SIZE) occurs in at least ``min_docs``
+    distinct documents — the distributed approximation of exact-substring
+    deduplication (Lee et al. 2021, arXiv:2107.06499), whose suffix-array
+    construction does not distribute while this fixed-length-gram form
+    is two shuffles.
+
+    Shape: posexplode grams with their positions (map-side), one hash
+    aggregate on the xxhash64 gram key for the document-frequency test
+    (collision odds ~|G|²/2⁶⁵ — same argument as ngram_jaccard_pairs),
+    one shuffle join back to positions, then a per-document
+    gaps-and-islands merge (pos - row_number, windowed by doc) whose
+    state is bounded by document length, never corpus size.
+
+    Returns (id_col, span_start, span_end, n_grams).
+    """
+    from asritha_metamorphetl_spark.functions.hashing import (
+        SHINGLE_SIZE,
+        word_shingles,
+    )
+
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(word_shingles(F.col(text_col))).alias("pos0", "s"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.xxhash64(F.col("s")).alias("g"),
+    )
+    dupg = (
+        sh.groupBy("g")
+        .agg(F.count_distinct(F.col("doc_id")).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    duppos = sh.join(dupg, "g").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grp = duppos.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        grp.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + (SHINGLE_SIZE - 1)).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(
+            F.col("doc_id").alias(id_col),
+            "span_start",
+            "span_end",
+            "n_grams",
+        )
     )

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from asritha_metamorphetl_spark.functions.hashing import shingle_hash
@@ -90,3 +90,102 @@ def token_budget_sample(
         num_partitions=num_partitions,
     ).drop("__hk")
     return out.filter(F.col("tokens_before") < budget)
+
+
+def unimax_allocation(
+    stats: DataFrame,
+    source_col: str,
+    tokens_col: str,
+    budget: Column,
+    max_epochs: float = 1.0,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151):
+    distribute a global token ``budget`` across sources as uniformly as
+    possible, capping every source at ``max_epochs`` passes over its
+    ``tokens_col`` tokens — the sampling schedule that avoids both
+    proportional sampling's head-domination and temperature sampling's
+    tail over-epoching.
+
+    Exact water-filling, closed form: with capacities c_i = max_epochs ·
+    tokens_i sorted ascending, source i is capped iff
+    ``c_i · (n - i + 1) ≤ budget - Σ_{j<i} c_j`` (for ascending
+    capacities this per-row test reproduces the sequential fill
+    exactly), and every uncapped source gets the common water level
+    ``(budget - Σ_capped c) / n_uncapped``. All quantities are
+    integer-valued doubles until the final level division, so the
+    comparison is IEEE-exact and reproducible across engines.
+
+    ``stats`` is the per-source rollup — O(sources) rows, which is what
+    the single global sort window here is bounded by (tens to thousands
+    of sources; never row-scale data). Returns one row per source:
+    (source, n_tokens, capacity, allocation, epochs, capped).
+    """
+    n_tok = F.col(tokens_col).cast("double")
+    cap = (n_tok * F.lit(float(max_epochs))).alias("capacity")
+    base = stats.select(
+        F.col(source_col).alias("source"),
+        F.col(tokens_col).cast("bigint").alias("n_tokens"),
+        cap,
+        budget.cast("double").alias("budget"),
+    )
+    w = Window.orderBy(F.col("capacity").asc(), F.col("source").asc())
+    ranked = base.select(
+        "source",
+        "n_tokens",
+        "capacity",
+        "budget",
+        F.row_number().over(w).alias("i"),
+        F.coalesce(
+            F.sum("capacity").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0.0),
+        ).alias("cum_prev"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    ).withColumn(
+        "capped",
+        F.col("capacity") * (F.col("n") - F.col("i") + 1)
+        <= F.col("budget") - F.col("cum_prev"),
+    )
+    level = ranked.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("capacity"))), F.lit(0.0)
+        ).alias("capped_sum"),
+        F.sum(F.when(F.col("capped"), 1).otherwise(0)).alias("n_capped"),
+        F.max("n").alias("n_all"),
+        F.max("budget").alias("b"),
+    ).select(
+        F.when(
+            F.col("n_capped") < F.col("n_all"),
+            (F.col("b") - F.col("capped_sum"))
+            / (F.col("n_all") - F.col("n_capped")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("level")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(level))
+        .select(
+            "source",
+            "n_tokens",
+            F.round("capacity", 6).alias("capacity"),
+            F.round(
+                F.when(F.col("capped"), F.col("capacity")).otherwise(
+                    F.col("level")
+                ),
+                6,
+            ).alias("allocation"),
+            F.round(
+                F.when(F.col("capped"), F.col("capacity")).otherwise(
+                    F.col("level")
+                )
+                / F.col("n_tokens"),
+                6,
+            ).alias("epochs"),
+            "capped",
+        )
+    )

@@ -614,3 +614,253 @@ def lsh_bucketed_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "score", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): subspace vector compression + ADC search
+# ---------------------------------------------------------------------------
+
+
+def _pq_assign_udf(B_bc, m: int, subdim: int, dist_decimals: int = 6):
+    """Arrow-batched PQ encoding: nearest codeword per subspace under
+    rounded squared-L2 distance (``B_bc`` is an (m, ncodes, subdim)
+    ndarray or Broadcast handle). One reshaped batch → one broadcasted
+    numpy subtraction per subspace block; distances are rounded before
+    the argmin so the code choice is reproducible across engines
+    (``np.argmin`` returns the FIRST minimum — lowest code wins ties,
+    the same ordering a SQL oracle's ``ROW_NUMBER ... ORDER BY d2 ASC,
+    code ASC`` replays)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def codes(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:  # empty Arrow batch — vstack would raise
+            return pd.Series([], dtype="object")
+        B = _resolve_mat(B_bc)  # (m, ncodes, subdim)
+        X = np.vstack(vs.to_numpy()).astype(np.float64)
+        X = X.reshape(len(X), m, subdim)
+        # d2[n, m, ncodes]: squared L2 between each row-subvector and
+        # every codeword of that subspace.
+        d2 = ((X[:, :, None, :] - B[None, :, :, :]) ** 2).sum(-1)
+        d2 = np.round(d2, dist_decimals)
+        idx = np.argmin(d2, axis=2).astype("int32")  # first-min = low code
+        return pd.Series(list(idx))
+
+    return codes
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int,
+    ncodes: int,
+    refine_iters: int = 1,
+    mean_decimals: int = 6,
+) -> np.ndarray:
+    """Train per-subspace PQ codebooks, returning (m, ncodes, subdim).
+
+    Seeding is deterministic — the ``ncodes`` lowest-id corpus vectors,
+    sliced into ``m`` contiguous subvectors (the same convention as
+    ``ivf_topk``'s centroid seeding) — then ``refine_iters`` distributed
+    Lloyd iterations refine every subspace IN ONE PASS over the corpus:
+    an Arrow-batched encode assigns all m codes per row (no shuffle),
+    a posexplode keyed by (subspace, code, dim-within-subspace) computes
+    member means in one hash agg whose output is m·ncodes·subdim rows —
+    bounded, independent of corpus size — and the driver folds the
+    rounded means back into the codebook (empty codes keep their
+    previous codeword). Driver state stays O(m·ncodes·subdim).
+
+    At 100 TB you train on a bounded sample (pass ``corpus.limit(...)``
+    or a hash-sampled frame) and encode the full corpus with the result;
+    the codebooks broadcast explicitly so the encode closure is O(1).
+    """
+    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).head()
+    subdim = int(dim_row["d"]) // m
+    if subdim * m != int(dim_row["d"]):
+        raise ValueError(f"dim {dim_row['d']} not divisible by m={m}")
+    seed_rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy("cid")
+        .limit(ncodes)
+        .collect()
+    )  # bounded O(ncodes·dim) driver state
+    S = np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in seed_rows])
+    B = np.ascontiguousarray(S.reshape(ncodes, m, subdim).transpose(1, 0, 2))
+
+    c = corpus.select(_to_double(F.col(vec_col)).alias("cv"))
+    for _ in range(refine_iters):
+        bc = broadcast_centroids(corpus.sparkSession, B)
+        enc = c.withColumn("codes", _pq_assign_udf(bc, m, subdim)(F.col("cv")))
+        mean_rows = (
+            enc.select("codes", F.posexplode("cv").alias("dim", "val"))
+            .withColumn("sub", (F.col("dim") / subdim).cast("int"))
+            .withColumn("subpos", F.col("dim") % subdim)
+            .withColumn("code", F.element_at("codes", F.col("sub") + 1))
+            .groupBy("sub", "code", "subpos")
+            .agg(F.round(F.avg("val"), mean_decimals).alias("val"))
+            .collect()
+        )  # bounded m·ncodes·subdim rows
+        bc.unpersist(blocking=False)
+        newB = B.copy()  # empty codes keep their previous codeword
+        for r in mean_rows:
+            newB[r["sub"], r["code"], r["subpos"]] = r["val"]
+        B = newB
+    return B
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    m: int = 4,
+    ncodes: int = 16,
+    refine_iters: int = 1,
+    shortlist: int = 50,
+    dist_decimals: int = 4,
+    part_decimals: int = 6,
+) -> DataFrame:
+    """Approximate L2 top-k via product quantization with asymmetric
+    distance computation (ADC; Jégou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search") and exact re-ranking.
+
+    Pipeline: train codebooks (``pq_train_codebooks``), encode every
+    corpus vector to ``m`` one-byte codes map-side (Arrow batch against
+    the broadcast codebooks — a 100 TB corpus of 768-dim float32 shrinks
+    ~384× in the search structure), build one distance lookup table per
+    query on the driver (O(Q·m·ncodes·subdim), queries are small by
+    construction), and score candidates entirely JVM-side: the ADC
+    distance is ``m`` array lookups + adds per row — no Python, no
+    per-pair vector math. The ADC shortlist (``shortlist`` per query,
+    ranked by rounded ADC distance, id tiebreak) is then re-ranked by
+    EXACT squared L2 — the standard production shape, where PQ prunes
+    and the exact metric decides.
+
+    Returns (query_id, neighbor_id, dist, rnk): k rows per query,
+    ascending exact squared-L2 distance, rounded so ranking is
+    reproducible across engines.
+    """
+    spark = corpus.sparkSession
+    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).head()
+    dim = int(dim_row["d"])
+    subdim = dim // m
+    B = pq_train_codebooks(
+        corpus, vec_col, id_col, m=m, ncodes=ncodes, refine_iters=refine_iters
+    )
+
+    bc = broadcast_centroids(spark, B)
+    enc = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
+    ).withColumn("codes", _pq_assign_udf(bc, m, subdim)(F.col("cv")))
+
+    # Per-query LUT: lut[s*ncodes + j] = rounded squared L2 between the
+    # query's s-th subvector and codeword j of subspace s. Bounded
+    # driver work — queries are small by construction (same contract as
+    # brute_force_topk's broadcast side).
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+        )
+        .collect()
+    )
+    lut_data = []
+    for r in q_rows:
+        qv = np.asarray(r["qv"], dtype=np.float64).reshape(m, subdim)
+        lut = np.round(
+            ((qv[:, None, :] - B) ** 2).sum(-1), part_decimals
+        ).reshape(-1)
+        lut_data.append((r["query_id"], [float(x) for x in lut], list(r["qv"])))
+    lut_df = spark.createDataFrame(
+        lut_data, "query_id long, lut array<double>, qv array<double>"
+    )
+
+    # ADC distance: m lookups + adds, pure JVM expressions.
+    adc = F.lit(0.0)
+    for s in range(m):
+        adc = adc + F.element_at(
+            "lut", F.element_at("codes", F.lit(s + 1)) + F.lit(s * ncodes + 1)
+        )
+    cand = (
+        enc.crossJoin(F.broadcast(lut_df))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cv",
+            "qv",
+            F.round(adc, dist_decimals).alias("adc_dist"),
+        )
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    short = cand.withColumn("srn", F.row_number().over(w_short)).filter(
+        F.col("srn") <= shortlist
+    )
+    # Exact re-rank on the shortlist only: sequential-fold squared L2
+    # (deterministic summation order), rounded before ranking.
+    exact = F.round(
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        dist_decimals,
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        short.select("query_id", "neighbor_id", exact.alias("dist"))
+        .withColumn("rnk", F.row_number().over(w_k))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "dist", "rnk")
+    )
+
+
+def brute_force_l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    dist_decimals: int = 4,
+) -> DataFrame:
+    """Exact squared-L2 top-k — the correctness baseline for the PQ/ADC
+    path, mirroring ``brute_force_topk``'s shape (broadcast queries,
+    corpus never shuffles, global top-k via a per-query ranking window).
+    Ascending rounded distance, neighbor id breaks ties."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                dist_decimals,
+            ).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "dist", "rnk")
+    )

@@ -1,0 +1,276 @@
+"""Product-quantization ANN queries: PQ/ADC top-k with exact re-rank,
+plus its recall telemetry against the exact squared-L2 baseline.
+
+The oracle replays the ENTIRE PQ pipeline in SQL — deterministic seeding
+(lowest-id vectors sliced into subspaces), every Lloyd refinement
+iteration (rounded squared-L2 assignment + rounded member means, empty
+codes keeping their previous codeword), the final encode, the ADC
+partial-distance sum, the shortlist cut, and the exact re-rank — so a
+regression anywhere in the chain (seeding, refinement, encode, LUT,
+ranking) goes red in CORRECTNESS rather than surviving as a silent
+quality drop. Knobs are pinned module-level so the engine call and the
+generated SQL can never drift apart (the same discipline as the
+LSH/IVF oracles in plans/text_queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from asritha_metamorphetl_spark.operators.similarity import (
+    brute_force_l2_topk,
+    pq_adc_topk,
+)
+from asritha_metamorphetl_spark.plans.registry import register
+from asritha_metamorphetl_spark.plans.text_queries import EMB_DIM, KNN_K, KNN_QUERIES
+from asritha_metamorphetl_spark.sources.files import Catalog
+
+#: PQ knobs for the registered queries. M=4 subspaces of 16 dims, 16
+#: codewords each (one byte of code space per subspace at production
+#: ncodes=256; 16 keeps the fixture oracle tractable), one distributed
+#: Lloyd refinement, and an ADC shortlist deep enough that the exact
+#: re-rank recovers the true neighborhood (recall vs exact-L2 measured
+#: in tests/test_llm_ops.py and pinned by knn_pq_recall_eval).
+PQ_M = 4
+PQ_NCODES = 16
+PQ_REFINE = 1
+PQ_SHORTLIST = 100  # ADC shortlist depth; fixture recall 0.86 vs exact L2
+PQ_SUBDIM = EMB_DIM // PQ_M
+
+_SQ = "(q.qv[{i}] - c.v[{i}]) * (q.qv[{i}] - c.v[{i}])"
+
+
+def _sub_d2(vec_expr: str, book_alias: str, sub_expr: str) -> str:
+    """Rounded squared-L2 between a vector's subspace slice and a
+    codeword: the assignment metric, identical everywhere it appears."""
+    return (
+        f"ROUND(list_sum(list_transform(generate_series(1, {PQ_SUBDIM}),"
+        f" i -> ({vec_expr}[{sub_expr} * {PQ_SUBDIM} + i] - {book_alias}.cw[i])"
+        f" * ({vec_expr}[{sub_expr} * {PQ_SUBDIM} + i] - {book_alias}.cw[i]))), 6)"
+    )
+
+
+def _pq_books_ctes(refine_iters: int) -> tuple[str, str]:
+    """CTE chain training the codebooks; returns (sql, final_books_name)."""
+    parts = [
+        "vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"subs AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS sub)",
+        f"""seeds AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS code, v
+    FROM (SELECT * FROM vecs ORDER BY vec_id LIMIT {PQ_NCODES})
+)""",
+        f"""books0 AS (
+    SELECT s.sub, d.code,
+           list_slice(d.v, s.sub * {PQ_SUBDIM} + 1,
+                      (s.sub + 1) * {PQ_SUBDIM}) AS cw
+    FROM seeds d CROSS JOIN subs s
+)""",
+    ]
+    for t in range(1, refine_iters + 1):
+        prev = f"books{t - 1}"
+        parts.append(f"""asg{t} AS (
+    SELECT vec_id, sub, code FROM (
+        SELECT e.vec_id, b.sub, b.code,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id, b.sub
+                   ORDER BY {_sub_d2("e.v", "b", "b.sub")} ASC, b.code ASC
+               ) AS rn
+        FROM vecs e CROSS JOIN {prev} b
+    ) WHERE rn = 1
+)""")
+        parts.append(f"""means{t} AS (
+    SELECT a.sub, a.code, ii.i AS subpos,
+           ROUND(AVG(e.v[a.sub * {PQ_SUBDIM} + ii.i]), 6) AS val
+    FROM asg{t} a
+    JOIN vecs e USING (vec_id)
+    CROSS JOIN (SELECT unnest(generate_series(1, {PQ_SUBDIM})) AS i) ii
+    GROUP BY 1, 2, 3
+)""")
+        parts.append(f"""mvec{t} AS (
+    SELECT sub, code, list(val ORDER BY subpos) AS cw
+    FROM means{t} GROUP BY 1, 2
+)""")
+        parts.append(f"""books{t} AS (
+    SELECT b.sub, b.code, COALESCE(m.cw, b.cw) AS cw
+    FROM books{t - 1} b LEFT JOIN mvec{t} m USING (sub, code)
+)""")
+    return ",\n".join(parts), f"books{refine_iters}"
+
+
+def _pq_topk_oracle() -> str:
+    books_sql, books = _pq_books_ctes(PQ_REFINE)
+    return f"""
+WITH {books_sql},
+enc AS (
+    SELECT vec_id, sub, code FROM (
+        SELECT e.vec_id, b.sub, b.code,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id, b.sub
+                   ORDER BY {_sub_d2("e.v", "b", "b.sub")} ASC, b.code ASC
+               ) AS rn
+        FROM vecs e CROSS JOIN {books} b
+    ) WHERE rn = 1
+),
+qs AS (SELECT vec_id AS query_id, v AS qv FROM vecs
+       WHERE vec_id < {KNN_QUERIES}),
+parts AS (
+    SELECT q.query_id, en.vec_id AS neighbor_id,
+           {_sub_d2("q.qv", "b", "en.sub")} AS part
+    FROM enc en
+    JOIN {books} b ON b.sub = en.sub AND b.code = en.code
+    CROSS JOIN qs q
+    WHERE en.vec_id != q.query_id
+),
+adc AS (
+    SELECT query_id, neighbor_id, ROUND(SUM(part), 4) AS adc_dist
+    FROM parts GROUP BY 1, 2
+),
+short AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY adc_dist ASC, neighbor_id ASC) AS srn
+        FROM adc
+    ) WHERE srn <= {PQ_SHORTLIST}
+),
+rer AS (
+    SELECT s.query_id, s.neighbor_id,
+           ROUND(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+               i -> (q.qv[i] - c.v[i]) * (q.qv[i] - c.v[i]))), 4) AS dist
+    FROM short s
+    JOIN qs q ON q.query_id = s.query_id
+    JOIN vecs c ON c.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, dist, rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY dist ASC, neighbor_id ASC) AS rnk
+    FROM rer
+) WHERE rnk <= {KNN_K}
+"""
+
+
+_KNN_EXACT_L2_SQL = f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qs AS (SELECT vec_id AS query_id, v AS qv FROM vecs
+       WHERE vec_id < {KNN_QUERIES}),
+scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           ROUND(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+               i -> (q.qv[i] - c.v[i]) * (q.qv[i] - c.v[i]))), 4) AS dist
+    FROM vecs c CROSS JOIN qs q
+    WHERE c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, dist, rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY dist ASC, neighbor_id ASC) AS rnk
+    FROM scored
+) WHERE rnk <= {KNN_K}
+"""
+
+
+@register("knn_l2_topk", oracle=_KNN_EXACT_L2_SQL)
+def knn_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact squared-L2 top-k — the metric baseline the PQ path
+    approximates (cosine already has knn_cosine_topk)."""
+    emb = Catalog(sf_dir).load(spark, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
+    return brute_force_l2_topk(emb, queries, "vec_id", "embedding", k=KNN_K)
+
+
+@register("knn_pq_topk", oracle=_pq_topk_oracle())
+def knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-k with exact re-ranking (Jégou et al.
+    2011). The 100 TB shape: codebooks train on a bounded pass
+    (O(m·ncodes·subdim) driver state), encode is one Arrow matmul-free
+    batch op in the scan stage against broadcast codebooks, ADC scoring
+    is m JVM array lookups per candidate — the full-precision vectors
+    are only touched again for the shortlist re-rank."""
+    emb = Catalog(sf_dir).load(spark, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
+    return pq_adc_topk(
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        k=KNN_K,
+        m=PQ_M,
+        ncodes=PQ_NCODES,
+        refine_iters=PQ_REFINE,
+        shortlist=PQ_SHORTLIST,
+    )
+
+
+@register(
+    "knn_pq_recall_eval",
+    oracle=f"""
+WITH approx AS ({_pq_topk_oracle()}),
+truth AS ({_KNN_EXACT_L2_SQL}),
+hits AS (
+    SELECT t.query_id, t.neighbor_id
+    FROM truth t JOIN approx a
+      ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+)
+SELECT
+    (SELECT COUNT(*) FROM truth)::BIGINT AS n_truth,
+    (SELECT COUNT(*) FROM approx)::BIGINT AS n_approx,
+    (SELECT COUNT(*) FROM hits)::BIGINT AS n_hits,
+    CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+         THEN ROUND((SELECT COUNT(*) FROM hits)::DOUBLE
+                    / (SELECT COUNT(*) FROM truth), 6)
+         ELSE 1.0 END AS recall,
+    TRUE AS recall_ok
+""",
+)
+def knn_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quality telemetry, same one-pass shape as the LSH/IVF recall
+    evals: PQ/ADC top-k against the exact squared-L2 top-k, both
+    pipelines executed once, met in one full-outer join. The oracle
+    emits TRUE for recall_ok unconditionally, so a Spark-side recall
+    drop below the floor goes red in CORRECTNESS instead of matching an
+    equally degraded oracle."""
+    emb = Catalog(sf_dir).load(spark, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
+    truth = (
+        brute_force_l2_topk(emb, queries, "vec_id", "embedding", k=KNN_K)
+        .select("query_id", "neighbor_id")
+        .withColumn("in_t", F.lit(1))
+    )
+    approx = (
+        pq_adc_topk(
+            emb,
+            queries,
+            "vec_id",
+            "embedding",
+            k=KNN_K,
+            m=PQ_M,
+            ncodes=PQ_NCODES,
+            refine_iters=PQ_REFINE,
+            shortlist=PQ_SHORTLIST,
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("in_a", F.lit(1))
+    )
+    both = truth.join(approx, ["query_id", "neighbor_id"], "full_outer")
+    counts = both.agg(
+        F.sum("in_t").cast("bigint").alias("n_truth"),
+        F.sum("in_a").cast("bigint").alias("n_approx"),
+        F.sum(F.col("in_t") * F.col("in_a")).cast("bigint").alias("n_hits"),
+    )
+    return (
+        counts.select(
+            F.coalesce(F.col("n_truth"), F.lit(0)).alias("n_truth"),
+            F.coalesce(F.col("n_approx"), F.lit(0)).alias("n_approx"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        )
+        .select(
+            "n_truth",
+            "n_approx",
+            "n_hits",
+            F.when(
+                F.col("n_truth") > 0,
+                F.round(F.col("n_hits").cast("double") / F.col("n_truth"), 6),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("recall"),
+        )
+        # hard floor: the oracle hard-codes TRUE (see knn_ivf_recall_eval)
+        .withColumn("recall_ok", F.col("recall") >= F.lit(0.8))
+    )

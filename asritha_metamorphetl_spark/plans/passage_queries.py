@@ -1,0 +1,262 @@
+"""Passage-level dedup, learned quality filtering, and UniMax mixing —
+the round-6 widening of the training-data curation surface.
+
+- ``dup_passage_spans``: the distributed analog of exact-substring
+  deduplication (Lee et al. 2021, arXiv:2107.06499 — "Deduplicating
+  Training Data Makes Language Models Better"): find maximal runs of
+  token positions whose every 3-gram also occurs in some OTHER document.
+  The suffix-array construction of the paper doesn't distribute; the
+  fixed-length-gram approximation does — one inverted-index shuffle on
+  the gram key, then a per-document gaps-and-islands merge.
+- ``quality_logit_scores``: a fastText-style document quality filter as
+  MODEL-AS-DATA — per-language logistic-regression coefficients live in
+  a (broadcast) weights table joined by language, never in code. The
+  plan is row-local feature extraction + one broadcast join; swapping in
+  retrained weights is a data update, not a deploy.
+- ``unimax_source_allocation``: UniMax epoch-capped budget allocation
+  across sources (operators/sampling.py:unimax_allocation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from asritha_metamorphetl_spark.functions import text as T
+from asritha_metamorphetl_spark.functions.hashing import SHINGLE_SIZE
+from asritha_metamorphetl_spark.plans.registry import register
+from asritha_metamorphetl_spark.plans.text_queries import _SHINGLE_CTE, _STOPLIST_SQL
+from asritha_metamorphetl_spark.sources.files import Catalog
+
+
+@register(
+    "dup_passage_spans",
+    oracle=f"""
+WITH {_SHINGLE_CTE},
+sh AS (
+    SELECT doc_id, unnest(s) AS g,
+           unnest(generate_series(1, len(s))) AS pos
+    FROM shingled WHERE len(s) > 0
+),
+dupg AS (
+    SELECT g FROM sh GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+),
+duppos AS (SELECT doc_id, pos FROM sh JOIN dupg USING (g)),
+grp AS (
+    SELECT doc_id, pos,
+           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM duppos
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {SHINGLE_SIZE - 1} AS BIGINT) AS span_end,
+       COUNT(*) AS n_grams
+FROM grp GROUP BY doc_id, grp
+""",
+)
+def dup_passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-passage spans per document: token ranges
+    [span_start, span_end] (1-based, inclusive) where every contiguous
+    3-gram occurs in at least one OTHER document. Downstream removal =
+    cutting these spans, the passage-level complement of whole-document
+    dedup (a boilerplate header shared by a million pages never makes
+    any DOCUMENT a near-duplicate, but shows up here).
+
+    Scale shape: grams are keyed by xxhash64 (collision odds ~|G|²/2⁶⁵,
+    immaterial — same argument as ngram_jaccard_pairs), the document
+    frequency test is one hash aggregate on the gram key, and the
+    island merge (pos - row_number) shuffles each document's duplicated
+    positions once, partitioned by doc — per-doc state is bounded by
+    document length, never corpus size."""
+    from asritha_metamorphetl_spark.operators.dedup import duplicated_passage_spans
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    return duplicated_passage_spans(docs, "text", "doc_id")
+
+
+#: Per-language logistic-regression coefficients (intercept, stopword
+#: ratio, average token length, log1p token count). A stand-in for a
+#: trained fastText/linear quality model — the engine contract is the
+#: scoring PLAN (row-local features, broadcast model join), not these
+#: particular numbers. _QL_DEFAULT covers languages absent from the
+#: table (COALESCE on the left join).
+_QL_WEIGHTS: tuple[tuple[str, float, float, float, float], ...] = (
+    ("en", -3.0, 6.0, 0.2, 0.5),
+    ("de", -2.8, 5.0, 0.25, 0.45),
+    ("es", -2.9, 5.5, 0.2, 0.5),
+    ("fr", -2.9, 5.5, 0.2, 0.5),
+    ("zh", -2.0, 1.5, 0.6, 0.55),
+)
+_QL_DEFAULT = (-2.5, 4.0, 0.2, 0.4)
+
+_QL_VALUES = ",\n        ".join(
+    f"('{lang}', {b0}, {bs}, {bl}, {bt})"
+    for lang, b0, bs, bl, bt in _QL_WEIGHTS
+)
+
+
+@register(
+    "quality_logit_scores",
+    oracle=f"""
+WITH weights(lang, b0, b_stop, b_len, b_tok) AS (
+    VALUES
+        {_QL_VALUES}
+),
+feats AS (
+    SELECT doc_id, d.lang,
+           CASE WHEN len(t) > 0
+                THEN CAST(len(list_filter(t, x -> x IN
+                     {_STOPLIST_SQL})) AS DOUBLE) / len(t)
+                ELSE 0.0 END AS stop_ratio,
+           CASE WHEN len(t) > 0
+                THEN CAST(list_sum(list_transform(t, x -> length(x)))
+                     AS DOUBLE) / len(t)
+                ELSE 0.0 END AS avg_len,
+           ln(1 + len(t)) AS log_toks
+    FROM (SELECT doc_id, lang,
+                 list_filter(string_split(text, ' '), x -> x != '') AS t
+          FROM documents) d
+),
+scored AS (
+    SELECT doc_id, f.lang,
+           ROUND(COALESCE(w.b0, {_QL_DEFAULT[0]})
+                 + COALESCE(w.b_stop, {_QL_DEFAULT[1]}) * f.stop_ratio
+                 + COALESCE(w.b_len, {_QL_DEFAULT[2]}) * f.avg_len
+                 + COALESCE(w.b_tok, {_QL_DEFAULT[3]}) * f.log_toks, 6) AS z
+    FROM feats f LEFT JOIN weights w ON f.lang = w.lang
+)
+SELECT doc_id, lang, ROUND(1.0 / (1.0 + exp(-z)), 6) AS score,
+       1.0 / (1.0 + exp(-z)) >= 0.5 AS kept
+FROM scored
+""",
+)
+def quality_logit_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filtering with the model as data: row-local
+    feature extraction (stopword ratio, mean token length, log token
+    count — all JVM expressions in the scan stage), one BROADCAST join
+    against the per-language coefficient table, a sigmoid, a threshold.
+    Retraining the filter = replacing the weights table; the 100 TB
+    plan is a full scan with zero extra shuffles. The linear score is
+    rounded before the sigmoid so cross-engine ``ln``/``exp`` last-ulp
+    differences cannot move a document across the keep threshold except
+    on a measure-zero rounding boundary."""
+    docs = Catalog(sf_dir).load(spark, "documents")
+    weights = spark.createDataFrame(
+        list(_QL_WEIGHTS), "lang string, b0 double, b_stop double, "
+        "b_len double, b_tok double"
+    )
+    c = F.col("text")
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        T.stopword_ratio(c).alias("stop_ratio"),
+        T.avg_token_length(c).alias("avg_len"),
+        F.log(F.lit(1.0) + T.token_count(c)).alias("log_toks"),
+    )
+    z = F.round(
+        F.coalesce(F.col("b0"), F.lit(_QL_DEFAULT[0]))
+        + F.coalesce(F.col("b_stop"), F.lit(_QL_DEFAULT[1])) * F.col("stop_ratio")
+        + F.coalesce(F.col("b_len"), F.lit(_QL_DEFAULT[2])) * F.col("avg_len")
+        + F.coalesce(F.col("b_tok"), F.lit(_QL_DEFAULT[3])) * F.col("log_toks"),
+        6,
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))
+    return (
+        feats.join(F.broadcast(weights), "lang", "left")
+        .withColumn("z", z)
+        .select(
+            "doc_id",
+            "lang",
+            F.round(score, 6).alias("score"),
+            (score >= 0.5).alias("kept"),
+        )
+    )
+
+
+#: UniMax knobs for the registered query: budget = 95% of the corpus'
+#: total tokens, every source capped at one epoch. Chosen so the
+#: fixture corpus (near-uniform sources) exercises BOTH branches —
+#: several sources cap out and the rest share the water level — at
+#: sf0.01 and sf0.1 alike.
+UNIMAX_BUDGET_FRAC = 0.95
+UNIMAX_MAX_EPOCHS = 1.0
+
+
+@register(
+    "unimax_source_allocation",
+    oracle=f"""
+WITH toks AS (
+    SELECT source,
+           CAST(SUM(len(list_filter(string_split(text, ' '),
+                x -> x != ''))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+),
+base AS (
+    SELECT source, n_tokens,
+           n_tokens::DOUBLE * {UNIMAX_MAX_EPOCHS} AS capacity,
+           (SELECT SUM(n_tokens)::DOUBLE FROM toks)
+               * {UNIMAX_BUDGET_FRAC} AS budget
+    FROM toks
+),
+ranked AS (
+    SELECT *,
+           ROW_NUMBER() OVER (ORDER BY capacity ASC, source ASC) AS i,
+           COALESCE(SUM(capacity) OVER (ORDER BY capacity ASC, source ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0.0) AS cum_prev,
+           COUNT(*) OVER () AS n
+    FROM base
+),
+flagged AS (
+    SELECT *,
+           capacity * (n - i + 1) <= budget - cum_prev AS capped
+    FROM ranked
+),
+lvl AS (
+    SELECT CASE WHEN SUM(CASE WHEN capped THEN 1 ELSE 0 END) < MAX(n)
+                THEN (MAX(budget)
+                      - COALESCE(SUM(CASE WHEN capped THEN capacity END),
+                                 0.0))
+                     / (MAX(n) - SUM(CASE WHEN capped THEN 1 ELSE 0 END))
+                ELSE 0.0 END AS level
+    FROM flagged
+)
+SELECT source, n_tokens,
+       ROUND(capacity, 6) AS capacity,
+       ROUND(CASE WHEN capped THEN capacity ELSE level END, 6)
+           AS allocation,
+       ROUND(CASE WHEN capped THEN capacity ELSE level END / n_tokens, 6)
+           AS epochs,
+       capped
+FROM flagged CROSS JOIN lvl
+""",
+)
+def unimax_source_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixing schedule over the document sources: the third
+    mixing strategy beside source_quota_sample (hard quotas) and
+    temperature_mix_sample (power-law reweighting) — as-uniform-as-
+    possible allocation with a hard per-source epoch cap, computed by
+    exact closed-form water-filling. One O(sources) rollup feeds one
+    O(sources)-row sort window; nothing here scales with rows."""
+    from asritha_metamorphetl_spark.operators.sampling import unimax_allocation
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    stats = (
+        docs.groupBy("source")
+        .agg(F.sum(T.token_count(F.col("text"))).alias("n_tokens"))
+        .withColumn(
+            "total",
+            F.sum("n_tokens").over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    )
+    return unimax_allocation(
+        stats,
+        "source",
+        "n_tokens",
+        budget=F.col("total").cast("double") * F.lit(UNIMAX_BUDGET_FRAC),
+        max_epochs=UNIMAX_MAX_EPOCHS,
+    )

@@ -54,6 +54,16 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "cdc_bucketed_state",
     "cdc_bucketed_changefeed",
     "streaming_bucketed_cdc_parity",
+    # round-6 second wave: PQ/ADC similarity search (+ its exact-L2
+    # baseline and recall telemetry), passage-level dedup spans, the
+    # model-as-data quality classifier, and UniMax allocation — all new
+    # this round, so they take driver-window priority
+    "knn_pq_topk",
+    "knn_pq_recall_eval",
+    "knn_l2_topk",
+    "dup_passage_spans",
+    "quality_logit_scores",
+    "unimax_source_allocation",
     # round-6 window rotation (r5 directive #5): everything below here
     # to the end of the front-50 had NO driver CORRECTNESS row in any
     # round (the TPC-H tail, streaming parities, two corpus profiles)
@@ -192,10 +202,12 @@ def _load_all() -> None:
     if _LOADED:
         return
     from asritha_metamorphetl_spark.plans import (  # noqa: F401
+        ann_queries,
         catalog_queries,
         corpus_queries,
         curation_queries,
         operator_queries,
+        passage_queries,
         pipeline_queries,
         quality_queries,
         sketch_queries,

@@ -365,3 +365,49 @@ def test_token_budget_cumsum_is_partition_parallel_within_source(spark):
             "cumsum window partitions by source alone — one task per "
             f"source:\n{ln}"
         )
+
+
+def test_pq_adc_scoring_is_jvm_side_with_broadcast_queries(spark):
+    """The ADC candidate scan must broadcast the per-query LUT frame
+    (queries are small by construction) and score with JVM expressions —
+    the only Python stages allowed are the Arrow encode UDFs, never a
+    per-pair vector kernel. The shortlist re-rank may touch vectors
+    again, but no full-corpus cartesian beyond the intended
+    broadcast-nested-loop over the bounded query side may appear."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["knn_pq_topk"](spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # the ONLY Python stage is the Arrow encode (codes) — ADC scoring
+    # and the exact re-rank are pure JVM expressions, so exactly one
+    # ArrowEvalPython may appear in the whole plan
+    assert plan.count("ArrowEvalPython") == 1, (
+        f"expected exactly the encode UDF, plan has "
+        f"{plan.count('ArrowEvalPython')} Python stages"
+    )
+
+
+def test_dup_passage_spans_no_cartesian_and_windows_by_doc(spark):
+    """The inverted-index join is an equi-join on the gram key and the
+    island merge windows by doc — never a cartesian, never a global
+    single-partition window."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["dup_passage_spans"](spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "doc_id" in ln, f"window not keyed by doc:\n{ln}"
+
+
+def test_quality_logit_weights_join_broadcasts(spark):
+    """The weights table is O(languages) — it must broadcast; a shuffle
+    of the corpus on lang to meet a 5-row table would be absurd at
+    scale."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["quality_logit_scores"](spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -1,0 +1,227 @@
+"""Round-6 operator tests: PQ/ADC similarity search, duplicated-passage
+spans, the model-as-data quality classifier, and UniMax allocation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_pq_recall_vs_exact_l2(spark):
+    """ADC shortlist + exact re-rank must recover most true L2
+    neighbors; every reported distance is the exact metric."""
+    from asritha_metamorphetl_spark.operators.similarity import (
+        brute_force_l2_topk,
+        pq_adc_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_l2_topk(emb, queries, "vec_id", "embedding", k=10)
+    approx = pq_adc_topk(
+        emb, queries, "vec_id", "embedding", k=10, m=4, ncodes=8,
+        refine_iters=1, shortlist=30,
+    )
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a_rows = approx.collect()
+    a = {(r.query_id, r.neighbor_id) for r in a_rows}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"PQ recall {recall:.2f} below floor"
+    # re-ranked distances are the exact metric, so overlapping pairs
+    # must carry identical distances
+    exact_d = {(r.query_id, r.neighbor_id): r.dist for r in exact.collect()}
+    for r in a_rows:
+        if (r.query_id, r.neighbor_id) in exact_d:
+            assert abs(exact_d[(r.query_id, r.neighbor_id)] - r.dist) < 1e-9
+
+
+def test_pq_codebooks_shape_and_bad_m(spark):
+    from asritha_metamorphetl_spark.operators.similarity import (
+        pq_train_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    B = pq_train_codebooks(emb, "embedding", "vec_id", m=4, ncodes=8)
+    assert B.shape == (4, 8, 16)
+    assert np.isfinite(B).all()
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train_codebooks(emb, "embedding", "vec_id", m=7, ncodes=8)
+
+
+def test_pq_encode_deterministic_under_repartition(spark):
+    """Codes are a pure function of (vector, codebooks) — partitioning
+    must not change them, and every code is in range."""
+    from asritha_metamorphetl_spark.operators.similarity import (
+        _pq_assign_udf,
+        broadcast_centroids,
+        pq_train_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    B = pq_train_codebooks(emb, "embedding", "vec_id", m=4, ncodes=8)
+    bc = broadcast_centroids(spark, B)
+    from asritha_metamorphetl_spark.operators.similarity import _to_double
+
+    def enc(df):
+        return {
+            r.vec_id: tuple(r.codes)
+            for r in df.select(
+                "vec_id",
+                _pq_assign_udf(bc, 4, 16)(
+                    _to_double(F.col("embedding"))
+                ).alias("codes"),
+            ).collect()
+        }
+
+    a = enc(emb.repartition(1))
+    b = enc(emb.repartition(7, "vec_id"))
+    assert a == b
+    assert all(
+        len(codes) == 4 and all(0 <= c < 8 for c in codes)
+        for codes in a.values()
+    )
+
+
+def test_dup_passage_spans_known_corpus(spark):
+    """Two documents sharing a 5-token run produce exactly one span
+    each, covering that run; a unique document produces none."""
+    from asritha_metamorphetl_spark.operators.dedup import (
+        duplicated_passage_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e x y z"),
+            (2, "q w a b c d e r"),
+            (3, "totally unrelated words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: (r.span_start, r.span_end, r.n_grams)
+        for r in duplicated_passage_spans(docs, "text", "doc_id").collect()
+    }
+    # shared run "a b c d e": grams (a b c)(b c d)(c d e) at doc1 pos
+    # 1-3 → tokens 1..5; at doc2 pos 3-5 → tokens 3..7
+    assert rows == {1: (1, 5, 3), 2: (3, 7, 3)}
+
+
+def test_dup_passage_spans_merges_adjacent_runs(spark):
+    """Two overlapping shared runs in one doc merge into one island."""
+    from asritha_metamorphetl_spark.operators.dedup import (
+        duplicated_passage_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),
+            (2, "a b c d z z z"),
+            (3, "z c d e f g z"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: (r.span_start, r.span_end, r.n_grams)
+        for r in duplicated_passage_spans(docs, "text", "doc_id").collect()
+    }
+    # doc1: grams 1-2 shared with doc2, grams 3-5 shared with doc3 —
+    # positions 1..5 are contiguous, so ONE span covering tokens 1..7
+    assert rows[1] == (1, 7, 5)
+
+
+def test_quality_logit_threshold_and_fallback(spark):
+    """kept ⇔ score ≥ 0.5, and an unknown language falls back to the
+    default coefficients instead of dropping the row."""
+    from asritha_metamorphetl_spark.plans.passage_queries import (
+        quality_logit_scores,
+    )
+    from tests.conftest import SF_SMOKE as sf
+
+    out = quality_logit_scores(spark, sf)
+    rows = out.collect()
+    assert len(rows) == spark.read.parquet(f"{sf}/documents.parquet").count()
+    for r in rows:
+        assert r.kept == (r.score >= 0.5)
+        assert 0.0 <= r.score <= 1.0
+
+
+def _waterfill(tokens: list[int], frac: float, cap: float):
+    """Reference sequential water-fill."""
+    caps = sorted(
+        (cap * t, i) for i, t in enumerate(tokens)
+    )
+    budget = sum(tokens) * frac
+    rem = budget
+    alloc = {}
+    n = len(caps)
+    for j, (c, i) in enumerate(caps):
+        share = rem / (n - j)
+        if c <= share:
+            alloc[i] = c
+            rem -= c
+        else:
+            # all remaining get the common level
+            level = rem / (n - j)
+            for _, i2 in caps[j:]:
+                alloc[i2] = level
+            break
+    return alloc
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    tokens=st.lists(st.integers(min_value=10, max_value=10_000), min_size=2, max_size=12),
+    frac=st.floats(min_value=0.1, max_value=0.99),
+)
+def test_unimax_matches_sequential_waterfill(spark, tokens, frac):
+    from asritha_metamorphetl_spark.operators.sampling import unimax_allocation
+    from pyspark.sql import Window
+
+    stats = spark.createDataFrame(
+        [(f"s{i}", t) for i, t in enumerate(tokens)],
+        "source string, n_tokens long",
+    ).withColumn(
+        "total",
+        F.sum("n_tokens").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    out = unimax_allocation(
+        stats, "source", "n_tokens",
+        budget=F.col("total").cast("double") * F.lit(frac), max_epochs=1.0,
+    ).collect()
+    ref = _waterfill(tokens, frac, 1.0)
+    got = {int(r.source[1:]): r.allocation for r in out}
+    assert set(got) == set(ref)
+    for i in ref:
+        assert got[i] == pytest.approx(ref[i], rel=1e-9, abs=1e-5)
+    # allocations never exceed capacity, and the budget is exhausted
+    # (unless everything capped)
+    total_alloc = sum(got.values())
+    budget = sum(tokens) * frac
+    for r in out:
+        assert r.allocation <= r.capacity + 1e-6
+    if not all(r.capped for r in out):
+        assert total_alloc == pytest.approx(budget, rel=1e-6, abs=1e-3)
+
+
+def test_unimax_all_capped(spark):
+    """Budget above total capacity: every source caps out at its full
+    capacity and the water level path is never taken."""
+    from asritha_metamorphetl_spark.operators.sampling import unimax_allocation
+
+    stats = spark.createDataFrame(
+        [("a", 100), ("b", 300)], "source string, n_tokens long"
+    )
+    out = unimax_allocation(
+        stats, "source", "n_tokens", budget=F.lit(10_000.0), max_epochs=1.0
+    ).collect()
+    assert all(r.capped for r in out)
+    assert {r.source: r.allocation for r in out} == {"a": 100.0, "b": 300.0}
