@@ -73,9 +73,12 @@ def exact_duplicates(
     )
 
 
-def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Candidate near-duplicate pairs (doc_a < doc_b) via MinHash + LSH
-    banding. Pairs collide when any band's signature rows all agree."""
+def lsh_banded(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, band_key) LSH band rows: shingle → MinHash signature →
+    exploded band keys. The shared front half of every MinHash dedup
+    variant (self-join, incremental, cross-split). At 100 TB this frame
+    is what you PERSIST for the base corpus — bucketed by band_key — so
+    incremental batches only compute signatures for the delta."""
     shingled = _spread(df).select(
         F.col(id_col).alias("doc_id"), H.word_shingles(F.col(text_col)).alias("sh")
     ).filter(F.size("sh") > 0)
@@ -84,12 +87,18 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     # re-run md5 per signature row).
     hashed = shingled.select("doc_id", H.hashed48(F.col("sh")).alias("hv"))
     sig = hashed.select("doc_id", *H.minhash_signature(F.col("hv")))
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             H.lsh_band_keys([F.col(f"mh_{i}") for i in range(H.MINHASH_K)])
         ).alias("band_key"),
     )
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Candidate near-duplicate pairs (doc_a < doc_b) via MinHash + LSH
+    banding. Pairs collide when any band's signature rows all agree."""
+    banded = lsh_banded(df, text_col, id_col)
     # Pin an exchange on the join key: both self-join sides are identical
     # subplans, so ReuseExchange materializes the signature pipeline ONCE
     # and the join consumes the same shuffle output — and hash-partitioning
@@ -366,4 +375,51 @@ def duplicated_passage_spans(
             "span_end",
             "n_grams",
         )
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    base: DataFrame, delta: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Incremental near-dup candidates: every LSH band collision that
+    involves at least one DELTA document — (base, delta) cross pairs
+    plus (delta, delta) internal pairs — while base×base is never
+    joined. This is the O(delta) dedup path: re-running the full
+    self-join over an append-only corpus repays the quadratic base term
+    on every batch, but a new batch only needs its pairs against the
+    existing corpus and itself (the standard incremental-ingest shape;
+    the full-corpus ``minhash_lsh_pairs`` remains the bootstrap).
+
+    Plan shape: the base side contributes its band rows exactly once as
+    the probe side of one equi-join on band_key (at scale, a PERSISTED
+    band table — see ``lsh_banded`` — bucketed on band_key, making the
+    join co-located with zero base shuffle); the delta side is banded
+    fresh. No join output row has two base documents by construction,
+    not by filter.
+
+    Returns (doc_a, doc_b, pair_type): pair_type 'base_delta' (doc_a is
+    the existing document) or 'delta_delta' (doc_a < doc_b).
+    """
+    base_b = lsh_banded(base, text_col, id_col).withColumn(
+        "is_new", F.lit(False)
+    )
+    delta_b = lsh_banded(delta, text_col, id_col).withColumn(
+        "is_new", F.lit(True)
+    )
+    left = base_b.unionByName(delta_b).alias("l")
+    right = delta_b.alias("r")
+    return (
+        left.join(right, "band_key")
+        .filter(F.col("l.doc_id") != F.col("r.doc_id"))
+        # base rows pair with every colliding delta row; delta rows only
+        # pair forward (a < b) so each delta-delta pair appears once
+        .filter(~F.col("l.is_new") | (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.when(~F.col("l.is_new"), F.lit("base_delta"))
+            .otherwise(F.lit("delta_delta"))
+            .alias("pair_type"),
+        )
+        .distinct()
     )

@@ -15,6 +15,9 @@ the round-6 widening of the training-data curation surface.
   retrained weights is a data update, not a deploy.
 - ``unimax_source_allocation``: UniMax epoch-capped budget allocation
   across sources (operators/sampling.py:unimax_allocation).
+- ``incremental_dedup_pairs``: delta-vs-base MinHash dedup that never
+  re-joins the base corpus with itself — the O(delta) ingest path
+  (operators/dedup.py:minhash_lsh_pairs_incremental).
 """
 
 from __future__ import annotations
@@ -25,7 +28,12 @@ from pyspark.sql import functions as F
 from asritha_metamorphetl_spark.functions import text as T
 from asritha_metamorphetl_spark.functions.hashing import SHINGLE_SIZE
 from asritha_metamorphetl_spark.plans.registry import register
-from asritha_metamorphetl_spark.plans.text_queries import _SHINGLE_CTE, _STOPLIST_SQL
+from asritha_metamorphetl_spark.plans.text_queries import (
+    _SHINGLE_CTE,
+    _STOPLIST_SQL,
+    MINHASH_BANDS_CTE,
+    _hex48_sql,
+)
 from asritha_metamorphetl_spark.sources.files import Catalog
 
 
@@ -260,3 +268,48 @@ def unimax_source_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget=F.col("total").cast("double") * F.lit(UNIMAX_BUDGET_FRAC),
         max_epochs=UNIMAX_MAX_EPOCHS,
     )
+
+
+@register(
+    "incremental_dedup_pairs",
+    oracle=f"""
+WITH {MINHASH_BANDS_CTE},
+flags AS (
+    SELECT doc_id,
+           {_hex48_sql("md5(CAST(doc_id AS VARCHAR))")} % 10 >= 8 AS is_new
+    FROM documents
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CASE WHEN NOT fa.is_new THEN 'base_delta'
+            ELSE 'delta_delta' END AS pair_type
+FROM bands a
+JOIN bands b USING (band_key)
+JOIN flags fa ON fa.doc_id = a.doc_id
+JOIN flags fb ON fb.doc_id = b.doc_id
+WHERE fb.is_new
+  AND a.doc_id != b.doc_id
+  AND (NOT fa.is_new OR a.doc_id < b.doc_id)
+""",
+)
+def incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: treating hash buckets 0-7 of the corpus
+    as the already-ingested BASE and buckets 8-9 as today's DELTA batch,
+    emit every near-dup candidate involving a delta document — without
+    ever joining base against base (operators/dedup.py:
+    minhash_lsh_pairs_incremental). At 100 TB an append-only corpus is
+    deduped this way on every batch: the base's banded signatures are a
+    persisted artifact and only the delta pays signature compute, so
+    batch cost is O(delta · collisions), not O(corpus²). The oracle
+    replays the same band join over the full corpus with the base×base
+    pairs excluded by flag — construction and filter must agree
+    exactly."""
+    from asritha_metamorphetl_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+    )
+    from asritha_metamorphetl_spark.operators.sampling import hash_bucket
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    bucket = hash_bucket(F.col("doc_id"), 10)
+    base = docs.filter(bucket <= 7)
+    delta = docs.filter(bucket >= 8)
+    return minhash_lsh_pairs_incremental(base, delta, "text", "doc_id")

@@ -62,6 +62,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "knn_pq_recall_eval",
     "knn_l2_topk",
     "dup_passage_spans",
+    "incremental_dedup_pairs",
     "quality_logit_scores",
     "unimax_source_allocation",
     # round-6 window rotation (r5 directive #5): everything below here

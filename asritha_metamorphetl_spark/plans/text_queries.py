@@ -179,10 +179,11 @@ _BAND_ROWS = "\n    UNION ALL\n".join(
 )
 
 
-#: Shared with plans/pipeline_queries.py, which embeds the pair oracle
-#: as the edge source of the duplicate-cluster closure.
-MINHASH_PAIRS_ORACLE = f"""
-WITH {_SHINGLE_CTE},
+#: The band-construction CTE chain (shingle → signature → band keys),
+#: shared by every MinHash oracle variant: the self-join pair oracle
+#: below, the duplicate-cluster closure (plans/pipeline_queries.py),
+#: and the incremental delta-vs-base pairs (plans/passage_queries.py).
+MINHASH_BANDS_CTE = f"""{_SHINGLE_CTE},
 nonempty AS (SELECT doc_id, s FROM shingled WHERE len(s) > 0),
 hashed AS (
     SELECT doc_id, list_transform(s, x -> {_hex48_sql('md5(x)')}) AS hv
@@ -195,7 +196,12 @@ sig AS (
 ),
 bands AS (
 {_BAND_ROWS}
-)
+)"""
+
+#: Shared with plans/pipeline_queries.py, which embeds the pair oracle
+#: as the edge source of the duplicate-cluster closure.
+MINHASH_PAIRS_ORACLE = f"""
+WITH {MINHASH_BANDS_CTE}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a
 JOIN bands b USING (band_key)

@@ -411,3 +411,16 @@ def test_quality_logit_weights_join_broadcasts(spark):
     plan = _plan(all_queries()["quality_logit_scores"](spark, SF_CORRECT))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_incremental_dedup_joins_on_band_key_no_cartesian(spark):
+    """The delta-vs-base pair join must be an equi-join on band_key —
+    never a cartesian — and the pair filter runs post-join on flags, so
+    no plan stage pairs two base rows (the delta side is the build
+    side's only source of right-hand rows by construction)."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["incremental_dedup_pairs"](spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_key" in plan

@@ -225,3 +225,69 @@ def test_unimax_all_capped(spark):
     ).collect()
     assert all(r.capped for r in out)
     assert {r.source: r.allocation for r in out} == {"a": 100.0, "b": 300.0}
+
+
+def test_incremental_dedup_equals_full_minus_base_pairs(spark):
+    """The incremental operator must find EXACTLY the full self-join's
+    pairs that involve at least one delta doc — no more (no phantom
+    collisions) and no fewer (no missed cross pairs)."""
+    from asritha_metamorphetl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+    from asritha_metamorphetl_spark.operators.sampling import hash_bucket
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    bucket = hash_bucket(F.col("doc_id"), 10)
+    base, delta = docs.filter(bucket <= 7), docs.filter(bucket >= 8)
+    delta_ids = {r.doc_id for r in delta.select("doc_id").collect()}
+
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, "text", "doc_id").collect()
+    }
+    want = {
+        (a, b) for a, b in full if a in delta_ids or b in delta_ids
+    }
+    inc_rows = minhash_lsh_pairs_incremental(
+        base, delta, "text", "doc_id"
+    ).collect()
+    # normalize to the full self-join's (min, max) orientation
+    got = {(min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b)) for r in inc_rows}
+    assert got == want
+    for r in inc_rows:
+        assert r.doc_b in delta_ids  # right side is always a delta doc
+        if r.pair_type == "base_delta":
+            assert r.doc_a not in delta_ids
+        else:
+            assert r.pair_type == "delta_delta"
+            assert r.doc_a in delta_ids and r.doc_a < r.doc_b
+
+
+def test_incremental_dedup_hand_corpus(spark):
+    """base near-dups stay silent; base↔delta and delta↔delta surface."""
+    from asritha_metamorphetl_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    base = spark.createDataFrame(
+        [(1, shared), (2, shared), (3, "completely different text about ships")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(10, shared), (11, shared)], "doc_id long, text string"
+    )
+    rows = {
+        (r.doc_a, r.doc_b, r.pair_type)
+        for r in minhash_lsh_pairs_incremental(
+            base, delta, "text", "doc_id"
+        ).collect()
+    }
+    assert rows == {
+        (1, 10, "base_delta"),
+        (1, 11, "base_delta"),
+        (2, 10, "base_delta"),
+        (2, 11, "base_delta"),
+        (10, 11, "delta_delta"),
+    }
