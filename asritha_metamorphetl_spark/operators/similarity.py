@@ -864,3 +864,61 @@ def brute_force_l2_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "dist", "rnk")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 10,
+    score_decimals: int = 4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the top-k most-similar corpus vectors with a DIFFERENT label — the
+    near-misses a metric-learning objective needs (easy random negatives
+    teach nothing; the hardest ones define the margin).
+
+    Same scale shape as ``brute_force_topk`` — broadcast query side,
+    corpus never shuffles, per-query ranking window — with the label
+    inequality applied BEFORE scoring so same-label pairs never pay the
+    dot product. Swap the candidate generator for ``lsh_bucketed_topk``
+    /``ivf_topk``'s bucketed join when the query side is corpus-sized
+    (mining negatives for every anchor); the filter composes the same
+    way.
+
+    Returns (query_id, neighbor_id, neighbor_label, score, rnk).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _to_double(F.col(vec_col)).alias("qv"),
+        F.col(label_col).alias("q_label"),
+    ).withColumn("qn", l2_norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _to_double(F.col(vec_col)).alias("cv"),
+        F.col(label_col).alias("neighbor_label"),
+    ).withColumn("cn", l2_norm(F.col("cv")))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .filter(F.col("neighbor_label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                score_decimals,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "neighbor_label", "score", "rnk")
+    )

@@ -274,3 +274,40 @@ def knn_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         # hard floor: the oracle hard-codes TRUE (see knn_ivf_recall_eval)
         .withColumn("recall_ok", F.col("recall") >= F.lit(0.8))
     )
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+WITH vecs AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+),
+qs AS (SELECT vec_id AS query_id, v AS qv, label AS q_label FROM vecs
+       WHERE vec_id < {KNN_QUERIES}),
+scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+           ROUND(list_dot_product(q.qv, c.v)
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(c.v, c.v))), 4) AS score
+    FROM vecs c CROSS JOIN qs q
+    WHERE c.vec_id != q.query_id AND c.label != q.q_label
+)
+SELECT query_id, neighbor_id, neighbor_label, score, rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY score DESC, neighbor_id ASC) AS rnk
+    FROM scored
+) WHERE rnk <= {KNN_K}
+""",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data prep: each query vector's top-k most
+    similar DIFFERENT-label corpus vectors (the near-misses that define
+    a metric-learning margin; operators/similarity.py:hard_negatives).
+    The label inequality filters before any dot product is paid."""
+    from asritha_metamorphetl_spark.operators.similarity import hard_negatives
+
+    emb = Catalog(sf_dir).load(spark, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
+    return hard_negatives(
+        emb, queries, "vec_id", "embedding", "label", k=KNN_K
+    )

@@ -61,8 +61,10 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "knn_pq_topk",
     "knn_pq_recall_eval",
     "knn_l2_topk",
+    "hard_negative_mining",
     "dup_passage_spans",
     "incremental_dedup_pairs",
+    "streaming_ingest_dedup_parity",
     "quality_logit_scores",
     "unimax_source_allocation",
     # round-6 window rotation (r5 directive #5): everything below here

@@ -402,3 +402,118 @@ def streaming_bucketed_cdc_parity(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum("cents").alias("total_cents"),
         F.sum("seq").alias("seq_sum"),
     )
+
+
+def _ingest_dedup_oracle() -> str:
+    from asritha_metamorphetl_spark.plans.text_queries import (
+        MINHASH_BANDS_CTE,
+        _hex48_sql,
+    )
+
+    bucket = _hex48_sql("md5(CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH {MINHASH_BANDS_CTE},
+flags AS (
+    SELECT doc_id, {bucket} % 10 >= 8 AS is_new
+    FROM documents
+)
+SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS doc_lo,
+       GREATEST(a.doc_id, b.doc_id) AS doc_hi,
+       CASE WHEN fa.is_new AND fb.is_new THEN 'delta_delta'
+            ELSE 'base_delta' END AS pair_type
+FROM bands a
+JOIN bands b USING (band_key)
+JOIN flags fa ON fa.doc_id = a.doc_id
+JOIN flags fb ON fb.doc_id = b.doc_id
+WHERE a.doc_id < b.doc_id
+  AND (fa.is_new OR fb.is_new)
+"""
+
+
+@register("streaming_ingest_dedup_parity", oracle=_ingest_dedup_oracle())
+def streaming_ingest_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup under a REAL streaming query: the base corpus'
+    band rows are seeded as the persisted band artifact, the delta
+    documents land as three parquet files, a ``readStream`` with
+    ``maxFilesPerTrigger=1`` delivers them as separate micro-batches
+    into ``incremental_dedup_stream`` (each batch pairs against
+    base + everything ingested before it, appends its pairs, grows the
+    band table), and the ACCUMULATED pair set is compared against the
+    all-at-once batch oracle. Because pairs are orientation-normalized,
+    the accumulated set is identical whatever order the batches arrive
+    in — the property the at-least-once ``foreachBatch`` contract
+    needs. This puts the streaming ingest-dedup path itself (not just
+    the batch join math) under a CORRECTNESS row."""
+    import os
+    import shutil
+    import tempfile
+
+    from asritha_metamorphetl_spark.operators.dedup import lsh_banded
+    from asritha_metamorphetl_spark.operators.sampling import hash_bucket
+    from asritha_metamorphetl_spark.streaming.windows import (
+        incremental_dedup_stream,
+    )
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    bucket = hash_bucket(F.col("doc_id"), 10)
+    base = docs.filter(bucket <= 7)
+    delta = docs.filter(bucket >= 8).localCheckpoint(eager=True)
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(tempfile.gettempdir(), "ametl_stream_dedup", tag)
+    shutil.rmtree(root, ignore_errors=True)
+    band_dir = os.path.join(root, "bands")
+    pairs_dir = os.path.join(root, "pairs")
+    src = os.path.join(root, "delta")
+
+    # seed the persisted artifacts: base band rows + an empty pair frame
+    lsh_banded(base, "text", "doc_id").write.parquet(band_dir)
+    spark.createDataFrame([], "doc_lo long, doc_hi long").write.parquet(
+        pairs_dir
+    )
+    # land the delta as three single-file batches
+    for i in range(3):
+        delta.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            os.path.join(src, f"batch{i}")
+        )
+
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    q = (
+        incremental_dedup_stream(stream, band_dir, pairs_dir, "text", "doc_id")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(_AWAIT_SEC):
+        q.stop()
+        raise TimeoutError("ingest dedup stream did not finish")
+
+    pairs = spark.read.parquet(pairs_dir).distinct()
+    flags = docs.select(
+        "doc_id", (hash_bucket(F.col("doc_id"), 10) >= 8).alias("is_new")
+    )
+    return (
+        pairs.join(
+            flags.select(
+                F.col("doc_id").alias("doc_lo"), F.col("is_new").alias("lo_new")
+            ),
+            "doc_lo",
+        )
+        .join(
+            flags.select(
+                F.col("doc_id").alias("doc_hi"), F.col("is_new").alias("hi_new")
+            ),
+            "doc_hi",
+        )
+        .select(
+            "doc_lo",
+            "doc_hi",
+            F.when(F.col("lo_new") & F.col("hi_new"), F.lit("delta_delta"))
+            .otherwise(F.lit("base_delta"))
+            .alias("pair_type"),
+        )
+    )

@@ -317,3 +317,74 @@ def snapshot_stream(events: DataFrame, raw_path: str, legacy_path: str):
         ).partitionBy("day_dt").parquet(legacy_path)
 
     return events.writeStream.foreachBatch(write_batch)
+
+
+def incremental_dedup_stream(
+    docs: DataFrame,
+    band_dir: str,
+    pairs_dir: str,
+    text_col: str,
+    id_col: str,
+):
+    """Streaming ingest-time dedup: every micro-batch of new documents
+    is banded (MinHash-LSH), joined against the PERSISTED band table of
+    everything ingested so far — never base×base — and the discovered
+    near-dup candidate pairs are appended to ``pairs_dir`` while the
+    batch's own band rows are appended to ``band_dir``, growing the base
+    for the next batch. This is the streaming form of
+    ``operators.dedup.minhash_lsh_pairs_incremental``: per-batch cost is
+    O(batch signatures + collisions), and the corpus-sized quadratic
+    term never recurs.
+
+    Pairs are emitted ORIENTATION-NORMALIZED — (doc_lo, doc_hi) with
+    doc_lo < doc_hi — so the accumulated pair set is independent of the
+    order micro-batches arrive in: a cross-batch pair surfaces when its
+    LATER member arrives, whichever that is. Under Spark's
+    at-least-once ``foreachBatch`` contract a retried batch may append
+    duplicate band/pair rows; both unions are idempotent SETS, so
+    readers take ``distinct()`` (see the parity query) and converge.
+
+    ``band_dir`` must exist (seed it with the base corpus' band rows —
+    at scale this is the bucketed band artifact ``lsh_banded`` names);
+    ``pairs_dir`` must be seeded with an empty frame of the pair schema
+    so the first read never races the first append.
+
+    Returns the DataStreamWriter — caller adds checkpoint/trigger and
+    ``.start()``.
+    """
+    from asritha_metamorphetl_spark.operators.dedup import lsh_banded
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # pin: the batch bands feed BOTH the pair join and the append —
+        # without this the shingle/signature pipeline runs twice
+        batch_b = lsh_banded(batch_df, text_col, id_col).localCheckpoint(
+            eager=True
+        )
+        existing = spark.read.parquet(band_dir)
+        left = (
+            existing.withColumn("is_new", F.lit(False))
+            .unionByName(batch_b.withColumn("is_new", F.lit(True)))
+            .alias("l")
+        )
+        right = batch_b.alias("r")
+        pairs = (
+            left.join(right, "band_key")
+            .filter(F.col("l.doc_id") != F.col("r.doc_id"))
+            # existing rows pair with every colliding batch row; batch-
+            # internal rows only pair forward so each appears once
+            .filter(
+                ~F.col("l.is_new") | (F.col("l.doc_id") < F.col("r.doc_id"))
+            )
+            .select(
+                F.least(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_lo"),
+                F.greatest(F.col("l.doc_id"), F.col("r.doc_id")).alias(
+                    "doc_hi"
+                ),
+            )
+            .distinct()
+        )
+        pairs.write.mode("append").parquet(pairs_dir)
+        batch_b.write.mode("append").parquet(band_dir)
+
+    return docs.writeStream.foreachBatch(apply_batch)

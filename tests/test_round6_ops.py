@@ -291,3 +291,54 @@ def test_incremental_dedup_hand_corpus(spark):
         (2, 11, "base_delta"),
         (10, 11, "delta_delta"),
     }
+
+
+def test_incremental_dedup_accumulation_is_batch_order_independent(spark):
+    """The streaming ingest-dedup contract: accumulating normalized
+    pairs over micro-batches yields the same set whatever order the
+    batches arrive in (each batch pairs against base + previously
+    ingested batches)."""
+    from asritha_metamorphetl_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+    )
+    from asritha_metamorphetl_spark.operators.sampling import hash_bucket
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    bucket = hash_bucket(F.col("doc_id"), 10)
+    base = docs.filter(bucket <= 7)
+    delta = docs.filter(bucket >= 8)
+    batches = [delta.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+
+    def accumulate(order):
+        ingested = base
+        pairs = set()
+        for i in order:
+            rows = minhash_lsh_pairs_incremental(
+                ingested, batches[i], "text", "doc_id"
+            ).collect()
+            pairs |= {
+                (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b)) for r in rows
+            }
+            ingested = ingested.unionByName(batches[i])
+        return pairs
+
+    assert accumulate([0, 1, 2]) == accumulate([2, 0, 1])
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from asritha_metamorphetl_spark.operators.similarity import hard_negatives
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    q_labels = {r.vec_id: r.label for r in queries.collect()}
+    rows = hard_negatives(
+        emb, queries, "vec_id", "embedding", "label", k=5
+    ).collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        assert r.neighbor_label != q_labels[r.query_id]
+        assert r.neighbor_id != r.query_id
+        per_q.setdefault(r.query_id, []).append(r.rnk)
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
