@@ -311,3 +311,56 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(
         emb, queries, "vec_id", "embedding", "label", k=KNN_K
     )
+
+
+def _pq_hist_oracle() -> str:
+    books_sql, books = _pq_books_ctes(PQ_REFINE)
+    return f"""
+WITH {books_sql},
+enc AS (
+    SELECT vec_id, sub, code FROM (
+        SELECT e.vec_id, b.sub, b.code,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id, b.sub
+                   ORDER BY {_sub_d2("e.v", "b", "b.sub")} ASC, b.code ASC
+               ) AS rn
+        FROM vecs e CROSS JOIN {books} b
+    ) WHERE rn = 1
+)
+SELECT sub, code, COUNT(*) AS n_vectors
+FROM enc GROUP BY 1, 2
+"""
+
+
+@register("pq_code_histogram", oracle=_pq_hist_oracle())
+def pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook-utilization telemetry: vectors per (subspace, code)
+    under the registered PQ configuration. A skewed histogram means
+    dead codewords (wasted code space, coarser quantization where the
+    mass is) — the health check you run before trusting ADC recall at
+    scale. Map-side encode + one bounded m·ncodes-row aggregate."""
+    from asritha_metamorphetl_spark.operators.similarity import (
+        _pq_assign_udf,
+        _to_double,
+        broadcast_centroids,
+        pq_train_codebooks,
+    )
+
+    emb = Catalog(sf_dir).load(spark, "embeddings")
+    B = pq_train_codebooks(
+        emb, "embedding", "vec_id", m=PQ_M, ncodes=PQ_NCODES,
+        refine_iters=PQ_REFINE,
+    )
+    bc = broadcast_centroids(spark, B)
+    enc = emb.select(
+        _pq_assign_udf(bc, PQ_M, PQ_SUBDIM)(
+            _to_double(F.col("embedding"))
+        ).alias("codes")
+    )
+    return (
+        enc.select(F.posexplode("codes").alias("sub", "code"))
+        .groupBy(
+            F.col("sub").cast("bigint").alias("sub"),
+            F.col("code").cast("bigint").alias("code"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )

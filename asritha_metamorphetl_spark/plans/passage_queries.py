@@ -313,3 +313,130 @@ def incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.filter(bucket <= 7)
     delta = docs.filter(bucket >= 8)
     return minhash_lsh_pairs_incremental(base, delta, "text", "doc_id")
+
+
+@register(
+    "dup_span_removal_stats",
+    oracle=f"""
+WITH {_SHINGLE_CTE},
+sh AS (
+    SELECT doc_id, unnest(s) AS g,
+           unnest(generate_series(1, len(s))) AS pos
+    FROM shingled WHERE len(s) > 0
+),
+dupg AS (
+    SELECT g FROM sh GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+),
+duppos AS (SELECT doc_id, pos FROM sh JOIN dupg USING (g)),
+grp AS (
+    SELECT doc_id, pos,
+           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM duppos
+),
+spans AS (
+    SELECT doc_id, COUNT(*) AS n FROM grp GROUP BY doc_id, grp
+),
+covered AS (
+    SELECT doc_id, COUNT(DISTINCT tok) AS dup_tokens
+    FROM (SELECT doc_id,
+                 unnest(generate_series(pos, pos + {SHINGLE_SIZE - 1}))
+                     AS tok
+          FROM duppos)
+    GROUP BY doc_id
+),
+agg AS (
+    SELECT s.doc_id, COUNT(*) AS n_spans, MAX(c.dup_tokens) AS dup_tokens
+    FROM spans s JOIN covered c USING (doc_id)
+    GROUP BY s.doc_id
+),
+toklen AS (
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x != ''))
+               AS n_tokens
+    FROM documents
+)
+SELECT t.doc_id,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+       CASE WHEN t.n_tokens > 0
+            THEN ROUND(COALESCE(a.dup_tokens, 0)::DOUBLE / t.n_tokens, 6)
+            ELSE 0.0 END AS pct_dup
+FROM toklen t LEFT JOIN agg a USING (doc_id)
+""",
+)
+def dup_span_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What passage-level dedup would actually remove, per document:
+    the count of DISTINCT tokens covered by any cross-document
+    duplicated 3-gram (adjacent spans overlap at token granularity, so
+    this is a distinct-count over the gram footprints, not a sum of
+    span lengths), the gram-level span count, and the removable
+    fraction. Every document gets a row — the zero rows are the signal
+    a curation dashboard reads. Same two shuffles as dup_passage_spans
+    plus one per-doc aggregate; nothing scales beyond document
+    length."""
+    from asritha_metamorphetl_spark.functions.hashing import word_shingles
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(word_shingles(F.col("text"))).alias("pos0", "s"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.xxhash64(F.col("s")).alias("g"),
+    )
+    dupg = (
+        sh.groupBy("g")
+        .agg(F.count_distinct(F.col("doc_id")).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    duppos = sh.join(dupg, "g").select("doc_id", "pos").localCheckpoint(
+        eager=False
+    )  # feeds both the island count and the coverage count
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    n_spans = (
+        duppos.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+    )
+    covered = (
+        duppos.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (SHINGLE_SIZE - 1))
+            ).alias("tok"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct(F.col("tok")).alias("dup_tokens"))
+    )
+    toklen = docs.select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    )
+    return (
+        toklen.join(n_spans, "doc_id", "left")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("dup_tokens"),
+            F.coalesce(F.col("n_spans"), F.lit(0))
+            .cast("bigint")
+            .alias("n_spans"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+                    / F.col("n_tokens"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("pct_dup"),
+        )
+    )

@@ -313,3 +313,48 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
     )
+
+
+@register(
+    "near_dup_survivors",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({MINHASH_PAIRS_ORACLE}),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+assign AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT d.doc_id,
+       COALESCE(a.cluster_id, d.doc_id) AS cluster_id,
+       a.doc_id IS NULL OR a.cluster_id = d.doc_id AS kept
+FROM documents d LEFT JOIN assign a ON a.doc_id = d.doc_id
+""",
+)
+def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end of the near-dup pipeline: candidates (MinHash-LSH bands)
+    → transitive closure (min-label connected components) → ONE
+    surviving document per duplicate cluster. Keep rule is fully
+    deterministic: the cluster's minimum doc_id survives (it IS the
+    min-label cluster id), every other member is dropped, and documents
+    in no cluster pass through kept — one left join over the corpus, so
+    the output covers EVERY document with a keep/drop verdict, which is
+    what a curation job actually consumes downstream."""
+    docs = Catalog(sf_dir).load(spark, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "text", "doc_id")
+    labels = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    return docs.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        (
+            F.col("cluster_id").isNull()
+            | (F.col("cluster_id") == F.col("doc_id"))
+        ).alias("kept"),
+    )

@@ -63,8 +63,11 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "knn_l2_topk",
     "hard_negative_mining",
     "dup_passage_spans",
+    "dup_span_removal_stats",
     "incremental_dedup_pairs",
     "streaming_ingest_dedup_parity",
+    "near_dup_survivors",
+    "pq_code_histogram",
     "quality_logit_scores",
     "unimax_source_allocation",
     # round-6 window rotation (r5 directive #5): everything below here

@@ -342,3 +342,50 @@ def test_hard_negatives_excludes_same_label(spark):
         per_q.setdefault(r.query_id, []).append(r.rnk)
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_span_removal_stats_consistent_with_spans(spark):
+    """Per-doc invariants tying the two passage views together: span
+    counts agree, distinct covered tokens never exceed the sum of span
+    lengths (overlap only shrinks) and never fall below the longest
+    span, and every document gets a row."""
+    from asritha_metamorphetl_spark.plans.passage_queries import (
+        dup_passage_spans,
+        dup_span_removal_stats,
+    )
+
+    spans = dup_passage_spans(spark, SF_SMOKE).collect()
+    stats = {r.doc_id: r for r in dup_span_removal_stats(spark, SF_SMOKE).collect()}
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert len(stats) == n_docs
+
+    per_doc: dict[int, list] = {}
+    for r in spans:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, doc_spans in per_doc.items():
+        s = stats[doc_id]
+        assert s.n_spans == len(doc_spans)
+        total_len = sum(r.span_end - r.span_start + 1 for r in doc_spans)
+        longest = max(r.span_end - r.span_start + 1 for r in doc_spans)
+        assert longest <= s.dup_tokens <= total_len
+        assert 0.0 <= s.pct_dup <= 1.0
+    for doc_id, s in stats.items():
+        if doc_id not in per_doc:
+            assert s.n_spans == 0 and s.dup_tokens == 0 and s.pct_dup == 0.0
+
+
+def test_near_dup_survivors_one_keeper_per_cluster(spark):
+    from asritha_metamorphetl_spark.plans.pipeline_queries import (
+        near_dup_survivors,
+    )
+
+    rows = near_dup_survivors(spark, SF_SMOKE).collect()
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert len(rows) == n_docs
+    clusters: dict[int, list] = {}
+    for r in rows:
+        clusters.setdefault(r.cluster_id, []).append(r)
+    for cid, members in clusters.items():
+        keepers = [m for m in members if m.kept]
+        assert len(keepers) == 1
+        assert keepers[0].doc_id == cid == min(m.doc_id for m in members)
