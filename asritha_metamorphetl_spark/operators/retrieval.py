@@ -1,0 +1,96 @@
+"""Keyword retrieval over the document corpus: distributed BM25.
+
+The training-data counterpart of "grep the corpus": rank documents for
+keyword queries with the Okapi BM25 weighting (Robertson & Walker 1994)
+— the tool a curation team uses to inspect what a filter kept, find
+contamination by keyword, or pull topical slices. Everything is JVM
+expressions over one inverted-index shuffle; the query set broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from asritha_metamorphetl_spark.functions import text as T
+
+
+def bm25_topk(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    queries: list[tuple[int, list[str]]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    idf_decimals: int = 6,
+    score_decimals: int = 4,
+) -> DataFrame:
+    """Top-k documents per keyword query under BM25.
+
+    Shape at scale: tokens explode map-side and are immediately
+    SEMI-JOINED against the broadcast query-term set, so the inverted
+    index only ever materializes postings for queried terms — corpus
+    text never shuffles, only (doc, term, tf) rows for matching terms.
+    Document frequencies and the corpus stats (N, avgdl) are bounded
+    aggregates; the per-(query, doc) score is one hash agg keyed by ids.
+
+    Determinism across engines: idf is rounded before weighting and the
+    final score before ranking (ties by doc id) — the same rounding
+    discipline as every scored operator here, so last-ulp ``ln``
+    differences between libm implementations can't reorder results off
+    a measure-zero boundary.
+
+    Returns (query_id, doc_id, score, rnk), k rows per query.
+    """
+    spark = docs.sparkSession
+    term_rows = [(qid, t) for qid, terms in queries for t in terms]
+    terms = spark.createDataFrame(term_rows, "query_id int, term string")
+    distinct_terms = terms.select("term").distinct()
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), T.tokens(F.col(text_col)).alias("t")
+    )
+    lens = toks.select("doc_id", F.size("t").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .join(F.broadcast(distinct_terms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count_distinct(F.col("doc_id")).alias("df")
+    )
+    one_minus_b = 1.0 - b
+    k1p1 = k1 + 1.0
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        ),
+        idf_decimals,
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(one_minus_b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * (F.col("tf") * F.lit(k1p1)) / denom
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(terms), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(contrib), score_decimals).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "doc_id", "score", "rnk")
+    )

@@ -364,3 +364,84 @@ def pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
+
+
+#: Fixture keyword queries for the registered BM25 search: one rare
+#: discriminative term paired with common ones, one all-common query,
+#: one two-term mixed query — enough to exercise idf spread.
+BM25_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (0, ("dup", "scan")),
+    (1, ("spark", "window", "sort")),
+    (2, ("customer", "merge")),
+)
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+_BM25_TERM_VALUES = ",".join(
+    f"({qid}, '{t}')" for qid, terms in BM25_QUERIES for t in terms
+)
+
+
+@register(
+    "bm25_search",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x != '') AS t
+    FROM documents
+),
+lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+stats AS (
+    SELECT COUNT(*)::DOUBLE AS n,
+           SUM(dl)::DOUBLE / COUNT(*) AS avgdl
+    FROM lens
+),
+terms(query_id, term) AS (VALUES {_BM25_TERM_VALUES}),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest(t) AS term FROM toks) x
+    JOIN (SELECT DISTINCT term FROM terms) q USING (term)
+    GROUP BY 1, 2
+),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+contrib AS (
+    SELECT q.query_id, f.doc_id,
+           ROUND(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)), 6)
+           * (f.tf * {BM25_K1 + 1.0})
+           / (f.tf + {BM25_K1}
+              * ({1.0 - BM25_B} + {BM25_B} * l.dl / s.avgdl)) AS c
+    FROM tf f
+    JOIN dfreq d USING (term)
+    JOIN terms q USING (term)
+    JOIN lens l ON l.doc_id = f.doc_id
+    CROSS JOIN stats s
+),
+agg AS (
+    SELECT query_id, doc_id, ROUND(SUM(c), 4) AS score
+    FROM contrib GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score, rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM agg
+) WHERE rnk <= {KNN_K}
+""",
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval over the corpus (operators/retrieval.py):
+    Okapi BM25 top-10 per query — the curation team's corpus grep.
+    Postings materialize only for queried terms (semi-join against the
+    broadcast term set inside the explode stage), so the shuffle is
+    O(matching postings), never O(corpus tokens)."""
+    from asritha_metamorphetl_spark.operators.retrieval import bm25_topk
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    return bm25_topk(
+        docs,
+        "text",
+        "doc_id",
+        [(qid, list(terms)) for qid, terms in BM25_QUERIES],
+        k=KNN_K,
+        k1=BM25_K1,
+        b=BM25_B,
+    )

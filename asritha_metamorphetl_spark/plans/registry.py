@@ -68,6 +68,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "streaming_ingest_dedup_parity",
     "near_dup_survivors",
     "pq_code_histogram",
+    "bm25_search",
     "quality_logit_scores",
     "unimax_source_allocation",
     # round-6 window rotation (r5 directive #5): everything below here
@@ -94,8 +95,11 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "bracket_revenue",
     "forecast_revenue_change",
     "idle_rich_customers",
-    "lonely_late_suppliers",
-    "top_revenue_supplier",
+    # r1-only red-row history: these two FAILED in r1 on the since-fixed
+    # NANOS session and have never re-met the driver — they outrank the
+    # last two TPC-H tail entries for the window
+    "sql_api_revenue_by_region",
+    "reconcile_orchestrated",
     "streaming_sessions_parity",
     "streaming_distinct_pairs",
     "streaming_hourly_events",
@@ -103,9 +107,9 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "lang_id_confusion",
     "source_overlap_matrix",
     # r1-only (failed on the NANOS session, fixed since, never re-met
-    # the driver)
-    "sql_api_revenue_by_region",
-    "reconcile_orchestrated",
+    # the driver); the two red-row r1 failures moved into the front-50
+    "lonely_late_suppliers",
+    "top_revenue_supplier",
     "reconcile_orders_cells",
     "reconcile_orders_summary",
     "top5_orders",

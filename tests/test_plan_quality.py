@@ -424,3 +424,18 @@ def test_incremental_dedup_joins_on_band_key_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "band_key" in plan
+
+
+def test_bm25_postings_semi_join_before_tf_agg(spark):
+    """The token explode must meet the broadcast query-term set BEFORE
+    the tf aggregation — postings materialize only for queried terms,
+    so the shuffle moves O(matching postings), never O(corpus tokens).
+    The only nested-loop join allowed is the 1-row stats broadcast."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["bm25_search"](spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # term semi/inner join broadcast
+    # the exploded token stream exists (postings come from Generate, not
+    # from a pre-aggregated full-vocabulary table)
+    assert "Generate explode" in plan

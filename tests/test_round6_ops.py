@@ -389,3 +389,29 @@ def test_near_dup_survivors_one_keeper_per_cluster(spark):
         keepers = [m for m in members if m.kept]
         assert len(keepers) == 1
         assert keepers[0].doc_id == cid == min(m.doc_id for m in members)
+
+
+def test_bm25_rare_term_dominates(spark):
+    """Documents containing the rare discriminative term must outrank
+    common-term-only documents for the query that includes it, and
+    ranks must be dense per query."""
+    from asritha_metamorphetl_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "needle scan scan table"),
+            (2, "scan scan scan scan table table"),
+            (3, "table join merge window"),
+            (4, "needle needle scan"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(
+        docs, "text", "doc_id", [(0, ["needle", "scan"])], k=4
+    ).collect()
+    by_rank = {r.rnk: r.doc_id for r in rows}
+    # docs 4 and 1 carry the rare term; doc 3 has neither query term
+    assert set(by_rank.values()) == {1, 2, 4}
+    assert by_rank[1] in (1, 4) and by_rank[2] in (1, 4)
+    scores = [r.score for r in sorted(rows, key=lambda r: r.rnk)]
+    assert scores == sorted(scores, reverse=True)
