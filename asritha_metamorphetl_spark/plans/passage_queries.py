@@ -103,9 +103,7 @@ _QL_VALUES = ",\n        ".join(
 )
 
 
-@register(
-    "quality_logit_scores",
-    oracle=f"""
+QUALITY_LOGIT_ORACLE = f"""
 WITH weights(lang, b0, b_stop, b_len, b_tok) AS (
     VALUES
         {_QL_VALUES}
@@ -136,8 +134,10 @@ scored AS (
 SELECT doc_id, lang, ROUND(1.0 / (1.0 + exp(-z)), 6) AS score,
        1.0 / (1.0 + exp(-z)) >= 0.5 AS kept
 FROM scored
-""",
-)
+"""
+
+
+@register("quality_logit_scores", oracle=QUALITY_LOGIT_ORACLE)
 def quality_logit_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality filtering with the model as data: row-local
     feature extraction (stopword ratio, mean token length, log token
@@ -439,4 +439,143 @@ def dup_span_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0.0))
             .alias("pct_dup"),
         )
+    )
+
+
+def _curation_verdict_oracle() -> str:
+    from asritha_metamorphetl_spark.plans.text_queries import (
+        MINHASH_PAIRS_ORACLE,
+        SEMDEDUP_NLIST,
+        SEMDEDUP_TAU,
+        _semdedup_asg_sql,
+    )
+
+    return f"""
+WITH RECURSIVE
+npairs AS ({MINHASH_PAIRS_ORACLE}),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM npairs
+    UNION
+    SELECT doc_b, doc_a FROM npairs
+),
+reach(src, dst) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+assign AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+{_semdedup_asg_sql(SEMDEDUP_NLIST).lstrip()},
+semdropped AS (
+    SELECT DISTINCT x.vec_id
+    FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id != y.vec_id
+    JOIN vecs xv ON xv.vec_id = x.vec_id
+    JOIN vecs yv ON yv.vec_id = y.vec_id
+    WHERE ROUND(list_cosine_similarity(xv.v, yv.v), 4) >= {SEMDEDUP_TAU}
+      AND (y.csim < x.csim OR (y.csim = x.csim AND y.vec_id < x.vec_id))
+),
+sem AS (
+    SELECT asg.vec_id, sd.vec_id IS NULL AS kept
+    FROM asg LEFT JOIN semdropped sd ON asg.vec_id = sd.vec_id
+),
+exact AS (
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon
+    FROM documents
+),
+qual AS ({QUALITY_LOGIT_ORACLE}),
+verdicts AS (
+    SELECT d.doc_id,
+           e.canon = d.doc_id AS exact_kept,
+           (a.doc_id IS NULL OR a.cluster_id = d.doc_id) AS near_kept,
+           COALESCE(s.kept, TRUE) AS sem_kept,
+           q.kept AS quality_kept
+    FROM documents d
+    JOIN exact e ON e.doc_id = d.doc_id
+    LEFT JOIN assign a ON a.doc_id = d.doc_id
+    LEFT JOIN sem s ON s.vec_id = d.doc_id
+    JOIN qual q ON q.doc_id = d.doc_id
+)
+SELECT doc_id, exact_kept, near_kept, sem_kept, quality_kept,
+       exact_kept AND near_kept AND sem_kept AND quality_kept
+           AS final_kept,
+       CASE WHEN NOT exact_kept THEN 'exact_dup'
+            WHEN NOT near_kept THEN 'near_dup'
+            WHEN NOT sem_kept THEN 'semantic_dup'
+            WHEN NOT quality_kept THEN 'low_quality'
+            ELSE 'kept' END AS reason
+FROM verdicts
+"""
+
+
+@register("curation_verdict", oracle=_curation_verdict_oracle())
+def curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE per-document verdict — what a
+    user of this engine actually ships: exact dedup (md5 fingerprint
+    groups, min-id survivor), near-dedup (MinHash closure, one keeper
+    per cluster), semantic dedup (SemDeDup over the embedding table —
+    LEFT join, documents without an embedding pass this stage), and the
+    learned quality filter, combined into final_kept with a
+    deterministic first-failing-stage reason. Every stage is the SAME
+    operator the standalone queries register, so this also pins their
+    composability; the oracle re-assembles all four verified SQL
+    fragments under one WITH RECURSIVE.
+
+    Scale: the union of the stages' own shapes — nothing new joins at
+    row-pair granularity; the four verdict joins are id-keyed."""
+    from asritha_metamorphetl_spark.functions.text import fingerprint
+    from asritha_metamorphetl_spark.operators.similarity import semdedup
+    from asritha_metamorphetl_spark.plans.pipeline_queries import (
+        near_dup_survivors,
+    )
+    from asritha_metamorphetl_spark.plans.text_queries import (
+        SEMDEDUP_NLIST,
+        SEMDEDUP_TAU,
+    )
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    emb = Catalog(sf_dir).load(spark, "embeddings")
+
+    w = Window.partitionBy("fp")
+    exact = docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("exact_kept"),
+    )
+    near = near_dup_survivors(spark, sf_dir).select(
+        "doc_id", F.col("kept").alias("near_kept")
+    )
+    sem = semdedup(
+        emb, "vec_id", "embedding", nlist=SEMDEDUP_NLIST, threshold=SEMDEDUP_TAU
+    ).select(F.col("vec_id").alias("doc_id"), F.col("kept").alias("sem_raw"))
+    qual = quality_logit_scores(spark, sf_dir).select(
+        "doc_id", F.col("kept").alias("quality_kept")
+    )
+    out = (
+        exact.join(near, "doc_id")
+        .join(sem, "doc_id", "left")
+        .join(qual, "doc_id")
+        .select(
+            "doc_id",
+            "exact_kept",
+            "near_kept",
+            F.coalesce(F.col("sem_raw"), F.lit(True)).alias("sem_kept"),
+            "quality_kept",
+        )
+    )
+    return out.select(
+        "doc_id",
+        "exact_kept",
+        "near_kept",
+        "sem_kept",
+        "quality_kept",
+        (
+            F.col("exact_kept")
+            & F.col("near_kept")
+            & F.col("sem_kept")
+            & F.col("quality_kept")
+        ).alias("final_kept"),
+        F.when(~F.col("exact_kept"), F.lit("exact_dup"))
+        .when(~F.col("near_kept"), F.lit("near_dup"))
+        .when(~F.col("sem_kept"), F.lit("semantic_dup"))
+        .when(~F.col("quality_kept"), F.lit("low_quality"))
+        .otherwise(F.lit("kept"))
+        .alias("reason"),
     )

