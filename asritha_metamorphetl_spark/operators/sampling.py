@@ -179,13 +179,20 @@ def unimax_allocation(
                 ),
                 6,
             ).alias("allocation"),
-            F.round(
-                F.when(F.col("capped"), F.col("capacity")).otherwise(
-                    F.col("level")
-                )
-                / F.col("n_tokens"),
-                6,
-            ).alias("epochs"),
+            # a zero-token source has capacity 0, caps immediately, and
+            # gets allocation 0 — emit 0 epochs instead of 0/0 = NaN
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.when(F.col("capped"), F.col("capacity")).otherwise(
+                        F.col("level")
+                    )
+                    / F.col("n_tokens"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("epochs"),
             "capped",
         )
     )

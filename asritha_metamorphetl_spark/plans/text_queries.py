@@ -1272,7 +1272,7 @@ def semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≥ 0.15, oracle pins TRUE) catches assignment regressions, and the
     hash-pinned values catch any drift at all."""
     from asritha_metamorphetl_spark.operators.similarity import (
-        cosine_batch,
+        all_pairs_near,
         semdedup,
     )
 
@@ -1281,25 +1281,22 @@ def semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", nlist=SEMDEDUP_NLIST,
         threshold=SEMDEDUP_TAU,
     ).localCheckpoint(eager=False)
-    vecs = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    a = sem.join(vecs, "vec_id").select(
+    # exhaustive ground truth via the broadcast-matrix scan — one
+    # (batch × N) matmul per Arrow batch, only the ≥ τ tail leaves
+    # Python (30 s → ~2 s at sf0.1 vs pairing all N² vectors through
+    # a nested-loop join)
+    pairs = all_pairs_near(emb, "vec_id", "embedding", SEMDEDUP_TAU)
+    ax = sem.select(
         F.col("vec_id").alias("xid"), F.col("cell").alias("xc"),
-        F.col("csim").alias("xs"), F.col("v").alias("xv"),
+        F.col("csim").alias("xs"),
     )
-    b = sem.join(vecs, "vec_id").select(
+    ay = sem.select(
         F.col("vec_id").alias("yid"), F.col("cell").alias("yc"),
-        F.col("csim").alias("ys"), F.col("v").alias("yv"),
+        F.col("csim").alias("ys"),
     )
     near = (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("xid") != F.col("yid"))
-        .filter(
-            F.round(cosine_batch(F.col("xv"), F.col("yv")), 4)
-            >= F.lit(SEMDEDUP_TAU)
-        )
+        pairs.join(ax, "xid")
+        .join(ay, "yid")
         .select("xid", "yid", "xc", "yc", "xs", "ys")
         .localCheckpoint(eager=False)  # feeds four aggregates below
     )

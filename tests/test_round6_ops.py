@@ -452,3 +452,40 @@ def test_curation_verdict_consistent_with_stages(spark):
                 expect = why
                 break
         assert v.reason == expect
+
+
+def test_unimax_zero_token_source(spark):
+    """A zero-token source caps at 0 allocation and reports 0 epochs —
+    never NaN from 0/0."""
+    import math
+
+    from asritha_metamorphetl_spark.operators.sampling import unimax_allocation
+
+    stats = spark.createDataFrame(
+        [("empty", 0), ("a", 100), ("b", 300)], "source string, n_tokens long"
+    )
+    out = {r.source: r for r in unimax_allocation(
+        stats, "source", "n_tokens", budget=F.lit(200.0), max_epochs=1.0
+    ).collect()}
+    assert out["empty"].allocation == 0.0
+    assert out["empty"].epochs == 0.0
+    assert not any(math.isnan(r.epochs) for r in out.values())
+
+
+def test_dup_passage_spans_boilerplate_heavy_corpus(spark):
+    """Degenerate corpus: many identical documents. Every gram is
+    duplicated, every document becomes one full-length span — the
+    operator must stay bounded (per-doc state only) and exact."""
+    from asritha_metamorphetl_spark.operators.dedup import (
+        duplicated_passage_spans,
+    )
+
+    n = 50
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(n)],
+        "doc_id long, text string",
+    )
+    rows = duplicated_passage_spans(docs, "text", "doc_id").collect()
+    assert len(rows) == n
+    for r in rows:
+        assert (r.span_start, r.span_end, r.n_grams) == (1, 6, 4)

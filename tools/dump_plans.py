@@ -78,6 +78,12 @@ HEADLINERS = [
     ("quality_logit_scores", "model-as-data quality filter: features "
      "in the scan stage projection, one BroadcastHashJoin against the "
      "O(languages) weights table, no shuffle of the corpus"),
+    ("bm25_search", "keyword retrieval: token explode semi-joins the "
+     "broadcast query-term set before the tf aggregate — postings are "
+     "O(matching terms), the corpus text never shuffles"),
+    ("curation_verdict", "the four curation stages composed: every "
+     "verdict join is id-keyed; no stage adds a pair-granularity join "
+     "beyond what its standalone plan already pinned"),
 ]
 
 
