@@ -35,7 +35,26 @@ from asritha_metamorphetl_spark.sources.files import Catalog
 PQ_M = 4
 PQ_NCODES = 16
 PQ_REFINE = 1
-PQ_SHORTLIST = 100  # ADC shortlist depth; fixture recall 0.86 vs exact L2
+#: ADC shortlist depth scales with the corpus: max(PQ_SHORTLIST_MIN,
+#: ceil(PQ_SHORTLIST_FRAC * N)). A FIXED depth quietly loses recall as
+#: the corpus grows (measured 0.86 at N=500 but 0.68 at N=2000 with a
+#: flat 100); the fraction keeps the recall floor meaningful at every
+#: SF, and both the engine and the generated SQL compute it from the
+#: same count so they can never drift.
+PQ_SHORTLIST_MIN = 100
+PQ_SHORTLIST_FRAC = 0.2
+
+
+def pq_shortlist(n_vectors: int) -> int:
+    import math
+
+    return max(PQ_SHORTLIST_MIN, math.ceil(PQ_SHORTLIST_FRAC * n_vectors))
+
+
+_PQ_SHORTLIST_SQL = (
+    f"(SELECT GREATEST({PQ_SHORTLIST_MIN}, "
+    f"CAST(CEIL({PQ_SHORTLIST_FRAC} * COUNT(*)) AS BIGINT)) FROM vecs)"
+)
 PQ_SUBDIM = EMB_DIM // PQ_M
 
 _SQ = "(q.qv[{i}] - c.v[{i}]) * (q.qv[{i}] - c.v[{i}])"
@@ -129,7 +148,7 @@ short AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
             ORDER BY adc_dist ASC, neighbor_id ASC) AS srn
         FROM adc
-    ) WHERE srn <= {PQ_SHORTLIST}
+    ) WHERE srn <= {_PQ_SHORTLIST_SQL}
 ),
 rer AS (
     SELECT s.query_id, s.neighbor_id,
@@ -194,7 +213,7 @@ def knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=PQ_M,
         ncodes=PQ_NCODES,
         refine_iters=PQ_REFINE,
-        shortlist=PQ_SHORTLIST,
+        shortlist=pq_shortlist(emb.count()),
     )
 
 
@@ -243,7 +262,7 @@ def knn_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             m=PQ_M,
             ncodes=PQ_NCODES,
             refine_iters=PQ_REFINE,
-            shortlist=PQ_SHORTLIST,
+            shortlist=pq_shortlist(emb.count()),
         )
         .select("query_id", "neighbor_id")
         .withColumn("in_a", F.lit(1))

@@ -489,3 +489,74 @@ def test_dup_passage_spans_boilerplate_heavy_corpus(spark):
     assert len(rows) == n
     for r in rows:
         assert (r.span_start, r.span_end, r.n_grams) == (1, 6, 4)
+
+
+def test_pq_with_full_shortlist_equals_exact(spark):
+    """Exactness property: when the ADC shortlist covers the whole
+    corpus, the exact re-rank IS the final ranking — PQ must reproduce
+    brute-force squared-L2 top-k bit-for-bit (ids, distances, ranks)."""
+    from asritha_metamorphetl_spark.operators.similarity import (
+        brute_force_l2_topk,
+        pq_adc_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    n = emb.count()
+    exact = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.dist)
+        for r in brute_force_l2_topk(
+            emb, queries, "vec_id", "embedding", k=7
+        ).collect()
+    }
+    approx = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.dist)
+        for r in pq_adc_topk(
+            emb, queries, "vec_id", "embedding", k=7, m=4, ncodes=8,
+            refine_iters=1, shortlist=n,
+        ).collect()
+    }
+    assert approx == exact
+
+
+def test_bm25_unmatched_term_is_ignored(spark):
+    """A query term absent from the corpus contributes nothing; a query
+    whose terms ALL miss returns no rows rather than failing."""
+    from asritha_metamorphetl_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta beta delta")],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(
+        docs, "text", "doc_id",
+        [(0, ["beta", "zzz_absent"]), (1, ["qqq_absent"])], k=5,
+    ).collect()
+    qids = {r.query_id for r in rows}
+    assert qids == {0}  # query 1 has no matching postings at all
+    assert {r.doc_id for r in rows} == {1, 2}
+
+
+def test_all_pairs_near_matches_pairwise_cosine(spark):
+    """The broadcast-matrix near-pair scan must produce exactly the
+    pairs the rounded pairwise cosine predicate admits."""
+    import itertools
+
+    import numpy as np
+
+    from asritha_metamorphetl_spark.operators.similarity import all_pairs_near
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(60)
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    tau = 0.2
+    want = set()
+    for x, y in itertools.permutations(vecs, 2):
+        c = float(vecs[x] @ vecs[y] / (np.linalg.norm(vecs[x]) * np.linalg.norm(vecs[y])))
+        if round(c, 4) >= tau:
+            want.add((x, y))
+    got = {
+        (r.xid, r.yid)
+        for r in all_pairs_near(emb, "vec_id", "embedding", tau).collect()
+    }
+    assert got == want
