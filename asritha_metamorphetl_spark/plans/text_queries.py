@@ -1263,8 +1263,9 @@ def semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The exhaustive baseline is O(N²) BY DESIGN — this is an eval query
     over a probe corpus (the same contract as ``minhash_recall_eval``),
-    never a production path; the pair scan is a broadcast nested-loop
-    with Arrow-batched cosines. On this near-RANDOM fixture recall is
+    never a production path; the pair scan is the broadcast-matrix
+    ``all_pairs_near`` — one (batch × N) matmul per Arrow batch, only
+    the ≥ τ tail leaves Python. On this near-RANDOM fixture recall is
     structurally low (measured drop_recall 0.26 at nlist=64: τ=0.30
     pairs are the random-similarity tail, which shares no cluster
     structure for the centroids to exploit — real text embeddings
