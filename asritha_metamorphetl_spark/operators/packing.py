@@ -136,17 +136,17 @@ def grouped_running_sum(
         .withColumn("__pid", F.spark_partition_id())
     )
     # Pin the sampled range boundaries for the two consumers (sums +
-    # cumsum) — see global_running_sum. Skip the eager checkpoint when
-    # the input is already at-or-below the range target: boundaries then
-    # derive deterministically from a plan cheap enough to run twice,
-    # and the checkpoint's fixed cost dominates (grouped_row_number's
-    # tiny-input rule).
-    try:
-        tiny_input = df.rdd.getNumPartitions() <= int(parts)
-    except Exception:
-        tiny_input = False
-    if not tiny_input:
-        ranged = ranged.localCheckpoint(eager=True)
+    # cumsum) — see global_running_sum. UNCONDITIONALLY: RangePartitioner
+    # seeds its boundary reservoir sample from the physical RDD id, so
+    # two separate evaluations of the same un-pinned plan (the sums
+    # collect and the output pass) can land rows in different range
+    # partitions whenever the sample is not exhaustive — and the pass-1
+    # offsets then join against pass-2 partition ids, silently
+    # corrupting every downstream running total. A "small enough to run
+    # twice" skip is NOT sound (observed once at sf0.1: a whole source
+    # vanished from token_budget_mix); the eager checkpoint's fixed ~1 s
+    # is the price of determinism.
+    ranged = ranged.localCheckpoint(eager=True)
 
     cap = int(parts) + max_groups
     sums = (

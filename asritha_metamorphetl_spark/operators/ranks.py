@@ -333,19 +333,15 @@ def grouped_row_number(
         "__pid", F.spark_partition_id()
     )
     # See global_row_number: checkpoint pins the sampled range boundaries
-    # for both consumers without leaking session-lifetime cache. For
-    # inputs already at-or-below the range partition target the pinning
-    # buys nothing (the boundaries derive deterministically from a plan
-    # small enough to just run twice) and the eager checkpoint costs a
-    # fixed ~1 s locally — skip it. getNumPartitions on the INPUT plan is
-    # metadata for scan-shaped inputs; if the lineage can't answer
-    # cheaply, keep the safe checkpoint path.
-    try:
-        tiny_input = df.rdd.getNumPartitions() <= int(parts)
-    except Exception:
-        tiny_input = False
-    if not tiny_input:
-        ranged = ranged.localCheckpoint(eager=True)
+    # for both consumers without leaking session-lifetime cache. Pin
+    # UNCONDITIONALLY: RangePartitioner seeds its boundary sample from
+    # the physical RDD id, so two separate evaluations of an un-pinned
+    # plan can partition rows differently and the pass-1 offsets then
+    # misalign against pass-2 partition ids (observed once as a vanished
+    # source in token_budget_mix at sf0.1). The former tiny-input skip
+    # traded that soundness hole for ~1 s of fixed local cost — wrong
+    # trade.
+    ranged = ranged.localCheckpoint(eager=True)
 
     # Fail fast on unbounded group keys: take() streams results and stops
     # at the cap, so the driver never materializes an unbounded offset
