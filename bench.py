@@ -134,6 +134,16 @@ def main() -> None:
         "event_funnel",
         "streaming_hourly_events",
         "streaming_sessions_parity",
+        # round-6 additions
+        "curation_verdict",
+        "knn_pq_topk",
+        "dup_passage_spans",
+        "incremental_dedup_pairs",
+        "streaming_ingest_dedup_parity",
+        "bm25_search",
+        "quality_logit_scores",
+        "semdedup_survivors",
+        "token_budget_mix",
     ]
     line = json.dumps(
         {
