@@ -164,3 +164,45 @@ def test_grouped_running_sum_rejects_unbounded_group_key(spark):
             num_partitions=4,
             max_groups=50,
         ).collect()
+
+
+def test_grouped_running_sum_identical_across_evaluations(spark):
+    """Regression (r6): the two-pass offset shape must yield identical
+    results when the SAME operator runs repeatedly in one session and
+    under different partition counts — RangePartitioner's RDD-id-seeded
+    boundary sampling made an un-pinned plan nondeterministic across
+    evaluations (a whole source once vanished from token_budget_mix)."""
+    from pyspark.sql import functions as F
+
+    from asritha_metamorphetl_spark.operators.packing import (
+        grouped_running_sum,
+    )
+
+    df = spark.range(0, 3000).select(
+        F.col("id"),
+        (F.col("id") % 7).cast("string").alias("grp"),
+        (F.col("id") % 13 + 1).alias("val"),
+    )
+
+    def run(parts):
+        rows = grouped_running_sum(
+            df.repartition(parts),
+            ["grp"],
+            [F.col("id")],
+            F.col("val"),
+            out_col="rb",
+        ).collect()
+        return {r.id: r.rb for r in rows}
+
+    first = run(3)
+    for parts in (3, 3, 11):
+        assert run(parts) == first
+    # spot-check the math on one group
+    vals = sorted(
+        (i, (i % 13 + 1)) for i in range(0, 3000) if i % 7 == 2
+    )
+    acc, expect = 0, {}
+    for i, v in vals:
+        expect[i] = acc
+        acc += v
+    assert {i: first[i] for i, _ in vals} == expect
