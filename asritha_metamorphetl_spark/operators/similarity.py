@@ -930,6 +930,7 @@ def all_pairs_near(
     vec_col: str,
     threshold: float,
     sim_decimals: int = 4,
+    max_rows: int = 200_000,
 ) -> DataFrame:
     """Exhaustive near-pair scan for EVAL probes: every ordered pair
     (x, y), x != y, with rounded cosine ≥ threshold. The right side is
@@ -943,10 +944,23 @@ def all_pairs_near(
     Cosine is computed as num/den exactly like ``cosine_batch`` (same
     rounding, same threshold semantics); only the batching changes.
     Returns (xid, yid).
+
+    The eval-probe contract is ENFORCED: the collect streams via
+    ``take(max_rows + 1)`` and raises past ``max_rows`` (default 200k —
+    ~120 MB at 768-dim float64) instead of silently pulling a
+    production corpus onto the driver; O(N²) ground truth has no
+    business existing beyond that size anyway.
     """
     import numpy as _np
 
-    rows = corpus.select(F.col(id_col), F.col(vec_col)).collect()
+    rows = corpus.select(F.col(id_col), F.col(vec_col)).take(max_rows + 1)
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"all_pairs_near: corpus exceeds max_rows={max_rows}. This is "
+            "an O(N²) EVAL operator whose right side broadcasts from the "
+            "driver — sample the probe set down, or raise max_rows "
+            "consciously if the driver can hold it."
+        )
     ids = _np.array([r[0] for r in rows], dtype=_np.int64)
     M = _np.vstack([_np.asarray(r[1], dtype=_np.float64) for r in rows])
     bc = corpus.sparkSession.sparkContext.broadcast((ids, M))

@@ -560,3 +560,15 @@ def test_all_pairs_near_matches_pairwise_cosine(spark):
         for r in all_pairs_near(emb, "vec_id", "embedding", tau).collect()
     }
     assert got == want
+
+
+def test_all_pairs_near_enforces_probe_bound(spark):
+    """The O(N²) eval scan must refuse an over-sized corpus instead of
+    collecting it onto the driver."""
+    import pytest as _pytest
+
+    from asritha_metamorphetl_spark.operators.similarity import all_pairs_near
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    with _pytest.raises(ValueError, match="max_rows"):
+        all_pairs_near(emb, "vec_id", "embedding", 0.3, max_rows=10)
