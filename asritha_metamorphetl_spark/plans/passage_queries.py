@@ -514,10 +514,13 @@ def curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     per cluster), semantic dedup (SemDeDup over the embedding table —
     LEFT join, documents without an embedding pass this stage), and the
     learned quality filter, combined into final_kept with a
-    deterministic first-failing-stage reason. Every stage is the SAME
-    operator the standalone queries register, so this also pins their
-    composability; the oracle re-assembles all four verified SQL
-    fragments under one WITH RECURSIVE.
+    deterministic first-failing-stage reason. The near/semantic/quality
+    stages call the SAME operators their standalone queries register
+    (pinning composability); the exact stage applies the same min-id
+    keep RULE over md5 fingerprint groups directly (the standalone
+    ``exact_dup_groups`` reports capped group membership, which a
+    per-document verdict doesn't need). The oracle re-assembles the
+    verified SQL fragments under one WITH RECURSIVE.
 
     Scale: the union of the stages' own shapes — nothing new joins at
     row-pair granularity; the four verdict joins are id-keyed."""
