@@ -582,3 +582,68 @@ def curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("kept"))
         .alias("reason"),
     )
+
+
+#: Shard count for the registered manifest query. Production sizing is
+#: n_shards ≈ corpus_bytes / target_shard_bytes (hundreds of MB per
+#: shard); 8 keeps the fixture manifest readable.
+N_TRAINING_SHARDS = 8
+
+
+def _shard_manifest_oracle() -> str:
+    bucket = _hex48_sql("md5(CAST(doc_id AS VARCHAR))")
+    sig = _hex48_sql("md5(CAST(doc_id AS VARCHAR) || ':' || md5(text))")
+    return f"""
+WITH assigned AS (
+    SELECT doc_id, text,
+           {bucket} % {N_TRAINING_SHARDS} AS shard,
+           len(list_filter(string_split(text, ' '), x -> x != ''))
+               AS n_tokens,
+           {sig} AS row_sig
+    FROM documents
+)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(row_sig) AS BIGINT) AS content_sig
+FROM assigned
+GROUP BY shard
+"""
+
+
+@register("training_shard_manifest", oracle=_shard_manifest_oracle())
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last step of the pipeline: deterministic sharding of the
+    (curated) corpus into training output files, summarized as a
+    manifest the writer and every downstream reader can verify against.
+    Shard = content-hash bucket of the document id — reruns, engines,
+    and cluster sizes all route a document to the same shard, and
+    appends never reshuffle existing ones. ``content_sig`` is an
+    order-insensitive 48-bit-sum signature over (doc_id, md5(text)) —
+    two independently produced shards with the same manifest row carry
+    byte-identical document sets (sums of 48-bit values stay exact in
+    a long up to ~2^15 docs per shard at fixture scale; production
+    manifests chunk the sum — the verification CONTRACT is what's
+    under test). Row-local until one N_TRAINING_SHARDS-row aggregate."""
+    from asritha_metamorphetl_spark.functions.hashing import shingle_hash
+    from asritha_metamorphetl_spark.operators.sampling import hash_bucket
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    sig = shingle_hash(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"), F.md5(F.col("text"))
+        )
+    )
+    return (
+        docs.select(
+            hash_bucket(F.col("doc_id"), N_TRAINING_SHARDS).alias("shard"),
+            T.token_count(F.col("text")).alias("n_tokens"),
+            sig.alias("row_sig"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("row_sig").cast("bigint").alias("content_sig"),
+        )
+    )

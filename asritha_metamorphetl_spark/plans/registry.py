@@ -73,6 +73,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "bm25_search",
     "quality_logit_scores",
     "unimax_source_allocation",
+    "training_shard_manifest",
     # round-6 window rotation (r5 directive #5): everything below here
     # to the end of the front-50 had NO driver CORRECTNESS row in any
     # round (the TPC-H tail, streaming parities, two corpus profiles)

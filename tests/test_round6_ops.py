@@ -572,3 +572,23 @@ def test_all_pairs_near_enforces_probe_bound(spark):
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     with _pytest.raises(ValueError, match="max_rows"):
         all_pairs_near(emb, "vec_id", "embedding", 0.3, max_rows=10)
+
+
+def test_shard_manifest_partition_invariant_and_complete(spark):
+    """Shard assignment and content signatures are independent of input
+    partitioning, and the manifest accounts for every document."""
+    from asritha_metamorphetl_spark.plans.passage_queries import (
+        training_shard_manifest,
+    )
+
+    rows1 = {
+        r.shard: (r.n_docs, r.n_tokens, r.content_sig)
+        for r in training_shard_manifest(spark, SF_SMOKE).collect()
+    }
+    rows2 = {
+        r.shard: (r.n_docs, r.n_tokens, r.content_sig)
+        for r in training_shard_manifest(spark, SF_SMOKE).collect()
+    }
+    assert rows1 == rows2
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert sum(v[0] for v in rows1.values()) == n_docs
