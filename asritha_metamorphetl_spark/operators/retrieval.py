@@ -15,6 +15,22 @@ from pyspark.sql import functions as F
 from asritha_metamorphetl_spark.functions import text as T
 
 
+def matched_postings(toks: DataFrame, terms: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) postings for queried terms only: the token
+    explode meets the broadcast distinct-term set BEFORE the tf
+    aggregation, so the shuffle moves O(matching postings), never
+    O(corpus tokens). Split out so the plan gate can pin this shape
+    directly (``bm25_topk`` checkpoints the result, which hides the
+    Generate branch from the final plan)."""
+    distinct_terms = terms.select("term").distinct()
+    return (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .join(F.broadcast(distinct_terms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     text_col: str,
@@ -46,21 +62,30 @@ def bm25_topk(
     spark = docs.sparkSession
     term_rows = [(qid, t) for qid, terms in queries for t in terms]
     terms = spark.createDataFrame(term_rows, "query_id int, term string")
-    distinct_terms = terms.select("term").distinct()
 
     toks = docs.select(
         F.col(id_col).alias("doc_id"), T.tokens(F.col(text_col)).alias("t")
     )
-    lens = toks.select("doc_id", F.size("t").alias("dl"))
+    # lens also has two consumers (the stats aggregate and the scored
+    # join) and each would re-run the full tokenize; the frame is two
+    # narrow columns per doc, so materializing it is far cheaper than a
+    # second pass over the corpus text.
+    lens = toks.select("doc_id", F.size("t").alias("dl")).localCheckpoint(
+        eager=False
+    )
     stats = lens.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     tf = (
-        toks.select("doc_id", F.explode("t").alias("term"))
-        .join(F.broadcast(distinct_terms), "term")
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        matched_postings(toks, terms)
+        # TWO consumers (dfreq below and the scored join) would each
+        # re-run the tokenize+explode+semi-join+agg corpus scan — the
+        # dominant cost, paid twice. The postings frame is bounded
+        # (queried terms only), so materialize it once; localCheckpoint
+        # frees its blocks with the plan, unlike persist. (Same fix as
+        # SemDeDup's three-consumer assignment frame.)
+        .localCheckpoint(eager=False)
     )
     dfreq = tf.groupBy("term").agg(
         F.count_distinct(F.col("doc_id")).alias("df")

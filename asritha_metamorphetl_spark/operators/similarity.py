@@ -186,14 +186,46 @@ def _cell_assign_udf(C_norm, n_out: int, n_coarse: int = 0, w_coarse: int = 2):
     ``n_coarse`` > 0 switches to TWO-LEVEL assignment: each row scores
     only the ``n_coarse`` coarse representatives (the first n_coarse
     fine centroids), keeps its ``w_coarse`` best coarse groups, and
-    scores just the fine centroids belonging to those groups — per-row
-    work drops from O(nlist) to O(n_coarse + w·nlist/n_coarse), which
-    at n_coarse ≈ √nlist is O(√nlist). The winner can differ from the
+    scores JUST the fine centroids belonging to those groups via a
+    gathered per-group matmul — per-row fine work is the candidate
+    count w·nlist/n_coarse (average), so at n_coarse ≈ √nlist total
+    per-row compute is O(√nlist), not the O(nlist) a masked full
+    matmul would still pay. The coarse grouping of the fine centroids
+    is computed ONCE here on the driver (not per Arrow batch) and
+    ships with the centroid broadcast. The winner can differ from the
     flat argmax when the true nearest cell's group isn't probed
-    (measured agreement on the fixture: see ivf_twolevel_agreement);
-    both levels use the same rounded-argmax tiebreak rule, so the
-    two-level result is itself deterministic and SQL-replayable."""
+    (measured agreement: see ivf_twolevel_agreement); both levels use
+    the same rounded-argmax tiebreak rule, so the two-level result is
+    deterministic and SQL-replayable. Two-level output arrays hold
+    min(n_out, candidate count) cells — only probed-group members are
+    ever returned (the flat path always returns n_out)."""
     from pyspark.sql.functions import pandas_udf
+
+    group_info = None
+    if n_coarse > 0:
+        # Driver-side, once per operator call: group each fine centroid
+        # under its best coarse representative, then lay the cell ids
+        # out group-contiguously (order + CSR-style starts) so the
+        # kernel can gather each group's centroid block in O(1).
+        C_drv = _resolve_mat(C_norm)
+        groups = _coarse_groups(C_drv, n_coarse)  # (nlist,)
+        order = np.argsort(groups, kind="stable").astype(np.int64)
+        counts = np.bincount(groups, minlength=n_coarse)
+        starts = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+        info = (order, starts)
+        spark = None
+        try:  # pragma: no cover - session lookup is environment-dependent
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+        except Exception:
+            spark = None
+        if hasattr(C_norm, "value") and spark is not None:
+            # ~1 MB at the nlist ceiling — broadcast beside the
+            # centroids instead of re-pickling into every task closure.
+            group_info = spark.sparkContext.broadcast(info)
+        else:
+            group_info = info
 
     @pandas_udf("array<int>")
     def cells(vs: pd.Series) -> pd.Series:
@@ -203,23 +235,47 @@ def _cell_assign_udf(C_norm, n_out: int, n_coarse: int = 0, w_coarse: int = 2):
         X = np.vstack(vs.to_numpy()).astype(np.float64)
         X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         if n_coarse > 0:
-            groups = _coarse_groups(C, n_coarse)  # (nlist,)
+            order, starts = _resolve_mat(group_info)
             reps = C[:n_coarse]
             csims = np.round(X @ reps.T, 6)  # (N, n_coarse)
             topw = np.argsort(-csims, axis=1, kind="stable")[:, :w_coarse]
-            # candidate mask: fine cells whose group is among the row's
-            # probed coarse groups
-            mask = (groups[None, :, None] == topw[:, None, :]).any(-1)
-            sims = np.round(X @ C.T, 6)
-            # Non-candidates sort last (-inf before negation); stable
-            # sort keeps the cell-index tiebreak among candidates.
-            # NOTE: the full matmul is kept here because at registered
-            # nlist it is faster than gather-per-row; at nlist >= ~4096
-            # a gathered per-group matmul wins — the mask is what makes
-            # that swap local to this function.
-            sims = np.where(mask, sims, -np.inf)
-        else:
-            sims = np.round(X @ C.T, 6)  # (N, nlist)
+            # Gathered per-group scoring: for each coarse group, one
+            # (rows probing it × group cells) matmul. Per-group top-t
+            # then a global (score desc, cell asc) cut is equivalent to
+            # the argsort over all candidates: the global top-n_out
+            # takes at most n_out members from any single group.
+            rows_l: list[np.ndarray] = []
+            cells_l: list[np.ndarray] = []
+            scores_l: list[np.ndarray] = []
+            for g in range(n_coarse):
+                cg = order[starts[g]:starts[g + 1]]  # ascending cell ids
+                if len(cg) == 0:  # duplicate-centroid degenerate group
+                    continue
+                ridx = np.nonzero((topw == g).any(axis=1))[0]
+                if len(ridx) == 0:
+                    continue
+                S = np.round(X[ridx] @ C[cg].T, 6)
+                t = min(n_out, len(cg))
+                # stable argsort + ascending cg = cell-index tiebreak
+                part = np.argsort(-S, axis=1, kind="stable")[:, :t]
+                rows_l.append(np.repeat(ridx, t))
+                cells_l.append(cg[part].ravel())
+                scores_l.append(np.take_along_axis(S, part, axis=1).ravel())
+            if not rows_l:  # every probed group degenerate-empty
+                return pd.Series([np.empty(0, dtype="int32")] * len(X))
+            rows = np.concatenate(rows_l)
+            cand = np.concatenate(cells_l)
+            scs = np.concatenate(scores_l)
+            ordx = np.lexsort((cand, -scs, rows))
+            rows_s, cells_s = rows[ordx], cand[ordx]
+            cuts = np.flatnonzero(np.diff(rows_s)) + 1
+            per_row = np.split(cells_s.astype("int32"), cuts)
+            row_ids = rows_s[np.concatenate(([0], cuts))] if len(rows_s) else []
+            out = [np.empty(0, dtype="int32")] * len(X)
+            for rid, grp in zip(row_ids, per_row):
+                out[rid] = grp[:n_out]
+            return pd.Series(out)
+        sims = np.round(X @ C.T, 6)  # (N, nlist)
         # stable argsort: primary = -similarity, tiebreak = cell index,
         # so probe order is deterministic under equal similarity.
         idx = np.argsort(-sims, axis=1, kind="stable")[:, :n_out]

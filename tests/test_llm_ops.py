@@ -417,6 +417,57 @@ def test_two_level_assignment_agrees_with_flat_on_clustered_data(spark):
     bc.unpersist()
 
 
+def test_two_level_gather_matches_masked_reference_at_large_nlist(spark):
+    """The gathered per-group matmul (round-7: per-row fine work is the
+    candidate count, O(sqrt(nlist)) at n_coarse=sqrt(nlist)) must pick
+    EXACTLY the cells the pre-round-7 masked-full-matmul spelling
+    picked — same rounded scores, same (score desc, cell asc) order —
+    at a paper-regime nlist where the gather path is the one that
+    matters. The reference below IS that old algorithm, inline."""
+    import numpy as np
+
+    from asritha_metamorphetl_spark.operators.similarity import (
+        _cell_assign_udf,
+        _coarse_groups,
+        _normalize_rows,
+        broadcast_centroids,
+    )
+
+    rng = np.random.RandomState(11)
+    nlist, dim, n_rows, n_coarse, w, n_out = 4096, 16, 120, 64, 3, 2
+    C = _normalize_rows(rng.randn(nlist, dim))
+    pts = rng.randn(n_rows, dim)
+
+    # old masked-full-matmul reference, computed directly in numpy
+    X = pts / np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-12)
+    groups = _coarse_groups(C, n_coarse)
+    csims = np.round(X @ C[:n_coarse].T, 6)
+    topw = np.argsort(-csims, axis=1, kind="stable")[:, :w]
+    mask = (groups[None, :, None] == topw[:, None, :]).any(-1)
+    sims = np.where(mask, np.round(X @ C.T, 6), -np.inf)
+    expected = {
+        i: [int(c) for c in np.argsort(-sims[i], kind="stable")[:n_out]]
+        for i in range(n_rows)
+    }
+
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "vec_id long, v array<double>",
+    )
+    bc = broadcast_centroids(spark, C)
+    got = {
+        r["vec_id"]: list(r["c"])
+        for r in vecs.select(
+            "vec_id",
+            _cell_assign_udf(bc, n_out, n_coarse=n_coarse, w_coarse=w)(
+                F.col("v")
+            ).alias("c"),
+        ).collect()
+    }
+    assert got == expected
+    bc.unpersist()
+
+
 def test_semdedup_auto_nlist_runs(spark):
     """nlist=None auto-sizes from the corpus count (sqrt-N clamped to
     the floor on this 500-row fixture) and still partitions every row."""
