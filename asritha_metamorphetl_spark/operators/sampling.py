@@ -117,7 +117,9 @@ def unimax_allocation(
 
     ``stats`` is the per-source rollup — O(sources) rows, which is what
     the single global sort window here is bounded by (tens to thousands
-    of sources; never row-scale data). Returns one row per source:
+    of sources; never row-scale data). ``budget`` must evaluate to the
+    same value on every row (a literal or a scalar subquery) — enforced
+    by an in-plan assert. Returns one row per source:
     (source, n_tokens, capacity, allocation, epochs, capped).
     """
     n_tok = F.col(tokens_col).cast("double")
@@ -151,6 +153,18 @@ def unimax_allocation(
         F.col("capacity") * (F.col("n") - F.col("i") + 1)
         <= F.col("budget") - F.col("cum_prev"),
     )
+    # budget must evaluate to the SAME value on every row (the per-row
+    # capped test uses each row's own value, the level uses max) — a
+    # non-constant Column would silently mix the two. The guard rides
+    # the level expression so the optimizer can't prune it.
+    guard = F.assert_true(
+        F.min("budget") == F.max("budget"),
+        F.lit(
+            "unimax_allocation: budget must be row-constant — it is "
+            "compared per-row AND aggregated; a per-source budget "
+            "Column would silently produce inconsistent allocations"
+        ),
+    )
     level = ranked.agg(
         F.coalesce(
             F.sum(F.when(F.col("capped"), F.col("capacity"))), F.lit(0.0)
@@ -158,14 +172,16 @@ def unimax_allocation(
         F.sum(F.when(F.col("capped"), 1).otherwise(0)).alias("n_capped"),
         F.max("n").alias("n_all"),
         F.max("budget").alias("b"),
+        guard.cast("double").alias("b_guard"),
     ).select(
-        F.when(
-            F.col("n_capped") < F.col("n_all"),
-            (F.col("b") - F.col("capped_sum"))
-            / (F.col("n_all") - F.col("n_capped")),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("level")
+        (
+            F.when(
+                F.col("n_capped") < F.col("n_all"),
+                (F.col("b") - F.col("capped_sum"))
+                / (F.col("n_all") - F.col("n_capped")),
+            ).otherwise(F.lit(0.0))
+            + F.coalesce(F.col("b_guard"), F.lit(0.0))
+        ).alias("level")
     )
     return (
         ranked.crossJoin(F.broadcast(level))

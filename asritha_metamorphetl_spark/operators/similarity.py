@@ -145,7 +145,18 @@ def broadcast_centroids(spark, C: np.ndarray):
     """Explicitly broadcast a centroid matrix for the assignment UDFs.
     All internal call sites (``ivf_topk``/``semdedup``/``lloyd_refine``)
     go through this, so the pandas-UDF closures stay O(1) regardless of
-    nlist."""
+    nlist.
+
+    Lifecycle: loops that finish their action unpersist eagerly (see
+    ``lloyd_refine``/``pq_train_codebooks``). Broadcasts captured by a
+    RETURNED lazy plan (the ``pq_adc_topk`` encode stage, the
+    ``all_pairs_near`` matrix) cannot be unpersisted here — the plan
+    hasn't executed yet — so they live until the result DataFrame and
+    this handle are garbage-collected, at which point Spark's
+    ContextCleaner removes the blocks. Callers invoking these operators
+    many times in one session should drop their result references (or
+    call ``.unpersist()`` on handles they manage) rather than expect
+    eager cleanup."""
     return spark.sparkContext.broadcast(np.ascontiguousarray(C))
 
 
@@ -741,6 +752,12 @@ def pq_train_codebooks(
         .limit(ncodes)
         .collect()
     )  # bounded O(ncodes·dim) driver state
+    if len(seed_rows) < ncodes:
+        raise ValueError(
+            f"pq_train_codebooks: corpus has only {len(seed_rows)} rows but "
+            f"ncodes={ncodes} codewords must be seeded from distinct "
+            "lowest-id vectors — shrink ncodes or grow the training sample"
+        )
     S = np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in seed_rows])
     B = np.ascontiguousarray(S.reshape(ncodes, m, subdim).transpose(1, 0, 2))
 
@@ -828,8 +845,20 @@ def pq_adc_topk(
             ((qv[:, None, :] - B) ** 2).sum(-1), part_decimals
         ).reshape(-1)
         lut_data.append((r["query_id"], [float(x) for x in lut], list(r["qv"])))
+    # id type follows the input schema — string-keyed corpora must not
+    # be forced through a hardcoded long.
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    id_type = queries.schema[id_col].dataType
     lut_df = spark.createDataFrame(
-        lut_data, "query_id long, lut array<double>, qv array<double>"
+        lut_data,
+        StructType(
+            [
+                StructField("query_id", id_type),
+                StructField("lut", ArrayType(DoubleType())),
+                StructField("qv", ArrayType(DoubleType())),
+            ]
+        ),
     )
 
     # ADC distance: m lookups + adds, pure JVM expressions.
