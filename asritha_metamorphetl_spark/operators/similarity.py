@@ -905,6 +905,176 @@ def pq_adc_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    ivf_refine_iters: int = 1,
+    m: int = 4,
+    ncodes: int = 16,
+    pq_refine_iters: int = 1,
+    shortlist: int = 50,
+    score_decimals: int = 4,
+    part_decimals: int = 6,
+) -> DataFrame:
+    """IVF-PQ: the production ANN shape at 100 TB — IVF cells ROUTE
+    (each query touches only its ``nprobe`` nearest cells' members, so
+    the candidate set is ~N·nprobe/nlist, never the corpus), PQ/ADC
+    SCORES the candidates from one-byte codes (``m`` lookups + adds per
+    candidate, pure JVM — full-precision vectors never move), and the
+    exact metric decides on the shortlist re-rank. Composes the two
+    registered halves: ``ivf_topk``'s centroid machinery (deterministic
+    lowest-id seeding + distributed Lloyd refinement, broadcast
+    centroids, Arrow-batched rounded-argmax assignment) and
+    ``pq_adc_topk``'s codebook training/encode.
+
+    Metric: cosine end-to-end (Faiss METRIC_INNER_PRODUCT regime). The
+    ADC shortlist statistic is the PQ-approximate cosine — per-subspace
+    query·codeword inner products and codeword squared norms are both
+    per-query/driver-side lookup tables (rounded so an oracle replays
+    them), combined as ``Σip / (|q|·√Σnorm²)`` — and the shortlist is
+    re-ranked by the EXACT rounded cosine, id tiebreaks throughout.
+
+    Scale shape: one corpus pass encodes cell + codes map-side against
+    broadcast centroids/codebooks; the probe join shuffles candidate
+    IDS+codes by cell (bounded key domain); the only per-candidate work
+    is JVM lookups. ``shortlist`` should grow with the candidate count
+    (see plans/ann_queries.py: a fixed depth quietly loses recall as
+    the corpus grows).
+
+    Returns (query_id, neighbor_id, score, rnk), k rows per query by
+    descending exact cosine.
+    """
+    spark = corpus.sparkSession
+    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).head()
+    dim = int(dim_row["d"])
+    subdim = dim // m
+
+    cent_rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy("cid")
+        .limit(nlist)
+        .collect()
+    )  # bounded O(nlist·dim) driver state, as in ivf_topk
+    C_raw = np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in cent_rows])
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
+    )
+    if ivf_refine_iters > 0:
+        C_raw = lloyd_refine(c, C_raw, ivf_refine_iters)
+    C = broadcast_centroids(spark, _normalize_rows(C_raw))
+
+    B = pq_train_codebooks(
+        corpus, vec_col, id_col, m=m, ncodes=ncodes,
+        refine_iters=pq_refine_iters,
+    )
+    bc = broadcast_centroids(spark, B)
+
+    # ONE corpus pass: route (cell) + compress (codes), both map-side.
+    enc = c.withColumn(
+        "cell", F.element_at(_cell_assign_udf(C, 1)(F.col("cv")), 1)
+    ).withColumn("codes", _pq_assign_udf(bc, m, subdim)(F.col("cv")))
+
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+        )
+        .collect()
+    )  # queries are small by construction (same contract as pq_adc_topk)
+    # Per-query lookup tables: ip[s*ncodes+j] = rounded q_s · codeword,
+    # nrm[s*ncodes+j] = rounded |codeword|² (query-independent but
+    # carried per-row so the scoring expression is uniform lookups).
+    nrm = np.round(np.einsum("sjd,sjd->sj", B, B), part_decimals).reshape(-1)
+    nrm_list = [float(x) for x in nrm]
+    lut_data = []
+    for r in q_rows:
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        ip = np.round(
+            np.einsum("sd,sjd->sj", qv.reshape(m, subdim), B), part_decimals
+        ).reshape(-1)
+        qn = float(np.sqrt(qv @ qv))
+        lut_data.append(
+            (
+                r["query_id"],
+                [float(x) for x in ip],
+                nrm_list,
+                qn,
+                [float(x) for x in qv],
+            )
+        )
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    id_type = queries.schema[id_col].dataType
+    lut_df = spark.createDataFrame(
+        lut_data,
+        StructType(
+            [
+                StructField("query_id", id_type),
+                StructField("ip", ArrayType(DoubleType())),
+                StructField("nrm", ArrayType(DoubleType())),
+                StructField("qn", DoubleType()),
+                StructField("qv", ArrayType(DoubleType())),
+            ]
+        ),
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv0")
+    ).select(
+        "query_id", F.explode(_cell_assign_udf(C, nprobe)(F.col("qv0"))).alias("cell")
+    )
+
+    ip_sum = F.lit(0.0)
+    nr_sum = F.lit(0.0)
+    for s in range(m):
+        slot = F.element_at("codes", F.lit(s + 1)) + F.lit(s * ncodes + 1)
+        ip_sum = ip_sum + F.element_at("ip", slot)
+        nr_sum = nr_sum + F.element_at("nrm", slot)
+    cand = (
+        enc.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(lut_df), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cv",
+            "qv",
+            F.round(
+                ip_sum / (F.col("qn") * F.sqrt(nr_sum)), score_decimals
+            ).alias("adc_score"),
+        )
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id").asc()
+    )
+    short = cand.withColumn("srn", F.row_number().over(w_short)).filter(
+        F.col("srn") <= shortlist
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        short.select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), score_decimals).alias(
+                "score"
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(w_k))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "score", "rnk")
+    )
+
+
 def brute_force_l2_topk(
     corpus: DataFrame,
     queries: DataFrame,

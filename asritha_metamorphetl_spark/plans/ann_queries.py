@@ -385,6 +385,299 @@ def pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ composition: IVF cells route, PQ/ADC scores, exact re-rank
+# ---------------------------------------------------------------------------
+
+#: IVF-PQ knobs. Routing reuses the registered IVF machinery (lowest-id
+#: seeds + one Lloyd iteration, cosine cells); scoring reuses the PQ
+#: codebook knobs above, with ADC approximating the COSINE via
+#: per-subspace inner-product + codeword-norm lookup tables. nprobe=6
+#: (vs knn_ivf's 4) buys the composed recall margin measured in
+#: tests/test_round7_ops.py: 0.94 / 0.90 / 0.98 at sf0.001/0.01/0.1.
+IVFPQ_NLIST = 16
+IVFPQ_NPROBE = 6
+IVFPQ_IVF_REFINE = 1
+#: Shortlist depth scales with the CANDIDATE count (~N·nprobe/nlist),
+#: not the corpus — the PQ lesson applied to the composed shape; both
+#: engine and oracle compute it from the same COUNT(*).
+IVFPQ_SHORTLIST_MIN = 100
+IVFPQ_SHORTLIST_FRAC = 0.4
+
+
+def ivfpq_shortlist(n_vectors: int) -> int:
+    import math
+
+    return max(
+        IVFPQ_SHORTLIST_MIN,
+        math.ceil(IVFPQ_SHORTLIST_FRAC * n_vectors * IVFPQ_NPROBE / IVFPQ_NLIST),
+    )
+
+
+_IVFPQ_SHORTLIST_SQL = (
+    f"(SELECT GREATEST({IVFPQ_SHORTLIST_MIN}, "
+    f"CAST(CEIL({IVFPQ_SHORTLIST_FRAC} * COUNT(*) * {IVFPQ_NPROBE} "
+    f"/ {IVFPQ_NLIST}) AS BIGINT)) FROM vecs)"
+)
+
+
+def _ivf_cent_ctes(nlist: int, refine_iters: int) -> tuple[str, str]:
+    """IVF centroid CTE chain ('ic'-prefixed so it composes beside the
+    PQ books chain): lowest-id seeding + rounded-cosine Lloyd
+    refinement, the same replay as text_queries._knn_ivf_oracle."""
+    parts = [
+        f"""icent0 AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cell, v AS cv
+    FROM (SELECT * FROM vecs ORDER BY vec_id LIMIT {nlist})
+)"""
+    ]
+    for i in range(refine_iters):
+        parts.append(f"""isims{i} AS (
+    SELECT e.vec_id, c.cell,
+           ROUND(list_cosine_similarity(e.v, c.cv), 6) AS sim
+    FROM vecs e CROSS JOIN icent{i} c
+),
+iassign{i} AS (
+    SELECT vec_id, cell
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY sim DESC, cell ASC) AS rn FROM isims{i})
+    WHERE rn = 1
+),
+imeans{i} AS (
+    SELECT cell, i, ROUND(AVG(val), 6) AS val
+    FROM (SELECT a.cell, unnest(e.v) AS val,
+                 unnest(generate_series(1, len(e.v))) AS i
+          FROM iassign{i} a JOIN vecs e USING (vec_id))
+    GROUP BY cell, i
+),
+icent{i + 1} AS (
+    SELECT c.cell, COALESCE(m.cv, c.cv) AS cv
+    FROM icent{i} c LEFT JOIN
+         (SELECT cell, list(val ORDER BY i) AS cv
+          FROM imeans{i} GROUP BY cell) m
+    USING (cell)
+)""")
+    return ",\n".join(parts), f"icent{refine_iters}"
+
+
+def _ivfpq_topk_oracle() -> str:
+    books_sql, books = _pq_books_ctes(PQ_REFINE)
+    cent_sql, cent = _ivf_cent_ctes(IVFPQ_NLIST, IVFPQ_IVF_REFINE)
+    return f"""
+WITH {books_sql},
+{cent_sql},
+fsims AS (
+    SELECT e.vec_id, c.cell,
+           ROUND(list_cosine_similarity(e.v, c.cv), 6) AS sim
+    FROM vecs e CROSS JOIN {cent} c
+),
+ccell AS (
+    SELECT vec_id, cell
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY sim DESC, cell ASC) AS rn FROM fsims)
+    WHERE rn = 1
+),
+qprobe AS (
+    SELECT vec_id AS query_id, cell
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY sim DESC, cell ASC) AS rn
+          FROM fsims WHERE vec_id < {KNN_QUERIES})
+    WHERE rn <= {IVFPQ_NPROBE}
+),
+enc AS (
+    SELECT vec_id, sub, code FROM (
+        SELECT e.vec_id, b.sub, b.code,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id, b.sub
+                   ORDER BY {_sub_d2("e.v", "b", "b.sub")} ASC, b.code ASC
+               ) AS rn
+        FROM vecs e CROSS JOIN {books} b
+    ) WHERE rn = 1
+),
+cand AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id
+    FROM ccell c JOIN qprobe q USING (cell)
+    WHERE c.vec_id != q.query_id
+),
+parts AS (
+    SELECT ca.query_id, ca.neighbor_id,
+           ROUND(list_dot_product(
+               list_slice(q.v, en.sub * {PQ_SUBDIM} + 1,
+                          (en.sub + 1) * {PQ_SUBDIM}), b.cw), 6) AS ip,
+           ROUND(list_dot_product(b.cw, b.cw), 6) AS nr
+    FROM cand ca
+    JOIN enc en ON en.vec_id = ca.neighbor_id
+    JOIN {books} b ON b.sub = en.sub AND b.code = en.code
+    JOIN vecs q ON q.vec_id = ca.query_id
+),
+adcsum AS (
+    SELECT query_id, neighbor_id, SUM(ip) AS ips, SUM(nr) AS nrs
+    FROM parts GROUP BY 1, 2
+),
+adc AS (
+    SELECT a.query_id, a.neighbor_id,
+           ROUND(a.ips / (sqrt(list_dot_product(q.v, q.v)) * sqrt(a.nrs)),
+                 4) AS adc_score
+    FROM adcsum a JOIN vecs q ON q.vec_id = a.query_id
+),
+short AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY adc_score DESC, neighbor_id ASC) AS srn
+        FROM adc
+    ) WHERE srn <= {_IVFPQ_SHORTLIST_SQL}
+),
+rer AS (
+    SELECT s.query_id, s.neighbor_id,
+           ROUND(list_dot_product(q.v, c.v)
+                 / (sqrt(list_dot_product(q.v, q.v))
+                    * sqrt(list_dot_product(c.v, c.v))), 4) AS score
+    FROM short s
+    JOIN vecs q ON q.vec_id = s.query_id
+    JOIN vecs c ON c.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, score, rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY score DESC, neighbor_id ASC) AS rnk
+    FROM rer
+) WHERE rnk <= {KNN_K}
+"""
+
+
+@register("knn_ivfpq_topk", oracle=_ivfpq_topk_oracle())
+def knn_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN — the production 100 TB shape: IVF cells
+    route each query to ~N·nprobe/nlist candidates, PQ/ADC scores those
+    candidates from one-byte codes (JVM lookups, full vectors never
+    move), the exact cosine decides on the shortlist. Composes the two
+    registered halves (operators/similarity.py: ivf_topk's centroid
+    machinery + pq_adc_topk's codebooks); the oracle replays the ENTIRE
+    chain — seeding, one cosine Lloyd iteration, routing, PQ training,
+    encode, inner-product/norm LUTs, shortlist, re-rank — in SQL."""
+    from asritha_metamorphetl_spark.operators.similarity import ivfpq_topk
+
+    emb = Catalog(sf_dir).load(spark, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
+    return ivfpq_topk(
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        k=KNN_K,
+        nlist=IVFPQ_NLIST,
+        nprobe=IVFPQ_NPROBE,
+        ivf_refine_iters=IVFPQ_IVF_REFINE,
+        m=PQ_M,
+        ncodes=PQ_NCODES,
+        pq_refine_iters=PQ_REFINE,
+        shortlist=ivfpq_shortlist(emb.count()),
+    )
+
+
+_KNN_EXACT_COS_SQL = f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qs AS (SELECT vec_id AS query_id, v AS qv FROM vecs
+       WHERE vec_id < {KNN_QUERIES}),
+scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           ROUND(list_dot_product(q.qv, c.v)
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(c.v, c.v))), 4) AS score
+    FROM vecs c CROSS JOIN qs q
+    WHERE c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, score, rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY score DESC, neighbor_id ASC) AS rnk
+    FROM scored
+) WHERE rnk <= {KNN_K}
+"""
+
+
+@register(
+    "knn_ivfpq_recall_eval",
+    oracle=f"""
+WITH approx AS ({_ivfpq_topk_oracle()}),
+truth AS ({_KNN_EXACT_COS_SQL}),
+hits AS (
+    SELECT t.query_id, t.neighbor_id
+    FROM truth t JOIN approx a
+      ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+)
+SELECT
+    (SELECT COUNT(*) FROM truth)::BIGINT AS n_truth,
+    (SELECT COUNT(*) FROM approx)::BIGINT AS n_approx,
+    (SELECT COUNT(*) FROM hits)::BIGINT AS n_hits,
+    CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+         THEN ROUND((SELECT COUNT(*) FROM hits)::DOUBLE
+                    / (SELECT COUNT(*) FROM truth), 6)
+         ELSE 1.0 END AS recall,
+    TRUE AS recall_ok
+""",
+)
+def knn_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ quality telemetry against the exact cosine top-k, same
+    one-pass full-outer-join shape as the LSH/IVF/PQ recall evals. The
+    oracle emits TRUE unconditionally, so a composed-recall drop below
+    the 0.8 floor goes red in CORRECTNESS instead of matching an
+    equally degraded oracle. Measured: 0.94/0.90/0.98 at
+    sf0.001/0.01/0.1 (shortlist scales with the candidate count)."""
+    from asritha_metamorphetl_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    emb = Catalog(sf_dir).load(spark, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
+    truth = (
+        brute_force_topk(emb, queries, "vec_id", "embedding", k=KNN_K)
+        .select("query_id", "neighbor_id")
+        .withColumn("in_t", F.lit(1))
+    )
+    approx = (
+        ivfpq_topk(
+            emb,
+            queries,
+            "vec_id",
+            "embedding",
+            k=KNN_K,
+            nlist=IVFPQ_NLIST,
+            nprobe=IVFPQ_NPROBE,
+            ivf_refine_iters=IVFPQ_IVF_REFINE,
+            m=PQ_M,
+            ncodes=PQ_NCODES,
+            pq_refine_iters=PQ_REFINE,
+            shortlist=ivfpq_shortlist(emb.count()),
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("in_a", F.lit(1))
+    )
+    both = truth.join(approx, ["query_id", "neighbor_id"], "full_outer")
+    counts = both.agg(
+        F.sum("in_t").cast("bigint").alias("n_truth"),
+        F.sum("in_a").cast("bigint").alias("n_approx"),
+        F.sum(F.col("in_t") * F.col("in_a")).cast("bigint").alias("n_hits"),
+    )
+    return (
+        counts.select(
+            F.coalesce(F.col("n_truth"), F.lit(0)).alias("n_truth"),
+            F.coalesce(F.col("n_approx"), F.lit(0)).alias("n_approx"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        )
+        .select(
+            "n_truth",
+            "n_approx",
+            "n_hits",
+            F.when(
+                F.col("n_truth") > 0,
+                F.round(F.col("n_hits").cast("double") / F.col("n_truth"), 6),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("recall"),
+        )
+        .withColumn("recall_ok", F.col("recall") >= F.lit(0.8))
+    )
+
+
 #: Fixture keyword queries for the registered BM25 search: one rare
 #: discriminative term paired with common ones, one all-common query,
 #: one two-term mixed query — enough to exercise idf spread.

@@ -647,3 +647,74 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("row_sig").cast("bigint").alias("content_sig"),
         )
     )
+
+
+def _curated_shard_oracle() -> str:
+    bucket = _hex48_sql("md5(CAST(d.doc_id AS VARCHAR))")
+    sig = _hex48_sql("md5(CAST(d.doc_id AS VARCHAR) || ':' || md5(d.text))")
+    return f"""
+WITH verdict AS ({_curation_verdict_oracle()}),
+kept AS (SELECT doc_id FROM verdict WHERE final_kept),
+assigned AS (
+    SELECT d.doc_id,
+           {bucket} % {N_TRAINING_SHARDS} AS shard,
+           len(list_filter(string_split(d.text, ' '), x -> x != ''))
+               AS n_tokens,
+           {sig} AS row_sig
+    FROM documents d JOIN kept USING (doc_id)
+)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(row_sig) AS BIGINT) AS content_sig
+FROM assigned
+GROUP BY shard
+"""
+
+
+@register("curated_shard_manifest", oracle=_curated_shard_oracle())
+def curated_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's LAST MILE as one driver-checked query (r6
+    directive #5): ``curation_verdict``'s ``final_kept`` survivors fed
+    straight into ``training_shard_manifest``'s deterministic sharding
+    — curate → shard → verify signature, end to end. Both halves are
+    the registered, individually-verified fragments (this module,
+    ``curation_verdict`` above and the shard/signature rules of
+    ``training_shard_manifest``); the oracle composes their verified
+    SQL the same way. Because shard routing is a content hash of
+    doc_id, the curated manifest rows are a pure SUBSET aggregate of
+    the full-corpus manifest — dropping a document never reshuffles
+    the survivors' shard assignment (the append/rerun stability the
+    manifest contract promises).
+
+    Scale: the verdict's own shapes (id-keyed joins) + one
+    id-equi-join against the kept set + the bounded
+    N_TRAINING_SHARDS-row aggregate."""
+    from asritha_metamorphetl_spark.functions.hashing import shingle_hash
+    from asritha_metamorphetl_spark.operators.sampling import hash_bucket
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    kept = (
+        curation_verdict(spark, sf_dir)
+        .filter(F.col("final_kept"))
+        .select("doc_id")
+    )
+    sig = shingle_hash(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"), F.md5(F.col("text"))
+        )
+    )
+    return (
+        docs.join(kept, "doc_id")
+        .select(
+            hash_bucket(F.col("doc_id"), N_TRAINING_SHARDS).alias("shard"),
+            T.token_count(F.col("text")).alias("n_tokens"),
+            sig.alias("row_sig"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("row_sig").cast("bigint").alias("content_sig"),
+        )
+    )

@@ -426,6 +426,20 @@ def test_incremental_dedup_joins_on_band_key_no_cartesian(spark):
     assert "band_key" in plan
 
 
+def test_ivfpq_routes_by_cell_and_broadcasts_luts(spark):
+    """IVF-PQ's candidate generation must be an equi-join on the
+    bounded cell id with the query probe side broadcast, and the LUT
+    attach an equi-join on query_id — never a corpus-wide nested loop
+    (the composed shape inherits both halves' plan guarantees)."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["knn_ivfpq_topk"](spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "cell" in plan  # probe join keyed on the cell id
+    assert "BroadcastHashJoin" in plan
+
+
 def test_bm25_postings_semi_join_before_tf_agg(spark):
     """The token explode must meet the broadcast query-term set BEFORE
     the tf aggregation — postings materialize only for queried terms,
