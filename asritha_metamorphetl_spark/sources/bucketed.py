@@ -103,23 +103,34 @@ class BucketedCdcTable(SnapshotTable):
             return
         prior = self.versions()
         if prior:
-            m = self._read_manifest(prior[-1])
-            if "buckets" in m:
-                recorded = (
-                    int(m["n_buckets"]),
-                    list(m["keys"]),
-                    m.get("seq_col", "seq"),
-                )
-                mine = (self.n_buckets, self.keys, self.seq_col)
-                if recorded != mine:
-                    raise ValueError(
-                        f"bucketed table layout mismatch at {self.root}: "
-                        f"manifest records (n_buckets, keys, seq_col)="
-                        f"{recorded} but this handle was constructed with "
-                        f"{mine}. Use open_table() to adopt the recorded "
-                        "layout, or rebucket() to change the bucket count."
-                    )
+            self._check_recorded_layout(self._read_manifest(prior[-1]))
         self._layout_ok = True
+
+    def _check_recorded_layout(self, m: dict) -> None:
+        """Raise if ``m``'s recorded layout disagrees with this handle's.
+        Every MUTATING operation re-runs this against the manifest it is
+        about to build on (not just the cached construction-time check):
+        a handle that validated against n=4 and then lost a ``rebucket``
+        race to another handle would otherwise write 4-bucket-hashed
+        directories into an 8-bucket manifest — silent key-routing
+        corruption. Re-checking costs nothing (the mutators read that
+        manifest anyway) and turns the stale-handle race into a
+        deterministic loser-raises."""
+        if "buckets" in m:
+            recorded = (
+                int(m["n_buckets"]),
+                list(m["keys"]),
+                m.get("seq_col", "seq"),
+            )
+            mine = (self.n_buckets, self.keys, self.seq_col)
+            if recorded != mine:
+                raise ValueError(
+                    f"bucketed table layout mismatch at {self.root}: "
+                    f"manifest records (n_buckets, keys, seq_col)="
+                    f"{recorded} but this handle was constructed with "
+                    f"{mine}. Use open_table() to adopt the recorded "
+                    "layout, or rebucket() to change the bucket count."
+                )
 
     # -- bucketing ---------------------------------------------------------
 
@@ -178,7 +189,13 @@ class BucketedCdcTable(SnapshotTable):
         )
         prior = self.versions()
         version = (prior[-1] + 1) if prior else 1
-        buckets = self._buckets_map(prior[-1]) if prior else {}
+        buckets: dict[str, str] = {}
+        if prior:
+            m = self._read_manifest(prior[-1])
+            # re-verify against the manifest we BUILD ON, not the one
+            # seen at construction — see _check_recorded_layout
+            self._check_recorded_layout(m)
+            buckets = dict(m.get("buckets", {}))
 
         if not touched:  # empty batch: republish the same layout
             self._publish(version, buckets, changelog.schema.jsonValue())
@@ -273,7 +290,9 @@ class BucketedCdcTable(SnapshotTable):
         if not affected:
             return None
         version = prior[-1] + 1
-        buckets = self._buckets_map(prior[-1])
+        m = self._read_manifest(prior[-1])
+        self._check_recorded_layout(m)  # racing rebucket ⇒ raise, not corrupt
+        buckets = dict(m.get("buckets", {}))
         sub = self.spark.read.option("mergeSchema", "true").parquet(
             *[buckets[str(t)] for t in affected]
         ).withColumn(b, self.bucket_of())
@@ -284,9 +303,7 @@ class BucketedCdcTable(SnapshotTable):
             bid: d for bid, d in buckets.items() if int(bid) not in set(affected)
         }
         new_buckets.update(written)
-        self._publish(
-            version, new_buckets, self._read_manifest(prior[-1])["schema"]
-        )
+        self._publish(version, new_buckets, m["schema"])
         return version
 
     def _merge(self, state: DataFrame | None, delta: DataFrame) -> DataFrame:
@@ -325,7 +342,19 @@ class BucketedCdcTable(SnapshotTable):
         the boundary reports every bucket as rewritten — which is true,
         and the replica's merge absorbs it. This handle adopts the new
         count on success. Returns the new version (None for an empty
-        table, which just adopts the count — nothing to rewrite)."""
+        table, which just adopts the count — nothing to rewrite).
+
+        Concurrency: a ``merge_delta`` racing this rebucket resolves
+        loser-raises on stores with a non-clobbering rename (HDFS,
+        enforced-by-read-back local FS — pinned in
+        tests/test_round7_ops.py): whichever publishes the next version
+        second fails at the manifest commit, and a writer holding the
+        PRE-rebucket layout fails its per-merge layout re-check on the
+        next attempt. On object stores whose rename overwrites, the
+        commit token is BEST-EFFORT (see ``_write_manifest``) — the
+        narrow window between the loser's rename and its read-back can
+        lose one commit, so schedule rebuckets when no merger is
+        running, or provide a store with conditional PUT."""
         if n_new < 1:
             raise ValueError(f"n_buckets must be >= 1, got {n_new}")
         self._validate_layout()
@@ -333,6 +362,8 @@ class BucketedCdcTable(SnapshotTable):
         if not prior:
             self.n_buckets = int(n_new)
             return None
+        m = self._read_manifest(prior[-1])
+        self._check_recorded_layout(m)  # lost a prior race ⇒ raise here
         b = self.BUCKET_COL
         state = self.read().withColumn(
             b,
@@ -342,9 +373,13 @@ class BucketedCdcTable(SnapshotTable):
         )
         version = prior[-1] + 1
         written = self._write_buckets(state, version, int(n_new))
-        schema = self._read_manifest(prior[-1])["schema"]
+        old_n = self.n_buckets
         self.n_buckets = int(n_new)  # _publish records the new layout
-        self._publish(version, written, schema)
+        try:
+            self._publish(version, written, m["schema"])
+        except BaseException:
+            self.n_buckets = old_n  # lost the publish race: keep the
+            raise  # handle consistent with what the store records
         return version
 
     # -- incremental consumption ------------------------------------------

@@ -421,3 +421,109 @@ def test_streaming_sink_retention_reclaims_while_hash_green(spark, tmp_path):
     assert _state_dict(cdc_live(table.read())) == _state_dict(
         cdc_live(_full_merge(spark, B1, B2, B3))
     )
+
+
+def test_concurrent_merge_publishers_loser_raises_and_loses_cleanly(
+    spark, tmp_path
+):
+    """Two handles racing merge_delta for the same next version (r6
+    directive #7): on a store whose manifest rename does not clobber
+    (HDFS) — or, on the local FS, via the commit-token read-back — the
+    SECOND publisher must raise, its commit must be invisible to
+    readers, and vacuum must reclaim its orphaned bucket directories.
+    The interleave is forced deterministically: t2's bucket write hook
+    lets t1 publish first."""
+    root = str(tmp_path / "tbl")
+    t1 = BucketedCdcTable(spark, root, keys=["k"], n_buckets=4)
+    t1.merge_delta(_log(spark, B1))
+    t2 = BucketedCdcTable(spark, root, keys=["k"], n_buckets=4)
+
+    orig = t2._write_buckets
+
+    def hooked(df, version, n_tasks):
+        written = orig(df, version, n_tasks)
+        t1.merge_delta(_log(spark, B2))  # the winner sneaks in
+        return written
+
+    t2._write_buckets = hooked
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        t2.merge_delta(_log(spark, B3))
+
+    # the table is exactly the winner's state — t2's rows never joined
+    expect = _state_dict(_full_merge(spark, B1, B2))
+    assert _state_dict(t1.read()) == expect
+    # the loser's orphaned commit dir is unreferenced; vacuum reclaims
+    # it and the surviving state is untouched
+    t1.vacuum()
+    assert _state_dict(t1.read()) == expect
+    referenced = set()
+    for v in t1.versions():
+        referenced.update(t1._read_manifest(v)["data_dirs"])
+    on_disk = {
+        f"{root}/data/{os.path.basename(c)}/{os.path.basename(d)}"
+        for c in glob.glob(f"{root}/data/commit-*")
+        for d in glob.glob(f"{c}/_b=*")
+    }
+    assert on_disk == referenced
+
+
+def test_stale_handle_merge_after_rebucket_raises_not_corrupts(
+    spark, tmp_path
+):
+    """A handle that passed its construction-time layout check and then
+    lost a rebucket race must FAIL its next merge_delta on the
+    per-merge layout re-check — before it can write old-layout bucket
+    directories into the new-layout manifest (silent key-routing
+    corruption). open_table() adopts the new layout and proceeds."""
+    root = str(tmp_path / "tbl")
+    t1 = BucketedCdcTable(spark, root, keys=["k"], n_buckets=4)
+    t1.merge_delta(_log(spark, B1))
+
+    stale = BucketedCdcTable(spark, root, keys=["k"], n_buckets=4)
+    stale.merge_delta(_log(spark, B2))  # validates + caches layout n=4
+
+    assert t1.rebucket(8) is not None  # t1 re-checks, wins, adopts n=8
+
+    with pytest.raises(ValueError, match="layout mismatch"):
+        stale.merge_delta(_log(spark, B3))
+
+    # nothing from the failed merge leaked into the published state
+    expect = _state_dict(_full_merge(spark, B1, B2))
+    assert _state_dict(t1.read()) == expect
+
+    from asritha_metamorphetl_spark.sources.bucketed import open_table
+
+    fresh = open_table(spark, root)
+    assert fresh.n_buckets == 8
+    fresh.merge_delta(_log(spark, B3))
+    assert _state_dict(fresh.read()) == _state_dict(
+        _full_merge(spark, B1, B2, B3)
+    )
+
+
+def test_rebucket_loser_handle_stays_consistent(spark, tmp_path):
+    """If the rebucket itself loses the publish race, the handle must
+    NOT adopt the new count (the store never recorded it) — its next
+    operation sees the true manifest instead of a phantom layout."""
+    root = str(tmp_path / "tbl")
+    t1 = BucketedCdcTable(spark, root, keys=["k"], n_buckets=4)
+    t1.merge_delta(_log(spark, B1))
+    t2 = BucketedCdcTable(spark, root, keys=["k"], n_buckets=4)
+
+    orig = t2._write_buckets
+
+    def hooked(df, version, n_tasks):
+        written = orig(df, version, n_tasks)
+        t1.merge_delta(_log(spark, B2))  # winner takes the version slot
+        return written
+
+    t2._write_buckets = hooked
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        t2.rebucket(8)
+    assert t2.n_buckets == 4  # rolled back: matches what the store says
+    # and the handle still works for a plain merge afterwards
+    t2._write_buckets = orig
+    t2.merge_delta(_log(spark, B3))
+    assert _state_dict(t2.read()) == _state_dict(
+        _full_merge(spark, B1, B2, B3)
+    )
