@@ -1,0 +1,113 @@
+"""Distributed heavy hitters: Misra-Gries candidates + exact recount.
+
+The vocabulary question a curation team asks at 100 TB — "which tokens
+dominate this corpus?" — cannot be answered by a full GROUP BY when the
+distinct-token domain explodes (every typo, URL, and hash is its own
+key; the shuffle carries the whole vocabulary). The classic production
+answer is TWO passes:
+
+1. **Candidate pass**: each partition streams its tokens through a
+   Misra-Gries summary with ``k`` counters (Misra & Gries 1982,
+   "Finding repeated elements") — O(k) memory per task regardless of
+   the partition's distinct count. The union of per-partition
+   candidates provably contains every item with global frequency
+   > N/(k+1): an item absent from every summary had local frequency
+   ≤ n_p/(k+1) in each partition, which sums to ≤ N/(k+1). The union
+   is bounded by partitions × k rows — broadcastable.
+2. **Verify pass**: exact counts for the candidates only (the explode
+   stream semi-joins the broadcast candidate set before the count
+   aggregate, so the shuffle carries candidate postings, never the
+   vocabulary), then the exact threshold filter.
+
+Because the candidate set is a SUPERSET of everything that can pass the
+threshold, the output is EXACT — identical to the full GROUP BY — while
+memory stays bounded. The candidate set itself depends on partitioning
+(MG evicts adaptively); the final result does not, which is what makes
+the operator oracle-checkable.
+
+Reference scope: the reference engine has no frequent-items operator;
+this is part of the training-data-pipeline surface the build brief adds
+(corpus vocabulary telemetry).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries candidate extraction over ``df[col]``
+    (one value per row — explode upstream). Emits the ≤ k surviving
+    keys per partition; state is a k-entry dict maintained across the
+    partition's Arrow batches, never the partition's distinct count."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for v, c in pdf[col].value_counts().items():
+                # batch-level pre-aggregation, then the MG update: add
+                # c to an existing/free counter or decrement all by the
+                # shortfall (the streaming algorithm, batched — same
+                # invariant: true_freq - counter ≤ N_seen/(k+1))
+                c = int(c)
+                if v in counters:
+                    counters[v] += c
+                elif len(counters) < k:
+                    counters[v] = c
+                else:
+                    dec = min(c, min(counters.values()))
+                    counters = {
+                        key: cnt - dec
+                        for key, cnt in counters.items()
+                        if cnt - dec > 0
+                    }
+                    if c > dec:
+                        counters[v] = c - dec
+        yield pd.DataFrame({col: pd.array(sorted(counters), dtype="object")})
+
+    return df.mapInPandas(gen, f"{col} string")
+
+
+def heavy_hitters(
+    exploded: DataFrame,
+    col: str,
+    total: Column,
+    min_share: float,
+    k: int | None = None,
+) -> DataFrame:
+    """Every value of ``exploded[col]`` whose EXACT frequency is
+    ≥ ceil(min_share · total), with its exact count — the two-pass
+    MG-candidates + verify shape described in the module docstring.
+
+    ``total`` is a Column evaluating to the total row count of
+    ``exploded`` (pass a literal or scalar-subquery-like column; it
+    parameterizes the threshold without forcing an extra count job
+    when the caller already knows it). ``k`` defaults to
+    ``ceil(1/min_share) + 1``, which makes the candidate guarantee
+    strict: threshold = min_share·N > N/(k+1) ⇒ no qualifying item can
+    be missed. Returns (col, freq), exact.
+
+    Scale shape: pass 1 is map-only (O(k) state per task, bounded
+    candidate output); pass 2 semi-joins the broadcast candidates
+    inside the scan stage and aggregates candidate postings only. Two
+    scans of the token stream — the standard trade for never shuffling
+    the vocabulary.
+    """
+    if not (0.0 < min_share <= 1.0):
+        raise ValueError(f"min_share must be in (0, 1], got {min_share}")
+    if k is None:
+        import math
+
+        k = math.ceil(1.0 / min_share) + 1
+    cand = _mg_candidates(exploded, col, k).distinct()
+    threshold = F.ceil(total * F.lit(float(min_share))).cast("bigint")
+    return (
+        exploded.join(F.broadcast(cand), col)
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= threshold)
+    )

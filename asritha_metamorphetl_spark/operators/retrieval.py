@@ -119,3 +119,50 @@ def bm25_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "doc_id", "score", "rnk")
     )
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    on: tuple[str, str] = ("query_id", "doc_id"),
+    rank_col: str = "rnk",
+    kk: int = 60,
+    k: int = 10,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of any
+    number of per-query ranked lists: ``score = Σ 1/(kk + rank_i)``,
+    missing-from-a-list contributes 0. The standard fusion for hybrid
+    retrieval — keyword (BM25) and dense (ANN) rankers surface
+    different documents, and RRF merges them without score calibration
+    because it consumes only RANKS.
+
+    Scale shape: each input is already a top-k list (k rows per query,
+    bounded), so the full-outer joins and the final ranking window move
+    O(queries · k · lists) rows — never corpus-scale data. Scores are
+    rounded before ranking, doc id breaks ties, so fusion is
+    deterministic and oracle-replayable like every ranked operator
+    here. Returns (on..., rrf_score, rnk), k rows per query.
+    """
+    if len(ranked_lists) < 2:
+        raise ValueError("rrf_fuse needs at least two ranked lists")
+    cols = list(on)
+    fused = None
+    for i, df in enumerate(ranked_lists):
+        d = df.select(*cols, F.col(rank_col).alias(f"__r{i}"))
+        fused = d if fused is None else fused.join(d, cols, "full_outer")
+    score = None
+    for i in range(len(ranked_lists)):
+        c = F.coalesce(
+            F.lit(1.0) / (F.lit(float(kk)) + F.col(f"__r{i}")), F.lit(0.0)
+        )
+        score = c if score is None else score + c
+    w = Window.partitionBy(cols[0]).orderBy(
+        F.col("rrf_score").desc(), F.col(cols[1]).asc()
+    )
+    return (
+        fused.select(
+            *cols, F.round(score, score_decimals).alias("rrf_score")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

@@ -573,6 +573,27 @@ def knn_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _knn_exact_cos_sql(n_queries: int) -> str:
+    return f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qs AS (SELECT vec_id AS query_id, v AS qv FROM vecs
+       WHERE vec_id < {n_queries}),
+scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           ROUND(list_dot_product(q.qv, c.v)
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(c.v, c.v))), 4) AS score
+    FROM vecs c CROSS JOIN qs q
+    WHERE c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, score, rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY score DESC, neighbor_id ASC) AS rnk
+    FROM scored
+) WHERE rnk <= {KNN_K}
+"""
+
+
 _KNN_EXACT_COS_SQL = f"""
 WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 qs AS (SELECT vec_id AS query_id, v AS qv FROM vecs
@@ -694,9 +715,7 @@ _BM25_TERM_VALUES = ",".join(
 )
 
 
-@register(
-    "bm25_search",
-    oracle=f"""
+_BM25_ORACLE = f"""
 WITH toks AS (
     SELECT doc_id,
            list_filter(string_split(text, ' '), x -> x != '') AS t
@@ -737,8 +756,10 @@ SELECT query_id, doc_id, score, rnk FROM (
         ORDER BY score DESC, doc_id ASC) AS rnk
     FROM agg
 ) WHERE rnk <= {KNN_K}
-""",
-)
+"""
+
+
+@register("bm25_search", oracle=_BM25_ORACLE)
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword retrieval over the corpus (operators/retrieval.py):
     Okapi BM25 top-10 per query — the curation team's corpus grep.
@@ -757,3 +778,80 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         k1=BM25_K1,
         b=BM25_B,
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 + dense cosine fused by reciprocal rank
+# ---------------------------------------------------------------------------
+
+#: Hybrid fusion knobs: the three BM25 keyword queries pair with the
+#: embeddings of vec_id 0/1/2 as their dense twins (documents and
+#: embeddings share the id space, as curation_verdict relies on). kk=60
+#: is the canonical RRF constant.
+HYBRID_N_QUERIES = 3
+RRF_KK = 60
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle=f"""
+WITH bm AS ({_BM25_ORACLE}),
+dn AS ({_knn_exact_cos_sql(HYBRID_N_QUERIES)}),
+fused AS (
+    SELECT COALESCE(b.query_id, d.query_id) AS query_id,
+           COALESCE(b.doc_id, d.doc_id) AS doc_id,
+           ROUND(COALESCE(1.0 / ({RRF_KK} + b.rnk), 0.0)
+                 + COALESCE(1.0 / ({RRF_KK} + d.rnk), 0.0), 6) AS rrf_score
+    FROM (SELECT CAST(query_id AS BIGINT) AS query_id,
+                 CAST(doc_id AS BIGINT) AS doc_id, rnk FROM bm) b
+    FULL OUTER JOIN
+         (SELECT CAST(query_id AS BIGINT) AS query_id,
+                 CAST(neighbor_id AS BIGINT) AS doc_id, rnk FROM dn) d
+    USING (query_id, doc_id)
+)
+SELECT query_id, doc_id, rrf_score, rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY rrf_score DESC, doc_id ASC) AS rnk
+    FROM fused
+) WHERE rnk <= {KNN_K}
+""",
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid keyword+dense retrieval via reciprocal-rank fusion
+    (operators/retrieval.py:rrf_fuse): the BM25 top-k and the exact
+    cosine top-k for the same three queries merge as Σ 1/(60+rank) —
+    rank-only fusion, no score calibration, the standard production
+    hybrid. Both input lists are the REGISTERED, individually-verified
+    rankers (bm25_search, knn_cosine_topk's operator); the fusion
+    itself moves only O(queries·k·2) rows. The oracle composes the two
+    verified SQL fragments under the same formula."""
+    from asritha_metamorphetl_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+    from asritha_metamorphetl_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    emb = Catalog(sf_dir).load(spark, "embeddings")
+    bm = bm25_topk(
+        docs,
+        "text",
+        "doc_id",
+        [(qid, list(terms)) for qid, terms in BM25_QUERIES],
+        k=KNN_K,
+        k1=BM25_K1,
+        b=BM25_B,
+    ).select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "rnk",
+    )
+    dq = emb.filter(F.col("vec_id") < HYBRID_N_QUERIES)
+    dn = brute_force_topk(emb, dq, "vec_id", "embedding", k=KNN_K).select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("neighbor_id").cast("bigint").alias("doc_id"),
+        "rnk",
+    )
+    return rrf_fuse([bm, dn], kk=RRF_KK, k=KNN_K)

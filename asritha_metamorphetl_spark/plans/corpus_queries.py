@@ -187,3 +187,52 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_sig"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary telemetry: exact heavy hitters under bounded memory
+# ---------------------------------------------------------------------------
+
+#: Heavy-hitter share: report every token carrying >= 0.2% of all token
+#: occurrences. The Misra-Gries candidate pass uses ceil(1/share)+1
+#: counters per task, which PROVABLY supersets this threshold (see
+#: operators/frequent.py); the verify pass makes the output exact, so
+#: the oracle is the plain GROUP BY ... HAVING.
+HH_MIN_SHARE = 0.002
+
+
+@register(
+    "heavy_hitter_tokens",
+    oracle=f"""
+WITH toks AS (
+    SELECT list_filter(string_split(text, ' '), x -> x != '') AS t
+    FROM documents
+),
+exploded AS (SELECT unnest(t) AS token FROM toks)
+SELECT token, COUNT(*) AS freq
+FROM exploded
+GROUP BY token
+HAVING COUNT(*) >= (SELECT CAST(CEIL({HH_MIN_SHARE} * COUNT(*)) AS BIGINT)
+                    FROM exploded)
+""",
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters with bounded memory: per-partition
+    Misra-Gries candidate extraction (O(k) state per task even when the
+    vocabulary explodes — the regime where a full GROUP BY shuffles the
+    whole token domain) + an exact recount of the broadcast candidate
+    set (operators/frequent.py). The two-pass shape is the production
+    answer at 100 TB; the result is EXACT, which is why a plain
+    GROUP BY/HAVING oracle can check it. The eviction path itself is
+    pinned by tests/test_round7_ops.py on a large synthetic
+    vocabulary (this fixture's vocabulary is intentionally small)."""
+    from asritha_metamorphetl_spark.operators.frequent import heavy_hitters
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    n_tok = docs.agg(
+        F.sum(T.token_count(F.col("text"))).cast("bigint")
+    ).head()[0]
+    exploded = docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+    return heavy_hitters(
+        exploded, "token", F.lit(int(n_tok)), min_share=HH_MIN_SHARE
+    )

@@ -144,6 +144,11 @@ def main() -> None:
         "quality_logit_scores",
         "semdedup_survivors",
         "token_budget_mix",
+        # round-7 additions
+        "knn_ivfpq_topk",
+        "curated_shard_manifest",
+        "hybrid_search_rrf",
+        "heavy_hitter_tokens",
     ]
     line = json.dumps(
         {

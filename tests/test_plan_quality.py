@@ -426,6 +426,20 @@ def test_incremental_dedup_joins_on_band_key_no_cartesian(spark):
     assert "band_key" in plan
 
 
+def test_heavy_hitters_verify_pass_semi_joins_broadcast_candidates(spark):
+    """The exact recount must meet the BROADCAST Misra-Gries candidate
+    set inside the scan stage, before the count aggregate — the shuffle
+    carries candidate postings only, never the vocabulary. No
+    vocabulary-wide exchange, no cartesian."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["heavy_hitter_tokens"](spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # candidate semi/inner join
+    # candidate join sits below the final count agg: join -> agg order
+    assert plan.index("BroadcastHashJoin") > plan.index("HashAggregate")
+
+
 def test_ivfpq_routes_by_cell_and_broadcasts_luts(spark):
     """IVF-PQ's candidate generation must be an equi-join on the
     bounded cell id with the query probe side broadcast, and the LUT

@@ -161,3 +161,115 @@ def test_curated_shard_manifest_is_subset_of_full_manifest(spark):
         assert n_docs <= f_docs and n_tokens <= f_tokens
         if n_docs == f_docs:  # untouched shard: byte-identical doc set
             assert (n_tokens, sig) == (f_tokens, f_sig)
+
+
+def test_heavy_hitters_exact_under_eviction_pressure(spark):
+    """With a vocabulary far larger than the sketch (k counters per
+    partition, thousands of distinct keys), the MG candidate pass must
+    still emit a superset of every above-threshold item, making the
+    two-pass result EXACTLY the full GROUP BY answer."""
+    from asritha_metamorphetl_spark.operators.frequent import (
+        _mg_candidates,
+        heavy_hitters,
+    )
+
+    # 40 planted hitters (60 copies each) drowned in 12000 singleton
+    # noise keys, interleaved so MG eviction churns constantly.
+    rows = []
+    for i in range(12000):
+        rows.append((f"noise-{i}",))
+        if i % 5 == 0 and i // 5 < 40 * 60:
+            rows.append((f"hot-{(i // 5) % 40}",))
+    df = spark.createDataFrame(rows, "token string").repartition(8)
+    total = df.count()
+    share = 50.0 / total  # threshold 50 < 60 planted copies
+    got = {
+        r.token: r.freq
+        for r in heavy_hitters(
+            df, "token", F.lit(total), min_share=share
+        ).collect()
+    }
+    import math
+
+    thr = math.ceil(share * total)
+    want = {
+        r.token: r.freq
+        for r in df.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= thr)
+        .collect()
+    }
+    assert got == want
+    assert set(got) == {f"hot-{j}" for j in range(40)}
+    # the candidate pass stays bounded: <= k rows per partition
+    k = math.ceil(1.0 / share) + 1
+    n_cand = _mg_candidates(df, "token", k).count()
+    assert n_cand <= 8 * k
+
+
+def test_mg_candidates_never_miss_above_threshold(spark):
+    """The pigeonhole guarantee directly: any item with global
+    frequency > N/(k+1) appears in the per-partition candidate union,
+    for a small k where eviction is constant."""
+    from asritha_metamorphetl_spark.operators.frequent import _mg_candidates
+
+    rows = [(f"v{i % 97}",) for i in range(5000)] + [("big",)] * 800
+    df = spark.createDataFrame(rows, "token string").repartition(4)
+    n = df.count()
+    k = 6
+    cands = {r.token for r in _mg_candidates(df, "token", k).collect()}
+    over = {
+        r.token
+        for r in df.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .filter(F.col("f") > n / (k + 1))
+        .collect()
+    }
+    assert over <= cands
+
+
+def test_rrf_fuse_hand_example(spark):
+    """RRF on a hand-built pair of lists: overlapping docs sum both
+    reciprocal ranks, single-list docs take one term, ties break by
+    doc id."""
+    from asritha_metamorphetl_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, doc_id long, rnk int",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], "query_id long, doc_id long, rnk int"
+    )
+    out = {
+        r.doc_id: (r.rrf_score, r.rnk)
+        for r in rrf_fuse([a, b], kk=60, k=10).collect()
+    }
+    assert out[11] == (round(1 / 62 + 1 / 61, 6), 1)  # both lists
+    assert out[10] == (round(1 / 61, 6), 2)
+    assert out[13] == (round(1 / 62, 6), 3)
+    assert out[12] == (round(1 / 63, 6), 4)
+    with pytest.raises(ValueError, match="two ranked lists"):
+        rrf_fuse([a])
+
+
+def test_hybrid_search_contains_both_modalities(spark):
+    """The fused list must actually mix the rankers: for at least one
+    query, it keeps documents that only one of the two sides ranked."""
+    from asritha_metamorphetl_spark.plans.ann_queries import (
+        hybrid_search_rrf,
+    )
+
+    rows = hybrid_search_rrf(spark, SF_SMOKE).collect()
+    assert {r.query_id for r in rows} == {0, 1, 2}
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, lst in per_q.items():
+        assert len(lst) == 10
+        assert [r.rnk for r in sorted(lst, key=lambda x: x.rnk)] == list(
+            range(1, 11)
+        )
+    # a doc ranked by both sides carries both reciprocal terms — its
+    # score exceeds the single-list maximum 1/61
+    assert any(r.rrf_score > round(1 / 61, 6) for r in rows)

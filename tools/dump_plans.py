@@ -80,10 +80,31 @@ HEADLINERS = [
      "O(languages) weights table, no shuffle of the corpus"),
     ("bm25_search", "keyword retrieval: token explode semi-joins the "
      "broadcast query-term set before the tf aggregate — postings are "
-     "O(matching terms), the corpus text never shuffles"),
+     "O(matching terms), the corpus text never shuffles; the postings "
+     "and doc-length frames are localCheckpointed so the final plan "
+     "re-reads the materialized RDDs (zero parquet re-scans — the "
+     "corpus tokenizes exactly twice total, r6 directive #2)"),
     ("curation_verdict", "the four curation stages composed: every "
      "verdict join is id-keyed; no stage adds a pair-granularity join "
      "beyond what its standalone plan already pinned"),
+    ("knn_ivfpq_topk", "IVF-PQ composition: one Arrow stage encodes "
+     "cell + codes map-side against the broadcast centroids/codebooks; "
+     "candidates come from an equi-join on the bounded cell id with "
+     "the probe side broadcast; ADC cosine is JVM element_at lookups "
+     "over the broadcast LUT frame; only the shortlist touches full "
+     "vectors again"),
+    ("hybrid_search_rrf", "rank-only fusion: both inputs are already "
+     "top-k lists, so the full-outer join and final window move "
+     "O(queries*k) rows — corpus-scale work lives in the rankers, "
+     "which keep their own pinned plans"),
+    ("heavy_hitter_tokens", "exact heavy hitters, bounded memory: "
+     "pass 1 is a map-only mapInPandas Misra-Gries (O(k) state per "
+     "task); pass 2 semi-joins the BROADCAST candidate set inside the "
+     "scan stage before the count aggregate — the shuffle carries "
+     "candidate postings, never the vocabulary"),
+    ("curated_shard_manifest", "curate -> shard last mile: the verdict "
+     "joins stay id-keyed, the kept-set join is one id equi-join, and "
+     "everything collapses to the bounded N_SHARDS-row aggregate"),
 ]
 
 

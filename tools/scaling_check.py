@@ -43,6 +43,10 @@ QUERIES = [
     ("dup_passage_spans", "inverted gram index + islands merge"),
     ("incremental_dedup_pairs", "delta-vs-base banded join (no base x base)"),
     ("quality_logit_scores", "row-local features + broadcast model join"),
+    ("knn_ivfpq_topk", "IVF route + PQ/ADC score + exact re-rank"),
+    ("heavy_hitter_tokens", "MG candidates (map-only) + exact recount"),
+    ("hybrid_search_rrf", "BM25 + dense rankers, rank-only fusion"),
+    ("curated_shard_manifest", "curation verdict -> shard manifest"),
 ]
 
 RUNS = 2  # take the best of N to damp container noise
