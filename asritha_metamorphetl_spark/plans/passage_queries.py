@@ -718,3 +718,134 @@ def curated_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("row_sig").cast("bigint").alias("content_sig"),
         )
     )
+
+
+def merge_manifests(*manifests: DataFrame) -> DataFrame:
+    """Merge shard manifests produced over DISJOINT document sets by
+    pure addition — counts, token totals, and the order-insensitive
+    content signature are all sums, and content-hash routing guarantees
+    a document lands in the same shard in every manifest, so
+    ``merge(manifest(base), manifest(delta)) == manifest(base ∪ delta)``
+    exactly. This is the append path at 100 TB: manifest the new files
+    alone (O(delta)) and fold them in, never re-scan the corpus. The
+    equality is driver-checked by ``shard_manifest_incremental``."""
+    out = manifests[0]
+    for m in manifests[1:]:
+        out = out.unionByName(m)
+    return out.groupBy("shard").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("content_sig").cast("bigint").alias("content_sig"),
+    )
+
+
+#: Deterministic base/delta split for the registered append-proof:
+#: every 10th document (doc_id % 10 == 7) arrives "later".
+INCR_DELTA_MOD = 10
+INCR_DELTA_REM = 7
+
+
+def _shard_manifest_incremental_oracle() -> str:
+    bucket = _hex48_sql("md5(CAST(doc_id AS VARCHAR))")
+    sig = _hex48_sql("md5(CAST(doc_id AS VARCHAR) || ':' || md5(text))")
+    return f"""
+WITH assigned AS (
+    SELECT doc_id,
+           {bucket} % {N_TRAINING_SHARDS} AS shard,
+           len(list_filter(string_split(text, ' '), x -> x != ''))
+               AS n_tokens,
+           {sig} AS row_sig,
+           doc_id % {INCR_DELTA_MOD} = {INCR_DELTA_REM} AS is_delta
+    FROM documents
+),
+part AS (
+    SELECT shard, is_delta,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(row_sig) AS BIGINT) AS content_sig
+    FROM assigned GROUP BY 1, 2
+),
+merged AS (
+    SELECT shard,
+           CAST(SUM(n_docs) AS BIGINT) AS m_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS m_tokens,
+           CAST(SUM(content_sig) AS BIGINT) AS m_sig
+    FROM part GROUP BY shard
+),
+full_m AS (
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(row_sig) AS BIGINT) AS content_sig
+    FROM assigned GROUP BY shard
+)
+SELECT f.shard, f.n_docs, f.n_tokens, f.content_sig,
+       m.m_docs, m.m_tokens, m.m_sig,
+       f.n_docs = m.m_docs AND f.n_tokens = m.m_tokens
+           AND f.content_sig = m.m_sig AS append_consistent
+FROM full_m f JOIN merged m USING (shard)
+"""
+
+
+@register(
+    "shard_manifest_incremental",
+    oracle=_shard_manifest_incremental_oracle(),
+)
+def shard_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest APPEND contract as a driver-checked equality:
+    manifest the base and the late-arriving delta separately, fold them
+    with ``merge_manifests`` (pure per-shard addition — the O(delta)
+    append path), and compare against the manifest of the full corpus.
+    ``append_consistent`` must be TRUE on every shard; the oracle
+    recomputes both sides independently, so a regression in routing,
+    tokenization, or the signature algebra (e.g. a merge that
+    re-hashed instead of summing) goes red in CORRECTNESS."""
+
+    def _manifest(docs: DataFrame) -> DataFrame:
+        from asritha_metamorphetl_spark.functions.hashing import shingle_hash
+        from asritha_metamorphetl_spark.operators.sampling import hash_bucket
+
+        sig = shingle_hash(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"), F.md5(F.col("text"))
+            )
+        )
+        return (
+            docs.select(
+                hash_bucket(F.col("doc_id"), N_TRAINING_SHARDS).alias("shard"),
+                T.token_count(F.col("text")).alias("n_tokens"),
+                sig.alias("row_sig"),
+            )
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+                F.sum("row_sig").cast("bigint").alias("content_sig"),
+            )
+        )
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    is_delta = F.col("doc_id") % INCR_DELTA_MOD == INCR_DELTA_REM
+    merged = merge_manifests(
+        _manifest(docs.filter(~is_delta)), _manifest(docs.filter(is_delta))
+    ).select(
+        "shard",
+        F.col("n_docs").alias("m_docs"),
+        F.col("n_tokens").alias("m_tokens"),
+        F.col("content_sig").alias("m_sig"),
+    )
+    full_m = _manifest(docs)
+    return full_m.join(merged, "shard").select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        "content_sig",
+        "m_docs",
+        "m_tokens",
+        "m_sig",
+        (
+            (F.col("n_docs") == F.col("m_docs"))
+            & (F.col("n_tokens") == F.col("m_tokens"))
+            & (F.col("content_sig") == F.col("m_sig"))
+        ).alias("append_consistent"),
+    )

@@ -358,3 +358,80 @@ def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("cluster_id") == F.col("doc_id"))
         ).alias("kept"),
     )
+
+
+def _best_keeper_oracle() -> str:
+    from asritha_metamorphetl_spark.plans.passage_queries import (
+        QUALITY_LOGIT_ORACLE,
+    )
+
+    return f"""
+WITH RECURSIVE pairs AS ({MINHASH_PAIRS_ORACLE}),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+assign AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+qual AS ({QUALITY_LOGIT_ORACLE}),
+member AS (
+    SELECT d.doc_id, COALESCE(a.cluster_id, d.doc_id) AS cluster_id, q.score
+    FROM documents d
+    LEFT JOIN assign a ON a.doc_id = d.doc_id
+    JOIN qual q ON q.doc_id = d.doc_id
+)
+SELECT doc_id, cluster_id, score,
+       ROW_NUMBER() OVER (PARTITION BY cluster_id
+           ORDER BY score DESC, doc_id ASC) = 1 AS kept
+FROM member
+"""
+
+
+@register("near_dup_best_keeper", oracle=_best_keeper_oracle())
+def near_dup_best_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: inside each near-dup cluster,
+    keep the member the LEARNED quality filter scores highest (rounded
+    score, doc id tiebreak) instead of the arbitrary min-id — the rule
+    a production curation pipeline actually wants, since template
+    families usually contain one clean original and many degraded
+    copies. Composes the two registered, individually-verified stages:
+    the MinHash closure (``dup_clusters``'s connected components) and
+    ``quality_logit_scores``; singleton documents are their own keeper.
+    Shapes: the quality join is id-keyed; the keeper choice is one
+    window partitioned by cluster_id (bounded by cluster size, the
+    same bound ``dup_clusters`` already carries)."""
+    from asritha_metamorphetl_spark.plans.passage_queries import (
+        quality_logit_scores,
+    )
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "text", "doc_id")
+    labels = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    qual = quality_logit_scores(spark, sf_dir).select("doc_id", "score")
+    member = (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
+                "cluster_id"
+            ),
+        )
+        .join(qual, "doc_id")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return member.select(
+        "doc_id",
+        "cluster_id",
+        "score",
+        (F.row_number().over(w) == 1).alias("kept"),
+    )

@@ -52,6 +52,8 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "knn_ivfpq_recall_eval",
     "hybrid_search_rrf",
     "heavy_hitter_tokens",
+    "near_dup_best_keeper",
+    "shard_manifest_incremental",
     "ivf_twolevel_agreement",
     "bm25_search",
     "semdedup_recall_eval",

@@ -149,6 +149,8 @@ def main() -> None:
         "curated_shard_manifest",
         "hybrid_search_rrf",
         "heavy_hitter_tokens",
+        "near_dup_best_keeper",
+        "shard_manifest_incremental",
     ]
     line = json.dumps(
         {

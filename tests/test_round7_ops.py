@@ -273,3 +273,86 @@ def test_hybrid_search_contains_both_modalities(spark):
     # a doc ranked by both sides carries both reciprocal terms — its
     # score exceeds the single-list maximum 1/61
     assert any(r.rrf_score > round(1 / 61, 6) for r in rows)
+
+
+def test_best_keeper_picks_max_quality_one_per_cluster(spark):
+    """Exactly one keeper per cluster, and it is the (rounded score,
+    -doc_id) argmax — the quality-aware refinement of the min-id rule
+    near_dup_survivors uses."""
+    from asritha_metamorphetl_spark.plans.pipeline_queries import (
+        near_dup_best_keeper,
+    )
+
+    rows = near_dup_best_keeper(spark, SF_SMOKE).collect()
+    clusters = {}
+    for r in rows:
+        clusters.setdefault(r.cluster_id, []).append(r)
+    assert sum(len(v) for v in clusters.values()) == 500
+    for cid, members in clusters.items():
+        keepers = [r for r in members if r.kept]
+        assert len(keepers) == 1
+        best = max(members, key=lambda r: (r.score, -r.doc_id))
+        assert keepers[0].doc_id == best.doc_id
+    # the rule genuinely differs from min-id on this corpus: at least
+    # one multi-member cluster keeps a non-minimal id
+    multi = [v for v in clusters.values() if len(v) > 1]
+    assert multi, "fixture has no near-dup clusters?"
+    assert any(
+        max(m, key=lambda r: (r.score, -r.doc_id)).doc_id
+        != min(r.doc_id for r in m)
+        for m in multi
+    )
+
+
+def test_merge_manifests_equals_full_on_arbitrary_splits(spark):
+    """manifest(base ∪ delta) == merge(manifest(base), manifest(delta))
+    for several disjoint splits — the O(delta) append contract, and a
+    three-way merge associativity spot-check."""
+    from asritha_metamorphetl_spark.plans.passage_queries import (
+        merge_manifests,
+        shard_manifest_incremental,
+        training_shard_manifest,
+    )
+
+    rows = shard_manifest_incremental(spark, SF_SMOKE).collect()
+    assert rows and all(r.append_consistent for r in rows)
+
+    # three-way: split by doc_id % 3, merge all parts
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    full = {
+        r.shard: (r.n_docs, r.n_tokens, r.content_sig)
+        for r in training_shard_manifest(spark, SF_SMOKE).collect()
+    }
+    import asritha_metamorphetl_spark.plans.passage_queries as pq
+    from asritha_metamorphetl_spark.functions.hashing import shingle_hash
+    from asritha_metamorphetl_spark.operators.sampling import hash_bucket
+    from asritha_metamorphetl_spark.functions import text as T
+
+    def manifest(d):
+        sig = shingle_hash(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"), F.md5(F.col("text"))
+            )
+        )
+        return (
+            d.select(
+                hash_bucket(F.col("doc_id"), pq.N_TRAINING_SHARDS).alias(
+                    "shard"
+                ),
+                T.token_count(F.col("text")).alias("n_tokens"),
+                sig.alias("row_sig"),
+            )
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+                F.sum("row_sig").cast("bigint").alias("content_sig"),
+            )
+        )
+
+    parts = [manifest(docs.filter(F.col("doc_id") % 3 == i)) for i in range(3)]
+    merged = {
+        r.shard: (r.n_docs, r.n_tokens, r.content_sig)
+        for r in merge_manifests(*parts).collect()
+    }
+    assert merged == full
