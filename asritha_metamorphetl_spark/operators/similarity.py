@@ -186,6 +186,32 @@ def _coarse_groups(C_norm: np.ndarray, n_coarse: int) -> np.ndarray:
     return np.argsort(-sims, axis=1, kind="stable")[:, 0].astype(np.int64)
 
 
+def _coarse_group_info(C_norm, n_coarse: int):
+    """Driver-side, once per operator call: group each fine centroid
+    under its best coarse representative (``_coarse_groups``), then lay
+    the cell ids out group-contiguously (order + CSR-style starts) so
+    the assignment kernels can gather each group's centroid block in
+    O(1). Broadcast beside the centroids when a session is available
+    (~1 MB at the nlist ceiling) instead of re-pickling into every task
+    closure; returns a Broadcast handle or the raw tuple."""
+    C_drv = _resolve_mat(C_norm)
+    groups = _coarse_groups(C_drv, n_coarse)  # (nlist,)
+    order = np.argsort(groups, kind="stable").astype(np.int64)
+    counts = np.bincount(groups, minlength=n_coarse)
+    starts = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+    info = (order, starts)
+    spark = None
+    try:  # pragma: no cover - session lookup is environment-dependent
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    except Exception:
+        spark = None
+    if hasattr(C_norm, "value") and spark is not None:
+        return spark.sparkContext.broadcast(info)
+    return info
+
+
 def _cell_assign_udf(C_norm, n_out: int, n_coarse: int = 0, w_coarse: int = 2):
     """Arrow-batched nearest-cell assignment against row-normalized
     centroid matrix ``C_norm`` (ndarray or Broadcast): one matmul per
@@ -212,31 +238,9 @@ def _cell_assign_udf(C_norm, n_out: int, n_coarse: int = 0, w_coarse: int = 2):
     ever returned (the flat path always returns n_out)."""
     from pyspark.sql.functions import pandas_udf
 
-    group_info = None
-    if n_coarse > 0:
-        # Driver-side, once per operator call: group each fine centroid
-        # under its best coarse representative, then lay the cell ids
-        # out group-contiguously (order + CSR-style starts) so the
-        # kernel can gather each group's centroid block in O(1).
-        C_drv = _resolve_mat(C_norm)
-        groups = _coarse_groups(C_drv, n_coarse)  # (nlist,)
-        order = np.argsort(groups, kind="stable").astype(np.int64)
-        counts = np.bincount(groups, minlength=n_coarse)
-        starts = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
-        info = (order, starts)
-        spark = None
-        try:  # pragma: no cover - session lookup is environment-dependent
-            from pyspark.sql import SparkSession
-
-            spark = SparkSession.getActiveSession()
-        except Exception:
-            spark = None
-        if hasattr(C_norm, "value") and spark is not None:
-            # ~1 MB at the nlist ceiling — broadcast beside the
-            # centroids instead of re-pickling into every task closure.
-            group_info = spark.sparkContext.broadcast(info)
-        else:
-            group_info = info
+    group_info = (
+        _coarse_group_info(C_norm, n_coarse) if n_coarse > 0 else None
+    )
 
     @pandas_udf("array<int>")
     def cells(vs: pd.Series) -> pd.Series:
@@ -299,23 +303,72 @@ def _normalize_rows(M: np.ndarray) -> np.ndarray:
     return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
 
 
-def _cell_sim_udf(C_norm, sim_decimals: int = 6):
+def _cell_sim_udf(
+    C_norm, sim_decimals: int = 6, n_coarse: int = 0, w_coarse: int = 2
+):
     """Arrow-batched (nearest cell, rounded similarity) assignment — the
     same rounded-matmul-argmax as ``_cell_assign_udf`` (``C_norm`` may
     be an ndarray or a Broadcast), additionally surfacing the winning
     similarity so callers that need both never recompute the cosine
     with a different summation order (which could flip a rounding
-    boundary vs the SQL oracle)."""
+    boundary vs the SQL oracle).
+
+    ``n_coarse`` > 0 routes through the same gathered two-level kernel
+    as ``_cell_assign_udf`` — per-row work O(n_coarse + w·nlist/
+    n_coarse) instead of O(nlist) — with the coarse grouping computed
+    once driver-side. The winner (and therefore its csim) can differ
+    from the flat argmax when the true cell's group isn't probed; both
+    levels keep the rounded-argmax tiebreak, so the result stays
+    deterministic. Degenerate rows whose probed groups are all empty
+    (duplicate-centroid corner) fall back to cell -1 / csim NaN."""
     from pyspark.sql.functions import pandas_udf
+
+    group_info = (
+        _coarse_group_info(C_norm, n_coarse) if n_coarse > 0 else None
+    )
 
     @pandas_udf("struct<cell:int,csim:double>")
     def cell_sim(vs: pd.Series) -> pd.DataFrame:
         if len(vs) == 0:
             return pd.DataFrame({"cell": pd.array([], dtype="int32"),
                                  "csim": pd.array([], dtype="float64")})
+        C = _resolve_mat(C_norm)
         X = np.vstack(vs.to_numpy()).astype(np.float64)
         X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        sims = np.round(X @ _resolve_mat(C_norm).T, sim_decimals)
+        if n_coarse > 0:
+            order, starts = _resolve_mat(group_info)
+            reps = C[:n_coarse]
+            csims = np.round(X @ reps.T, sim_decimals)
+            topw = np.argsort(-csims, axis=1, kind="stable")[:, :w_coarse]
+            best_cell = np.full(len(X), -1, dtype=np.int64)
+            best_sim = np.full(len(X), -np.inf)
+            for g in range(n_coarse):
+                cg = order[starts[g]:starts[g + 1]]
+                if len(cg) == 0:
+                    continue
+                ridx = np.nonzero((topw == g).any(axis=1))[0]
+                if len(ridx) == 0:
+                    continue
+                S = np.round(X[ridx] @ C[cg].T, sim_decimals)
+                top = np.argsort(-S, axis=1, kind="stable")[:, 0]
+                s = S[np.arange(len(ridx)), top]
+                c = cg[top]
+                # keep rule mirrors the stable argsort: higher sim wins;
+                # equal sim -> lower cell id wins
+                upd = (s > best_sim[ridx]) | (
+                    (s == best_sim[ridx]) & (c < best_cell[ridx])
+                )
+                best_sim[ridx] = np.where(upd, s, best_sim[ridx])
+                best_cell[ridx] = np.where(upd, c, best_cell[ridx])
+            return pd.DataFrame(
+                {
+                    "cell": best_cell.astype("int32"),
+                    "csim": np.where(
+                        np.isfinite(best_sim), best_sim, np.nan
+                    ),
+                }
+            )
+        sims = np.round(X @ C.T, sim_decimals)
         idx = np.argsort(-sims, axis=1, kind="stable")[:, 0]
         return pd.DataFrame(
             {
@@ -374,11 +427,22 @@ def ivf_topk(
     nprobe: int = 4,
     refine_iters: int = 0,
     score_decimals: int = 4,
+    n_coarse: int = 0,
+    w_coarse: int = 2,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF (inverted-file) partitioning.
     ``nlist=None`` auto-sizes the cell count to ``auto_nlist(count)``
     ≈ √N (one count job) — the right default when the corpus size is
     unknown at authoring time.
+
+    ``n_coarse`` > 0 opts the corpus AND probe assignment into the
+    gathered TWO-LEVEL kernel (O(n_coarse + w·nlist/n_coarse) per row
+    instead of O(nlist)) — the paper-regime switch for nlist ≳ 4096,
+    where flat assignment compute dominates. It is an approximation of
+    the flat argmax (a row whose true cell's coarse group isn't probed
+    lands elsewhere), so the registered oracle-exact queries keep the
+    flat default; agreement/recall telemetry for the two-level path is
+    driver-checked by ``ivf_twolevel_agreement``.
 
     The corpus is Voronoi-partitioned into ``nlist`` cells around
     centroids seeded from the ``nlist`` lowest-id corpus vectors and then
@@ -412,10 +476,25 @@ def ivf_topk(
         C_raw = lloyd_refine(c, C_raw, refine_iters)
     C = broadcast_centroids(corpus.sparkSession, _normalize_rows(C_raw))
 
-    c = c.withColumn("cell", F.element_at(_cell_assign_udf(C, 1)(F.col("cv")), 1))
+    c = c.withColumn(
+        "cell",
+        F.element_at(
+            _cell_assign_udf(C, 1, n_coarse=n_coarse, w_coarse=w_coarse)(
+                F.col("cv")
+            ),
+            1,
+        ),
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
-    ).withColumn("cell", F.explode(_cell_assign_udf(C, nprobe)(F.col("qv"))))
+    ).withColumn(
+        "cell",
+        F.explode(
+            _cell_assign_udf(C, nprobe, n_coarse=n_coarse, w_coarse=w_coarse)(
+                F.col("qv")
+            )
+        ),
+    )
 
     scored = (
         c.join(F.broadcast(q), "cell")
@@ -444,6 +523,8 @@ def semdedup(
     threshold: float = 0.95,
     sim_decimals: int = 4,
     csim_decimals: int = 6,
+    n_coarse: int = 0,
+    w_coarse: int = 2,
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023,
     arXiv:2303.09540): cluster the embeddings, then inside each cluster
@@ -474,7 +555,11 @@ def semdedup(
     Returns one row per corpus vector: (id, cell, csim, kept).
     ``nlist=None`` auto-sizes to ``auto_nlist(count)`` ≈ √N — the
     paper's regime (~100k clusters at ~10^10 docs), keeping assignment
-    and the within-cell pair test both O(N^1.5)."""
+    and the within-cell pair test both O(N^1.5). ``n_coarse`` > 0 opts
+    the assignment into the gathered two-level kernel (per-row
+    O(√nlist) instead of O(nlist) — the further reduction that matters
+    at the 100k-cluster ceiling); it approximates the flat argmax, so
+    the registered oracle-exact query keeps the flat default."""
     if nlist is None:
         nlist = auto_nlist(corpus.count())
     cent_rows = (
@@ -491,7 +576,10 @@ def semdedup(
             F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("v")
         )
         .withColumn(
-            "a", _cell_sim_udf(C, csim_decimals)(F.col("v"))
+            "a",
+            _cell_sim_udf(
+                C, csim_decimals, n_coarse=n_coarse, w_coarse=w_coarse
+            )(F.col("v")),
         )
         .select(
             "vid",

@@ -356,3 +356,72 @@ def test_merge_manifests_equals_full_on_arbitrary_splits(spark):
         for r in merge_manifests(*parts).collect()
     }
     assert merged == full
+
+
+def _clustered_corpus(spark, n_centers=32, per=20, dim=16, seed=7):
+    # Interleaved ids (cluster-major round-robin) so the operators'
+    # lowest-id centroid seeding spans every cluster — the regime the
+    # two-level premise (cluster structure) assumes.
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_centers, dim) * 4.0
+    pts = np.repeat(centers, per, axis=0) + rng.randn(n_centers * per, dim) * 0.3
+    order = [c * per + j for j in range(per) for c in range(n_centers)]
+    return spark.createDataFrame(
+        [
+            (i, [float(x) for x in pts[p]])
+            for i, p in enumerate(order)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_ivf_topk_two_level_routing_agrees_on_clustered_data(spark):
+    """The production operators can route through the O(sqrt(nlist))
+    two-level kernel: on clustered data (its premise), ivf_topk with
+    n_coarse routing returns near-identical neighbor sets to flat
+    routing at the same knobs."""
+    from asritha_metamorphetl_spark.operators.similarity import ivf_topk
+
+    vecs = _clustered_corpus(spark)
+    q = vecs.filter(F.col("vec_id") % 97 == 0)
+    flat = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            vecs, q, "vec_id", "embedding", k=5, nlist=32, nprobe=4
+        ).collect()
+    }
+    two = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            vecs, q, "vec_id", "embedding", k=5, nlist=32, nprobe=4,
+            n_coarse=8, w_coarse=2,
+        ).collect()
+    }
+    overlap = len(flat & two) / len(flat)
+    assert overlap >= 0.9, f"two-level routing overlap {overlap:.2f}"
+
+
+def test_semdedup_two_level_assignment_agrees_on_clustered_data(spark):
+    """SemDeDup's two-level opt-in: cell assignments (and therefore
+    keep verdicts) match the flat path almost everywhere on clustered
+    data, and every row still gets a real cell + csim."""
+    import math
+
+    from asritha_metamorphetl_spark.operators.similarity import semdedup
+
+    vecs = _clustered_corpus(spark)
+    flat = {
+        r.vec_id: (r.cell, r.kept)
+        for r in semdedup(
+            vecs, "vec_id", "embedding", nlist=32, threshold=0.9
+        ).collect()
+    }
+    two_rows = semdedup(
+        vecs, "vec_id", "embedding", nlist=32, threshold=0.9,
+        n_coarse=8, w_coarse=2,
+    ).collect()
+    two = {r.vec_id: (r.cell, r.kept) for r in two_rows}
+    assert set(flat) == set(two)
+    assert all(r.cell >= 0 and not math.isnan(r.csim) for r in two_rows)
+    agree = sum(1 for k in flat if flat[k][0] == two[k][0]) / len(flat)
+    assert agree >= 0.95, f"two-level cell agreement {agree:.2f}"
