@@ -50,6 +50,8 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # guard — everything whose code changed this round fronts the window
     "knn_ivfpq_topk",
     "knn_ivfpq_recall_eval",
+    "knn_ivfpq_residual_topk",
+    "knn_ivfpq_residual_recall_eval",
     "hybrid_search_rrf",
     "heavy_hitter_tokens",
     "near_dup_best_keeper",

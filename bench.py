@@ -151,6 +151,7 @@ def main() -> None:
         "heavy_hitter_tokens",
         "near_dup_best_keeper",
         "shard_manifest_incremental",
+        "knn_ivfpq_residual_topk",
     ]
     line = json.dumps(
         {

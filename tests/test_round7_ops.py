@@ -425,3 +425,39 @@ def test_semdedup_two_level_assignment_agrees_on_clustered_data(spark):
     assert all(r.cell >= 0 and not math.isnan(r.csim) for r in two_rows)
     agree = sum(1 for k in flat if flat[k][0] == two[k][0]) / len(flat)
     assert agree >= 0.95, f"two-level cell agreement {agree:.2f}"
+
+
+def test_residual_ivfpq_beats_plain_at_tight_shortlist(spark):
+    """At equal code bits and a TIGHT shortlist the residual ADC
+    statistic must rank at least as well as raw-vector PQ — the whole
+    point of encoding within-cell residuals (measured 0.70 vs 0.60 at
+    shortlist=50/sf0.1; both converge once the shortlist is generous).
+    Also pins the exact-re-rank contract on overlapping pairs."""
+    from asritha_metamorphetl_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_residual_topk,
+        ivfpq_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    truth_rows = brute_force_topk(emb, q, "vec_id", "embedding", k=10).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in truth_rows}
+    kw = dict(
+        k=10, nlist=16, nprobe=6, ivf_refine_iters=1, m=4, ncodes=16,
+        pq_refine_iters=1, shortlist=50,
+    )
+    res_rows = ivfpq_residual_topk(emb, q, "vec_id", "embedding", **kw).collect()
+    res = {(r.query_id, r.neighbor_id) for r in res_rows}
+    plain = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfpq_topk(emb, q, "vec_id", "embedding", **kw).collect()
+    }
+    r_res = len(truth & res) / len(truth)
+    r_plain = len(truth & plain) / len(truth)
+    assert r_res >= r_plain, f"residual {r_res:.2f} < plain {r_plain:.2f}"
+    assert r_res >= 0.6
+    exact_s = {(r.query_id, r.neighbor_id): r.score for r in truth_rows}
+    for r in res_rows:
+        if (r.query_id, r.neighbor_id) in exact_s:
+            assert abs(exact_s[(r.query_id, r.neighbor_id)] - r.score) < 1e-9
