@@ -423,3 +423,74 @@ def minhash_lsh_pairs_incremental(
         )
         .distinct()
     )
+
+
+def cross_corpus_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-eval-document n-gram contamination against a training corpus
+    — the passage-level benchmark-decontamination check (the k-gram
+    overlap rule GPT-3/PaLM-style training runs apply before reporting
+    eval numbers): an eval document is contaminated where one of its
+    contiguous k-grams (k = SHINGLE_SIZE) also occurs anywhere in the
+    training split. Whole-document contamination audits
+    (``cross_split_contamination``) miss partial quote/paraphrase
+    leakage; this catches any shared passage of k tokens.
+
+    Scale shape — the eval side is SMALL by construction (benchmarks vs
+    a 100 TB train corpus), so its distinct gram set BROADCASTS into
+    the train-side scan: train grams explode map-side and semi-join the
+    broadcast eval grams BEFORE any aggregation, so the only shuffled
+    train data is the (tiny) hit set; the train corpus itself never
+    shuffles. One join back to eval positions, one per-doc aggregate.
+
+    Returns one row per eval document: (id_col, n_grams,
+    n_contaminated, contamination_rate, contaminated) — zero-gram
+    (short) docs report clean zeros."""
+    eg = eval_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(H.word_shingles(F.col(text_col))).alias("pos0", "s"),
+    ).select("doc_id", F.xxhash64(F.col("s")).alias("g"))
+    eval_grams = eg.select("g").distinct()
+    train_hits = (
+        train.select(F.explode(H.word_shingles(F.col(text_col))).alias("s"))
+        .select(F.xxhash64(F.col("s")).alias("g"))
+        .join(F.broadcast(eval_grams), "g")  # BEFORE distinct: the
+        .distinct()  # shuffle carries only grams eval actually contains
+    )
+    per_doc = eg.join(train_hits.withColumn("_hit", F.lit(1)), "g", "left")
+    counts = per_doc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_contaminated"),
+    )
+    return (
+        eval_df.select(F.col(id_col).alias("doc_id"))
+        .join(counts, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0))
+            .cast("bigint")
+            .alias("n_grams"),
+            F.coalesce(F.col("n_contaminated"), F.lit(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.when(
+                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                F.round(
+                    F.coalesce(F.col("n_contaminated"), F.lit(0)).cast(
+                        "double"
+                    )
+                    / F.col("n_grams"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("contamination_rate"),
+            (F.coalesce(F.col("n_contaminated"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )

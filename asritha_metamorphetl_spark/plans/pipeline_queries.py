@@ -435,3 +435,74 @@ def near_dup_best_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         (F.row_number().over(w) == 1).alias("kept"),
     )
+
+
+@register(
+    "eval_ngram_contamination",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+    FROM documents
+),
+shingled AS (
+    SELECT doc_id,
+           list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS s
+    FROM toks
+),
+split AS (
+    SELECT doc_id,
+           {_hex48_sql("md5(CAST(doc_id AS VARCHAR))")} % 10 AS bucket
+    FROM documents
+),
+ev AS (
+    SELECT sh.doc_id, unnest(sh.s) AS gr
+    FROM shingled sh JOIN split sp USING (doc_id)
+    WHERE sp.bucket >= 8 AND len(sh.s) > 0
+),
+tr AS (
+    SELECT DISTINCT unnest(sh.s) AS gr
+    FROM shingled sh JOIN split sp USING (doc_id)
+    WHERE sp.bucket <= 7 AND len(sh.s) > 0
+),
+evn AS (SELECT doc_id, COUNT(*) AS n_grams FROM ev GROUP BY 1),
+hits AS (
+    SELECT e.doc_id, COUNT(*) AS n_hit
+    FROM ev e JOIN tr t ON e.gr = t.gr GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(n.n_grams, 0) AS n_grams,
+       COALESCE(h.n_hit, 0) AS n_contaminated,
+       CASE WHEN COALESCE(n.n_grams, 0) > 0
+            THEN ROUND(COALESCE(h.n_hit, 0)::DOUBLE / n.n_grams, 6)
+            ELSE 0.0 END AS contamination_rate,
+       COALESCE(h.n_hit, 0) > 0 AS contaminated
+FROM documents d
+JOIN split sp ON sp.doc_id = d.doc_id
+LEFT JOIN evn n ON n.doc_id = d.doc_id
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE sp.bucket >= 8
+""",
+)
+def eval_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level benchmark decontamination
+    (operators/dedup.py:cross_corpus_contamination): for every document
+    in the held-out splits (the val/test buckets of the REGISTERED
+    corpus_splits rule), how many of its contiguous 3-grams also occur
+    anywhere in the train split — the k-gram overlap audit run before
+    trusting eval numbers, catching the partial quote/paraphrase
+    leakage that whole-document contamination
+    (``cross_split_contamination``) misses. The eval gram set
+    broadcasts into the train-side scan, so the train corpus never
+    shuffles."""
+    from asritha_metamorphetl_spark.functions.hashing import shingle_hash
+    from asritha_metamorphetl_spark.operators.dedup import (
+        cross_corpus_contamination,
+    )
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    bucket = shingle_hash(F.col("doc_id").cast("string")) % 10
+    train = docs.filter(bucket <= 7)
+    eval_df = docs.filter(bucket >= 8)
+    return cross_corpus_contamination(train, eval_df, "text", "doc_id")

@@ -56,6 +56,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "heavy_hitter_tokens",
     "near_dup_best_keeper",
     "shard_manifest_incremental",
+    "eval_ngram_contamination",
     "ivf_twolevel_agreement",
     "bm25_search",
     "semdedup_recall_eval",

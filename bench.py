@@ -152,6 +152,7 @@ def main() -> None:
         "near_dup_best_keeper",
         "shard_manifest_incremental",
         "knn_ivfpq_residual_topk",
+        "eval_ngram_contamination",
     ]
     line = json.dumps(
         {

@@ -426,6 +426,18 @@ def test_incremental_dedup_joins_on_band_key_no_cartesian(spark):
     assert "band_key" in plan
 
 
+def test_eval_contamination_broadcasts_eval_grams_into_train_scan(spark):
+    """The train-side gram stream must meet the BROADCAST eval gram set
+    before any aggregation — the train corpus (the 100 TB side) never
+    shuffles; only eval-matching grams do. No cartesian anywhere."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["eval_ngram_contamination"](spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Generate explode" in plan  # train grams explode map-side
+
+
 def test_heavy_hitters_verify_pass_semi_joins_broadcast_candidates(spark):
     """The exact recount must meet the BROADCAST Misra-Gries candidate
     set inside the scan stage, before the count aggregate — the shuffle

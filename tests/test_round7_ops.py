@@ -461,3 +461,39 @@ def test_residual_ivfpq_beats_plain_at_tight_shortlist(spark):
     for r in res_rows:
         if (r.query_id, r.neighbor_id) in exact_s:
             assert abs(exact_s[(r.query_id, r.neighbor_id)] - r.score) < 1e-9
+
+
+def test_cross_corpus_contamination_planted_passages(spark):
+    """An eval doc sharing a >=3-token passage with train is flagged
+    with exactly the overlapping gram count; a clean doc and a
+    too-short doc report zeros."""
+    from asritha_metamorphetl_spark.operators.dedup import (
+        cross_corpus_contamination,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [
+            # copies "quick brown fox jumps" -> grams: "the quick brown"? no:
+            # its own grams: (quick brown fox), (brown fox jumps), (fox jumps here)
+            (10, "quick brown fox jumps here"),
+            (11, "completely novel eval sentence tokens"),
+            (12, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_grams, r.n_contaminated, r.contaminated)
+        for r in cross_corpus_contamination(
+            train, eval_df, "text", "doc_id"
+        ).collect()
+    }
+    assert out[10] == (3, 2, True)  # 2 of its 3 grams occur in train
+    assert out[11] == (3, 0, False)
+    assert out[12] == (0, 0, False)
