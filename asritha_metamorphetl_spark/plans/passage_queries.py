@@ -849,3 +849,99 @@ def shard_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("content_sig") == F.col("m_sig"))
         ).alias("append_consistent"),
     )
+
+
+#: PSI knobs: 10 equal-width score bins on [0,1) (the quality sigmoid's
+#: range — fixed-width bins are scale-free and exactly SQL-replayable,
+#: unlike base-distribution deciles which would need exact global
+#: quantiles), Laplace-style smoothing so empty bins contribute finite
+#: terms, snapshots = even/odd doc ids (a deterministic stand-in for
+#: two ingest dates).
+PSI_BINS = 10
+PSI_SMOOTH = 0.5
+
+
+@register(
+    "quality_drift_psi",
+    oracle=f"""
+WITH qual AS ({QUALITY_LOGIT_ORACLE}),
+slices AS (
+    SELECT doc_id, score,
+           LEAST(CAST(FLOOR(score * {PSI_BINS}) AS INT), {PSI_BINS - 1})
+               AS bin,
+           doc_id % 2 = 0 AS in_a
+    FROM qual
+),
+bins AS (SELECT unnest(generate_series(0, {PSI_BINS - 1})) AS bin),
+counts AS (
+    SELECT b.bin,
+           COALESCE(SUM(CASE WHEN s.in_a THEN 1 END), 0) AS n_a,
+           COALESCE(SUM(CASE WHEN NOT s.in_a THEN 1 END), 0) AS n_b
+    FROM bins b LEFT JOIN slices s ON s.bin = b.bin
+    GROUP BY b.bin
+),
+tot AS (
+    SELECT SUM(n_a)::DOUBLE AS ta, SUM(n_b)::DOUBLE AS tb FROM counts
+)
+SELECT c.bin,
+       CAST(c.n_a AS BIGINT) AS n_a,
+       CAST(c.n_b AS BIGINT) AS n_b,
+       ROUND((c.n_a + {PSI_SMOOTH}) / (t.ta + {PSI_SMOOTH * PSI_BINS}), 6)
+           AS p_a,
+       ROUND((c.n_b + {PSI_SMOOTH}) / (t.tb + {PSI_SMOOTH * PSI_BINS}), 6)
+           AS p_b,
+       ROUND(((c.n_a + {PSI_SMOOTH}) / (t.ta + {PSI_SMOOTH * PSI_BINS})
+              - (c.n_b + {PSI_SMOOTH}) / (t.tb + {PSI_SMOOTH * PSI_BINS}))
+             * ln(((c.n_a + {PSI_SMOOTH}) / (t.ta + {PSI_SMOOTH * PSI_BINS}))
+                  / ((c.n_b + {PSI_SMOOTH})
+                     / (t.tb + {PSI_SMOOTH * PSI_BINS}))), 6) AS psi_term
+FROM counts c CROSS JOIN tot t
+""",
+)
+def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift telemetry for the data-quality ops loop: the
+    population stability index of the learned quality score between two
+    corpus snapshots (even vs odd doc ids — a deterministic stand-in
+    for consecutive ingest dates), per fixed-width score bin. PSI is
+    THE monitoring statistic for 'did my corpus quietly change shape':
+    Σ (p_a − p_b)·ln(p_a/p_b), > 0.2 conventionally flagging action.
+    Smoothed so empty bins stay finite; every arithmetic step rounded
+    so the oracle replays it. Scale shape: the quality scorer's own
+    scan + one 10-row aggregate — nothing new shuffles."""
+    qual = quality_logit_scores(spark, sf_dir).select("doc_id", "score")
+    binned = qual.select(
+        F.least(
+            F.floor(F.col("score") * PSI_BINS).cast("int"),
+            F.lit(PSI_BINS - 1),
+        ).alias("bin"),
+        (F.col("doc_id") % 2 == 0).alias("in_a"),
+    )
+    bins = spark.range(PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+    counts = (
+        bins.join(binned, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("in_a"), 1)), F.lit(0)
+            ).alias("n_a"),
+            F.coalesce(
+                F.sum(F.when(~F.col("in_a"), 1)), F.lit(0)
+            ).alias("n_b"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_a").cast("double").alias("ta"),
+        F.sum("n_b").cast("double").alias("tb"),
+    )
+    sm = float(PSI_SMOOTH)
+    smn = float(PSI_SMOOTH * PSI_BINS)
+    pa = (F.col("n_a") + F.lit(sm)) / (F.col("ta") + F.lit(smn))
+    pb = (F.col("n_b") + F.lit(sm)) / (F.col("tb") + F.lit(smn))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+    )

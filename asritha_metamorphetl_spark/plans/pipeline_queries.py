@@ -506,3 +506,85 @@ def eval_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(bucket <= 7)
     eval_df = docs.filter(bucket >= 8)
     return cross_corpus_contamination(train, eval_df, "text", "doc_id")
+
+
+@register(
+    "normalized_dup_gain",
+    oracle="""
+WITH norm AS (
+    SELECT doc_id,
+           md5(text) AS raw_fp,
+           md5(array_to_string(
+               list_filter(
+                   string_split(
+                       regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                       ' '),
+                   x -> x != ''), ' ')) AS norm_fp
+    FROM documents
+),
+raw_g AS (
+    SELECT raw_fp FROM norm GROUP BY raw_fp HAVING COUNT(*) >= 2
+),
+norm_g AS (
+    SELECT norm_fp FROM norm GROUP BY norm_fp HAVING COUNT(*) >= 2
+)
+SELECT
+    (SELECT COUNT(*) FROM norm)::BIGINT AS n_docs,
+    (SELECT COUNT(*) FROM norm n JOIN raw_g r ON n.raw_fp = r.raw_fp)::BIGINT
+        AS raw_dup_docs,
+    (SELECT COUNT(*) FROM norm n JOIN norm_g g ON n.norm_fp = g.norm_fp)::BIGINT
+        AS norm_dup_docs,
+    ((SELECT COUNT(*) FROM norm n JOIN norm_g g ON n.norm_fp = g.norm_fp)
+     - (SELECT COUNT(*) FROM norm n JOIN raw_g r ON n.raw_fp = r.raw_fp)
+    )::BIGINT AS extra_dup_docs
+""",
+)
+def normalized_dup_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many MORE duplicate documents normalization-aware exact
+    dedup finds: fingerprint the raw text and a canonical form
+    (lowercase, punctuation stripped, whitespace collapsed) and count
+    docs in >=2-member groups under each. Casing/punctuation variants
+    of boilerplate are the most common exact-dedup misses in web
+    corpora; this query is the audit that says whether the canonical
+    pass is worth running. Row-local projections + two fingerprint
+    hash aggregates — the same shape as exact dedup itself."""
+    docs = Catalog(sf_dir).load(spark, "documents")
+    norm_text = F.concat_ws(
+        " ",
+        F.filter(
+            F.split(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+                " ",
+            ),
+            lambda t: t != "",
+        ),
+    )
+    fps = docs.select(
+        F.md5(F.col("text")).alias("raw_fp"),
+        F.md5(norm_text).alias("norm_fp"),
+    ).localCheckpoint(eager=False)  # three consumers below, one scan
+    raw_dups = (
+        fps.groupBy("raw_fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("raw_dup_docs"))
+    )
+    norm_dups = (
+        fps.groupBy("norm_fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("norm_dup_docs"))
+    )
+    n_docs = fps.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        n_docs.crossJoin(raw_dups)
+        .crossJoin(norm_dups)
+        .select(
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("raw_dup_docs").cast("bigint").alias("raw_dup_docs"),
+            F.col("norm_dup_docs").cast("bigint").alias("norm_dup_docs"),
+            (F.col("norm_dup_docs") - F.col("raw_dup_docs"))
+            .cast("bigint")
+            .alias("extra_dup_docs"),
+        )
+    )

@@ -57,6 +57,8 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "near_dup_best_keeper",
     "shard_manifest_incremental",
     "eval_ngram_contamination",
+    "quality_drift_psi",
+    "normalized_dup_gain",
     "ivf_twolevel_agreement",
     "bm25_search",
     "semdedup_recall_eval",

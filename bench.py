@@ -153,6 +153,8 @@ def main() -> None:
         "shard_manifest_incremental",
         "knn_ivfpq_residual_topk",
         "eval_ngram_contamination",
+        "quality_drift_psi",
+        "normalized_dup_gain",
     ]
     line = json.dumps(
         {
