@@ -105,6 +105,15 @@ HEADLINERS = [
     ("curated_shard_manifest", "curate -> shard last mile: the verdict "
      "joins stay id-keyed, the kept-set join is one id equi-join, and "
      "everything collapses to the bounded N_SHARDS-row aggregate"),
+    ("knn_ivfpq_residual_topk", "residual IVF-PQ: the checkpointed "
+     "assign+residual pass feeds training and encode once; ADC scoring "
+     "is pure JVM lookups over the broadcast per-query LUTs plus the "
+     "precomputed centroid/codeword tables riding the same frame; only "
+     "the shortlist touches full vectors"),
+    ("eval_ngram_contamination", "benchmark decontamination: train "
+     "grams explode map-side and semi-join the BROADCAST eval gram set "
+     "before any aggregation — the train corpus (the 100 TB side) "
+     "never shuffles"),
 ]
 
 
