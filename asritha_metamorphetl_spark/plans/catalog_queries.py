@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from asritha_metamorphetl_spark.session import scratch_dir
 from asritha_metamorphetl_spark.pipelines import customer_sales_report as _csr
 from asritha_metamorphetl_spark.pipelines import product_performance as _pp
 from asritha_metamorphetl_spark.pipelines import supplier_performance as _sp
@@ -54,7 +55,6 @@ def legacy_day_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime as dt
     import os
     import shutil
-    import tempfile
 
     from asritha_metamorphetl_spark.pipelines.ingestion import (
         Warehouse,
@@ -67,8 +67,7 @@ def legacy_day_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Deterministic scratch root, rebuilt per run (append would otherwise
     # accumulate across invocations); keyed by sf_dir so scale factors
     # don't collide.
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    root = os.path.join(tempfile.gettempdir(), "ametl_legacy_prune", tag)
+    root = scratch_dir(spark, "legacy_prune", sf_dir)
     shutil.rmtree(root, ignore_errors=True)
     wh = Warehouse(root)
     for i, day in enumerate(
@@ -276,7 +275,6 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness-gated capability (sources/manifest.py)."""
     import os
     import shutil
-    import tempfile
 
     from asritha_metamorphetl_spark.sources.manifest import SnapshotTable
 
@@ -285,8 +283,7 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    root = os.path.join(tempfile.gettempdir(), "ametl_snapshot_tbl", tag)
+    root = scratch_dir(spark, "snapshot_tbl", sf_dir)
     shutil.rmtree(root, ignore_errors=True)
     t = SnapshotTable(spark, root)
     t.commit(base.filter(F.col("o_orderkey") % 2 == 0))
@@ -463,12 +460,10 @@ def cdc_bucketed_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_bucketed.py."""
     import os
     import shutil
-    import tempfile
 
     from asritha_metamorphetl_spark.sources.bucketed import BucketedCdcTable
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    root = os.path.join(tempfile.gettempdir(), "ametl_bucketed_tbl", tag)
+    root = scratch_dir(spark, "bucketed_tbl", sf_dir)
     shutil.rmtree(root, ignore_errors=True)
     t = BucketedCdcTable(spark, root, keys=["o_orderkey"], n_buckets=16)
     for b in _seq_band_batches(_orders_changelog(spark, sf_dir)):
@@ -509,7 +504,6 @@ def cdc_bucketed_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     without rescanning it."""
     import os
     import shutil
-    import tempfile
 
     from asritha_metamorphetl_spark.operators.cdc import (
         cdc_live,
@@ -517,8 +511,7 @@ def cdc_bucketed_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from asritha_metamorphetl_spark.sources.bucketed import BucketedCdcTable
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    root = os.path.join(tempfile.gettempdir(), "ametl_bucketed_feed", tag)
+    root = scratch_dir(spark, "bucketed_feed", sf_dir)
     shutil.rmtree(root, ignore_errors=True)
     t = BucketedCdcTable(spark, root, keys=["o_orderkey"], n_buckets=16)
     versions = [
@@ -707,4 +700,83 @@ def cdc_orders_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
         F.sum("o_custkey").alias("cust_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map data skipping: manifest-level file pruning by per-file min/max
+# statistics (sources/manifest.py read_skipping) — the Delta/Iceberg
+# data-skipping core. The layout is deterministic (one commit per order
+# year, each repartitioned to exactly ZONEMAP_FILES_PER_COMMIT files), so
+# the pruning evidence the result carries — files_total / files_read —
+# is a fixed pair of literals the oracle states outright: a scan that
+# fails to skip the six non-matching years breaks the hash, not just a
+# perf expectation.
+# ---------------------------------------------------------------------------
+
+#: One commit per order year of THIS fixture's date range (the driver
+#: testdata shifts TPC-H dates to 1995-01-01..2001-08-01 — pinned by
+#: test_registry_oracle); files per commit pinned by an explicit hash
+#: repartition (coalesce would inherit the scan's partitioning — one
+#: tiny file at small SFs — and make the file counts SF-dependent).
+ZONEMAP_YEARS = (1995, 1996, 1997, 1998, 1999, 2000, 2001)
+ZONEMAP_FILES_PER_COMMIT = 2
+
+
+@register(
+    "zonemap_pruned_scan",
+    oracle=f"""
+SELECT CAST(month(o_orderdate) AS INT) AS month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+       {len(ZONEMAP_YEARS) * ZONEMAP_FILES_PER_COMMIT} AS files_total,
+       {ZONEMAP_FILES_PER_COMMIT} AS files_read
+FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+GROUP BY month(o_orderdate)
+""",
+)
+def zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly 1996 revenue off a zone-mapped snapshot table: seven
+    year-sliced commits with per-file o_orderdate min/max recorded in
+    the manifest, then a read that prunes every file whose zone misses
+    the predicate BEFORE Spark lists or schedules it. The aggregate must
+    equal the full-table oracle (skipping is an optimization, never a
+    filter) AND the carried file counts must equal the oracle's
+    literals — 2 of 14 files read — so losing the pruning (or the
+    stats) is a hash mismatch. At 100 TB the skipping decision is
+    O(files) driver-side metadata against a manifest; the six excluded
+    years' files cost zero tasks."""
+    import datetime as dt
+    import shutil
+
+    from asritha_metamorphetl_spark.sources.manifest import SnapshotTable
+
+    orders = Catalog(sf_dir).load(spark, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    root = scratch_dir(spark, "zonemap_tbl", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    t = SnapshotTable(spark, root)
+    for y in ZONEMAP_YEARS:
+        t.commit(
+            orders.filter(F.year("o_orderdate") == y).repartition(
+                ZONEMAP_FILES_PER_COMMIT, "o_orderkey"
+            ),
+            stats_cols=["o_orderdate"],
+        )
+    pruned, report = t.read_skipping(
+        [("o_orderdate", dt.datetime(1996, 1, 1), dt.datetime(1996, 12, 31))]
+    )
+    return (
+        pruned.groupBy(F.month("o_orderdate").cast("int").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .withColumn("files_total", F.lit(report["files_total"]))
+        .withColumn("files_read", F.lit(report["files_read"]))
     )

@@ -28,6 +28,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from asritha_metamorphetl_spark.session import scratch_dir
 from asritha_metamorphetl_spark.functions.numeric import exact_sum
 from asritha_metamorphetl_spark.plans.registry import register
 from asritha_metamorphetl_spark.sources.files import Catalog
@@ -351,7 +352,6 @@ def streaming_bucketed_cdc_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     math) under a CORRECTNESS row."""
     import os
     import shutil
-    import tempfile
 
     from asritha_metamorphetl_spark.operators.cdc import cdc_live
     from asritha_metamorphetl_spark.plans.catalog_queries import (
@@ -363,8 +363,7 @@ def streaming_bucketed_cdc_parity(spark: SparkSession, sf_dir: str) -> DataFrame
         cdc_upsert_stream_bucketed,
     )
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    root = os.path.join(tempfile.gettempdir(), "ametl_stream_bucketed", tag)
+    root = scratch_dir(spark, "stream_bucketed", sf_dir)
     shutil.rmtree(root, ignore_errors=True)
     src = os.path.join(root, "changelog")
     # materialize the 5-branch changelog ONCE (the three band writes
@@ -446,7 +445,6 @@ def streaming_ingest_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     the batch join math) under a CORRECTNESS row."""
     import os
     import shutil
-    import tempfile
 
     from asritha_metamorphetl_spark.operators.dedup import lsh_banded
     from asritha_metamorphetl_spark.operators.sampling import hash_bucket
@@ -462,8 +460,7 @@ def streaming_ingest_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     # ~1.5 s at sf0.1)
     delta = docs.filter(bucket >= 8)
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    root = os.path.join(tempfile.gettempdir(), "ametl_stream_dedup", tag)
+    root = scratch_dir(spark, "stream_dedup", sf_dir)
     shutil.rmtree(root, ignore_errors=True)
     band_dir = os.path.join(root, "bands")
     pairs_dir = os.path.join(root, "pairs")

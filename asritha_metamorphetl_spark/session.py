@@ -115,3 +115,23 @@ def get_session() -> SparkSession:
     if active is not None:
         return active
     return create_session(master="local[*]")
+
+
+def scratch_dir(spark: SparkSession, label: str, sf_dir: str) -> str:
+    """A session-unique scratch root for a query's on-disk artifacts.
+
+    ``<tmp>/ametl_<label>/<sf_tag>-<applicationId>``: keyed by scale
+    factor so re-runs within one session reuse (and rmtree) the same
+    path, and by ``applicationId`` so two concurrent sessions running
+    the same sf can never clobber each other's artifacts mid-query.
+    Callers own cleanup (they ``rmtree`` at entry for idempotence).
+    """
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"ametl_{label}",
+        f"{tag}-{spark.sparkContext.applicationId}",
+    )

@@ -33,10 +33,31 @@ directories exactly as it would over a raw path.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _stat_json(v):
+    """A JSON-storable, order-preserving image of a column statistic.
+
+    Dates/timestamps become ISO strings (lexicographic order == temporal
+    order), ints/floats/strings pass through. Anything else is refused —
+    zone maps only make sense for totally-ordered scalar types."""
+    if v is None:
+        return None
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, bool) or not isinstance(v, (int, float, str)):
+        raise TypeError(
+            f"zone-map stats need an orderable scalar type, got {type(v)}"
+        )
+    return v
 
 
 class SnapshotTable:
@@ -141,31 +162,154 @@ class SnapshotTable:
 
     # -- public API --------------------------------------------------------
 
-    def commit(self, df: DataFrame, mode: str = "append") -> int:
+    def commit(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        stats_cols: list[str] | None = None,
+    ) -> int:
         """Write ``df`` as a new data directory and publish the next
         version. ``append`` keeps prior directories in the new manifest;
         ``overwrite`` starts the file list fresh (logical replace — old
-        snapshots stay readable until vacuumed)."""
+        snapshots stay readable until vacuumed).
+
+        ``stats_cols`` opts this commit into zone maps: per-FILE min/max
+        of the named columns are computed in one distributed pass over
+        the just-written directory (``input_file_name`` group-by — the
+        stats job scales out with executors, O(delta) work, and the
+        driver holds only O(files) rows) and stored in the manifest.
+        ``read_skipping`` then prunes whole files against a predicate
+        BEFORE Spark ever lists or schedules them — the Delta/Iceberg
+        data-skipping core. Append commits carry prior stats forward;
+        files committed without stats are simply never skipped."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown commit mode {mode!r}")
         prior = self.versions()
         version = (prior[-1] + 1) if prior else 1
         data_dir = f"{self.root}/data/commit-{version:05d}-{uuid.uuid4().hex[:8]}"
         df.write.mode("error").parquet(data_dir)
-        dirs = [] if mode == "overwrite" or not prior else list(
-            self._read_manifest(prior[-1])["data_dirs"]
-        )
+        if mode == "overwrite" or not prior:
+            dirs, file_stats = [], {}
+        else:
+            prev = self._read_manifest(prior[-1])
+            dirs = list(prev["data_dirs"])
+            file_stats = dict(prev.get("file_stats", {}))
         dirs.append(data_dir)
+        if stats_cols:
+            aggs = []
+            for c in stats_cols:
+                aggs.append(F.min(c).alias(f"__mn_{c}"))
+                aggs.append(F.max(c).alias(f"__mx_{c}"))
+            rows = (
+                self.spark.read.parquet(data_dir)
+                .groupBy(F.input_file_name().alias("__file"))
+                .agg(*aggs)
+                .collect()
+            )
+            for r in rows:
+                file_stats[self._norm_file(r["__file"])] = {
+                    c: [
+                        _stat_json(r[f"__mn_{c}"]),
+                        _stat_json(r[f"__mx_{c}"]),
+                    ]
+                    for c in stats_cols
+                }
         self._write_manifest(
             version,
             {
                 "version": version,
                 "mode": mode,
                 "data_dirs": dirs,
+                "file_stats": file_stats,
                 "schema": df.schema.jsonValue(),
             },
         )
         return version
+
+    def _norm_file(self, uri: str) -> str:
+        """Scheme-insensitive file key: ``input_file_name`` URIs
+        (file:///a/b) and Hadoop listStatus paths (file:/a/b) must land
+        on the same stats entry."""
+        return self._Path(uri).toUri().getPath()
+
+    def read_skipping(
+        self,
+        predicates: list[tuple],
+        version: int | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """Zone-map scan: read only the files whose recorded min/max
+        overlap every ``(col, lo, hi)`` closed interval (ANDed), with
+        the predicate re-applied to the surviving rows. Files without
+        stats for a predicate column are always read (skipping is an
+        optimization, never a filter), so the result equals
+        ``read(version).filter(...)`` by construction.
+
+        Returns ``(df, report)`` where report carries
+        ``files_total / files_read / files_skipped`` — the evidence a
+        caller turns into a driver-checked pruning bound. At 100 TB this
+        is the difference between scheduling a million tasks and
+        scheduling the handful whose zones overlap the predicate; the
+        decision is O(files) driver-side metadata, no data touched."""
+        versions = self.versions()
+        if not versions:
+            raise FileNotFoundError(f"no commits under {self.root}")
+        v = versions[-1] if version is None else version
+        manifest = self._read_manifest(v)
+        stats = {
+            k: val for k, val in manifest.get("file_stats", {}).items()
+        }
+        bounds = [
+            (c, _stat_json(lo), _stat_json(hi)) for c, lo, hi in predicates
+        ]
+        selected, total = [], 0
+        for d in manifest["data_dirs"]:
+            for st in self._fs.listStatus(self._Path(d)):
+                p = st.getPath()
+                if not p.getName().endswith(".parquet"):
+                    continue
+                total += 1
+                fstats = stats.get(self._norm_file(p.toString()))
+                keep = True
+                if fstats:
+                    for c, lo, hi in bounds:
+                        mnmx = fstats.get(c)
+                        if mnmx is None:
+                            continue
+                        mn, mx = mnmx
+                        if mn is None or mx is None:
+                            continue  # all-NULL file: between() drops it
+                        if mx < lo or mn > hi:
+                            keep = False
+                            break
+                if keep:
+                    selected.append(p.toString())
+        report = {
+            "files_total": total,
+            "files_read": len(selected),
+            "files_skipped": total - len(selected),
+        }
+        if not selected:
+            from pyspark.sql.types import StructType
+
+            df = self.spark.createDataFrame(
+                [], StructType.fromJson(manifest["schema"])
+            )
+        else:
+            df = self.spark.read.option("mergeSchema", "true").parquet(
+                *selected
+            )
+        # Residual filter: literals are cast to the column's OWN dtype so
+        # naive-datetime bounds compare cleanly against timestamp_ntz
+        # columns (a plain lit(datetime) is TIMESTAMP and would make the
+        # comparison session-timezone-dependent).
+        dtypes = dict(df.dtypes)
+        for c, lo, hi in predicates:
+            df = df.filter(
+                F.col(c).between(
+                    F.lit(lo).cast(dtypes[c]), F.lit(hi).cast(dtypes[c])
+                )
+            )
+        return df, report
 
     def read(self, version: int | None = None) -> DataFrame:
         """The snapshot as of ``version`` (latest when omitted). Reads

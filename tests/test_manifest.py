@@ -126,3 +126,93 @@ def test_prune_manifests_retention(spark, tmp_path):
     assert t.read().count() == 15  # latest still reads all appended dirs
     with pytest.raises(ValueError, match="keep_last"):
         t.prune_manifests(keep_last=0)
+
+
+# ---------------------------------------------------------------------------
+# Zone-map data skipping (commit stats_cols + read_skipping)
+# ---------------------------------------------------------------------------
+
+
+def _zoned(spark, lo, hi):
+    # one partition -> one file whose k-zone is exactly [lo, hi)
+    return spark.createDataFrame(
+        [Row(k=i, v=i * 10) for i in range(lo, hi)]
+    ).coalesce(1)
+
+
+def test_skipping_prunes_nonoverlapping_files(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    for lo in (0, 100, 200, 300):
+        t.commit(_zoned(spark, lo, lo + 100), stats_cols=["k"])
+    df, rep = t.read_skipping([("k", 120, 180)])
+    assert rep == {"files_total": 4, "files_read": 1, "files_skipped": 3}
+    assert sorted(r.k for r in df.collect()) == list(range(120, 181))
+
+
+def test_skipping_equals_plain_filtered_read(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    for lo in (0, 100, 200):
+        t.commit(_zoned(spark, lo, lo + 100), stats_cols=["k"])
+    df, _ = t.read_skipping([("k", 50, 250)])
+    want = sorted(r.k for r in t.read().filter("k BETWEEN 50 AND 250").collect())
+    assert sorted(r.k for r in df.collect()) == want
+
+
+def test_skipping_bounds_are_closed_intervals(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(_zoned(spark, 0, 10), stats_cols=["k"])
+    t.commit(_zoned(spark, 10, 20), stats_cols=["k"])
+    # hi == file min of the second file: zone [10,19] overlaps [5,10]
+    df, rep = t.read_skipping([("k", 5, 10)])
+    assert rep["files_read"] == 2
+    assert sorted(r.k for r in df.collect()) == list(range(5, 11))
+
+
+def test_files_without_stats_are_never_skipped(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(_zoned(spark, 0, 100))  # no stats recorded
+    t.commit(_zoned(spark, 100, 200), stats_cols=["k"])
+    df, rep = t.read_skipping([("k", 150, 160)])
+    # the stats-less file must be read (and filtered), the zoned one pruned
+    # only when non-overlapping — here it overlaps, so both are read
+    assert rep == {"files_total": 2, "files_read": 2, "files_skipped": 0}
+    df2, rep2 = t.read_skipping([("k", 10, 20)])
+    assert rep2 == {"files_total": 2, "files_read": 1, "files_skipped": 1}
+    assert sorted(r.k for r in df2.collect()) == list(range(10, 21))
+
+
+def test_skipping_stats_carry_forward_and_reset_on_overwrite(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(_zoned(spark, 0, 100), stats_cols=["k"])
+    t.commit(_zoned(spark, 100, 200), stats_cols=["k"])
+    assert len(t._read_manifest(2)["file_stats"]) == 2  # carried forward
+    t.commit(_zoned(spark, 500, 600), mode="overwrite", stats_cols=["k"])
+    assert len(t._read_manifest(3)["file_stats"]) == 1  # reset with the list
+    df, rep = t.read_skipping([("k", 0, 50)])
+    assert rep["files_read"] == 0 and df.count() == 0
+
+
+def test_skipping_empty_selection_keeps_schema(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(_zoned(spark, 0, 10), stats_cols=["k"])
+    df, rep = t.read_skipping([("k", 900, 999)])
+    assert rep["files_read"] == 0
+    assert df.columns == ["k", "v"] and df.count() == 0
+
+
+def test_skipping_date_zones(spark, tmp_path):
+    import datetime as dt
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    for m in (1, 2, 3):
+        t.commit(
+            spark.createDataFrame(
+                [Row(d=dt.date(2025, m, day), v=day) for day in (1, 10, 20)]
+            ).coalesce(1),
+            stats_cols=["d"],
+        )
+    df, rep = t.read_skipping(
+        [("d", dt.date(2025, 2, 1), dt.date(2025, 2, 28))]
+    )
+    assert rep == {"files_total": 3, "files_read": 1, "files_skipped": 2}
+    assert sorted(r.d.month for r in df.collect()) == [2, 2, 2]
