@@ -945,3 +945,83 @@ def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pb, 6).alias("p_b"),
         F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted importance sampling: keep each document with
+# probability equal to its LEARNED quality score, made deterministic by
+# comparing the score against a content-hash uniform variate instead of
+# an RNG — the same decision for a given document on every run, every
+# engine, every cluster size (the DCLM-style soft quality filter, but
+# reproducible and oracle-checkable). Hard thresholding (kept = score
+# >= 0.5) throws away the entire mid-quality mass; soft sampling keeps
+# it in proportion, which is what a data-constrained pretraining mix
+# actually wants.
+# ---------------------------------------------------------------------------
+
+#: Salt for the per-document uniform variate — decorrelates the keep
+#: decision from every other doc_id-hash use (splits, shard routing).
+IMPORTANCE_SALT = "imp:"
+#: Resolution of the hash-uniform variate (u = h % 1e6 / 1e6).
+IMPORTANCE_RES = 1_000_000
+
+
+@register(
+    "quality_importance_sample",
+    oracle=f"""
+WITH qscored AS ({QUALITY_LOGIT_ORACLE}),
+samp AS (
+    SELECT q.doc_id, d.source, q.score,
+           ({_hex48_sql(f"md5('{IMPORTANCE_SALT}' || CAST(q.doc_id AS VARCHAR))")}
+            % {IMPORTANCE_RES}) / {IMPORTANCE_RES}.0 AS u,
+           len(list_filter(string_split(d.text, ' '), x -> x != ''))
+               AS toks
+    FROM qscored q JOIN documents d ON q.doc_id = d.doc_id
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN u < score THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(SUM(CASE WHEN u < score THEN toks ELSE 0 END) AS BIGINT)
+           AS kept_tokens,
+       ROUND(SUM(CASE WHEN u < score THEN score ELSE 0 END), 6)
+           AS kept_score_mass
+FROM samp
+GROUP BY source
+""",
+)
+def quality_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft quality filter: P(keep) = quality score, decided by
+    ``hash48(salt || doc_id) % 1e6 / 1e6 < score``. The score side is
+    the registered quality_logit_scores frame (row-local features + one
+    broadcast weights join); the variate is one more row-local hash —
+    the whole sample is a full scan with zero added shuffles beyond the
+    final O(sources) rollup, and re-running it anywhere reproduces the
+    identical kept set. The score is rounded (6 dp) before the
+    comparison and the variate is an exact millionth, so the keep
+    boundary is engine-stable."""
+    from asritha_metamorphetl_spark.functions.hashing import shingle_hash
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    scored = quality_logit_scores(spark, sf_dir).select("doc_id", "score")
+    u = (
+        shingle_hash(
+            F.concat(F.lit(IMPORTANCE_SALT), F.col("doc_id").cast("string"))
+        )
+        % IMPORTANCE_RES
+    ) / F.lit(float(IMPORTANCE_RES))
+    samp = (
+        docs.select("doc_id", "source", T.token_count(F.col("text")).alias("toks"))
+        .join(scored, "doc_id")
+        .withColumn("u", u)
+    )
+    kept = F.col("u") < F.col("score")
+    return samp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept, F.col("toks")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+        F.round(F.sum(F.when(kept, F.col("score")).otherwise(0.0)), 6)
+        .alias("kept_score_mass"),
+    )

@@ -588,3 +588,116 @@ def normalized_dup_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("extra_dup_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-free splits: train/val/test routing at CLUSTER granularity.
+# corpus_splits hashes each doc_id independently, which is exactly how
+# benchmark leakage happens — two near-duplicate documents hash to
+# different splits and the eval set contains a paraphrase of a training
+# document. Routing by the near-dup CLUSTER id (min doc of the MinHash
+# component; singletons are their own cluster) makes cross-split leakage
+# structurally impossible — and the query still COMPUTES the cross-split
+# pair count so the guarantee is a driver-checked zero, not an assertion
+# in prose. The oracle re-derives the clusters as a recursive transitive
+# closure (dup_clusters' independent algorithm), then routes and counts
+# leaks the same way.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "leakage_free_splits",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({MINHASH_PAIRS_ORACLE}),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+assign AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+routed AS (
+    SELECT d.doc_id,
+           COALESCE(a.cluster_id, d.doc_id) AS cluster_id,
+           {_hex48_sql("md5(CAST(COALESCE(a.cluster_id, d.doc_id) AS VARCHAR))")}
+               % 10 AS bucket
+    FROM documents d LEFT JOIN assign a ON d.doc_id = a.doc_id
+),
+labeled AS (
+    SELECT doc_id, cluster_id,
+           CASE WHEN bucket <= 7 THEN 'train'
+                WHEN bucket = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM routed
+),
+leaks AS (
+    SELECT COUNT(*) AS leaked_pairs
+    FROM pairs p
+    JOIN labeled la ON p.doc_a = la.doc_id
+    JOIN labeled lb ON p.doc_b = lb.doc_id
+    WHERE la.split <> lb.split
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT cluster_id) AS n_clusters,
+       (SELECT CAST(leaked_pairs AS BIGINT) FROM leaks) AS leaked_pairs
+FROM labeled
+GROUP BY split
+""",
+)
+def leakage_free_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware 80/10/10 splits: near-dup closure (MinHash pairs →
+    min-label connected components), singletons self-clustered, the
+    SPLIT hash taken over the cluster id so every member of a component
+    lands in the same split. The leak count is recomputed from the pair
+    list (two id-equi-joins against the assignment) rather than trusted
+    — the oracle must agree it is zero.
+
+    Scale shape: the component closure is the audited dup_clusters
+    machinery (one shuffle join per round, rounds ~ log(diameter));
+    routing is a row-local hash over O(corpus) rows; the leak audit
+    joins the O(pairs) frame to the assignment by id twice. Nothing is
+    pair-quadratic; no window spans the corpus."""
+    from asritha_metamorphetl_spark.functions.hashing import shingle_hash
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "text", "doc_id")
+    labels = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    assigned = (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    )
+    bucket = shingle_hash(F.col("cluster_id").cast("string")) % 10
+    labeled = assigned.withColumn(
+        "split",
+        F.when(bucket <= 7, "train").when(bucket == 8, "val").otherwise("test"),
+    )
+    leaks = (
+        pairs.join(
+            labeled.select(F.col("doc_id").alias("doc_a"),
+                           F.col("split").alias("split_a")),
+            "doc_a",
+        )
+        .join(
+            labeled.select(F.col("doc_id").alias("doc_b"),
+                           F.col("split").alias("split_b")),
+            "doc_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("leaked_pairs"))
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leaks))
+    )

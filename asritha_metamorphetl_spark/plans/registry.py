@@ -59,6 +59,9 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "eval_ngram_contamination",
     "quality_drift_psi",
     "normalized_dup_gain",
+    "zonemap_pruned_scan",
+    "leakage_free_splits",
+    "quality_importance_sample",
     "ivf_twolevel_agreement",
     "bm25_search",
     "semdedup_recall_eval",

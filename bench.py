@@ -155,6 +155,9 @@ def main() -> None:
         "eval_ngram_contamination",
         "quality_drift_psi",
         "normalized_dup_gain",
+        "zonemap_pruned_scan",
+        "leakage_free_splits",
+        "quality_importance_sample",
     ]
     line = json.dumps(
         {

@@ -509,3 +509,31 @@ def test_bm25_postings_semi_join_before_tf_agg(spark):
     # corpus exactly once, at materialization)
     assert plan.count("Scan parquet") == 0
     assert "Scan ExistingRDD" in plan
+
+
+def test_leakage_free_splits_audit_joins_by_id_no_cartesian(spark):
+    """The leak audit joins the O(pairs) frame to the split assignment
+    by doc id TWICE — both must be equi-joins; the only nested-loop
+    join allowed is the single-row leak-count attach (broadcast of one
+    aggregated row). A pair-granularity cartesian would be quadratic in
+    the corpus."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["leakage_free_splits"](spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan
+    # exactly one nested-loop join: the 1-row leaks crossJoin
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_quality_importance_sample_is_row_local_plus_broadcast(spark):
+    """The keep decision is a row-local hash compare — the plan must
+    show no window over the corpus and no nested-loop join; the only
+    small side met is the broadcast per-language weights table inside
+    the inherited quality-score fragment."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["quality_importance_sample"](spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan  # no corpus-wide window anywhere
+    assert "BroadcastHashJoin" in plan  # weights join stays broadcast

@@ -114,6 +114,18 @@ HEADLINERS = [
      "grams explode map-side and semi-join the BROADCAST eval gram set "
      "before any aggregation — the train corpus (the 100 TB side) "
      "never shuffles"),
+    ("zonemap_pruned_scan", "manifest zone-map skipping: the parquet "
+     "scan's file list is pruned driver-side against per-file min/max "
+     "BEFORE planning — the plan's scan holds only the 2 surviving "
+     "files of 14; the six excluded years cost zero tasks"),
+    ("leakage_free_splits", "cluster-granular splits: component closure "
+     "is the audited min-label propagation, routing a row-local hash of "
+     "the cluster id, and the leak audit two id equi-joins over the "
+     "O(pairs) frame — nothing pair-quadratic, no corpus-wide window"),
+    ("quality_importance_sample", "soft quality sampling: P(keep) = "
+     "score vs a content-hash uniform variate — row-local decisions, "
+     "one broadcast weights join inherited from the score fragment, "
+     "one O(sources) rollup; reproducible with zero RNG state"),
 ]
 
 

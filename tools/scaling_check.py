@@ -47,6 +47,13 @@ QUERIES = [
     ("heavy_hitter_tokens", "MG candidates (map-only) + exact recount"),
     ("hybrid_search_rrf", "BM25 + dense rankers, rank-only fusion"),
     ("curated_shard_manifest", "curation verdict -> shard manifest"),
+    ("knn_ivfpq_residual_topk", "residual IVF-PQ (assign+residual checkpoint)"),
+    ("eval_ngram_contamination", "train-gram explode + broadcast eval semi-join"),
+    ("quality_drift_psi", "two-scan PSI over broadcast bin edges"),
+    ("normalized_dup_gain", "normalization-aware MinHash audit (two passes)"),
+    ("zonemap_pruned_scan", "manifest zone-map file skipping (2 of 14 files)"),
+    ("leakage_free_splits", "cluster-routed splits + cross-split leak audit"),
+    ("quality_importance_sample", "hash-variate soft quality sampling"),
 ]
 
 RUNS = 2  # take the best of N to damp container noise
