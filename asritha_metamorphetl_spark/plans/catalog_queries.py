@@ -780,3 +780,106 @@ def zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("files_total", F.lit(report["files_total"]))
         .withColumn("files_read", F.lit(report["files_read"]))
     )
+
+
+# ---------------------------------------------------------------------------
+# Clustering × zone maps: the skipping payoff of a clustered layout,
+# measured as a driver-checked literal. The SAME rows committed two
+# ways — half-year range-clustered (one file per period) vs hashed on
+# the key (every file spans the full date range) — then read through
+# the identical zone-mapped path with the identical predicate. The
+# clustered layout prunes 12 of 14 files; the scattered one can prune
+# NOTHING (every zone overlaps every date predicate), which is the
+# entire reason Z-order/range clustering exists at 100 TB: zone maps
+# are only as good as the physical layout is correlated with the
+# predicate columns. Both layouts must produce the identical aggregate
+# (skipping is never a filter) and both file counts are oracle literals.
+# ---------------------------------------------------------------------------
+
+#: Half-year slices of the fixture's 1995-01-01..2001-08-01 order range
+#: (all 14 nonempty at every shipped SF — verified 0.001/0.01/0.1).
+CLUSTER_GAIN_PERIODS = 14
+#: Periods overlapping the 1996 predicate (1996H1, 1996H2).
+CLUSTER_GAIN_HIT_FILES = 2
+
+
+@register(
+    "clustered_skipping_gain",
+    oracle=f"""
+WITH agg AS (
+    SELECT COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                          AND TIMESTAMP '1996-12-31'
+)
+SELECT 'clustered' AS layout,
+       {CLUSTER_GAIN_PERIODS} AS files_total,
+       {CLUSTER_GAIN_HIT_FILES} AS files_read,
+       n_orders, revenue_cents
+FROM agg
+UNION ALL
+SELECT 'scattered', {CLUSTER_GAIN_PERIODS}, {CLUSTER_GAIN_PERIODS},
+       n_orders, revenue_cents
+FROM agg
+""",
+)
+def clustered_skipping_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same data, two layouts, one zone-mapped read path: half-year
+    range-clustered commits (each period's rows contiguous in exactly
+    one file, so every file's o_orderdate zone is tight) versus a
+    single commit hash-partitioned on o_orderkey (every file's zone
+    spans the whole seven years). The 1996 predicate then reads 2 of 14
+    clustered files and all 14 scattered ones — both counts pinned as
+    oracle literals, both aggregates required identical. The layout is
+    fully deterministic: period membership is an exact date expression
+    and each clustered commit repartitions to exactly one file (hash
+    layout to exactly {CLUSTER_GAIN_PERIODS}), so the file counts never
+    depend on scan parallelism or SF."""
+    import datetime as dt
+    import shutil
+
+    from asritha_metamorphetl_spark.sources.manifest import SnapshotTable
+
+    orders = Catalog(sf_dir).load(spark, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    halfyear = (F.year("o_orderdate") - F.lit(1995)) * 2 + (
+        F.month("o_orderdate") >= 7
+    ).cast("int")
+    root = scratch_dir(spark, "cluster_gain", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    clustered = SnapshotTable(spark, f"{root}/clustered")
+    for p in range(CLUSTER_GAIN_PERIODS):
+        clustered.commit(
+            orders.filter(halfyear == p).repartition(1),
+            stats_cols=["o_orderdate"],
+        )
+    scattered = SnapshotTable(spark, f"{root}/scattered")
+    scattered.commit(
+        orders.repartition(CLUSTER_GAIN_PERIODS, "o_orderkey"),
+        stats_cols=["o_orderdate"],
+    )
+    bounds = [
+        ("o_orderdate", dt.datetime(1996, 1, 1), dt.datetime(1996, 12, 31))
+    ]
+    parts = []
+    for layout, table in (("clustered", clustered), ("scattered", scattered)):
+        df, rep = table.read_skipping(bounds)
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("cents").alias("revenue_cents"),
+            )
+            .withColumn("layout", F.lit(layout))
+            .withColumn("files_total", F.lit(rep["files_total"]))
+            .withColumn("files_read", F.lit(rep["files_read"]))
+            .select(
+                "layout", "files_total", "files_read", "n_orders",
+                "revenue_cents",
+            )
+        )
+    return parts[0].unionByName(parts[1])

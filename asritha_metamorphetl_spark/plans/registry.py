@@ -60,6 +60,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "quality_drift_psi",
     "normalized_dup_gain",
     "zonemap_pruned_scan",
+    "clustered_skipping_gain",
     "leakage_free_splits",
     "quality_importance_sample",
     "ivf_twolevel_agreement",

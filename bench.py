@@ -156,6 +156,7 @@ def main() -> None:
         "quality_drift_psi",
         "normalized_dup_gain",
         "zonemap_pruned_scan",
+        "clustered_skipping_gain",
         "leakage_free_splits",
         "quality_importance_sample",
     ]

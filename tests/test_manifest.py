@@ -216,3 +216,17 @@ def test_skipping_date_zones(spark, tmp_path):
     )
     assert rep == {"files_total": 3, "files_read": 1, "files_skipped": 2}
     assert sorted(r.d.month for r in df.collect()) == [2, 2, 2]
+
+
+def test_skipping_scheduling_reads_only_surviving_files(spark, tmp_path):
+    """The pruned DataFrame's input split list holds ONLY the surviving
+    files — skipping happens before Spark lists or schedules anything,
+    not as a post-scan filter."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    for lo in (0, 100, 200, 300):
+        t.commit(_zoned(spark, lo, lo + 100), stats_cols=["k"])
+    df, rep = t.read_skipping([("k", 120, 180)])
+    assert rep["files_read"] == 1
+    assert len(df.inputFiles()) == 1
+    full = t.read()
+    assert len(full.inputFiles()) == 4

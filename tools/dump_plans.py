@@ -118,6 +118,11 @@ HEADLINERS = [
      "scan's file list is pruned driver-side against per-file min/max "
      "BEFORE planning — the plan's scan holds only the 2 surviving "
      "files of 14; the six excluded years cost zero tasks"),
+    ("clustered_skipping_gain", "layout x zone maps: identical rows, "
+     "identical read path — the range-clustered layout reads 2 of 14 "
+     "files, the hash layout all 14, both counts oracle literals; the "
+     "pruning a 100 TB scan gets is exactly as good as the physical "
+     "layout's correlation with the predicate"),
     ("leakage_free_splits", "cluster-granular splits: component closure "
      "is the audited min-label propagation, routing a row-local hash of "
      "the cluster id, and the leak audit two id equi-joins over the "

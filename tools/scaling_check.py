@@ -52,6 +52,7 @@ QUERIES = [
     ("quality_drift_psi", "two-scan PSI over broadcast bin edges"),
     ("normalized_dup_gain", "normalization-aware MinHash audit (two passes)"),
     ("zonemap_pruned_scan", "manifest zone-map file skipping (2 of 14 files)"),
+    ("clustered_skipping_gain", "range-clustered vs hashed layout skipping"),
     ("leakage_free_splits", "cluster-routed splits + cross-split leak audit"),
     ("quality_importance_sample", "hash-variate soft quality sampling"),
 ]
