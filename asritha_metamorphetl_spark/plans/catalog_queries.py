@@ -883,3 +883,100 @@ def clustered_skipping_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return parts[0].unionByName(parts[1])
+
+
+# ---------------------------------------------------------------------------
+# Declarative MERGE INTO (operators/merge.py): Delta-style conditional
+# upsert in one equi-join pass. The query exercises every clause kind in
+# one statement — conditional DELETE, conditional UPDATE with a
+# fall-through (matched rows failing both conditions stay unchanged),
+# conditional INSERT that rejects part of the delta — and the oracle
+# replays the full clause algebra as a FULL OUTER JOIN + first-match
+# CASE, so clause ordering, fall-through, and the reject path are all
+# under the hash.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "merge_into_orders",
+    oracle="""
+WITH t AS (
+    SELECT o_orderkey AS k,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+           o_orderstatus AS st
+    FROM orders WHERE o_orderkey % 4 <> 0
+),
+s AS (
+    SELECT o_orderkey AS k,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) + 500 AS cents,
+           o_orderstatus AS st
+    FROM orders WHERE o_orderkey % 2 = 0
+),
+m AS (
+    SELECT CASE
+             WHEN t.k IS NOT NULL AND s.k IS NOT NULL THEN
+               CASE WHEN t.st = 'F' THEN 'delete'
+                    WHEN s.cents % 2 = 0 THEN 'update'
+                    ELSE 'keep' END
+             WHEN t.k IS NOT NULL THEN 'keep'
+             ELSE CASE WHEN s.st <> 'F' THEN 'insert' ELSE 'drop' END
+           END AS act,
+           t.cents AS t_cents, t.st AS t_st,
+           s.cents AS s_cents, s.st AS s_st
+    FROM t FULL OUTER JOIN s ON t.k = s.k
+)
+SELECT CASE WHEN act = 'insert' THEN s_st ELSE t_st END AS o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN act IN ('update', 'insert') THEN s_cents
+                     ELSE t_cents END) AS BIGINT) AS total_cents
+FROM m
+WHERE act IN ('keep', 'update', 'insert')
+GROUP BY 1
+""",
+)
+def merge_into_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE a deterministic delta (even order keys, repriced +500
+    cents) into a deterministic base (keys not divisible by 4):
+    matched-and-fulfilled rows DELETE, matched rows with an even new
+    price UPDATE, the rest of the matched rows fall through unchanged,
+    and unmatched delta rows INSERT unless fulfilled. One full-outer
+    equi-join moves the base exactly once (AQE broadcasts the delta
+    when it fits); the source-ambiguity guard is a delta-side window
+    riding the same plan. The per-status rollup puts every clause path
+    under the oracle hash."""
+    from asritha_metamorphetl_spark.operators.merge import (
+        WhenMatched,
+        WhenNotMatched,
+        merge_into,
+    )
+
+    orders = Catalog(sf_dir).load(spark, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = orders.filter(F.col("o_orderkey") % 4 != 0).select(
+        "o_orderkey", cents.alias("cents"), "o_orderstatus"
+    )
+    delta = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", (cents + 500).alias("cents"), "o_orderstatus"
+    )
+    merged = merge_into(
+        base,
+        delta,
+        ["o_orderkey"],
+        matched=[
+            WhenMatched(
+                "delete", lambda t, s: t("o_orderstatus") == "F"
+            ),
+            WhenMatched(
+                "update",
+                lambda t, s: s("cents") % 2 == 0,
+                {"cents": lambda t, s: s("cents")},
+            ),
+        ],
+        not_matched=[
+            WhenNotMatched(lambda t, s: s("o_orderstatus") != "F")
+        ],
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("total_cents"),
+    )

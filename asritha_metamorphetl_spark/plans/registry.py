@@ -48,6 +48,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # IVF-PQ composition (new), gathered two-level assignment kernel,
     # single-scan BM25, PQ LUT id-type generalization, unimax budget
     # guard — everything whose code changed this round fronts the window
+    "merge_into_orders",
     "knn_ivfpq_topk",
     "knn_ivfpq_recall_eval",
     "knn_ivfpq_residual_topk",

@@ -537,3 +537,19 @@ def test_quality_importance_sample_is_row_local_plus_broadcast(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan  # no corpus-wide window anywhere
     assert "BroadcastHashJoin" in plan  # weights join stays broadcast
+
+
+def test_merge_into_is_one_equi_join_with_delta_side_window(spark):
+    """MERGE must move the target exactly once: one full-outer
+    SortMergeJoin on the merge keys (the driver hint-free plan at this
+    size), zero cartesians, and the ambiguity guard's window must
+    partition by the SOURCE image of the key — i.e. ride the delta
+    projection, never re-shuffle the target."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["merge_into_orders"](spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("FullOuter") == 1  # exactly one target-moving join
+    # the ambiguity window partitions on the aliased source key image
+    assert "__mrg_s_o_orderkey" in plan.split("FullOuter")[1]

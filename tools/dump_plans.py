@@ -131,6 +131,11 @@ HEADLINERS = [
      "score vs a content-hash uniform variate — row-local decisions, "
      "one broadcast weights join inherited from the score fragment, "
      "one O(sources) rollup; reproducible with zero RNG state"),
+    ("merge_into_orders", "declarative MERGE INTO: all clause algebra "
+     "(conditional delete/update, fall-through keep, rejecting insert) "
+     "compiled into ONE full-outer equi-join — the target moves "
+     "exactly once; the source-ambiguity guard is a delta-side-only "
+     "window riding the source projection, never a target re-shuffle"),
 ]
 
 

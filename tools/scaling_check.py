@@ -55,6 +55,7 @@ QUERIES = [
     ("clustered_skipping_gain", "range-clustered vs hashed layout skipping"),
     ("leakage_free_splits", "cluster-routed splits + cross-split leak audit"),
     ("quality_importance_sample", "hash-variate soft quality sampling"),
+    ("merge_into_orders", "MERGE INTO (one full-outer equi-join)"),
 ]
 
 RUNS = 2  # take the best of N to damp container noise
