@@ -111,3 +111,87 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= threshold)
     )
+
+
+def countmin_sketch(
+    tokens: DataFrame,
+    col: str,
+    depth: int = 3,
+    width: int = 1024,
+    salt: str = "cms:",
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of a token
+    stream as a DataFrame: ``(row, cell, n)`` with ``depth * width``
+    cells at most. Each token lands in one cell per row via an
+    independent content hash; a cell's count is the sum of everything
+    that hashed into it.
+
+    Built as ONE map-side-combining hash aggregate over the exploded
+    (row, cell) keys — at 100 TB the shuffle carries at most
+    ``depth * width`` partial rows per task, never the vocabulary.
+    Where Misra-Gries (``heavy_hitters``) answers "which items are
+    frequent", the sketch answers point queries about ANY item from
+    O(depth * width) state, at the cost of a bounded overestimate
+    (≤ e/width · N with prob 1 − e^−depth per query). Deterministic:
+    the hash functions are salted content hashes, so the same corpus
+    yields the same sketch on any engine.
+    """
+    from asritha_metamorphetl_spark.functions.hashing import shingle_hash
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (
+                    shingle_hash(
+                        F.concat(F.lit(f"{salt}{i}:"), F.col(col))
+                    )
+                    % width
+                ).alias("cell"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        tokens.select(F.explode(rows).alias("rc"))
+        .groupBy(F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def countmin_estimate(
+    items: DataFrame,
+    sketch: DataFrame,
+    col: str,
+    depth: int = 3,
+    width: int = 1024,
+    salt: str = "cms:",
+) -> DataFrame:
+    """Point-query the sketch for each item: the estimate is the MIN
+    over the item's ``depth`` cells. One equi-join of the item→cell
+    rows against the (tiny, broadcastable) sketch plus a per-item min —
+    the corpus itself is never touched again. Adds ``cms_n``."""
+    from asritha_metamorphetl_spark.functions.hashing import shingle_hash
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (
+                    shingle_hash(
+                        F.concat(F.lit(f"{salt}{i}:"), F.col(col))
+                    )
+                    % width
+                ).alias("cell"),
+            )
+            for i in range(depth)
+        ]
+    )
+    cells = items.select(
+        F.col(col), F.explode(rows).alias("rc")
+    ).select(col, "rc.row", "rc.cell")
+    return (
+        cells.join(F.broadcast(sketch), ["row", "cell"])
+        .groupBy(col)
+        .agg(F.min("n").alias("cms_n"))
+    )

@@ -89,3 +89,93 @@ def score_documents(
         F.sum("ppm").alias("sum_ppm"),
         (F.sum("ppm") / F.count(F.lit(1)).cast("double")).alias("avg_ppm"),
     )
+
+
+def doc_skipgrams(
+    docs: DataFrame, text_col: str = "text", window: int = 2
+) -> DataFrame:
+    """Explode each document into (doc_id, w1, w2, dist) skip-gram
+    co-occurrence rows for every distance 1..``window`` — the corpus
+    statistic word2vec/GloVe-style embedding training consumes.
+
+    Same JVM higher-order-function shape as ``doc_bigrams``: each
+    distance is one ``transform(slice(...))`` over the token array, so
+    pair generation happens inside the scan stage with ZERO shuffles —
+    the only exchange a consumer pays is its own aggregate. ``slice``
+    length is clamped to 0 for documents shorter than the distance."""
+    toks = docs.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("t")
+    )
+    per_dist = [
+        F.expr(
+            f"transform(slice(t, 1, greatest(size(t) - {d}, 0)), "
+            f"(w, i) -> struct(w AS w1, t[i + {d}] AS w2, {d} AS dist))"
+        )
+        for d in range(1, window + 1)
+    ]
+    allp = per_dist[0] if window == 1 else F.concat(*per_dist)
+    return (
+        toks.select("doc_id", F.explode(allp).alias("sg"))
+        .select("doc_id", "sg.w1", "sg.w2", "sg.dist")
+    )
+
+
+def cooccurrence_counts(
+    skipgrams: DataFrame, min_count: int = 1
+) -> DataFrame:
+    """(w1, w2, dist, n_pairs) corpus co-occurrence table: one
+    partial-agg hash aggregate over the skip-gram rows (map-side
+    combine does the heavy lifting — frequent pairs collapse before
+    the shuffle), thresholded to drop the long noise tail."""
+    counts = skipgrams.groupBy("w1", "w2", "dist").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    return counts.filter(F.col("n_pairs") >= min_count)
+
+
+def pmi_scores(skipgrams: DataFrame, min_count: int = 1) -> DataFrame:
+    """Pointwise mutual information over the co-occurrence table —
+    the GloVe/feature-association statistic:
+
+        pmi(w1, w2) = ln( c12 * T / (r(w1) * c(w2)) )
+
+    with T the total pair count and r/c the pair-table marginals, all
+    derived FROM the aggregated pair counts (the raw corpus is scanned
+    once, by ``doc_skipgrams``; everything after is O(vocabulary)).
+    The two marginal joins run on the token key — at web scale that is
+    a hash join AQE can broadcast when the vocabulary fits, and the
+    1-row total attaches as a broadcast nested loop. The log's inputs
+    are exact integers, so the rounded (6 dp) score replays in SQL."""
+    counts = (
+        skipgrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        # FOUR consumers (the filtered output, both marginals, the
+        # total) would each re-run the skip-gram explode over the
+        # corpus — the dominant scan, paid four times. The pair-count
+        # frame is O(vocabulary²) bounded, so materialize it once;
+        # localCheckpoint frees its blocks with the plan (same fix as
+        # bm25_topk's postings and SemDeDup's assignment frame).
+        .localCheckpoint(eager=False)
+    )
+    r = counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c = counts.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    total = counts.agg(F.sum("c12").alias("t"))
+    return (
+        counts.filter(F.col("c12") >= min_count)
+        .join(r, "w1")
+        .join(c, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    F.col("c12").cast("double")
+                    * F.col("t")
+                    / (F.col("c1") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -212,3 +212,108 @@ def unimax_allocation(
             "capped",
         )
     )
+
+
+#: variate resolution for weighted sampling: u is an exact (N+1)/RES
+#: millionth, so Spark and a SQL oracle agree bit-for-bit on it
+ES_RES = 1_000_000
+
+
+def weighted_sample_without_replacement(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "es:",
+) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling WITHOUT replacement:
+    every row gets key u^(1/w) for an independent uniform u, and the k
+    largest keys form an exact weighted sample (Efraimidis & Spirakis
+    2006). Ranking by ``ln(u)/w`` descending is the same order (ln is
+    monotone, w > 0), numerically tamer, and — because u here is a
+    content-hash millionth in (0, 1] and w arrives pre-rounded — the
+    key is reproducible on any engine.
+
+    Scale shape: the key is one row-local hash + divide in the scan
+    stage, and the top-k is ``orderBy().limit(k)`` which Spark executes
+    as TakeOrderedAndProject — every partition keeps only its local
+    k-best, the driver merges O(partitions * k) rows, nothing global
+    sorts. At 100 TB this is one pass over the corpus with O(k)
+    memory per task. Weights must be > 0 (asserted in-plan: the guard
+    term rides the key expression, adding 0.0 when the weight is
+    valid). Ties on the rounded key break by ``id_col`` so the k-th
+    boundary is deterministic.
+
+    Returns ``df``'s columns plus ``es_key`` (rounded, 6 dp).
+    """
+    u = (
+        shingle_hash(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+        % ES_RES
+        + 1
+    ) / F.lit(float(ES_RES))
+    guard = F.assert_true(
+        F.col(weight_col) > 0,
+        F.concat(
+            F.lit("weighted_sample: weight must be > 0, got "),
+            F.col(weight_col).cast("string"),
+        ),
+    )
+    # invalid weights become NULL in the divide (ANSI div-by-zero would
+    # otherwise raise before the guard's own message gets to fire); the
+    # guard term must be the LEFT operand — binary Add short-circuits
+    # its right child when the left is NULL, which a bad weight makes it
+    w_ok = F.when(F.col(weight_col) > 0, F.col(weight_col))
+    key = F.coalesce(guard.cast("double"), F.lit(0.0)) + F.round(
+        F.log(u) / w_ok, 6
+    )
+    return (
+        df.withColumn("es_key", key)
+        .orderBy(F.col("es_key").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "es:",
+) -> DataFrame:
+    """Exactly ``k`` rows per group, weighted without replacement: the
+    per-group variant of ``weighted_sample_without_replacement`` —
+    the same Efraimidis–Spirakis content-hash key, ranked inside each
+    group by ``row_number``. The quota shape for "exactly 50k
+    quality-biased documents from EVERY source".
+
+    Scale shape: one shuffle on ``group_col`` over however narrow a
+    projection the caller passes (project to (group, weight, id)
+    first at 100 TB — the window needs nothing else); per-group state
+    is the sort, not a global one. Ties break by ``id_col``; weights
+    must be > 0 (same in-plan guard)."""
+    u = (
+        shingle_hash(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+        % ES_RES
+        + 1
+    ) / F.lit(float(ES_RES))
+    guard = F.assert_true(
+        F.col(weight_col) > 0,
+        F.concat(
+            F.lit("weighted_sample: weight must be > 0, got "),
+            F.col(weight_col).cast("string"),
+        ),
+    )
+    w_ok = F.when(F.col(weight_col) > 0, F.col(weight_col))
+    key = F.coalesce(guard.cast("double"), F.lit(0.0)) + F.round(
+        F.log(u) / w_ok, 6
+    )
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("es_key").desc(), F.col(id_col)
+    )
+    return (
+        df.withColumn("es_key", key)
+        .withColumn("__es_rn", F.row_number().over(win))
+        .filter(F.col("__es_rn") <= k)
+        .drop("__es_rn")
+    )

@@ -980,3 +980,182 @@ def merge_into_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("cents").alias("total_cents"),
     )
+
+
+@register(
+    "skipgram_cooccurrence",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sg AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2, 1 AS dist
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+  UNION ALL
+  SELECT t[i] AS w1, t[i + 2] AS w2, 2 AS dist
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+)
+SELECT w1, w2, dist, COUNT(*) AS n_pairs
+FROM sg
+GROUP BY w1, w2, dist
+HAVING COUNT(*) >= 5
+""",
+)
+def skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus co-occurrence statistics for embedding training
+    (word2vec/GloVe input): every (w1, w2) token pair at distance 1
+    and 2 within a document, counted corpus-wide, thresholded at 5.
+    Pair generation is a JVM higher-order function riding the scan
+    stage (operators/lm.doc_skipgrams) — the 100 TB plan is one corpus
+    scan plus ONE hash aggregate whose map-side combine collapses
+    frequent pairs before the shuffle; no join, no window, no Python."""
+    from asritha_metamorphetl_spark.operators.lm import (
+        cooccurrence_counts,
+        doc_skipgrams,
+    )
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    return cooccurrence_counts(doc_skipgrams(docs, window=2), min_count=5)
+
+
+@register(
+    "skipgram_pmi",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sg AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+  UNION ALL
+  SELECT t[i] AS w1, t[i + 2] AS w2
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+), counts AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM sg GROUP BY w1, w2
+), r AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM counts GROUP BY w1
+), c AS (
+  SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM counts GROUP BY w2
+), t AS (
+  SELECT CAST(SUM(c12) AS BIGINT) AS t FROM counts
+)
+SELECT counts.w1, counts.w2, c12,
+       ROUND(LN(CAST(c12 AS DOUBLE) * t.t / (r.c1 * c.c2)), 6) AS pmi
+FROM counts
+JOIN r ON counts.w1 = r.w1
+JOIN c ON counts.w2 = c.w2
+CROSS JOIN t
+WHERE c12 >= 5
+""",
+)
+def skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over the distance-≤2 co-occurrence
+    table (operators/lm.pmi_scores) — the association statistic GloVe
+    factorizes and feature selectors rank by. The raw corpus is scanned
+    ONCE (the skip-gram HOF); marginals and the total derive from the
+    aggregated pair counts, so everything after the first aggregate is
+    O(vocabulary): two token-key hash joins (AQE-broadcastable) and a
+    1-row broadcast total. PMI inputs are exact integers; the rounded
+    log replays in SQL."""
+    from asritha_metamorphetl_spark.operators.lm import (
+        doc_skipgrams,
+        pmi_scores,
+    )
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    return pmi_scores(doc_skipgrams(docs, window=2), min_count=5)
+
+
+CMS_DEPTH = 3
+CMS_WIDTH = 1024
+CMS_SALT = "cms:"
+CMS_AUDIT_TOPK = 50
+
+
+def _cms_cells_sql(tok_expr: str) -> str:
+    """SQL twin of the sketch's per-row cell assignment."""
+    from asritha_metamorphetl_spark.plans.text_queries import _hex48_sql
+
+    parts = []
+    for i in range(CMS_DEPTH):
+        md5_expr = f"md5('{CMS_SALT}{i}:' || {tok_expr})"
+        parts.append(
+            f"SELECT {tok_expr} AS tok, {i} AS row_i, "
+            f"{_hex48_sql(md5_expr)} % {CMS_WIDTH} AS cell FROM toks"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "countmin_estimate_audit",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), cells AS (
+  {_cms_cells_sql("tok")}
+), sketch AS (
+  SELECT row_i, cell, COUNT(*) AS n FROM cells GROUP BY row_i, cell
+), exact AS (
+  SELECT tok, COUNT(*) AS exact_n FROM toks GROUP BY tok
+), top AS (
+  SELECT tok, exact_n FROM exact
+  ORDER BY exact_n DESC, tok LIMIT {CMS_AUDIT_TOPK}
+), qcells AS (
+  SELECT DISTINCT c.tok, c.row_i, c.cell
+  FROM cells c JOIN top ON c.tok = top.tok
+), est AS (
+  SELECT q.tok, MIN(s.n) AS cms_n
+  FROM qcells q JOIN sketch s ON q.row_i = s.row_i AND q.cell = s.cell
+  GROUP BY q.tok
+)
+SELECT top.tok, exact_n, cms_n,
+       cms_n >= exact_n AS overestimate_ok,
+       CAST(cms_n - exact_n AS BIGINT) AS abs_err
+FROM top JOIN est ON top.tok = est.tok
+""",
+)
+def countmin_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch accuracy audit, the sketch twin of
+    approx_distinct_audit: build a depth-3 x 1024 CMS of the corpus
+    token stream (operators/frequent.countmin_sketch — ONE
+    map-side-combining aggregate whose shuffle is bounded by
+    depth*width per task, never the vocabulary), then point-query it
+    for the exact top-50 tokens and put the estimate, the guaranteed
+    overestimate property, and the absolute error under the oracle
+    hash. Salted content hashes make the 'random' hash functions
+    engine-reproducible. Where heavy_hitters answers 'which items are
+    frequent' exactly, the sketch answers point queries about ANY item
+    from O(depth*width) state."""
+    from asritha_metamorphetl_spark.operators.frequent import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    sketch = countmin_sketch(
+        toks, "tok", depth=CMS_DEPTH, width=CMS_WIDTH, salt=CMS_SALT
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("tok"))
+        .limit(CMS_AUDIT_TOPK)
+    )
+    est = countmin_estimate(
+        top.select("tok"),
+        sketch,
+        "tok",
+        depth=CMS_DEPTH,
+        width=CMS_WIDTH,
+        salt=CMS_SALT,
+    )
+    return top.join(est, "tok").select(
+        "tok",
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") >= F.col("exact_n")).alias("overestimate_ok"),
+        (F.col("cms_n") - F.col("exact_n"))
+        .cast("bigint")
+        .alias("abs_err"),
+    )

@@ -1025,3 +1025,96 @@ def quality_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.when(kept, F.col("score")).otherwise(0.0)), 6)
         .alias("kept_score_mass"),
     )
+
+
+#: deterministic weighted-sample knobs, shared with the oracle SQL
+ES_SAMPLE_SALT = "es:"
+ES_SAMPLE_K = 200
+
+
+@register(
+    "quality_weighted_sample",
+    oracle=f"""
+WITH qscored AS ({QUALITY_LOGIT_ORACLE}),
+keyed AS (
+    SELECT doc_id, lang, score,
+           ROUND(
+             LN((({_hex48_sql(f"md5('{ES_SAMPLE_SALT}' || CAST(doc_id AS VARCHAR))")}
+                  % 1000000) + 1) / 1000000.0) / score,
+             6
+           ) AS es_key
+    FROM qscored
+)
+SELECT doc_id, lang, score, es_key
+FROM keyed
+ORDER BY es_key DESC, doc_id
+LIMIT {ES_SAMPLE_K}
+""",
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted sampling WITHOUT replacement, weights = the
+    learned quality score: the Efraimidis–Spirakis key u^(1/w) —
+    replayed as ln(u)/w with a content-hash millionth for u — makes
+    the k best keys a faithful weighted sample, reproducible on any
+    engine at any cluster size (operators/sampling.py). Unlike the
+    soft filter (quality_importance_sample), this yields an EXACT
+    sample size k: the shape for "give me exactly 10M quality-biased
+    documents". The plan is the quality-score fragment (row-local
+    features + one broadcast weights join) plus a row-local key and a
+    TakeOrderedAndProject top-k — no global sort, O(k) per task."""
+    from asritha_metamorphetl_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    scored = quality_logit_scores(spark, sf_dir).select(
+        "doc_id", "lang", "score"
+    )
+    return weighted_sample_without_replacement(
+        scored, "score", "doc_id", ES_SAMPLE_K, salt=ES_SAMPLE_SALT
+    )
+
+
+#: per-group quota, shared with the oracle SQL
+ES_GROUP_K = 50
+
+
+@register(
+    "per_source_weighted_sample",
+    oracle=f"""
+WITH qscored AS ({QUALITY_LOGIT_ORACLE}),
+keyed AS (
+    SELECT d.source, q.doc_id, q.score,
+           ROUND(
+             LN((({_hex48_sql(f"md5('{ES_SAMPLE_SALT}' || CAST(q.doc_id AS VARCHAR))")}
+                  % 1000000) + 1) / 1000000.0) / q.score,
+             6
+           ) AS es_key
+    FROM qscored q JOIN documents d ON q.doc_id = d.doc_id
+)
+SELECT source, doc_id, score, es_key
+FROM keyed
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY source ORDER BY es_key DESC, doc_id
+) <= {ES_GROUP_K}
+""",
+)
+def per_source_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 50 quality-weighted documents from EVERY source — the
+    per-group quota variant of quality_weighted_sample
+    (operators/sampling.weighted_sample_per_group). Same
+    Efraimidis–Spirakis content-hash key (same salt, so the per-group
+    quotas are consistent subsamples of the global ranking); the only
+    shuffle is on source over the narrow (source, doc_id, score)
+    projection, and the per-group rank is a row_number window — no
+    global sort, no cross-group state."""
+    from asritha_metamorphetl_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    scored = quality_logit_scores(spark, sf_dir).select("doc_id", "score")
+    narrow = docs.select("doc_id", "source").join(scored, "doc_id")
+    return weighted_sample_per_group(
+        narrow, "source", "score", "doc_id", ES_GROUP_K,
+        salt=ES_SAMPLE_SALT,
+    ).select("source", "doc_id", "score", "es_key")

@@ -49,6 +49,14 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # single-scan BM25, PQ LUT id-type generalization, unimax budget
     # guard — everything whose code changed this round fronts the window
     "merge_into_orders",
+    "quality_weighted_sample",
+    "per_source_weighted_sample",
+    "skipgram_cooccurrence",
+    "skipgram_pmi",
+    "countmin_estimate_audit",
+    "streaming_countmin_parity",
+    "prefix_jaccard_pairs",
+    "containment_dup_pairs",
     "knn_ivfpq_topk",
     "knn_ivfpq_recall_eval",
     "knn_ivfpq_residual_topk",

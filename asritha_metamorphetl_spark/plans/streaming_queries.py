@@ -517,3 +517,96 @@ def streaming_ingest_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("pair_type"),
         )
     )
+
+
+def _cms_batch_oracle() -> str:
+    from asritha_metamorphetl_spark.plans.catalog_queries import (
+        _cms_cells_sql,
+    )
+
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), cells AS (
+  {_cms_cells_sql("tok")}
+)
+SELECT row_i AS cms_row, cell, CAST(COUNT(*) AS BIGINT) AS n
+FROM cells GROUP BY row_i, cell
+"""
+
+
+@register("streaming_countmin_parity", oracle=_cms_batch_oracle())
+def streaming_countmin_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of a Count-Min sketch under a REAL
+    streaming query, proved equal to sketching the whole corpus at
+    once: the base corpus' sketch is seeded as the ``batch_id=-1``
+    partial, three delta files arrive as separate micro-batches
+    (``maxFilesPerTrigger=1``), each publishes its partial sketch by
+    OVERWRITING its own ``batch_id=<n>`` subdirectory (idempotent under
+    foreachBatch's at-least-once retries — a sum, unlike a set, cannot
+    tolerate re-append), and the reader folds all partials with one
+    ``groupBy(row, cell).sum``. The sketch's LINEARITY is the property
+    under the hash: cell-wise sums commute, so the accumulated sketch
+    is bit-identical whatever the batch boundaries — the batch oracle
+    sketches all documents in one pass."""
+    import os
+    import shutil
+
+    from asritha_metamorphetl_spark.operators.frequent import countmin_sketch
+    from asritha_metamorphetl_spark.operators.sampling import hash_bucket
+    from asritha_metamorphetl_spark.plans.catalog_queries import (
+        CMS_DEPTH,
+        CMS_SALT,
+        CMS_WIDTH,
+    )
+    from asritha_metamorphetl_spark.streaming.windows import countmin_stream
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    bucket = hash_bucket(F.col("doc_id"), 10)
+    base = docs.filter(bucket <= 7)
+    delta = docs.filter(bucket >= 8)
+
+    root = scratch_dir(spark, "stream_cms", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    sketch_dir = os.path.join(root, "sketch")
+    src = os.path.join(root, "delta")
+
+    base_toks = base.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    countmin_sketch(
+        base_toks, "tok", depth=CMS_DEPTH, width=CMS_WIDTH, salt=CMS_SALT
+    ).write.parquet(os.path.join(sketch_dir, "batch_id=-1"))
+    for i in range(3):
+        delta.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            os.path.join(src, f"batch{i}")
+        )
+
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    q = (
+        countmin_stream(
+            stream,
+            sketch_dir,
+            "text",
+            depth=CMS_DEPTH,
+            width=CMS_WIDTH,
+            salt=CMS_SALT,
+        )
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(_AWAIT_SEC):
+        q.stop()
+        raise TimeoutError("countmin stream did not finish")
+
+    return (
+        spark.read.parquet(sketch_dir)
+        .groupBy("row", "cell")
+        .agg(F.sum("n").alias("n"))
+        .select(F.col("row").alias("cms_row"), "cell", "n")
+    )

@@ -1939,3 +1939,139 @@ def label_centering_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         center,
         "label LONG, n_vectors BIGINT, total_abs_dev_q3 BIGINT, max_abs_dev_q6 BIGINT",
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact Jaccard join (operators/setjoin.py): the
+# provably-complete exact-similarity join — no doc-frequency cap, no
+# probabilistic bands; every pair >= t is guaranteed present.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "prefix_jaccard_pairs",
+    oracle=f"""
+WITH {_SHINGLE_CTE},
+sh_raw AS (
+    SELECT doc_id, unnest(list_distinct(s)) AS s
+    FROM shingled WHERE len(s) > 0
+),
+sh_d AS (
+    SELECT doc_id, {_hex48_sql("md5(s)")} AS sh FROM sh_raw
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh_d GROUP BY doc_id),
+dfreq AS (SELECT sh, COUNT(*) AS n_df FROM sh_d GROUP BY sh),
+ranked AS (
+    SELECT d.doc_id, d.sh, s.n_sh,
+           ROW_NUMBER() OVER (
+               PARTITION BY d.doc_id ORDER BY f.n_df, d.sh
+           ) AS rn
+    FROM sh_d d JOIN dfreq f USING (sh) JOIN sizes s USING (doc_id)
+),
+pfx AS (
+    SELECT doc_id, sh, n_sh FROM ranked
+    WHERE rn <= n_sh - ((4 * n_sh + 4) // 5) + 1
+),
+cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           MIN(a.n_sh) AS na, MIN(b.n_sh) AS nb
+    FROM pfx a JOIN pfx b USING (sh)
+    WHERE a.doc_id < b.doc_id
+      AND b.n_sh >= (4 * a.n_sh + 4) // 5
+      AND a.n_sh >= (4 * b.n_sh + 4) // 5
+    GROUP BY a.doc_id, b.doc_id
+),
+common AS (
+    SELECT c.doc_a, c.doc_b, c.na, c.nb, COUNT(*) AS n_common
+    FROM cand c
+    JOIN sh_d x ON x.doc_id = c.doc_a
+    JOIN sh_d y ON y.doc_id = c.doc_b AND y.sh = x.sh
+    GROUP BY c.doc_a, c.doc_b, c.na, c.nb
+)
+SELECT doc_a, doc_b, n_common,
+       ROUND(CAST(n_common AS DOUBLE) / (na + nb - n_common), 6)
+           AS jaccard
+FROM common
+WHERE n_common * 5 >= 4 * (na + nb - n_common)
+""",
+)
+def prefix_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard pairs at t = 4/5 via PPJoin-style prefix
+    filtering — the COMPLETE exact join (operators/setjoin.py): unlike
+    ngram_jaccard_pairs' doc-frequency cap (which drops stop-shingles
+    and can miss pairs) or MinHash's probabilistic bands, a pair
+    >= t is structurally guaranteed to surface. Rarest-first global
+    ordering makes prefixes selective; the threshold is the rational
+    4/5 so every ceil and the final test stay in INTEGER arithmetic —
+    no float boundary can disagree between engines."""
+    from asritha_metamorphetl_spark.operators.setjoin import (
+        prefix_jaccard_pairs,
+    )
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    return prefix_jaccard_pairs(docs, "text", "doc_id", t_num=4, t_den=5)
+
+
+@register(
+    "containment_dup_pairs",
+    oracle=f"""
+WITH {_SHINGLE_CTE},
+sh_raw AS (
+    SELECT doc_id, unnest(list_distinct(s)) AS s
+    FROM shingled WHERE len(s) > 0
+),
+sh_d AS (
+    SELECT doc_id, {_hex48_sql("md5(s)")} AS sh FROM sh_raw
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh_d GROUP BY doc_id),
+dfreq AS (SELECT sh, COUNT(*) AS n_df FROM sh_d GROUP BY sh),
+ranked AS (
+    SELECT d.doc_id, d.sh, s.n_sh,
+           ROW_NUMBER() OVER (
+               PARTITION BY d.doc_id ORDER BY f.n_df, d.sh
+           ) AS rn
+    FROM sh_d d JOIN dfreq f USING (sh) JOIN sizes s USING (doc_id)
+),
+pfx AS (
+    SELECT doc_id AS doc_small, sh, n_sh AS n_small FROM ranked
+    WHERE rn <= n_sh - ((9 * n_sh + 9) // 10) + 1
+),
+idx AS (
+    SELECT d.doc_id AS doc_large, d.sh, s.n_sh AS n_large
+    FROM sh_d d JOIN sizes s USING (doc_id)
+),
+cand AS (
+    SELECT p.doc_small, i.doc_large, MIN(p.n_small) AS n_small
+    FROM pfx p JOIN idx i USING (sh)
+    WHERE p.n_small < i.n_large
+       OR (p.n_small = i.n_large AND p.doc_small < i.doc_large)
+    GROUP BY p.doc_small, i.doc_large
+),
+common AS (
+    SELECT c.doc_small, c.doc_large, c.n_small, COUNT(*) AS n_common
+    FROM cand c
+    JOIN sh_d x ON x.doc_id = c.doc_small
+    JOIN sh_d y ON y.doc_id = c.doc_large AND y.sh = x.sh
+    GROUP BY c.doc_small, c.doc_large, c.n_small
+)
+SELECT doc_small, doc_large, n_common,
+       ROUND(CAST(n_common AS DOUBLE) / n_small, 6) AS containment
+FROM common
+WHERE n_common * 10 >= 9 * n_small
+""",
+)
+def containment_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote/subset near-dups: pairs where the smaller document's
+    shingle set is >= 9/10 contained in the other
+    (operators/setjoin.containment_pairs) — the duplication mode
+    Jaccard structurally misses when sizes are skewed (a document
+    quoted whole inside a larger one has J ≈ small/large at
+    containment 1.0). Prefix filter on the smaller side vs the full
+    index keeps the candidate join complete AND bounded; integer
+    threshold arithmetic keeps the oracle exact."""
+    from asritha_metamorphetl_spark.operators.setjoin import (
+        containment_pairs,
+    )
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    return containment_pairs(docs, "text", "doc_id", t_num=9, t_den=10)

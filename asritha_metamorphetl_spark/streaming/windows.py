@@ -388,3 +388,47 @@ def incremental_dedup_stream(
         batch_b.write.mode("append").parquet(band_dir)
 
     return docs.writeStream.foreachBatch(apply_batch)
+
+
+def countmin_stream(
+    docs: DataFrame,
+    sketch_dir: str,
+    text_col: str,
+    depth: int = 3,
+    width: int = 1024,
+    salt: str = "cms:",
+):
+    """Streaming maintenance of a Count-Min sketch: every micro-batch's
+    tokens are sketched (operators/frequent.countmin_sketch) and the
+    partial sketch is published under ``sketch_dir/batch_id=<n>`` —
+    OVERWRITING that batch's own subdirectory, so a retried batch under
+    Spark's at-least-once ``foreachBatch`` contract replaces rather
+    than double-counts its partial (sums, unlike the dedup pair SETS,
+    are not idempotent under re-append; per-batch overwrite makes the
+    fold effectively exactly-once). The sketch is LINEAR — cell-wise
+    sums commute — so readers fold all partials with one
+    ``groupBy(row, cell).sum(n)`` and the result is independent of
+    batch order and batch boundaries: identical to sketching the whole
+    corpus at once. Seed the base corpus' sketch as ``batch_id=-1``.
+
+    Per-batch cost is one bounded aggregate (≤ depth·width rows out);
+    reader cost is O(populated cells · batches) — the state the stream
+    carries never touches the raw token stream again.
+
+    Returns the DataStreamWriter — caller adds checkpoint/trigger and
+    ``.start()``.
+    """
+    from asritha_metamorphetl_spark.operators.frequent import countmin_sketch
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        toks = batch_df.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("tok")
+        )
+        part = countmin_sketch(
+            toks, "tok", depth=depth, width=width, salt=salt
+        )
+        part.write.mode("overwrite").parquet(
+            f"{sketch_dir}/batch_id={batch_id}"
+        )
+
+    return docs.writeStream.foreachBatch(apply_batch)

@@ -553,3 +553,141 @@ def test_merge_into_is_one_equi_join_with_delta_side_window(spark):
     assert plan.count("FullOuter") == 1  # exactly one target-moving join
     # the ambiguity window partitions on the aliased source key image
     assert "__mrg_s_o_orderkey" in plan.split("FullOuter")[1]
+
+
+def test_weighted_sample_topk_never_globally_sorts(spark):
+    """The Efraimidis–Spirakis top-k must run as TakeOrderedAndProject
+    (per-partition k-best, driver merge of O(partitions*k) rows) — a
+    global Sort over the keyed corpus would be the 100 TB failure. The
+    key itself is row-local: no window, no extra join beyond the
+    inherited broadcast weights join."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["quality_weighted_sample"](spark, SF_CORRECT))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    # the only Sort allowed is none: top-k must not plan a global sort
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_skipgram_cooccurrence_is_scan_plus_one_aggregate(spark):
+    """Pair generation is a higher-order function inside the scan
+    stage: the whole plan must be Generate + ONE partial/final hash
+    aggregate pair — no join, no window, exactly one exchange (the
+    count shuffle on the pair key)."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["skipgram_cooccurrence"](spark, SF_CORRECT))
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange") == 1
+    assert "Generate explode" in plan
+
+
+def test_skipgram_pmi_scans_corpus_once(spark):
+    """Marginals and the total derive from the aggregated pair table,
+    which is localCheckpointed against its FOUR consumers — the final
+    plan must re-read the materialized RDD with ZERO parquet re-scans
+    (the corpus explodes exactly once, inside the checkpoint's own
+    plan); the only nested-loop join allowed is the 1-row total
+    attach."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["skipgram_pmi"](spark, SF_CORRECT))
+    assert plan.count("Scan parquet") == 0
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_countmin_sketch_is_one_bounded_aggregate(spark):
+    """The sketch build must be Generate + hash aggregate with a
+    partial stage (map-side combine caps the shuffle at depth*width
+    rows per task); the estimate side joins the sketch BROADCAST."""
+    from asritha_metamorphetl_spark.operators.frequent import countmin_sketch
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    plan = _plan(countmin_sketch(toks, "tok"))
+    assert "Generate explode" in plan
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") == 2  # partial + final
+
+
+def test_per_source_sample_shuffles_narrow_rows_only(spark):
+    """The per-group rank window must partition by source over the
+    narrow (source, doc_id, score, key) projection — the document TEXT
+    column must not survive into the exchange feeding the window."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["per_source_weighted_sample"](spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan
+    win = plan[plan.index("Window") :]
+    assert "text#" not in win.splitlines()[0]
+    # the window's input exchange carries no text column either
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning(source" in line:
+            assert "text#" not in line
+
+
+def test_prefix_jaccard_all_equi_joins_one_corpus_pass(spark):
+    """The five consumers of the shingle frame must share ONE
+    materialization (zero parquet re-scans in the final plan); every
+    join is a hash equi-join — a cartesian or nested loop anywhere
+    would be corpus² and defeat the prefix filter's whole purpose."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["prefix_jaccard_pairs"](spark, SF_CORRECT))
+    assert plan.count("Scan parquet") == 0
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side_of_shuffle_join(spark):
+    """100 TB shuffle-join hygiene: when a selective dimension filter
+    exists, Spark's runtime Bloom filter should be injectable on the
+    fact side — the probe rows that cannot join are dropped BEFORE the
+    exchange, so the shuffle carries survivors only. The engine keeps
+    the feature on (it is threshold-gated in production; thresholds
+    are lowered here to exercise the injection at test scale), and
+    this gate pins that our plain equi-join shape stays eligible —
+    a refactor that blocks injection (e.g. wrapping the join key in a
+    non-deterministic expression) fails here."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        orders = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+        li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+        j = li.join(
+            orders.filter(F.col("o_orderstatus") == "P"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt  # bloom probe injected on fact side
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_containment_join_prefix_vs_full_index_no_cartesian(spark):
+    """Same contract as the Jaccard prefix join: one shingle
+    materialization (zero parquet re-scans), hash equi-joins only."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["containment_dup_pairs"](spark, SF_CORRECT))
+    assert plan.count("Scan parquet") == 0
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

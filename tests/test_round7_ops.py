@@ -497,3 +497,244 @@ def test_cross_corpus_contamination_planted_passages(spark):
     assert out[10] == (3, 2, True)  # 2 of its 3 grams occur in train
     assert out[11] == (3, 0, False)
     assert out[12] == (0, 0, False)
+
+
+def test_weighted_sample_statistics_and_determinism(spark):
+    """E-S weighted sampling: (a) two runs are identical (hash variates,
+    no RNG), (b) the sample is exactly k, (c) heavy weights are
+    overrepresented — with w=9 vs w=1 at 50/50 population, the heavy
+    class should take clearly more than half of a k=200 sample, (d)
+    sampling is without replacement (ids unique)."""
+    from asritha_metamorphetl_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    rows = [(i, 9.0 if i % 2 == 0 else 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    s1 = weighted_sample_without_replacement(df, "w", "id", 200).collect()
+    s2 = weighted_sample_without_replacement(df, "w", "id", 200).collect()
+    assert s1 == s2
+    assert len(s1) == 200
+    ids = [r.id for r in s1]
+    assert len(set(ids)) == 200
+    heavy = sum(1 for r in s1 if r.w == 9.0)
+    assert heavy > 140  # E[heavy] ≈ 180 of 200; >140 is 6+ sigma safe
+
+
+def test_weighted_sample_rejects_nonpositive_weight(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from asritha_metamorphetl_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, 0.0)], "id long, w double"
+    )
+    with pytest.raises(SparkRuntimeException, match="weight must be > 0"):
+        weighted_sample_without_replacement(df, "w", "id", 2).collect()
+
+
+def test_skipgrams_hand_example(spark):
+    """'a b c d' at window 2 → d=1: (a,b)(b,c)(c,d); d=2: (a,c)(b,d).
+    A one-token document contributes nothing and must not error."""
+    from asritha_metamorphetl_spark.operators.lm import doc_skipgrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x")], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.w1, r.w2, r.dist)
+        for r in doc_skipgrams(docs, window=2).collect()
+    }
+    assert got == {
+        (1, "a", "b", 1),
+        (1, "b", "c", 1),
+        (1, "c", "d", 1),
+        (1, "a", "c", 2),
+        (1, "b", "d", 2),
+    }
+
+
+def test_countmin_never_underestimates_and_is_exact_when_wide(spark):
+    """CMS contract: estimates are >= exact counts always; with width
+    >> vocabulary (no collisions possible to matter) the min over
+    depth rows recovers the exact count for every item."""
+    from asritha_metamorphetl_spark.operators.frequent import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    toks = spark.createDataFrame(
+        [("a",)] * 7 + [("b",)] * 3 + [("c",)] * 1, "tok string"
+    )
+    exact = {"a": 7, "b": 3, "c": 1}
+    sk = countmin_sketch(toks, "tok", depth=3, width=4096)
+    items = spark.createDataFrame([("a",), ("b",), ("c",)], "tok string")
+    est = {
+        r.tok: r.cms_n
+        for r in countmin_estimate(items, sk, "tok", depth=3, width=4096).collect()
+    }
+    assert est == exact
+    # narrow width forces collisions: still never underestimates
+    sk2 = countmin_sketch(toks, "tok", depth=2, width=2)
+    est2 = {
+        r.tok: r.cms_n
+        for r in countmin_estimate(items, sk2, "tok", depth=2, width=2).collect()
+    }
+    assert all(est2[t] >= exact[t] for t in exact)
+
+
+def test_per_group_weighted_sample_quota_and_determinism(spark):
+    from asritha_metamorphetl_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    rows = [(i, "g%d" % (i % 3), 1.0 + (i % 5)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, g string, w double")
+    s1 = weighted_sample_per_group(df, "g", "w", "id", 10).collect()
+    s2 = weighted_sample_per_group(df, "g", "w", "id", 10).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+    from collections import Counter
+
+    per = Counter(r.g for r in s1)
+    assert per == {"g0": 10, "g1": 10, "g2": 10}
+    # small group: quota larger than the group returns the whole group
+    s3 = weighted_sample_per_group(
+        df.filter(F.col("id") < 5), "g", "w", "id", 10
+    ).collect()
+    assert len(s3) == 5
+
+
+def test_pmi_hand_example(spark):
+    """Two docs 'a b' and 'a b' → pairs (a,b)x2 at d=1, nothing else:
+    c12=2, r(a)=2, c(b)=2, T=2 → pmi = ln(2*2/(2*2)) = 0."""
+    from asritha_metamorphetl_spark.operators.lm import (
+        doc_skipgrams,
+        pmi_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], "doc_id long, text string"
+    )
+    out = pmi_scores(doc_skipgrams(docs, window=2)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.w1, r.w2, r.c12, r.pmi) == ("a", "b", 2, 0.0)
+
+
+def test_prefix_jaccard_join_is_complete_vs_bruteforce(spark):
+    """The PPJoin guarantee: EVERY pair at/above the threshold appears
+    — compare against python brute-force over all pairs of shingle
+    sets, including docs whose only shared shingles are corpus-frequent
+    (the case a doc-frequency-capped index misses)."""
+    import itertools
+
+    from asritha_metamorphetl_spark.operators.setjoin import (
+        prefix_jaccard_pairs,
+    )
+
+    base = [f"tok{j % 11}x{j}" for j in range(40)]
+    texts = {}
+    for i in range(30):
+        words = list(base)
+        # 3 families (substitution site), plus per-doc noise for some:
+        # family members differ from each other by <= 2 word sites
+        # (J >= ~0.85 at 40 tokens), cross-family pairs fall below t
+        words[i % 3] = f"fam{i % 3}"
+        if i % 5 == 0:
+            words[20] = f"noise{i}"
+        if i % 7 == 0:
+            words[35] = f"late{i}"
+        texts[i] = " ".join(words)
+
+    def shingles(s):
+        t = [x for x in s.split(" ") if x]
+        return {" ".join(t[j : j + 3]) for j in range(len(t) - 2)}
+
+    want = set()
+    for a, b in itertools.combinations(sorted(texts), 2):
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        inter = len(sa & sb)
+        if inter * 5 >= 4 * (len(sa) + len(sb) - inter):
+            want.add((a, b))
+    assert want  # the fixture must actually contain qualifying pairs
+
+    docs = spark.createDataFrame(
+        [(i, s) for i, s in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_jaccard_pairs(docs, t_num=4, t_den=5).collect()
+    }
+    assert got == want
+
+
+def test_countmin_partials_fold_to_full_sketch(spark):
+    """Linearity: sketch(A) + sketch(B) folded cell-wise equals
+    sketch(A ∪ B) exactly — the property the streaming fold relies on."""
+    from asritha_metamorphetl_spark.operators.frequent import countmin_sketch
+
+    toks = spark.createDataFrame(
+        [(f"t{i % 13}",) for i in range(400)], "tok string"
+    )
+    a = toks.filter(F.crc32(F.col("tok")) % 2 == 0)
+    b = toks.filter(F.crc32(F.col("tok")) % 2 == 1)
+    folded = (
+        countmin_sketch(a, "tok")
+        .unionByName(countmin_sketch(b, "tok"))
+        .groupBy("row", "cell")
+        .agg(F.sum("n").alias("n"))
+    )
+    full = countmin_sketch(toks, "tok")
+    assert sorted(map(tuple, folded.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_containment_join_catches_quotes_jaccard_misses(spark):
+    """A short doc quoted whole inside a much larger one: containment
+    ≈ 1.0, Jaccard ≈ |small|/|large| — the containment join must
+    surface it (completeness vs brute force over all oriented pairs)
+    while the Jaccard join at 4/5 structurally cannot."""
+    import itertools
+
+    from asritha_metamorphetl_spark.operators.setjoin import (
+        containment_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    quote = [f"q{j}" for j in range(12)]
+    texts = {0: " ".join(quote)}
+    # doc 1 embeds the quote inside 60 tokens of other content
+    texts[1] = " ".join([f"a{j}" for j in range(30)] + quote + [f"b{j}" for j in range(18)])
+    # unrelated docs + one partial quote (drops below 9/10)
+    texts[2] = " ".join(f"c{j}" for j in range(40))
+    texts[3] = " ".join([f"d{j}" for j in range(30)] + quote[:6])
+
+    def shingles(s):
+        t = [x for x in s.split(" ") if x]
+        return {" ".join(t[j : j + 3]) for j in range(len(t) - 2)}
+
+    want = set()
+    for a, b in itertools.combinations(sorted(texts), 2):
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        small, large = (a, b) if (len(sa), a) < (len(sb), b) else (b, a)
+        n_small = min(len(sa), len(sb))
+        if len(sa & sb) * 10 >= 9 * n_small:
+            want.add((small, large))
+    assert want == {(0, 1)}  # the full quote, nothing else
+
+    docs = spark.createDataFrame(
+        [(i, s) for i, s in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_small, r.doc_large)
+        for r in containment_pairs(docs, t_num=9, t_den=10).collect()
+    }
+    assert got == want
+    jacc = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_jaccard_pairs(docs, t_num=4, t_den=5).collect()
+    }
+    assert (0, 1) not in jacc  # Jaccard blind to the quote, as claimed

@@ -131,6 +131,24 @@ HEADLINERS = [
      "score vs a content-hash uniform variate — row-local decisions, "
      "one broadcast weights join inherited from the score fragment, "
      "one O(sources) rollup; reproducible with zero RNG state"),
+    ("quality_weighted_sample", "exact weighted sampling without "
+     "replacement: row-local E-S key (hash variate, inherited broadcast "
+     "weights join) + TakeOrderedAndProject — per-partition k-best, "
+     "no global sort anywhere"),
+    ("skipgram_cooccurrence", "co-occurrence statistics: skip-gram "
+     "pairs generated by a higher-order function inside the scan "
+     "stage; the whole plan is Generate + one partial/final hash "
+     "aggregate — a single exchange on the pair key"),
+    ("prefix_jaccard_pairs", "prefix-filtered exact Jaccard join: the "
+     "checkpointed hashed-shingle frame feeds five consumers in one "
+     "materialization; prefix selection is a per-doc window over "
+     "narrow (long, long) rows; candidates and verify are hash "
+     "equi-joins on the shingle key — complete at the threshold with "
+     "no cartesian anywhere"),
+    ("countmin_estimate_audit", "Count-Min sketch audit: the sketch "
+     "build is Generate + one partial/final aggregate (shuffle bounded "
+     "by depth*width rows per task, never the vocabulary); estimates "
+     "join the sketch broadcast and min over depth rows"),
     ("merge_into_orders", "declarative MERGE INTO: all clause algebra "
      "(conditional delete/update, fall-through keep, rejecting insert) "
      "compiled into ONE full-outer equi-join — the target moves "

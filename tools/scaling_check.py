@@ -56,6 +56,14 @@ QUERIES = [
     ("leakage_free_splits", "cluster-routed splits + cross-split leak audit"),
     ("quality_importance_sample", "hash-variate soft quality sampling"),
     ("merge_into_orders", "MERGE INTO (one full-outer equi-join)"),
+    ("quality_weighted_sample", "E-S weighted top-k sample (no global sort)"),
+    ("skipgram_cooccurrence", "skip-gram pairs: scan-stage HOF + one agg"),
+    ("skipgram_pmi", "PMI over checkpointed pair counts (one corpus scan)"),
+    ("countmin_estimate_audit", "CMS build (bounded agg) + top-50 audit"),
+    ("per_source_weighted_sample", "per-group E-S quota (narrow window)"),
+    ("prefix_jaccard_pairs", "PPJoin prefix-filtered exact Jaccard join"),
+    ("containment_dup_pairs", "containment join (prefix vs full index)"),
+    ("streaming_countmin_parity", "streaming CMS fold (micro-batch)"),
 ]
 
 RUNS = 2  # take the best of N to damp container noise
