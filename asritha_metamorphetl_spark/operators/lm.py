@@ -179,3 +179,31 @@ def pmi_scores(skipgrams: DataFrame, min_count: int = 1) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats) —
+    the gibberish detector orthogonal to the repetition ratios: a doc
+    of one repeated token scores 0, natural prose sits in a band, and
+    random noise maxes out near ln(n_distinct). Computed as
+    ``ln(n) − (Σ c·ln c)/n`` so the only float work is one log per
+    DISTINCT token per doc, after two hash aggregates keyed by
+    (doc, token) and doc — both map-side-combinable, nothing
+    corpus-global. Returns (doc_id, n_tokens, n_distinct,
+    entropy_nats rounded 6 dp)."""
+    uni = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    per_tok = uni.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(F.col("c") * F.log(F.col("c").cast("double")))
+            / F.sum("c"),
+            6,
+        ).alias("entropy_nats"),
+    )

@@ -750,3 +750,204 @@ def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_sig",
         )
     )
+
+
+@register(
+    "token_entropy_scores",
+    oracle="""
+WITH uni AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+per_tok AS (
+    SELECT doc_id, tok, COUNT(*) AS c FROM uni GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_distinct,
+       ROUND(
+         LN(CAST(SUM(c) AS DOUBLE))
+         - SUM(c * LN(CAST(c AS DOUBLE))) / SUM(c),
+         6
+       ) AS entropy_nats
+FROM per_tok GROUP BY doc_id
+""",
+)
+def token_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution
+    (operators/lm.token_entropy) — the gibberish signal orthogonal to
+    the repetition ratios: one repeated token scores 0, random noise
+    approaches ln(n_distinct). Two map-side-combinable hash aggregates;
+    the only float work is one log per distinct (doc, token)."""
+    from asritha_metamorphetl_spark.operators.lm import token_entropy
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    return token_entropy(docs)
+
+
+OOV_VOCAB_K = 25
+
+
+@register(
+    "oov_rate_profile",
+    oracle=f"""
+WITH uni AS (
+    SELECT d.doc_id, d.source, unnest(string_split(d.text, ' ')) AS tok
+    FROM documents d
+),
+vocab AS (
+    SELECT tok FROM uni GROUP BY tok
+    ORDER BY COUNT(*) DESC, tok LIMIT {OOV_VOCAB_K}
+),
+per_doc AS (
+    SELECT u.doc_id, u.source,
+           COUNT(*) AS n_toks,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov
+    FROM uni u LEFT JOIN vocab v ON u.tok = v.tok
+    GROUP BY u.doc_id, u.source
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_oov) AS BIGINT) AS total_oov,
+       ROUND(CAST(SUM(n_oov) AS DOUBLE) / SUM(n_toks), 6)
+           AS oov_rate,
+       CAST(SUM(CASE WHEN n_oov * 2 > n_toks THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_docs_majority_oov
+FROM per_doc GROUP BY source
+""",
+)
+def oov_rate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage health per source: the share of token
+    occurrences falling outside the corpus top-K vocabulary (the
+    question a fixed-vocab tokenizer deployment asks before training —
+    which sources will shred into unknowns). The vocabulary is a
+    bounded top-K frame the occurrence stream LEFT-joins against
+    (broadcast at any scale); everything else is two hash aggregates.
+    K is 25 here (the synthetic corpus' vocabulary is ~30 tokens);
+    production swaps in the tokenizer's real vocab table — same plan."""
+    docs = Catalog(sf_dir).load(spark, "documents")
+    uni = docs.select(
+        "doc_id", "source",
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    )
+    vocab = (
+        uni.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(OOV_VOCAB_K)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    per_doc = (
+        uni.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.sum("n_oov").cast("bigint").alias("total_oov"),
+        F.round(
+            F.sum("n_oov").cast("double") / F.sum("n_toks"), 6
+        ).alias("oov_rate"),
+        F.sum(
+            F.when(F.col("n_oov") * 2 > F.col("n_toks"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_docs_majority_oov"),
+    )
+
+
+@register(
+    "robust_length_outliers",
+    oracle="""
+WITH lens AS (
+    SELECT doc_id, lang,
+           len(list_filter(string_split(text, ' '), x -> x != ''))
+               AS n_toks
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, lang, n_toks,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY n_toks, doc_id
+           ) AS rn,
+           COUNT(*) OVER (PARTITION BY lang) AS n
+    FROM lens
+),
+quart AS (
+    SELECT lang,
+           MAX(n) AS n_docs,
+           MAX(CASE WHEN rn = (n + 3) // 4 THEN n_toks END) AS q1,
+           MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN n_toks END) AS q3
+    FROM ranked GROUP BY lang
+)
+SELECT r.lang, q.n_docs, q.q1, q.q3,
+       CAST(SUM(CASE WHEN 2 * r.n_toks < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN 2 * r.n_toks > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM ranked r JOIN quart q ON r.lang = q.lang
+GROUP BY r.lang, q.n_docs, q.q1, q.q3
+""",
+)
+def robust_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence length outliers per language with RANK-DISCRETE
+    quartiles (the value at row ceil(n/4) / ceil(3n/4) of the sorted
+    lengths) — no interpolation, so the quartile is an actual corpus
+    value and the oracle agrees exactly; the 1.5×IQR fences are kept
+    in doubled-integer arithmetic (2·len vs 2·q ± 3·IQR) so no float
+    appears anywhere. The window partitions by language over narrow
+    (id, lang, len) rows; the quartile table is O(languages) and
+    broadcast back for the fence counts."""
+    docs = Catalog(sf_dir).load(spark, "documents")
+    from pyspark.sql import Window
+
+    lens = docs.select(
+        "doc_id", "lang", T.token_count(F.col("text")).alias("n_toks")
+    )
+    w = Window.partitionBy("lang").orderBy("n_toks", "doc_id")
+    ranked = lens.select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("lang"))
+        .alias("n"),
+    )
+    quart = ranked.groupBy("lang").agg(
+        F.max("n").alias("n_docs"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("n_toks"))
+        ).alias("q1"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(3 * n + 3) div 4"), F.col("n_toks")
+            )
+        ).alias("q3"),
+    )
+    iqr3 = 3 * (F.col("q3") - F.col("q1"))
+    return (
+        ranked.join(F.broadcast(quart), "lang")
+        .groupBy("lang", "n_docs", "q1", "q3")
+        .agg(
+            F.sum(
+                F.when(2 * F.col("n_toks") < 2 * F.col("q1") - iqr3, 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_low"),
+            F.sum(
+                F.when(2 * F.col("n_toks") > 2 * F.col("q3") + iqr3, 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_high"),
+        )
+    )

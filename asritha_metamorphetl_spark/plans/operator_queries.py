@@ -1270,3 +1270,100 @@ def scd2_pointintime_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("custkey").alias("n_cust"),
         F.sum("cents").alias("total_cents"),
     )
+
+
+@register(
+    "merged_event_intervals",
+    oracle="""
+WITH iv AS (
+    SELECT user_id, event_id,
+        CAST(FLOOR(EXTRACT(EPOCH FROM ts)) AS BIGINT) AS start_sec,
+        CAST(FLOOR(EXTRACT(EPOCH FROM ts)) AS BIGINT)
+          + 60 + (CAST(ROUND(value * 100) AS BIGINT) % 3600) AS end_sec
+    FROM events
+),
+flagged AS (
+    SELECT *,
+        CASE WHEN start_sec > COALESCE(MAX(end_sec) OVER (
+                 PARTITION BY user_id ORDER BY start_sec ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 -9223372036854775808)
+             THEN 1 ELSE 0 END AS new_island
+    FROM iv
+),
+islands AS (
+    SELECT user_id, start_sec, end_sec,
+        CAST(SUM(new_island) OVER (
+            PARTITION BY user_id ORDER BY start_sec ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS island_id
+    FROM flagged
+),
+merged AS (
+    SELECT user_id, island_id,
+           MIN(start_sec) AS m_start, MAX(end_sec) AS m_end,
+           COUNT(*) AS n_events
+    FROM islands GROUP BY user_id, island_id
+)
+SELECT user_id,
+       COUNT(*) AS n_intervals,
+       CAST(SUM(m_end - m_start) AS BIGINT) AS covered_sec,
+       CAST(SUM(n_events) AS BIGINT) AS n_events
+FROM merged GROUP BY user_id
+""",
+)
+def merged_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping VARIABLE-length intervals per user — the
+    general interval-union problem (billing/availability/coverage),
+    strictly harder than gap sessionization: with heterogeneous
+    durations an early long interval can swallow several later short
+    ones, so the island break needs the RUNNING MAX of interval ends
+    (rows-preceding window), not a lag against the previous row.
+    Durations derive from the value column as exact integer seconds so
+    the oracle replays them; per-user windows over narrow rows keep it
+    fully parallel. Returns per user: merged interval count, total
+    covered seconds, event count."""
+    ev = Catalog(sf_dir).load(spark, "events")
+    start = F.unix_timestamp("ts")
+    dur = F.lit(60) + F.round(F.col("value") * 100).cast("long") % 3600
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        start.alias("start_sec"),
+        (start + dur).alias("end_sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("start_sec").asc(), F.col("event_id").asc()
+    )
+    prev_max_end = F.max("end_sec").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        iv.withColumn(
+            "new_island",
+            F.when(
+                F.col("start_sec")
+                > F.coalesce(prev_max_end, F.lit(-(2**63))),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island_id",
+            F.sum("new_island").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "island_id")
+        .agg(
+            F.min("start_sec").alias("m_start"),
+            F.max("end_sec").alias("m_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("m_end") - F.col("m_start"))
+        .cast("bigint")
+        .alias("covered_sec"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+    )

@@ -701,3 +701,78 @@ def leakage_free_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(leaks))
     )
+
+
+def _quality_dup_calibration_oracle() -> str:
+    from asritha_metamorphetl_spark.plans.passage_queries import (
+        QUALITY_LOGIT_ORACLE,
+    )
+
+    return f"""
+WITH qscored AS ({QUALITY_LOGIT_ORACLE}),
+pairs AS ({MINHASH_PAIRS_ORACLE}),
+dup_ids AS (
+    SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL
+        SELECT doc_b AS doc_id FROM pairs
+    )
+),
+bucketed AS (
+    SELECT LEAST(CAST(FLOOR(q.score * 10) AS INT), 9) AS score_decile,
+           (d.doc_id IS NOT NULL) AS is_dup
+    FROM qscored q LEFT JOIN dup_ids d ON q.doc_id = d.doc_id
+)
+SELECT score_decile,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       ROUND(CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_rate
+FROM bucketed GROUP BY score_decile
+"""
+
+
+@register(
+    "quality_vs_dup_calibration",
+    oracle=_quality_dup_calibration_oracle(),
+)
+def quality_vs_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-signal diagnostic: does the learned quality filter's score
+    correlate with near-duplication? Buckets every document by a
+    ROW-LOCAL score decile (floor(score·10), capped at 9 — no rank
+    window over the corpus) and reports the share of documents in each
+    bucket that participate in at least one MinHash near-dup pair.
+    Both inputs are the already-verified fragments
+    (quality_logit_scores; minhash_lsh_pairs) joined by doc id; the
+    dup-membership frame is a bounded distinct-id set. The answer a
+    curation team calibrates thresholds with: if low-quality buckets
+    are ALSO the duplicated ones, the two filters overlap and the
+    combined kill rate is not the sum."""
+    from asritha_metamorphetl_spark.plans.passage_queries import (
+        quality_logit_scores,
+    )
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    scored = quality_logit_scores(spark, sf_dir).select("doc_id", "score")
+    pairs = D.minhash_lsh_pairs(docs, "text", "doc_id")
+    dup_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    bucketed = scored.join(dup_ids, "doc_id", "left").select(
+        F.least(F.floor(F.col("score") * 10), F.lit(9))
+        .cast("int")
+        .alias("score_decile"),
+        F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+    )
+    return bucketed.groupBy("score_decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_dup").cast("int")).cast("bigint").alias("n_dup"),
+        F.round(
+            F.sum(F.col("is_dup").cast("int")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+    )

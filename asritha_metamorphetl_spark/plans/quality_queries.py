@@ -530,3 +530,80 @@ def dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             expect_unique(["o_orderkey"]),
         ],
     )
+
+
+@register(
+    "orders_table_profile",
+    oracle="""
+WITH base AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+           CAST(FLOOR(EXTRACT(EPOCH FROM o_orderdate)) AS BIGINT)
+               AS date_sec
+    FROM orders
+)
+SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_repr,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_repr
+FROM base
+UNION ALL
+SELECT 'o_custkey', COUNT(*),
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT o_custkey),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+FROM base
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*),
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       COUNT(DISTINCT o_orderstatus),
+       MIN(o_orderstatus), MAX(o_orderstatus)
+FROM base
+UNION ALL
+SELECT 'o_totalprice', COUNT(*),
+       CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       COUNT(DISTINCT o_totalprice),
+       CAST(MIN(price_cents) AS VARCHAR), CAST(MAX(price_cents) AS VARCHAR)
+FROM base
+UNION ALL
+SELECT 'o_orderdate', COUNT(*),
+       CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       COUNT(DISTINCT o_orderdate),
+       CAST(MIN(date_sec) AS VARCHAR), CAST(MAX(date_sec) AS VARCHAR)
+FROM base
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*),
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       COUNT(DISTINCT o_orderpriority),
+       MIN(o_orderpriority), MAX(o_orderpriority)
+FROM base
+""",
+)
+def orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic one-pass column profiler (operators/profile.py) run over
+    the orders table: per column, null count, exact distinct count,
+    and canonical min/max (money as integer cents, timestamps as unix
+    seconds — representations every engine formats identically). ONE
+    scan computes all six columns' aggregates; the long format is an
+    explode of the single collapsed row."""
+    from asritha_metamorphetl_spark.operators.profile import profile_table
+
+    orders = Catalog(sf_dir).load(spark, "orders")
+    return profile_table(
+        orders,
+        [
+            ("o_orderkey", "int"),
+            ("o_custkey", "int"),
+            ("o_orderstatus", "str"),
+            ("o_totalprice", "cents"),
+            ("o_orderdate", "ts_sec"),
+            ("o_orderpriority", "str"),
+        ],
+    )

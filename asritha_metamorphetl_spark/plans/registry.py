@@ -57,6 +57,12 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "streaming_countmin_parity",
     "prefix_jaccard_pairs",
     "containment_dup_pairs",
+    "token_entropy_scores",
+    "oov_rate_profile",
+    "robust_length_outliers",
+    "quality_vs_dup_calibration",
+    "orders_table_profile",
+    "merged_event_intervals",
     "knn_ivfpq_topk",
     "knn_ivfpq_recall_eval",
     "knn_ivfpq_residual_topk",

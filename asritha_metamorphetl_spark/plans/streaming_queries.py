@@ -576,7 +576,7 @@ def streaming_countmin_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     countmin_sketch(
         base_toks, "tok", depth=CMS_DEPTH, width=CMS_WIDTH, salt=CMS_SALT
-    ).write.parquet(os.path.join(sketch_dir, "batch_id=-1"))
+    ).coalesce(1).write.parquet(os.path.join(sketch_dir, "batch_id=-1"))
     for i in range(3):
         delta.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
             os.path.join(src, f"batch{i}")

@@ -427,7 +427,8 @@ def countmin_stream(
         part = countmin_sketch(
             toks, "tok", depth=depth, width=width, salt=salt
         )
-        part.write.mode("overwrite").parquet(
+        # <= depth*width rows — one file per partial, not one per task
+        part.coalesce(1).write.mode("overwrite").parquet(
             f"{sketch_dir}/batch_id={batch_id}"
         )
 

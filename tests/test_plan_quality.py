@@ -691,3 +691,76 @@ def test_containment_join_prefix_vs_full_index_no_cartesian(spark):
     assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_token_entropy_two_bounded_aggregates_no_window(spark):
+    """Entropy is two hash aggregates keyed by (doc, token) then doc —
+    both with partial stages; no join, no window, no corpus-wide
+    anything."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["token_entropy_scores"](spark, SF_CORRECT))
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange") <= 2
+    assert "partial_" in plan
+
+
+def test_oov_profile_vocab_joins_broadcast(spark):
+    """The top-K vocabulary is a bounded frame — the occurrence stream
+    must meet it as a BroadcastHashJoin, never a shuffled join of the
+    exploded corpus against 25 rows."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["oov_rate_profile"](spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_robust_outliers_window_on_narrow_rows(spark):
+    """The rank window partitions by lang over (id, lang, len) — the
+    text column must not survive into the window input; the quartile
+    side re-joins as a broadcast of O(languages) rows."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["robust_length_outliers"](spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan
+    win = plan[plan.index("Window") :]
+    assert "text#" not in win.splitlines()[0]
+    assert "BroadcastHashJoin" in plan
+
+
+def test_quality_dup_calibration_id_joins_only(spark):
+    """Both composed fragments join by doc id; the decile is row-local
+    (no ntile/rank window over the corpus) — the only window allowed
+    is inside the inherited MinHash fragment, which windows per-doc."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["quality_vs_dup_calibration"](spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan
+    assert "ntile" not in plan and "percent_rank" not in plan
+
+
+def test_table_profile_is_one_scan_one_collapse(spark):
+    """All six columns' stats must come from ONE scan of the table —
+    the plan may expand for the count_distincts but never re-reads the
+    parquet; no join, no window."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["orders_table_profile"](spark, SF_CORRECT))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_merged_intervals_windows_per_user_only(spark):
+    """Both islands windows (running max of ends, island counter) must
+    partition by user_id — never an unpartitioned window — and the
+    whole query is windows + two aggregates, no join."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["merged_event_intervals"](spark, SF_CORRECT))
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+    for seg in plan.split("Window")[1:]:
+        first = seg.splitlines()[0]
+        if "partitionBy" in first or "user_id" in first:
+            assert "user_id" in first

@@ -738,3 +738,81 @@ def test_containment_join_catches_quotes_jaccard_misses(spark):
         for r in prefix_jaccard_pairs(docs, t_num=4, t_den=5).collect()
     }
     assert (0, 1) not in jacc  # Jaccard blind to the quote, as claimed
+
+
+def test_token_entropy_hand_values(spark):
+    """'a a a a' → 0 nats; 'a b c d' → ln(4); 'a a b b' → ln(2)."""
+    import math
+
+    from asritha_metamorphetl_spark.operators.lm import token_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a a b b")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.entropy_nats for r in token_entropy(docs).collect()}
+    assert got[1] == 0.0
+    assert abs(got[2] - round(math.log(4), 6)) < 1e-9
+    assert abs(got[3] - round(math.log(2), 6)) < 1e-9
+
+
+def test_robust_outliers_hand_example(spark):
+    """9 docs of lengths 10..18 in one lang: n=9 → q1 at rank 3 (12),
+    q3 at rank 7 (16), IQR 4 → fences [6, 22]: no outliers; adding a
+    length-40 doc shifts ranks and flags exactly the extreme."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries  # noqa: F401
+    from asritha_metamorphetl_spark.plans.curation_queries import (
+        robust_length_outliers,
+    )
+
+    def doc(i, n):
+        return (i, " ".join(["w"] * n), "en", "s", n)
+
+    rows = [doc(i, 10 + i) for i in range(9)] + [doc(9, 40)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r.lang: r for r in robust_length_outliers(spark, d).collect()}
+    r = out["en"]
+    # n=10: q1 at rank (10+3)//4 = 3 → len 12; q3 at rank (30+3)//4 = 8 → 17
+    assert (r.n_docs, r.q1, r.q3) == (10, 12, 17)
+    # fences: low < 2*12-15=9/2 → none; high > 2*17+15=49/2=24.5 → the 40
+    assert (r.n_low, r.n_high) == (0, 1)
+
+
+def test_interval_merge_hand_example(spark):
+    """User 1: [0,100) ∪ [50,80) ∪ [90,200) merge to one interval of
+    200s; [300,310) stands alone — the early long interval swallowing
+    later short ones is the case lag-based sessionization gets wrong."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries  # noqa: F401
+    import os, tempfile
+    from pyspark.sql import functions as F  # noqa: F811
+    from asritha_metamorphetl_spark.plans.operator_queries import (
+        merged_event_intervals,
+    )
+
+    rows = [
+        # (event_id, user, epoch_sec, value): dur = 60 + round(v*100)%3600
+        (1, 1, 1000, 0.40),  # dur 100 -> [1000, 1100)
+        (2, 1, 1020, 0.00),  # dur  60 -> [1020, 1080) swallowed by #1
+        (3, 1, 1090, 0.50),  # dur 110 -> [1090, 1200) chains via #1's end
+        (4, 1, 1300, 0.00),  # dur  60 -> [1300, 1360) stands alone
+    ]
+    df = spark.createDataFrame(
+        [
+            (e, u, s, v, "t", "{}")
+            for (e, u, s, v) in rows
+        ],
+        "event_id long, user_id long, sec long, value double, event_type string, props string",
+    ).select(
+        "event_id", F.col("sec").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {r.user_id: r for r in merged_event_intervals(spark, d).collect()}
+    r = out[1]
+    assert (r.n_intervals, r.covered_sec, r.n_events) == (2, 260, 4)

@@ -139,6 +139,9 @@ HEADLINERS = [
      "pairs generated by a higher-order function inside the scan "
      "stage; the whole plan is Generate + one partial/final hash "
      "aggregate — a single exchange on the pair key"),
+    ("quality_vs_dup_calibration", "cross-signal calibration: both "
+     "verified fragments meet by doc id; the score decile is row-local "
+     "floor(score*10) — no rank window over the corpus anywhere"),
     ("prefix_jaccard_pairs", "prefix-filtered exact Jaccard join: the "
      "checkpointed hashed-shingle frame feeds five consumers in one "
      "materialization; prefix selection is a per-doc window over "

@@ -64,6 +64,10 @@ QUERIES = [
     ("prefix_jaccard_pairs", "PPJoin prefix-filtered exact Jaccard join"),
     ("containment_dup_pairs", "containment join (prefix vs full index)"),
     ("streaming_countmin_parity", "streaming CMS fold (micro-batch)"),
+    ("token_entropy_scores", "per-doc entropy (two bounded aggs)"),
+    ("robust_length_outliers", "rank-discrete quartiles + IQR fences"),
+    ("quality_vs_dup_calibration", "quality x dup cross-signal (id joins)"),
+    ("merged_event_intervals", "variable-interval union (running-max window)"),
 ]
 
 RUNS = 2  # take the best of N to damp container noise
