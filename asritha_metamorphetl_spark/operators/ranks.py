@@ -430,3 +430,62 @@ def ntile_from_rank(rn: Column, n: Column, buckets: int) -> Column:
         )
         .cast("int")
     )
+
+
+def grouped_percent_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    descending: bool = False,
+    out_col: str = "percent_rank",
+    max_distinct: int = 50_000_000,
+) -> DataFrame:
+    """Per-GROUP percent_rank with the same collapsed distinct-value
+    machinery as :func:`global_percent_rank` — and a strictly better
+    scale story: the cumulative window partitions BY GROUP over the
+    collapsed (group, value, count) frame, so there is no
+    single-partition stage anywhere, for any group or value
+    cardinality. Each group's collapsed slice is bounded by ITS value
+    domain (enforced in-plan per group via ``max_distinct``); the wide
+    input never shuffles — it meets the rank map in an equi-join on
+    (group, value) that AQE broadcasts while the map is small.
+
+    pr = (count of strictly-better values in the group) / (n − 1),
+    SQL tie semantics; single-row groups rank 0.
+    """
+    vc = df.groupBy(*group_cols, value.alias("__v")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    order = F.col("__v").desc() if descending else F.col("__v").asc()
+    base = Window.partitionBy(*group_cols).orderBy(order)
+    cum_w = base.rowsBetween(Window.unboundedPreceding, -1)
+    all_w = base.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    guard = F.assert_true(
+        F.count(F.lit(1)).over(all_w) <= F.lit(int(max_distinct)),
+        F.lit(
+            "grouped_percent_rank: a group's distinct-value cardinality "
+            f"exceeds max_distinct={int(max_distinct)} — quantize the "
+            "value first (round/bucket) or raise the bound consciously."
+        ),
+    )
+    pr_map = vc.select(
+        *group_cols,
+        "__v",
+        F.coalesce(F.sum("__c").over(cum_w), F.lit(0)).alias("__better"),
+        F.sum("__c").over(all_w).alias("__n"),
+        guard.alias("__guard"),
+    ).select(
+        *group_cols,
+        "__v",
+        F.when(F.col("__guard").isNull() & (F.col("__n") <= 1), F.lit(0.0))
+        .otherwise(F.col("__better") / (F.col("__n") - F.lit(1)))
+        .alias(out_col),
+    )
+    cond = [df[g] == pr_map[g] for g in group_cols] + [
+        value == pr_map["__v"]
+    ]
+    return df.join(pr_map, cond).drop(pr_map["__v"]).drop(
+        *[pr_map[g] for g in group_cols]
+    )

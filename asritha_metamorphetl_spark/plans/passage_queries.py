@@ -1118,3 +1118,41 @@ def per_source_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         narrow, "source", "score", "doc_id", ES_GROUP_K,
         salt=ES_SAMPLE_SALT,
     ).select("source", "doc_id", "score", "es_key")
+
+
+@register(
+    "quality_score_percentiles",
+    oracle=f"""
+WITH qscored AS ({QUALITY_LOGIT_ORACLE})
+SELECT doc_id, lang, score,
+       ROUND(PERCENT_RANK() OVER (
+           PARTITION BY lang ORDER BY score ASC), 6) AS score_pct
+FROM qscored
+""",
+)
+def quality_score_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each document's quality score as a PERCENTILE within its
+    language — the per-group normalization that makes one threshold
+    mean the same thing across languages with different score
+    distributions. Uses operators/ranks.grouped_percent_rank: the
+    rank is computed over the collapsed (lang, score, count) frame
+    with windows partitioned BY LANGUAGE — no single-partition stage
+    for any cardinality (strictly better than the global variant's
+    bounded one); the corpus itself never shuffles, meeting the tiny
+    rank map in an AQE-broadcast equi-join on (lang, score)."""
+    from asritha_metamorphetl_spark.operators.ranks import (
+        grouped_percent_rank,
+    )
+
+    scored = quality_logit_scores(spark, sf_dir).select(
+        "doc_id", "lang", "score"
+    )
+    ranked = grouped_percent_rank(
+        scored, ["lang"], F.col("score"), out_col="__pct"
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "score",
+        F.round(F.col("__pct"), 6).alias("score_pct"),
+    )

@@ -63,6 +63,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "quality_vs_dup_calibration",
     "orders_table_profile",
     "merged_event_intervals",
+    "quality_score_percentiles",
     "knn_ivfpq_topk",
     "knn_ivfpq_recall_eval",
     "knn_ivfpq_residual_topk",

@@ -764,3 +764,17 @@ def test_merged_intervals_windows_per_user_only(spark):
         first = seg.splitlines()[0]
         if "partitionBy" in first or "user_id" in first:
             assert "user_id" in first
+
+
+def test_grouped_percent_rank_never_single_partitions(spark):
+    """The per-group rank variant must have NO SinglePartition stage at
+    all (its windows partition by the group over the collapsed frame)
+    and no window over raw corpus rows — the raw side only joins."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["quality_score_percentiles"](spark, SF_CORRECT))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    # every Window partitions by lang
+    for seg in plan.split("Window ")[1:]:
+        assert "lang" in seg.splitlines()[0]

@@ -816,3 +816,33 @@ def test_interval_merge_hand_example(spark):
         out = {r.user_id: r for r in merged_event_intervals(spark, d).collect()}
     r = out[1]
     assert (r.n_intervals, r.covered_sec, r.n_events) == (2, 260, 4)
+
+
+def test_grouped_percent_rank_matches_sql_window(spark):
+    """Collapsed-frame per-group pr must equal the classic
+    percent_rank window (SQL tie semantics), including single-row
+    groups (0.0) and tie plateaus."""
+    from pyspark.sql import Window as W
+
+    from asritha_metamorphetl_spark.operators.ranks import (
+        grouped_percent_rank,
+    )
+
+    rows = [(i, "g%d" % (i % 3), float((i * 7) % 5)) for i in range(60)]
+    rows.append((100, "solo", 9.0))
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = {
+        (r.id): round(r.pr, 9)
+        for r in grouped_percent_rank(
+            df, ["g"], F.col("v"), out_col="pr"
+        ).collect()
+    }
+    want = {
+        r.id: round(r.pr, 9)
+        for r in df.withColumn(
+            "pr",
+            F.percent_rank().over(W.partitionBy("g").orderBy("v")),
+        ).collect()
+    }
+    assert got == want
+    assert got[100] == 0.0

@@ -139,6 +139,10 @@ HEADLINERS = [
      "pairs generated by a higher-order function inside the scan "
      "stage; the whole plan is Generate + one partial/final hash "
      "aggregate — a single exchange on the pair key"),
+    ("quality_score_percentiles", "per-group scale-safe percent_rank: "
+     "windows partition by language over the collapsed (lang, score, "
+     "count) frame — NO SinglePartition stage anywhere; the corpus "
+     "meets the rank map in an AQE-broadcast (lang, score) equi-join"),
     ("quality_vs_dup_calibration", "cross-signal calibration: both "
      "verified fragments meet by doc id; the score decile is row-local "
      "floor(score*10) — no rank window over the corpus anywhere"),

@@ -68,6 +68,7 @@ QUERIES = [
     ("robust_length_outliers", "rank-discrete quartiles + IQR fences"),
     ("quality_vs_dup_calibration", "quality x dup cross-signal (id joins)"),
     ("merged_event_intervals", "variable-interval union (running-max window)"),
+    ("quality_score_percentiles", "per-group collapsed-frame percent_rank"),
 ]
 
 RUNS = 2  # take the best of N to damp container noise
