@@ -64,6 +64,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "orders_table_profile",
     "merged_event_intervals",
     "quality_score_percentiles",
+    "streaming_weighted_sample_parity",
     "knn_ivfpq_topk",
     "knn_ivfpq_recall_eval",
     "knn_ivfpq_residual_topk",

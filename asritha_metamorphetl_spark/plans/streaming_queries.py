@@ -610,3 +610,99 @@ def streaming_countmin_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("n"))
         .select(F.col("row").alias("cms_row"), "cell", "n")
     )
+
+
+def _es_parity_oracle() -> str:
+    from asritha_metamorphetl_spark.plans.text_queries import _hex48_sql
+
+    u48 = _hex48_sql("md5('esw:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH keyed AS (
+    SELECT doc_id,
+           (1 + (n_chars % 100)) / 101.0 AS w,
+           ROUND(LN((({u48} % 1000000) + 1) / 1000000.0)
+                 / ((1 + (n_chars % 100)) / 101.0), 6) AS es_key
+    FROM documents
+)
+SELECT doc_id, ROUND(w, 6) AS w, es_key
+FROM keyed
+ORDER BY es_key DESC, doc_id
+LIMIT 200
+"""
+
+
+@register("streaming_weighted_sample_parity", oracle=_es_parity_oracle())
+def streaming_weighted_sample_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming maintenance of the Efraimidis–Spirakis weighted
+    sample under a REAL streaming query, proved equal to the one-shot
+    batch sample: the base corpus' top-200 is seeded as batch_id=-1,
+    three delta files arrive as separate micro-batches, each folds
+    topk(distinct(latest_state ∪ batch_keys)) and publishes the new
+    state under its own batch_id (idempotent: re-folding rows already
+    in the state is a no-op after the id-dedup). Order statistics
+    over fixed content-hash keys are MERGEABLE — topk(A ∪ B) =
+    topk(topk(A) ∪ B) — which is the third merge algebra in the
+    streaming trilogy (sets: ingest dedup; sums: Count-Min; order
+    statistics: this). The oracle draws the same sample from all
+    documents at once. Weights are a row-local rational of n_chars so
+    every engine reproduces them exactly."""
+    import os
+    import shutil
+
+    from asritha_metamorphetl_spark.operators.sampling import (
+        hash_bucket,
+        weighted_sample_without_replacement,
+    )
+    from asritha_metamorphetl_spark.streaming.windows import (
+        weighted_topk_stream,
+    )
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    bucket = hash_bucket(F.col("doc_id"), 10)
+    base = docs.filter(bucket <= 7)
+    delta = docs.filter(bucket >= 8)
+
+    def weigh(df: DataFrame) -> DataFrame:
+        w = (F.lit(1) + F.col("n_chars") % 100) / F.lit(101.0)
+        return df.select("doc_id", w.alias("w"))
+
+    root = scratch_dir(spark, "stream_esw", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    state_dir = os.path.join(root, "state")
+    src = os.path.join(root, "delta")
+
+    weighted_sample_without_replacement(
+        weigh(base), "w", "doc_id", 200, salt="esw:"
+    ).coalesce(1).write.parquet(os.path.join(state_dir, "batch_id=-1"))
+    for i in range(3):
+        delta.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            os.path.join(src, f"batch{i}")
+        )
+
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    q = (
+        weighted_topk_stream(
+            stream, state_dir, weigh, "doc_id", 200, salt="esw:"
+        )
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(_AWAIT_SEC):
+        q.stop()
+        raise TimeoutError("weighted sample stream did not finish")
+
+    state = spark.read.parquet(state_dir)
+    latest = state.agg(F.max("batch_id")).collect()[0][0]
+    return (
+        state.filter(F.col("batch_id") == latest)
+        .select(
+            "doc_id", F.round(F.col("w"), 6).alias("w"), "es_key"
+        )
+    )

@@ -433,3 +433,57 @@ def countmin_stream(
         )
 
     return docs.writeStream.foreachBatch(apply_batch)
+
+
+def weighted_topk_stream(
+    docs: DataFrame,
+    state_dir: str,
+    weight_fn,
+    id_col: str,
+    k: int,
+    salt: str = "es:",
+):
+    """Streaming maintenance of an Efraimidis–Spirakis weighted sample:
+    order statistics over FIXED per-row keys are mergeable —
+    topk(A ∪ B) = topk(topk(A) ∪ B) — so each micro-batch folds the
+    persisted k-best with its own keyed rows and republishes the
+    k-best of the union. The state after batch n lands at
+    ``state_dir/batch_id=<n>`` (overwriting, like the Count-Min fold);
+    a RETRIED batch re-reads the latest state — which may already
+    include its own survivors — and the ``dropDuplicates(id)`` before
+    the top-k makes re-folding the same rows a no-op, so the
+    at-least-once contract costs nothing. Readers take the state with
+    the highest batch_id; after all batches it equals the one-shot
+    batch sample over the full corpus exactly (the parity query pins
+    this under the oracle hash).
+
+    ``weight_fn(df) -> df'`` must add the sample's weight column
+    ``w`` (> 0) to a batch frame — row-local, so per-batch cost is
+    O(batch) + the O(k) fold. Seed the base corpus' top-k as
+    ``batch_id=-1``.
+    """
+    from asritha_metamorphetl_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        keyed = weighted_sample_without_replacement(
+            weight_fn(batch_df), "w", id_col, k, salt=salt
+        )
+        state = spark.read.parquet(state_dir)
+        latest = state.filter(
+            F.col("batch_id")
+            == state.agg(F.max("batch_id")).collect()[0][0]
+        ).drop("batch_id")
+        merged = (
+            latest.unionByName(keyed)
+            .dropDuplicates([id_col])
+            .orderBy(F.col("es_key").desc(), F.col(id_col))
+            .limit(k)
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/batch_id={batch_id}"
+        )
+
+    return docs.writeStream.foreachBatch(apply_batch)

@@ -846,3 +846,31 @@ def test_grouped_percent_rank_matches_sql_window(spark):
     }
     assert got == want
     assert got[100] == 0.0
+
+
+def test_weighted_topk_merge_algebra(spark):
+    """topk(topk(A) ∪ B) == topk(A ∪ B): the mergeability the
+    streaming fold relies on, plus idempotency — re-folding rows
+    already in the state changes nothing after the id-dedup."""
+    from asritha_metamorphetl_spark.operators.sampling import (
+        weighted_sample_without_replacement as wswr,
+    )
+
+    rows = [(i, 1.0 + (i % 7)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    a = df.filter(F.col("id") % 2 == 0)
+    b = df.filter(F.col("id") % 2 == 1)
+
+    def topk(frame):
+        return (
+            frame.dropDuplicates(["id"])
+            .orderBy(F.col("es_key").desc(), F.col("id"))
+            .limit(50)
+        )
+
+    full = sorted(map(tuple, wswr(df, "w", "id", 50).collect()))
+    folded = topk(wswr(a, "w", "id", 50).unionByName(wswr(b, "w", "id", 50)))
+    assert sorted(map(tuple, folded.collect())) == full
+    # idempotency: folding B's keyed rows again is a no-op
+    refolded = topk(folded.unionByName(wswr(b, "w", "id", 50)))
+    assert sorted(map(tuple, refolded.collect())) == full

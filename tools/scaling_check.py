@@ -69,6 +69,7 @@ QUERIES = [
     ("quality_vs_dup_calibration", "quality x dup cross-signal (id joins)"),
     ("merged_event_intervals", "variable-interval union (running-max window)"),
     ("quality_score_percentiles", "per-group collapsed-frame percent_rank"),
+    ("streaming_weighted_sample_parity", "streaming E-S top-k fold"),
 ]
 
 RUNS = 2  # take the best of N to damp container noise
