@@ -198,3 +198,70 @@ def _connected_components_star(
     return vertices.join(
         pointers, vertices["id"] == pointers["u"], "left"
     ).select("id", F.coalesce("label", "id").alias("label"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    weight: str | None = None,
+    damping: float = 0.85,
+    iters: int = 3,
+) -> DataFrame:
+    """Fixed-iteration weighted PageRank over ``edges`` — the canonical
+    iterative-graph workload on DataFrames (domain/part importance
+    ranking in a curation pipeline). Returns ``(node, rank)`` where
+    ``rank`` is the raw PageRank probability after ``iters`` power
+    iterations from the uniform vector; ``Σ rank = 1`` when the graph
+    has no dangling nodes.
+
+    Node set = the distinct SOURCES of ``edges`` (every ranked node must
+    have an out-edge; symmetrize the graph upstream if it doesn't —
+    co-occurrence graphs are symmetric by construction, which also
+    guarantees zero dangling mass). Nodes with no in-edges keep the
+    teleport floor ``(1−d)/N`` via the left join below.
+
+    Scale shape: the transition frame (out-weight-normalized edges) is
+    built ONCE, checkpointed, and hash-partitioned on ``src``; each
+    iteration is one join (edges × O(nodes) rank frame, co-partitioned
+    on the reused ``src`` hash) + one ``groupBy(dst)`` partial-agg sum —
+    no per-iteration re-read of the corpus, no driver-side graph.
+    ``localCheckpoint`` truncates lineage so the plan stays O(1) per
+    round instead of growing with ``iters`` (Spark's iterative footgun).
+    The only driver scalar is N (one count over the bounded node frame).
+    """
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("tw"))
+    trans = (
+        e.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("tw")).alias("p"))
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    nodes = outw.select(F.col("src").alias("node")).localCheckpoint(eager=True)
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    teleport = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        contrib = (
+            trans.join(ranks, trans["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("rank")).alias("mass"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

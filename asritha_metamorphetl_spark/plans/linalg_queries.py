@@ -1,0 +1,253 @@
+"""Iterative-numeric queries: distributed second moments, the
+broadcast-projection PCA pattern, and sparse power iteration (PageRank).
+
+Three registered queries exercise ``operators/linalg.py`` and
+``operators/graph.py::pagerank`` end-to-end against full SQL replays:
+
+- ``embedding_covariance_matrix`` — the pure-DataFrame covariance path
+  (partition-partial Gram → one tiny agg → bounded-frame joins). The
+  oracle re-derives every entry from an unnest self-join — a completely
+  different plan shape that must land on identical rounded values.
+- ``pca_power_projection`` — the production distributed-PCA shape:
+  moments collected driver-side (O(d²) bounded), one power-iteration
+  step from the max-variance basis vector, direction re-rounded to a
+  cross-engine-stable basis, then broadcast back as a literal array for
+  a row-local JVM projection (zero Python in the scan).
+- ``part_copurchase_pagerank`` — fixed-iteration weighted PageRank over
+  the part co-purchase graph (parts co-ordered in the same order), the
+  iterative sparse-matvec workload. The oracle unrolls the same three
+  power iterations as chained SQL CTEs.
+
+Cross-engine float discipline (the same rules as the kmeans/PQ oracles):
+every value that feeds a downstream DECISION (pivot choice, direction
+basis, ranking) is rounded to 6 decimals in BOTH engines first, so
+summation-order ulp noise cannot change the decision; final outputs are
+rounded the same way. All knobs are module-level constants interpolated
+into the SQL so engine and oracle can never drift.
+
+Reference scope: the reference engine has no linear-algebra or graph
+surface; these belong to the LLM-training-pipeline additions the build
+brief asks for (embedding analytics, domain/part importance ranking).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from asritha_metamorphetl_spark.operators.graph import pagerank
+from asritha_metamorphetl_spark.operators.linalg import (
+    covariance_matrix,
+    gram_moments,
+    project_embeddings,
+)
+from asritha_metamorphetl_spark.plans.registry import register
+from asritha_metamorphetl_spark.plans.text_queries import EMB_DIM
+from asritha_metamorphetl_spark.sources.files import Catalog
+
+#: Decimals for every cross-engine rounding point in this module.
+LA_DECIMALS = 6
+#: PageRank knobs (shared between operator call and unrolled SQL).
+PR_DAMPING = 0.85
+PR_ITERS = 3
+PR_TOPN = 20
+#: Projection report depth.
+PCA_TOPN = 20
+
+# Shared SQL fragment: one row per (vec_id, 1-based dim index, value),
+# vectors cast to double first. Two unnests in one SELECT expand in
+# lockstep (zip semantics) — the same idiom as the kmeans oracle.
+_FLAT_SQL = """
+    SELECT vec_id,
+           unnest(embedding::DOUBLE[]) AS v,
+           unnest(generate_series(1, len(embedding))) AS i
+    FROM embeddings
+"""
+
+_COV_CORE_SQL = f"""
+flat AS ({_FLAT_SQL}),
+cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+mean AS (SELECT i, SUM(v) / (SELECT n FROM cnt) AS m FROM flat GROUP BY i),
+cov AS (
+    SELECT a.i AS i, b.i AS j,
+           ROUND(SUM(a.v * b.v) / (SELECT n FROM cnt) - ma.m * mb.m,
+                 {LA_DECIMALS}) + 0 AS c
+    FROM flat a
+    JOIN flat b USING (vec_id)
+    JOIN mean ma ON ma.i = a.i
+    JOIN mean mb ON mb.i = b.i
+    GROUP BY a.i, b.i, ma.m, mb.m
+)
+"""
+
+
+@register(
+    "embedding_covariance_matrix",
+    oracle=f"""
+WITH {_COV_CORE_SQL}
+SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j, c AS cov
+FROM cov
+""",
+)
+def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance of the embedding table as a (i, j, cov)
+    frame — the pure-DataFrame path of ``operators/linalg.py``: one
+    mapInPandas partial-Gram pass over the corpus (O(partitions·d²)
+    emitted rows, d×d float64 state per task), one hash agg, then joins
+    over the bounded d²-row moment frame only. The corpus is scanned
+    exactly once; nothing row-proportional ever shuffles."""
+    emb = Catalog(sf_dir).load(spark, "embeddings")
+    return covariance_matrix(emb, "embedding", EMB_DIM, decimals=LA_DECIMALS)
+
+
+@register(
+    "pca_power_projection",
+    oracle=f"""
+WITH {_COV_CORE_SQL},
+pvt AS (SELECT i FROM cov WHERE i = j ORDER BY c DESC, i ASC LIMIT 1),
+vr AS (SELECT cov.i AS k, cov.c AS val FROM cov
+       WHERE cov.j = (SELECT i FROM pvt)),
+vnorm AS (SELECT SQRT(SUM(val * val)) AS nv FROM vr),
+vdir AS (SELECT k, ROUND(val / (SELECT nv FROM vnorm), {LA_DECIMALS}) AS vk
+         FROM vr),
+meanr AS (SELECT i, ROUND(m, {LA_DECIMALS}) AS mr FROM mean),
+proj AS (
+    SELECT f.vec_id, SUM((f.v - mr.mr) * vd.vk) AS s
+    FROM flat f
+    JOIN meanr mr ON mr.i = f.i
+    JOIN vdir vd ON vd.k = f.i
+    GROUP BY f.vec_id
+)
+SELECT p.vec_id, e.label, ROUND(p.s, {LA_DECIMALS}) + 0 AS proj
+FROM proj p JOIN embeddings e USING (vec_id)
+ORDER BY ROUND(ABS(p.s), {LA_DECIMALS}) DESC, p.vec_id
+LIMIT {PCA_TOPN}
+""",
+)
+def pca_power_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed-PCA power step: collect the bounded moment frame
+    (d²+d+1 rows — the same driver budget class as IVF centroids), take
+    the covariance column of the max-variance dimension (= one power
+    iteration applied to that basis vector), L2-normalize and re-round
+    it to a cross-engine-stable basis, then broadcast the O(d) direction
+    back as literal arrays for a row-local centered projection. The
+    corpus is touched by exactly two embarrassingly-parallel scans
+    (moments, projection); the dense algebra never leaves the driver's
+    d×d matrix. Report: top-|proj| vectors (extremes along the dominant
+    direction — the outlier ends a curation pass inspects first)."""
+    emb = Catalog(sf_dir).load(spark, "embeddings")
+    rows = gram_moments(emb, "embedding", EMB_DIM).collect()
+    gram = np.zeros((EMB_DIM, EMB_DIM))
+    sums = np.zeros(EMB_DIM)
+    n = 0.0
+    for r in rows:
+        if r["i"] == -1:
+            n = r["val"]
+        elif r["j"] == -1:
+            sums[r["i"]] = r["val"]
+        else:
+            gram[r["i"], r["j"]] = r["val"]
+    mean = sums / n
+    cov = np.round(gram / n - np.outer(mean, mean), LA_DECIMALS)
+    pivot = int(np.argmax(np.diag(cov)))  # first max = lowest index tie
+    v = cov[:, pivot]
+    v = np.round(v / np.sqrt(np.sum(v * v)), LA_DECIMALS)
+    center = np.round(mean, LA_DECIMALS)
+    scored = project_embeddings(
+        emb, "embedding", [float(c) for c in v], center=[float(c) for c in center]
+    )
+    return (
+        scored.select(
+            "vec_id",
+            "label",
+            (F.round(F.col("proj"), LA_DECIMALS) + F.lit(0.0)).alias("proj"),
+        )
+        .orderBy(
+            F.round(F.abs(F.col("proj")), LA_DECIMALS).desc(),
+            F.col("vec_id").asc(),
+        )
+        .limit(PCA_TOPN)
+    )
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    """One unrolled PageRank iteration as a CTE: teleport floor for
+    every node, damped weighted in-mass from the previous vector."""
+    return f"""
+{cur} AS (
+    SELECT o.src AS node,
+           (1 - {PR_DAMPING}) / (SELECT n FROM cnt)
+           + {PR_DAMPING} * COALESCE(SUM(t.p * {prev}.r), 0) AS r
+    FROM outw o
+    LEFT JOIN trans t ON t.dst = o.src
+    LEFT JOIN {prev} ON {prev}.node = t.src
+    GROUP BY o.src
+)"""
+
+
+@register(
+    "part_copurchase_pagerank",
+    oracle=f"""
+WITH edges AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst,
+           CAST(COUNT(*) AS DOUBLE) AS w
+    FROM lineitem a
+    JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2
+),
+outw AS (SELECT src, SUM(w) AS tw FROM edges GROUP BY 1),
+cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM outw),
+trans AS (SELECT e.src, e.dst, e.w / o.tw AS p
+          FROM edges e JOIN outw o USING (src)),
+r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM cnt) AS r FROM outw),
+{_pr_iter_sql('r0', 'r1')},
+{_pr_iter_sql('r1', 'r2')},
+{_pr_iter_sql('r2', 'r3')}
+SELECT r3.node AS part_key,
+       ROUND(r3.r * (SELECT n FROM cnt), {LA_DECIMALS}) AS rel_rank
+FROM r3
+ORDER BY rel_rank DESC, part_key ASC
+LIMIT {PR_TOPN}
+""",
+)
+def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the part co-purchase graph: edge (a, b)
+    with weight = number of order-line pairs where parts a and b appear
+    in the same order. The graph is symmetric by construction, so there
+    is no dangling mass and ``operators/graph.py::pagerank``'s
+    no-dangling contract holds. Ranks are reported relative to uniform
+    (``rank · N`` — mean 1.0, resolution-stable at any node count) for
+    the top-{PR_TOPN} hub parts. Each iteration is one co-partitioned
+    join + partial-agg sum over the checkpointed transition frame; the
+    corpus (lineitem) is read once to build edges."""
+    li = Catalog(sf_dir).load(spark, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ranks = pagerank(
+        edges, "src", "dst", weight="w", damping=PR_DAMPING, iters=PR_ITERS
+    )
+    tot = ranks.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+    return (
+        ranks.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("node").alias("part_key"),
+            F.round(F.col("rank") * F.col("n_nodes"), LA_DECIMALS).alias(
+                "rel_rank"
+            ),
+        )
+        .orderBy(F.col("rel_rank").desc(), F.col("part_key").asc())
+        .limit(PR_TOPN)
+    )

@@ -44,6 +44,12 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # composition into training shards
     "curation_verdict",
     "curated_shard_manifest",
+    # round-7 late additions: distributed second moments / PCA
+    # projection and iterative PageRank — brand-new operator classes,
+    # so they lead the window
+    "embedding_covariance_matrix",
+    "pca_power_projection",
+    "part_copurchase_pagerank",
     # round-7 additions / changed behavior (r6 directives #1-#2, #4-#6):
     # IVF-PQ composition (new), gathered two-level assignment kernel,
     # single-scan BM25, PQ LUT id-type generalization, unimax budget
@@ -243,6 +249,7 @@ def _load_all() -> None:
         catalog_queries,
         corpus_queries,
         curation_queries,
+        linalg_queries,
         operator_queries,
         passage_queries,
         pipeline_queries,

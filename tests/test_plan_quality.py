@@ -778,3 +778,59 @@ def test_grouped_percent_rank_never_single_partitions(spark):
     # every Window partitions by lang
     for seg in plan.split("Window ")[1:]:
         assert "lang" in seg.splitlines()[0]
+
+
+def test_gram_moments_one_scan_one_python_stage(spark):
+    """The distributed second-moment sweep must read the corpus ONCE
+    through exactly one Arrow-batched Python stage (the d×d partial
+    accumulator) and never join or explode at row granularity — the
+    shuffle above it carries only the O(partitions·d²) moment rows."""
+    from asritha_metamorphetl_spark.operators.linalg import gram_moments
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    plan = _plan(gram_moments(emb, "embedding", 64))
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan and "Generate" not in plan
+
+
+def test_covariance_final_plan_stays_on_bounded_frames(spark):
+    """embedding_covariance_matrix: the checkpointed moment frame is the
+    only input (no second corpus scan) and every join over it is a
+    broadcast — a sort-merge join over a d²-row frame would mean the
+    planner lost the boundedness."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["embedding_covariance_matrix"](spark, SF_CORRECT))
+    assert plan.count("FileScan") == 0
+    assert "Scan ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pca_projection_scan_is_pure_jvm(spark):
+    """pca_power_projection's returned frame: the dense algebra already
+    happened driver-side, so the scan must be ONE parquet read with the
+    centered dot product as JVM expressions (no Python stage of any
+    kind) feeding TakeOrderedAndProject — never a global sort."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["pca_power_projection"](spark, SF_CORRECT))
+    assert plan.count("FileScan") == 1
+    for python_stage in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert python_stage not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_pagerank_query_iterates_behind_checkpoints(spark):
+    """part_copurchase_pagerank: lineitem is read only while building
+    the checkpointed transition frame; the returned plan reads the
+    iterated rank RDD (no parquet re-scan), broadcasts the O(1)-row
+    count, and top-ks via TakeOrderedAndProject."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["part_copurchase_pagerank"](spark, SF_CORRECT))
+    assert plan.count("FileScan") == 0
+    assert "Scan ExistingRDD" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan

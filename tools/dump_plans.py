@@ -161,6 +161,23 @@ HEADLINERS = [
      "compiled into ONE full-outer equi-join — the target moves "
      "exactly once; the source-ambiguity guard is a delta-side-only "
      "window riding the source projection, never a target re-shuffle"),
+    ("embedding_covariance_matrix", "distributed second moments: the "
+     "corpus is read ONCE through a single MapInPandas stage holding a "
+     "d×d float64 accumulator per task; the only shuffle carries "
+     "O(partitions·d²) moment rows, and every downstream join runs "
+     "broadcast over the checkpointed bounded frame — nothing "
+     "row-proportional ever shuffles"),
+    ("pca_power_projection", "broadcast-projection PCA: the dense "
+     "algebra happened driver-side (O(d²) moment collect), so the "
+     "returned plan is one parquet scan with the centered dot product "
+     "as pure JVM zip_with/aggregate expressions feeding "
+     "TakeOrderedAndProject — no Python stage, no global sort"),
+    ("part_copurchase_pagerank", "iterative sparse matvec: the "
+     "transition frame is checkpointed once and each PageRank round is "
+     "a co-partitioned join + partial-agg sum behind it, so the final "
+     "plan reads only the iterated rank RDD (zero parquet re-scans), "
+     "broadcasts the O(1)-row node count, and top-ks via "
+     "TakeOrderedAndProject"),
 ]
 
 

@@ -70,6 +70,9 @@ QUERIES = [
     ("merged_event_intervals", "variable-interval union (running-max window)"),
     ("quality_score_percentiles", "per-group collapsed-frame percent_rank"),
     ("streaming_weighted_sample_parity", "streaming E-S top-k fold"),
+    ("embedding_covariance_matrix", "partition-partial Gram (one Arrow pass)"),
+    ("pca_power_projection", "driver eigenstep + JVM broadcast projection"),
+    ("part_copurchase_pagerank", "3-round power iteration (checkpointed)"),
 ]
 
 RUNS = 2  # take the best of N to damp container noise
