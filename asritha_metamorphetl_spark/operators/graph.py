@@ -265,3 +265,68 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def triangle_counts(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Exact per-vertex triangle counts — the cohesion/community signal
+    of graph analytics (a part embedded in tight co-purchase triangles
+    is a bundle member, not a drive-by pairing). Returns
+    ``(node, triangles)`` for every vertex of the undirected graph;
+    vertices in no triangle report 0.
+
+    The scale trick is DEGREE-ORDERED ORIENTATION (the MapReduce
+    triangle-counting classic, Suri & Vassilvitskii WWW'11): orient
+    every undirected edge from its lower-(degree, id) endpoint to the
+    higher one. Every triangle then has exactly ONE wedge whose center
+    precedes both endpoints, so each triangle is enumerated exactly
+    once, and — the load-balancing point — the orientation bounds every
+    out-degree by O(√m), so the wedge join fans out O(m^1.5) worst-case
+    instead of Σ deg² (which a hub vertex makes quadratic). Three
+    shuffles total: the degree agg, the wedge self-join on the center,
+    and the closing equi-join of wedges against the oriented edge set.
+    No iteration, no driver-side graph.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # orient a→b iff (deg(a), a) < (deg(b), b): total order, so exactly
+    # one direction survives per edge
+    ranked = (
+        sym.join(deg.withColumnRenamed("u", "a").withColumnRenamed("d", "da"),
+                 F.col("u") == F.col("a"))
+        .join(deg.withColumnRenamed("u", "b").withColumnRenamed("d", "db"),
+              F.col("v") == F.col("b"))
+        .filter(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+        .localCheckpoint(eager=False)  # consumed by both wedge sides + closure
+    )
+    e1 = ranked.select(F.col("u").alias("c"), F.col("v").alias("x"))
+    e2 = ranked.select(F.col("u").alias("c"), F.col("v").alias("y"))
+    wedges = e1.join(e2, "c").filter(F.col("x") < F.col("y"))
+    # wedge endpoints are id-ordered (x < y); canonicalize the oriented
+    # edge back to id order so the closure is one equi-join, no doubling
+    closure = ranked.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    )
+    tri = wedges.join(closure, ["x", "y"]).select("c", "x", "y")
+    per_node = (
+        tri.select(F.col("c").alias("node"))
+        .union(tri.select(F.col("x").alias("node")))
+        .union(tri.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    nodes = deg.select(F.col("u").alias("node"))
+    return nodes.join(per_node, "node", "left").select(
+        "node", F.coalesce("triangles", F.lit(0)).alias("triangles")
+    )

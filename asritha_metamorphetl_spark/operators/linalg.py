@@ -39,7 +39,12 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["gram_moments", "covariance_matrix", "project_embeddings"]
+__all__ = [
+    "gram_moments",
+    "covariance_matrix",
+    "covariance_from_moments",
+    "project_embeddings",
+]
 
 
 def gram_moments(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
@@ -101,9 +106,18 @@ def covariance_matrix(
     """Population covariance ``C[i][j] = G[i][j]/n − (s_i/n)(s_j/n)`` of
     the embedding column, as a ``(i, j, cov)`` frame of d² rows, rounded
     to ``decimals`` so the value is summation-order-independent across
-    engines. All joins below are over the bounded moment frame (d²+d+1
-    rows) — broadcast by AQE, never a corpus shuffle."""
-    m = gram_moments(df, vec_col, dim).localCheckpoint(eager=False)
+    engines."""
+    return covariance_from_moments(
+        gram_moments(df, vec_col, dim).localCheckpoint(eager=False),
+        decimals=decimals,
+    )
+
+
+def covariance_from_moments(m: DataFrame, decimals: int = 6) -> DataFrame:
+    """Derive the covariance frame from an already-summed moment frame
+    (``gram_moments`` output or any linear fold of such partials — the
+    streaming maintenance path lands here too). All joins are over the
+    bounded d²+d+1-row frame — broadcast, never a corpus shuffle."""
     n = m.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
         F.col("val").alias("n")
     )

@@ -50,6 +50,8 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "embedding_covariance_matrix",
     "pca_power_projection",
     "part_copurchase_pagerank",
+    "streaming_gram_parity",
+    "copurchase_triangle_rank",
     # round-7 additions / changed behavior (r6 directives #1-#2, #4-#6):
     # IVF-PQ composition (new), gathered two-level assignment kernel,
     # single-scan BM25, PQ LUT id-type generalization, unimax budget

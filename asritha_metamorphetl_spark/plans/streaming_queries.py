@@ -706,3 +706,89 @@ def streaming_weighted_sample_parity(
             "doc_id", F.round(F.col("w"), 6).alias("w"), "es_key"
         )
     )
+
+
+def _gram_parity_oracle() -> str:
+    # the batch twin's oracle verbatim: full-corpus covariance — the
+    # parity claim is that the streamed fold lands on the identical
+    # rounded matrix whatever the batch boundaries
+    from asritha_metamorphetl_spark.plans.linalg_queries import (
+        _COV_CORE_SQL,
+    )
+
+    return f"""
+WITH {_COV_CORE_SQL}
+SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j, c AS cov
+FROM cov
+"""
+
+
+@register("streaming_gram_parity", oracle=_gram_parity_oracle())
+def streaming_gram_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the second-moment (online-PCA) state
+    under a REAL streaming query, proved equal to the one-shot batch
+    covariance: the base corpus' Gram/sum/count partials are seeded as
+    ``batch_id=-1``, three delta files arrive as separate micro-batches
+    (``maxFilesPerTrigger=1``), each publishing its moment partial by
+    OVERWRITING its own ``batch_id=<n>`` subdirectory (sums cannot
+    tolerate re-append under at-least-once retries), and the reader
+    folds every partial with one ``groupBy(i, j).sum`` before the SAME
+    bounded-frame covariance derivation the batch operator uses. The
+    moment algebra's LINEARITY is the property under the hash — the
+    fourth mergeable-fold algebra the streaming surface proves, after
+    sets (ingest dedup), sums (Count-Min), and order statistics
+    (weighted sample): dense matrices."""
+    import os
+    import shutil
+
+    from asritha_metamorphetl_spark.operators.linalg import (
+        covariance_from_moments,
+        gram_moments,
+    )
+    from asritha_metamorphetl_spark.operators.sampling import hash_bucket
+    from asritha_metamorphetl_spark.plans.linalg_queries import LA_DECIMALS
+    from asritha_metamorphetl_spark.plans.text_queries import EMB_DIM
+    from asritha_metamorphetl_spark.streaming.windows import (
+        gram_moments_stream,
+    )
+
+    emb = Catalog(sf_dir).load(spark, "embeddings")
+    bucket = hash_bucket(F.col("vec_id"), 10)
+    base = emb.filter(bucket <= 7)
+    delta = emb.filter(bucket >= 8)
+
+    root = scratch_dir(spark, "stream_gram", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    state_dir = os.path.join(root, "moments")
+    src = os.path.join(root, "delta")
+
+    gram_moments(base, "embedding", EMB_DIM).coalesce(1).write.parquet(
+        os.path.join(state_dir, "batch_id=-1")
+    )
+    for i in range(3):
+        delta.filter(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(
+            os.path.join(src, f"batch{i}")
+        )
+
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    q = (
+        gram_moments_stream(stream, state_dir, "embedding", EMB_DIM)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(_AWAIT_SEC):
+        q.stop()
+        raise TimeoutError("gram moments stream did not finish")
+
+    folded = (
+        spark.read.parquet(state_dir)
+        .groupBy("i", "j")
+        .agg(F.sum("val").alias("val"))
+        .localCheckpoint(eager=False)  # three bounded-frame consumers
+    )
+    return covariance_from_moments(folded, decimals=LA_DECIMALS)

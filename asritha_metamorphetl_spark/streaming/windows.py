@@ -487,3 +487,40 @@ def weighted_topk_stream(
         )
 
     return docs.writeStream.foreachBatch(apply_batch)
+
+
+def gram_moments_stream(
+    vecs: DataFrame,
+    state_dir: str,
+    vec_col: str,
+    dim: int,
+):
+    """Streaming maintenance of the second-moment sweep (the online-PCA
+    state): each micro-batch runs ``operators/linalg.gram_moments`` over
+    its vectors and publishes the partial (i, j, val) moment rows under
+    ``state_dir/batch_id=<n>`` — OVERWRITING that batch's own
+    subdirectory, because moments are SUMS and a retried batch under
+    foreachBatch's at-least-once contract must replace, never
+    double-count, its partial (the Count-Min discipline). Moments are
+    LINEAR, so readers fold every partial with one
+    ``groupBy(i, j).sum(val)`` and the result is independent of batch
+    order and boundaries — identical to one pass over the whole corpus,
+    which is what lets covariance/PCA state stay fresh while data
+    streams in, without ever re-scanning history. Seed the base corpus'
+    moments as ``batch_id=-1``.
+
+    Per-batch cost: one Arrow pass over the batch plus a bounded
+    d²+d+1-row write. Reader cost: O(moment rows · batches).
+
+    Returns the DataStreamWriter — caller adds checkpoint/trigger and
+    ``.start()``.
+    """
+    from asritha_metamorphetl_spark.operators.linalg import gram_moments
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = gram_moments(batch_df, vec_col, dim)
+        part.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/batch_id={batch_id}"
+        )
+
+    return vecs.writeStream.foreachBatch(apply_batch)

@@ -95,3 +95,66 @@ def test_pagerank_mass_conserved_on_symmetric_graph(spark):
     ranks = pagerank(e, "src", "dst", iters=4)
     total = ranks.agg(F.sum("rank")).first()[0]
     assert abs(total - 1.0) < 1e-9
+
+
+def test_moment_fold_is_linear(spark):
+    """Summed partials over an arbitrary split equal the one-shot
+    moments — the linearity the streaming maintenance path relies on."""
+    import pyspark.sql.functions as FF
+
+    from asritha_metamorphetl_spark.operators.linalg import gram_moments
+
+    rng = np.random.RandomState(3)
+    mat = rng.randn(30, 4)
+    df = _vec_df(spark, mat)
+    whole = {
+        (r["i"], r["j"]): r["val"]
+        for r in gram_moments(df, "vec", 4).collect()
+    }
+    parts = (
+        gram_moments(df.filter("id % 3 = 0"), "vec", 4)
+        .unionByName(gram_moments(df.filter("id % 3 = 1"), "vec", 4))
+        .unionByName(gram_moments(df.filter("id % 3 = 2"), "vec", 4))
+        .groupBy("i", "j")
+        .agg(FF.sum("val").alias("val"))
+    )
+    folded = {(r["i"], r["j"]): r["val"] for r in parts.collect()}
+    assert set(folded) == set(whole)
+    for k, v in whole.items():
+        assert abs(folded[k] - v) < 1e-9
+
+
+def test_triangle_counts_known_graphs(spark):
+    from asritha_metamorphetl_spark.operators.graph import triangle_counts
+
+    # K4: every vertex sits in C(3,2)=3 triangles
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = {
+        r["node"]: r["triangles"]
+        for r in triangle_counts(
+            spark.createDataFrame(k4, "src long, dst long"), "src", "dst"
+        ).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    # path + pendant star: no triangles anywhere, all nodes reported
+    path = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (2, 9), (2, 8)]
+    got = {
+        r["node"]: r["triangles"]
+        for r in triangle_counts(
+            spark.createDataFrame(path, "src long, dst long"), "src", "dst"
+        ).collect()
+    }
+    assert set(got) == {0, 1, 2, 3, 4, 5, 8, 9}
+    assert all(v == 0 for v in got.values())
+
+    # one triangle plus a tail; duplicate/reversed edges must not
+    # inflate the count
+    g = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (3, 4)]
+    got = {
+        r["node"]: r["triangles"]
+        for r in triangle_counts(
+            spark.createDataFrame(g, "src long, dst long"), "src", "dst"
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 0}

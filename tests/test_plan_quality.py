@@ -834,3 +834,18 @@ def test_pagerank_query_iterates_behind_checkpoints(spark):
     assert "Scan ExistingRDD" in plan
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_triangle_rank_no_cartesian_and_reused_orientation(spark):
+    """copurchase_triangle_rank: wedge generation and closure are hash
+    equi-joins (center key, endpoint pair) — a CartesianProduct or
+    broadcast nested loop would mean the orientation trick was lost.
+    The oriented edge frame is checkpointed once and feeds all three
+    consumers, so the lineitem self-join is not replayed per stage."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["copurchase_triangle_rank"](spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "TakeOrderedAndProject" in plan

@@ -178,6 +178,11 @@ HEADLINERS = [
      "plan reads only the iterated rank RDD (zero parquet re-scans), "
      "broadcasts the O(1)-row node count, and top-ks via "
      "TakeOrderedAndProject"),
+    ("copurchase_triangle_rank", "exact triangle counting: degree-"
+     "ordered orientation (checkpointed once, three consumers) makes "
+     "wedge generation and closure plain hash equi-joins — no "
+     "cartesian, no broadcast nested loop, fan-out bounded O(sqrt m) "
+     "per vertex regardless of hub skew"),
 ]
 
 

@@ -73,6 +73,8 @@ QUERIES = [
     ("embedding_covariance_matrix", "partition-partial Gram (one Arrow pass)"),
     ("pca_power_projection", "driver eigenstep + JVM broadcast projection"),
     ("part_copurchase_pagerank", "3-round power iteration (checkpointed)"),
+    ("streaming_gram_parity", "streaming Gram-moment fold (micro-batch)"),
+    ("copurchase_triangle_rank", "degree-oriented exact triangle join"),
 ]
 
 RUNS = 2  # take the best of N to damp container noise
