@@ -195,3 +195,102 @@ def countmin_estimate(
         .groupBy(col)
         .agg(F.min("n").alias("cms_n"))
     )
+
+
+#: White-box HyperLogLog geometry (Flajolet et al. 2007): p=6 → m=64
+#: registers. Contract constants — the DuckDB oracle replays them
+#: literally, so changing either is a breaking change to every
+#: registered HLL query.
+HLL_P = 6
+#: Hash width feeding the sketch (functions/hashing.shingle_hash).
+HLL_HASH_BITS = 48
+#: Bias constant for m=64 (the standard alpha_64).
+HLL_ALPHA = 0.709
+
+
+def hll_registers(
+    df: DataFrame,
+    col: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = HLL_P,
+    salt: str = "hll:",
+) -> DataFrame:
+    """Deterministic HyperLogLog register table per group:
+    ``(*group_cols, bucket, register)`` — the max leading-zero rank seen
+    in each of the ``m = 2^p`` hash buckets. This is the sketch's WHOLE
+    state, exposed as data: unlike ``approx_count_distinct`` (whose HLL++
+    bytes are engine-private), every register here is replayable in ANSI
+    SQL from the same md5-based 48-bit content hash, so the oracle checks
+    the sketch bit-for-bit, not just an error bound.
+
+    Why it scales: one map-side-combining MAX aggregate; the shuffle
+    carries at most ``groups × m`` partial rows per task, never the
+    distinct values themselves — the 100 TB answer to COUNT(DISTINCT)'s
+    distinct-expand shuffle. And because MAX is idempotent and
+    commutative, register tables are mergeable by construction: the fold
+    of any partition of the corpus (including overlapping or duplicated
+    parts — at-least-once delivery is free) equals the one-shot table.
+
+    Rank arithmetic is pure integer via binary-string length:
+    ``floor(log2(w)) = length(bin(w)) - 1`` in both Spark and DuckDB, so
+    no float log appears anywhere. Empty buckets are simply absent
+    (readers treat absence as register 0).
+    """
+    from asritha_metamorphetl_spark.functions.hashing import shingle_hash
+
+    m = 1 << p
+    width = HLL_HASH_BITS - p  # bits of w, the post-bucket remainder
+    h = shingle_hash(F.concat(F.lit(salt), F.col(col).cast("string")))
+    staged = df.select(
+        *group_cols,
+        (h % m).alias("bucket"),
+        F.floor(h / m).cast("long").alias("w"),
+    )
+    rank = F.when(
+        F.col("w") > 0,
+        F.lit(width + 1) - F.length(F.bin(F.col("w"))),
+    ).otherwise(F.lit(width + 1))
+    return (
+        staged.select(*group_cols, "bucket", rank.cast("long").alias("rank"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rank").alias("register"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: tuple[str, ...],
+    p: int = HLL_P,
+) -> DataFrame:
+    """Raw HLL cardinality estimate per group from a register table:
+    ``E = alpha_m · m² / Σ_j 2^(−M_j)`` (empty buckets contribute 2⁰).
+
+    The harmonic sum is kept EXACT: with max register ``width+1``, every
+    ``2^(−M_j)`` is a multiple of ``2^(−(width+1))``, so the sum is the
+    integer ``Σ 2^(width+1−M_j) + V·2^(width+1)`` over that common
+    denominator (V = empty-bucket count) — bigint arithmetic both
+    engines agree on bit-for-bit. The only float op is one IEEE division
+    by that integer, which is correctly rounded and therefore
+    engine-identical. No small-range (linear-counting) correction:
+    callers audit groups with cardinality ≫ 2.5m, where the raw
+    estimator is the right one.
+    """
+    m = 1 << p
+    width = HLL_HASH_BITS - p
+    denom_pow = width + 1
+    numer = HLL_ALPHA * (m * m) * (1 << denom_pow)
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(
+            F.expr(f"shiftleft(1L, {denom_pow} - CAST(register AS INT))")
+        ).alias("occ_sum"),
+        F.count(F.lit(1)).alias("occ"),
+    )
+    inv_numer = (
+        F.col("occ_sum")
+        + (F.lit(m) - F.col("occ")) * F.lit(1 << denom_pow).cast("long")
+    )
+    return agg.select(
+        *group_cols,
+        inv_numer.alias("inv_numer"),
+        (F.lit(numer) / inv_numer).alias("hll_est"),
+    )

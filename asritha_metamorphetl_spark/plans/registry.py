@@ -52,6 +52,12 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "part_copurchase_pagerank",
     "streaming_gram_parity",
     "copurchase_triangle_rank",
+    # round-7 white-box HLL: register-exact sketch replay + the
+    # idempotent-max streaming fold
+    "hll_register_table",
+    "hll_estimate_audit",
+    "streaming_hll_parity",
+    "selfjoin_size_estimate",
     # round-7 additions / changed behavior (r6 directives #1-#2, #4-#6):
     # IVF-PQ composition (new), gathered two-level assignment kernel,
     # single-scan BM25, PQ LUT id-type generalization, unimax budget

@@ -122,3 +122,255 @@ def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in (25, 50, 75)
     ]
     return achieved.select("o_orderpriority", "n_orders", *checks)
+
+
+def _hll_reg_core_sql() -> str:
+    """SQL replay of operators/frequent.hll_registers over lineitem
+    (group = l_returnflag, element = l_orderkey): the md5-based 48-bit
+    hash, bucket = h mod 64, and rank = leading zeros of the 42-bit
+    remainder + 1 via pure integer binary-string length — the exact
+    arithmetic the Spark operator runs, so registers compare
+    bit-for-bit."""
+    from asritha_metamorphetl_spark.operators.frequent import (
+        HLL_HASH_BITS,
+        HLL_P,
+    )
+    from asritha_metamorphetl_spark.plans.text_queries import _hex48_sql
+
+    m = 1 << HLL_P
+    top = HLL_HASH_BITS - HLL_P + 1  # rank of w == 0 (all zeros)
+    hv = _hex48_sql("md5('hll:' || CAST(l_orderkey AS VARCHAR))")
+    return f"""
+hll_h AS (
+    SELECT l_returnflag AS flag, {hv} AS hv FROM lineitem
+),
+hll_br AS (
+    SELECT flag, hv % {m} AS bucket, hv // {m} AS w FROM hll_h
+),
+hll_reg AS (
+    SELECT flag, CAST(bucket AS BIGINT) AS bucket,
+           CAST(MAX(CASE WHEN w > 0
+                         THEN {top} - length(bin(CAST(w AS BIGINT)))
+                         ELSE {top} END) AS BIGINT) AS register
+    FROM hll_br GROUP BY flag, bucket
+)"""
+
+
+def _hll_registers_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asritha_metamorphetl_spark.operators.frequent import hll_registers
+
+    li = Catalog(sf_dir).load(spark, "lineitem").select(
+        "l_returnflag", "l_orderkey"
+    )
+    regs = hll_registers(li, "l_orderkey", ("l_returnflag",))
+    return regs.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("register").cast("bigint").alias("register"),
+    )
+
+
+@register(
+    "hll_register_table",
+    oracle=f"""
+WITH {_hll_reg_core_sql()}
+SELECT flag, bucket, register FROM hll_reg
+""",
+)
+def hll_register_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """White-box HyperLogLog: the sketch's full register state as data,
+    oracle-replayed register-for-register (not just bound-checked like
+    ``approx_distinct_audit`` — here a single flipped register fails the
+    hash). One map-side-combining MAX aggregate whose shuffle carries at
+    most groups × 64 partial rows per task, never the distinct ids: the
+    100 TB shape of COUNT(DISTINCT). Registers are mergeable by MAX
+    (idempotent + commutative), which ``streaming_hll_parity`` exercises
+    under at-least-once semantics."""
+    return _hll_registers_df(spark, sf_dir)
+
+
+def _hll_est_oracle() -> str:
+    from asritha_metamorphetl_spark.operators.frequent import (
+        HLL_ALPHA,
+        HLL_HASH_BITS,
+        HLL_P,
+    )
+
+    m = 1 << HLL_P
+    dp = HLL_HASH_BITS - HLL_P + 1  # common-denominator exponent
+    numer = HLL_ALPHA * (m * m) * (1 << dp)
+    return f"""
+WITH {_hll_reg_core_sql()},
+est AS (
+    SELECT flag,
+           SUM(1::BIGINT << ({dp} - CAST(register AS INT)))
+           + ({m} - COUNT(*)) * (1::BIGINT << {dp}) AS inv_numer
+    FROM hll_reg GROUP BY flag
+),
+ex AS (
+    SELECT l_returnflag AS flag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders
+    FROM lineitem GROUP BY 1
+)
+SELECT e.flag, ex.exact_orders,
+       ROUND({numer!r} / e.inv_numer, 3) AS hll_est,
+       ROUND(({numer!r} / e.inv_numer - ex.exact_orders)
+             / ex.exact_orders, 4) AS rel_err,
+       ABS(ROUND(({numer!r} / e.inv_numer - ex.exact_orders)
+                 / ex.exact_orders, 4)) <= 0.40 AS within_bound
+FROM est e JOIN ex ON ex.flag = e.flag
+"""
+
+
+@register("hll_estimate_audit", oracle=_hll_est_oracle())
+def hll_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL cardinality estimate derived from the white-box registers,
+    with the estimator itself oracle-replayed — exact integer harmonic
+    sum (common-denominator bigint, see ``operators/frequent.
+    hll_estimate``) and a single correctly-rounded IEEE division, so
+    even the FLOAT estimate hash-matches across engines. ``rel_err``
+    against the exact distinct count stays inside ±40% (3 sigma for
+    m=64); groups here have cardinality ≫ 2.5m, where the raw
+    (uncorrected) estimator is the right regime."""
+    from asritha_metamorphetl_spark.operators.frequent import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    li = Catalog(sf_dir).load(spark, "lineitem").select(
+        "l_returnflag", "l_orderkey"
+    )
+    regs = hll_registers(li, "l_orderkey", ("l_returnflag",))
+    est = hll_estimate(regs, ("l_returnflag",))
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders")
+    )
+    joined = est.join(exact, "l_returnflag")
+    rel_err = F.round(
+        (F.col("hll_est") - F.col("exact_orders")) / F.col("exact_orders"), 4
+    )
+    return joined.select(
+        F.col("l_returnflag").alias("flag"),
+        "exact_orders",
+        F.round(F.col("hll_est"), 3).alias("hll_est"),
+        rel_err.alias("rel_err"),
+        (F.abs(rel_err) <= F.lit(0.40)).alias("within_bound"),
+    )
+
+
+def _cms_key_cells_sql(key_expr: str, width_sql: str) -> str:
+    """SQL twin of countmin_sketch's per-row cell assignment over a key
+    column (same salt scheme as the vocabulary CMS in
+    catalog_queries._cms_cells_sql, applied to join keys). ``width_sql``
+    is a scalar expression — here a subquery deriving the width from
+    the corpus count, because a fixed-width sketch's overestimate grows
+    as N²/width while the exact join size only grows as N²/keys: the
+    knob must scale with the data, in BOTH engines."""
+    from asritha_metamorphetl_spark.plans.catalog_queries import (
+        CMS_DEPTH,
+        CMS_SALT,
+    )
+    from asritha_metamorphetl_spark.plans.text_queries import _hex48_sql
+
+    parts = []
+    for i in range(CMS_DEPTH):
+        md5_expr = f"md5('{CMS_SALT}{i}:' || {key_expr})"
+        parts.append(
+            f"SELECT {i} AS row_i, {_hex48_sql(md5_expr)} % {width_sql}"
+            f" AS cell FROM lineitem"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def _cms_width(n_rows: int) -> int:
+    """Sketch width for a corpus of ``n_rows`` join keys: the next power
+    of two above n_rows/10, floored at 1024. Keeps the inner-product
+    excess (~N²/width per row) proportional to the exact self-join size
+    instead of swamping it — integer-only so the SQL twin
+    (1 << length(bin(N // 10))) lands on the identical value."""
+    return max(1024, 1 << (n_rows // 10).bit_length())
+
+
+def _selfjoin_oracle() -> str:
+    cells = _cms_key_cells_sql(
+        "CAST(l_partkey AS VARCHAR)", "(SELECT w FROM wcte)"
+    )
+    return f"""
+WITH wcte AS (
+    SELECT GREATEST(1024, 1::BIGINT
+           << length(bin((COUNT(*) // 10)::BIGINT))) AS w
+    FROM lineitem
+),
+cells AS ({cells}),
+sk AS (SELECT row_i, cell, COUNT(*) AS n FROM cells GROUP BY 1, 2),
+ip AS (SELECT row_i, SUM(n * n) AS est FROM sk GROUP BY 1),
+cms AS (SELECT MIN(est) AS cms_estimate FROM ip),
+ex AS (
+    SELECT SUM(c * c) AS exact_size, SUM(c) AS n_rows
+    FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_partkey)
+)
+SELECT CAST(ex.exact_size AS BIGINT) AS exact_size,
+       CAST(cms.cms_estimate AS BIGINT) AS cms_estimate,
+       ROUND(CAST(cms.cms_estimate AS DOUBLE) / ex.exact_size, 4) AS ratio,
+       cms.cms_estimate >= ex.exact_size AS never_under,
+       cms.cms_estimate <= ex.exact_size
+           + 3 * (ex.n_rows * ex.n_rows) // (SELECT w FROM wcte)
+           AS within_bound
+FROM cms, ex
+"""
+
+
+@register("selfjoin_size_estimate", oracle=_selfjoin_oracle())
+def selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join-cardinality estimation — the query-optimizer
+    question ("how many rows would ``lineitem ⋈ lineitem ON l_partkey``
+    produce?") answered from O(depth × width) state instead of a
+    key-frequency shuffle: the Count-Min inner product
+    ``min_r Σ_c A[r,c]²`` (Cormode & Muthukrishnan 2005 §4.2) NEVER
+    underestimates, and overshoots by at most ~N²/width per row (depth
+    rows take the min). The width SCALES with the corpus count
+    (``_cms_width`` — next power of two above N/10, derived identically
+    in the oracle's SQL), because a fixed width lets the N²/width excess
+    swamp the exact size at scale: measured ratio stays ≲ 2 across
+    sf0.001→0.1 where a frozen 1024 drifted to 19.8×. At 100 TB this is
+    how a planner sizes a shuffle before paying for it; the audit
+    recomputes the exact ``Σ_k count(k)²`` alongside and oracle-replays
+    sketch, estimate, and both guarantees in exact integer arithmetic."""
+    from asritha_metamorphetl_spark.operators.frequent import countmin_sketch
+    from asritha_metamorphetl_spark.plans.catalog_queries import (
+        CMS_DEPTH,
+        CMS_SALT,
+    )
+
+    li = Catalog(sf_dir).load(spark, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("k")
+    )
+    width = _cms_width(li.count())
+    sk = countmin_sketch(li, "k", depth=CMS_DEPTH, width=width, salt=CMS_SALT)
+    est = (
+        sk.groupBy("row")
+        .agg(F.sum(F.col("n") * F.col("n")).alias("est"))
+        .agg(F.min("est").alias("cms_estimate"))
+    )
+    exact = (
+        li.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.col("c") * F.col("c")).alias("exact_size"),
+            F.sum("c").alias("n_rows"),
+        )
+    )
+    slack = F.floor(
+        F.lit(3) * F.col("n_rows") * F.col("n_rows") / F.lit(width)
+    ).cast("long")
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.col("exact_size").cast("bigint").alias("exact_size"),
+        F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+        F.round(
+            F.col("cms_estimate").cast("double") / F.col("exact_size"), 4
+        ).alias("ratio"),
+        (F.col("cms_estimate") >= F.col("exact_size")).alias("never_under"),
+        (F.col("cms_estimate") <= F.col("exact_size") + slack).alias(
+            "within_bound"
+        ),
+    )

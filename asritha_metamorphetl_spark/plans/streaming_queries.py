@@ -792,3 +792,89 @@ def streaming_gram_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # three bounded-frame consumers
     )
     return covariance_from_moments(folded, decimals=LA_DECIMALS)
+
+
+def _hll_parity_oracle() -> str:
+    # the batch register table's oracle verbatim — the parity claim is
+    # that the streamed max-fold lands on the identical registers
+    # whatever the batch boundaries (and despite base/delta overlap on
+    # l_orderkey: multi-line orders straddle the split)
+    from asritha_metamorphetl_spark.plans.sketch_queries import (
+        _hll_reg_core_sql,
+    )
+
+    return f"""
+WITH {_hll_reg_core_sql()}
+SELECT flag, bucket, register FROM hll_reg
+"""
+
+
+@register("streaming_hll_parity", oracle=_hll_parity_oracle())
+def streaming_hll_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of HyperLogLog distinct-count state under a
+    REAL streaming query, proved register-identical to the one-shot
+    batch table: the base corpus' registers are seeded into the state
+    directory, three delta files arrive as separate micro-batches
+    (``maxFilesPerTrigger=1``) each APPENDING its own register partial
+    (max-merge is idempotent — duplicate delivery is harmless, unlike
+    the sum algebras which must overwrite per batch_id), and the reader
+    folds every partial with one ``groupBy(flag, bucket).max``. The
+    split deliberately straddles orders (an l_orderkey's lines land in
+    both base and delta): MAX absorbs the overlap, which is exactly why
+    distinct-count state is the easiest sketch to keep fresh at 100 TB.
+    The fifth mergeable-fold algebra the streaming surface proves, after
+    sets, sums, order statistics, and matrices: idempotent max."""
+    import os
+    import shutil
+
+    from asritha_metamorphetl_spark.operators.frequent import hll_registers
+    from asritha_metamorphetl_spark.operators.sampling import hash_bucket
+    from asritha_metamorphetl_spark.streaming.windows import (
+        hll_registers_stream,
+    )
+
+    li = Catalog(sf_dir).load(spark, "lineitem").select(
+        "l_returnflag", "l_orderkey"
+    )
+    bucket = hash_bucket(F.col("l_orderkey"), 10)
+    base = li.filter(bucket <= 7)
+    delta = li.filter(bucket >= 8)
+
+    root = scratch_dir(spark, "stream_hll", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    state_dir = os.path.join(root, "registers")
+    src = os.path.join(root, "delta")
+
+    hll_registers(base, "l_orderkey", ("l_returnflag",)).coalesce(
+        1
+    ).write.parquet(state_dir)
+    for i in range(3):
+        delta.filter(F.col("l_orderkey") % 3 == i).coalesce(1).write.parquet(
+            os.path.join(src, f"batch{i}")
+        )
+
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    q = (
+        hll_registers_stream(stream, state_dir, "l_orderkey", ("l_returnflag",))
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(_AWAIT_SEC):
+        q.stop()
+        raise TimeoutError("hll register stream did not finish")
+
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.max("register").alias("register"))
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("register").cast("bigint").alias("register"),
+        )
+    )

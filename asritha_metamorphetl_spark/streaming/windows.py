@@ -524,3 +524,35 @@ def gram_moments_stream(
         )
 
     return vecs.writeStream.foreachBatch(apply_batch)
+
+
+def hll_registers_stream(
+    vecs: DataFrame,
+    state_dir: str,
+    col: str,
+    group_cols: tuple[str, ...],
+):
+    """Streaming maintenance of white-box HyperLogLog registers: each
+    micro-batch computes its own register partial
+    (``operators/frequent.hll_registers``) and APPENDS it to
+    ``state_dir`` — append, not overwrite-per-batch, because register
+    merge is MAX: idempotent and commutative, so a retried batch under
+    foreachBatch's at-least-once contract lands a duplicate partial
+    that changes nothing. This is the deliberate contrast with the sum
+    algebras (Count-Min, Gram moments), which MUST overwrite their own
+    ``batch_id`` partition to survive retries. Readers fold all partials
+    with one ``groupBy(..., bucket).max(register)`` — identical to the
+    one-shot table over the whole corpus, whatever the batch boundaries
+    or delivery duplication.
+
+    Per-batch cost: one map-side-combining MAX agg over the batch plus
+    a ≤ groups × m row write. Returns the DataStreamWriter — caller
+    adds checkpoint/trigger and ``.start()``.
+    """
+    from asritha_metamorphetl_spark.operators.frequent import hll_registers
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = hll_registers(batch_df, col, group_cols)
+        part.coalesce(1).write.mode("append").parquet(state_dir)
+
+    return vecs.writeStream.foreachBatch(apply_batch)

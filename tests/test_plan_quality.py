@@ -849,3 +849,18 @@ def test_triangle_rank_no_cartesian_and_reused_orientation(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Scan ExistingRDD" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_hll_register_table_one_shuffle_partial_max(spark):
+    """hll_register_table: the register build is ONE map-side-combining
+    MAX aggregate — a partial_max below a single exchange, no Python
+    stage anywhere. The shuffle carries at most groups × 64 partial
+    rows per task (the sketch state), never the distinct ids — the
+    whole point of HLL vs COUNT(DISTINCT) at 100 TB."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["hll_register_table"](spark, SF_CORRECT))
+    assert "partial_max" in plan
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -874,3 +874,92 @@ def test_weighted_topk_merge_algebra(spark):
     # idempotency: folding B's keyed rows again is a no-op
     refolded = topk(folded.unionByName(wswr(b, "w", "id", 50)))
     assert sorted(map(tuple, refolded.collect())) == full
+
+
+class TestWhiteBoxHLL:
+    def _df(self, spark, vals):
+        return spark.createDataFrame(
+            [(v,) for v in vals], "x long"
+        ).repartition(4)
+
+    def test_registers_match_reference_python(self, spark):
+        """Registers equal a straight-line Python HLL over the same
+        md5-derived 48-bit hash — bucket, remainder, and rank all
+        integer-exact."""
+        import hashlib
+
+        from asritha_metamorphetl_spark.operators.frequent import (
+            HLL_HASH_BITS,
+            HLL_P,
+            hll_registers,
+        )
+
+        vals = list(range(500))
+        m = 1 << HLL_P
+        width = HLL_HASH_BITS - HLL_P
+        want: dict[int, int] = {}
+        for v in vals:
+            h = int(hashlib.md5(f"hll:{v}".encode()).hexdigest()[:12], 16)
+            w = h // m
+            rank = (width + 1) - w.bit_length() if w > 0 else width + 1
+            b = h % m
+            want[b] = max(want.get(b, 0), rank)
+        got = {
+            r["bucket"]: r["register"]
+            for r in hll_registers(self._df(spark, vals), "x").collect()
+        }
+        assert got == want
+
+    def test_register_fold_is_max_mergeable(self, spark):
+        """max-fold of OVERLAPPING splits == one-shot registers: the
+        idempotence the streaming append path relies on."""
+        import pyspark.sql.functions as F
+
+        from asritha_metamorphetl_spark.operators.frequent import (
+            hll_registers,
+        )
+
+        df = self._df(spark, list(range(2000)))
+        whole = {
+            r["bucket"]: r["register"]
+            for r in hll_registers(df, "x").collect()
+        }
+        # overlapping thirds (every element appears at least once,
+        # boundary elements twice) — duplicates must change nothing
+        parts = (
+            hll_registers(df.filter("x < 800"), "x")
+            .unionByName(hll_registers(df.filter("x >= 600 AND x < 1500"), "x"))
+            .unionByName(hll_registers(df.filter("x >= 1400"), "x"))
+            .groupBy("bucket")
+            .agg(F.max("register").alias("register"))
+        )
+        folded = {r["bucket"]: r["register"] for r in parts.collect()}
+        assert folded == whole
+
+    def test_estimate_error_within_bound(self, spark):
+        from asritha_metamorphetl_spark.operators.frequent import (
+            hll_estimate,
+            hll_registers,
+        )
+
+        n = 5000
+        regs = hll_registers(self._df(spark, list(range(n))), "x")
+        est = hll_estimate(regs, ()).first()["hll_est"]
+        assert abs(est - n) / n < 0.40
+
+
+def test_cms_width_matches_sql_twin():
+    """Python _cms_width == the oracle's 1 << length(bin(N // 10))
+    (GREATEST 1024) for a spread of corpus sizes, including the floor
+    edge at N < 10240."""
+    import duckdb
+
+    from asritha_metamorphetl_spark.plans.sketch_queries import _cms_width
+
+    con = duckdb.connect()
+    for n in (0, 5, 6000, 10239, 10240, 60175, 600572, 123456789):
+        (w_sql,) = con.sql(
+            f"SELECT GREATEST(1024, 1::BIGINT"
+            f" << length(bin(({n} // 10)::BIGINT)))"
+        ).fetchone()
+        assert _cms_width(n) == w_sql, n

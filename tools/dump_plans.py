@@ -183,6 +183,10 @@ HEADLINERS = [
      "wedge generation and closure plain hash equi-joins — no "
      "cartesian, no broadcast nested loop, fan-out bounded O(sqrt m) "
      "per vertex regardless of hub skew"),
+    ("hll_register_table", "white-box HyperLogLog: one map-side-"
+     "combining partial_max aggregate whose shuffle carries at most "
+     "groups x 64 register rows per task, never the distinct ids — "
+     "and every register is oracle-replayed bit-for-bit"),
 ]
 
 

@@ -75,6 +75,8 @@ QUERIES = [
     ("part_copurchase_pagerank", "3-round power iteration (checkpointed)"),
     ("streaming_gram_parity", "streaming Gram-moment fold (micro-batch)"),
     ("copurchase_triangle_rank", "degree-oriented exact triangle join"),
+    ("hll_register_table", "white-box HLL: one partial-max aggregate"),
+    ("streaming_hll_parity", "streaming HLL max-fold (micro-batch)"),
 ]
 
 RUNS = 2  # take the best of N to damp container noise
