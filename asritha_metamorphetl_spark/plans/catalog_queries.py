@@ -1163,3 +1163,47 @@ def countmin_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("abs_err"),
     )
+
+
+@register(
+    "incremental_join_view",
+    oracle="""
+SELECT o.o_orderkey, l.l_linenumber, o.o_custkey, l.l_quantity
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+""",
+)
+def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view: orders and lineitem are
+    each split into an already-materialized OLD part and an arriving
+    DELTA (independent hash splits, so delta orders have old lines and
+    vice versa — all three delta-join terms are non-empty), the view
+    delta is computed with ``operators/incremental.join_view_delta``
+    (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, each term a BroadcastHashJoin of the small
+    delta against a base-table scan — the base sides never shuffle),
+    and ``V_old ∪ ΔV`` is proved row-identical to the full recompute.
+    The oracle is deliberately split-agnostic: the full join. At 100 TB
+    the old⋈old term is the stored view (never recomputed); each
+    refresh costs one pass over the deltas plus delta-pruned base
+    scans, not |A ⋈ B|."""
+    from asritha_metamorphetl_spark.operators.incremental import (
+        join_view_delta,
+    )
+    from asritha_metamorphetl_spark.operators.sampling import hash_bucket
+
+    cat = Catalog(sf_dir)
+    orders = cat.load(spark, "orders").select("o_orderkey", "o_custkey")
+    li = cat.load(spark, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "l_quantity"
+    )
+    a_split = hash_bucket(F.col("o_orderkey"), 10)
+    b_split = hash_bucket(
+        F.concat_ws(":", F.col("o_orderkey"), F.col("l_linenumber")), 10
+    )
+    a_old, a_delta = orders.filter(a_split <= 7), orders.filter(a_split >= 8)
+    b_old, b_delta = li.filter(b_split <= 7), li.filter(b_split >= 8)
+
+    view_old = a_old.join(b_old, "o_orderkey")
+    delta = join_view_delta(a_old, a_delta, b_old, b_delta, ["o_orderkey"])
+    return view_old.unionByName(delta).select(
+        "o_orderkey", "l_linenumber", "o_custkey", "l_quantity"
+    )

@@ -58,6 +58,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "hll_estimate_audit",
     "streaming_hll_parity",
     "selfjoin_size_estimate",
+    "incremental_join_view",
     # round-7 additions / changed behavior (r6 directives #1-#2, #4-#6):
     # IVF-PQ composition (new), gathered two-level assignment kernel,
     # single-scan BM25, PQ LUT id-type generalization, unimax budget

@@ -864,3 +864,15 @@ def test_hll_register_table_one_shuffle_partial_max(spark):
     assert plan.count("Exchange") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_join_view_broadcasts_deltas(spark):
+    """incremental_join_view: every delta-join term broadcasts its
+    delta side — three BroadcastHashJoins, so the base-table scans
+    never shuffle for the refresh. (The old⋈old term is the stored
+    view in production; here it is recomputed only to prove parity.)"""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["incremental_join_view"](spark, SF_CORRECT))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan

@@ -963,3 +963,47 @@ def test_cms_width_matches_sql_twin():
             f" << length(bin(({n} // 10)::BIGINT)))"
         ).fetchone()
         assert _cms_width(n) == w_sql, n
+
+
+class TestJoinViewDelta:
+    def test_union_equals_full_recompute(self, spark):
+        from asritha_metamorphetl_spark.operators.incremental import (
+            join_view_delta,
+        )
+
+        a = spark.createDataFrame(
+            [(k, f"a{k}") for k in range(40)], "k long, av string"
+        )
+        b = spark.createDataFrame(
+            [(k % 25, i, f"b{k}_{i}") for k in range(50) for i in range(2)],
+            "k long, i long, bv string",
+        )
+        a_old, a_delta = a.filter("k % 3 != 0"), a.filter("k % 3 = 0")
+        b_old, b_delta = b.filter("i = 0"), b.filter("i = 1")
+        got = (
+            a_old.join(b_old, "k")
+            .unionByName(join_view_delta(a_old, a_delta, b_old, b_delta, ["k"]))
+            .collect()
+        )
+        want = a.join(b, "k").collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    def test_terms_are_disjoint_no_duplicates(self, spark):
+        """Each (a-row, b-row) pair lands in exactly one quadrant — the
+        union needs no dedup even when keys repeat on both sides."""
+        from asritha_metamorphetl_spark.operators.incremental import (
+            join_view_delta,
+        )
+
+        a = spark.createDataFrame(
+            [(1, "x"), (1, "y"), (2, "z")], "k long, av string"
+        )
+        b = spark.createDataFrame(
+            [(1, "p"), (1, "q"), (2, "r")], "k long, bv string"
+        )
+        a_old, a_delta = a.filter("av != 'y'"), a.filter("av = 'y'")
+        b_old, b_delta = b.filter("bv != 'q'"), b.filter("bv = 'q'")
+        full = a.join(b, "k").count()
+        old = a_old.join(b_old, "k").count()
+        delta = join_view_delta(a_old, a_delta, b_old, b_delta, ["k"]).count()
+        assert old + delta == full

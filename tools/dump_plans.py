@@ -187,6 +187,10 @@ HEADLINERS = [
      "combining partial_max aggregate whose shuffle carries at most "
      "groups x 64 register rows per task, never the distinct ids — "
      "and every register is oracle-replayed bit-for-bit"),
+    ("incremental_join_view", "delta-join view maintenance: the three "
+     "delta terms each broadcast the small delta against a base scan "
+     "(no base-side shuffle); old-x-old is the stored view in "
+     "production, recomputed here only to prove parity"),
 ]
 
 

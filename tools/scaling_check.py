@@ -77,6 +77,8 @@ QUERIES = [
     ("copurchase_triangle_rank", "degree-oriented exact triangle join"),
     ("hll_register_table", "white-box HLL: one partial-max aggregate"),
     ("streaming_hll_parity", "streaming HLL max-fold (micro-batch)"),
+    ("selfjoin_size_estimate", "CM inner-product join-size estimate"),
+    ("incremental_join_view", "delta-join IVM (broadcast deltas)"),
 ]
 
 RUNS = 2  # take the best of N to damp container noise
