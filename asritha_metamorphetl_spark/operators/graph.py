@@ -293,6 +293,11 @@ def triangle_counts(edges: DataFrame, src: str, dst: str) -> DataFrame:
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # the canonical edge set feeds sym (twice: both orientations),
+        # deg (joined twice into ranked), and the closure — without a
+        # checkpoint the caller's edge-construction subtree re-executes
+        # per consumer (measured at sf0.1: 25.2 s → 18.1 s warm)
+        .localCheckpoint(eager=False)
     )
     sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
