@@ -317,3 +317,41 @@ def weighted_sample_per_group(
         .filter(F.col("__es_rn") <= k)
         .drop("__es_rn")
     )
+
+
+#: Poisson-bootstrap geometry: replicate count and the truncated
+#: Poisson(1) inverse-CDF thresholds over the 48-bit hash space.
+#: T[k] = floor(P(X <= k) * 2^48) for k = 0..6; a draw u lands on count
+#: c = #{k : u >= T[k]} (so c = 0 with prob ~.3679, capped at 7 — tail
+#: mass ~1e-5 truncated identically in both engines). Contract
+#: constants: the oracle SQL embeds these integers literally.
+BOOT_B = 32
+_POISSON1_CDF = []
+_acc, _term = 0.0, 2.718281828459045 ** -1.0
+for _k in range(7):
+    _acc += _term
+    _POISSON1_CDF.append(_acc)
+    _term /= _k + 1
+BOOT_THRESHOLDS = tuple(int(c * (1 << 48)) for c in _POISSON1_CDF)
+del _acc, _term, _k, _POISSON1_CDF
+
+
+def poisson_bootstrap_counts(id_col: Column, b_col: Column) -> Column:
+    """Deterministic Poisson(1) resample multiplicity of a row in
+    bootstrap replicate ``b``: hash (replicate, id) to 48 bits and
+    invert the CDF with pure integer comparisons. This is the
+    one-pass bootstrap (Poisson bootstrap — the large-scale form used
+    when n is unknown until the scan ends): instead of materializing B
+    resampled datasets, each row carries B tiny integer weights, and a
+    replicate statistic is a weighted aggregate — so B bootstrap
+    replicates cost ONE scan plus a B-row-per-task map-side combine,
+    never a data shuffle. Deterministic and engine-replayable: no RNG
+    state, just content hashes.
+    """
+    u = shingle_hash(
+        F.concat(F.lit("boot"), b_col.cast("string"), F.lit(":"), id_col)
+    )
+    c = F.lit(0)
+    for t in BOOT_THRESHOLDS:
+        c = c + F.when(u >= F.lit(t), 1).otherwise(0)
+    return c

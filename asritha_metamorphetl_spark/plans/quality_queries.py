@@ -607,3 +607,107 @@ def orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("o_orderpriority", "str"),
         ],
     )
+
+
+def _bootstrap_oracle() -> str:
+    from asritha_metamorphetl_spark.operators.sampling import (
+        BOOT_B,
+        BOOT_THRESHOLDS,
+    )
+    from asritha_metamorphetl_spark.plans.text_queries import _hex48_sql
+
+    u = _hex48_sql("md5('boot' || CAST(b AS VARCHAR) || ':' || id)")
+    c = " + ".join(
+        f"CASE WHEN u >= {t} THEN 1 ELSE 0 END" for t in BOOT_THRESHOLDS
+    )
+    return f"""
+WITH base AS (
+    SELECT CAST(o_orderkey AS VARCHAR) AS id,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+),
+expanded AS (
+    SELECT id, cents, b, {u} AS u FROM base CROSS JOIN range({BOOT_B}) t(b)
+),
+cnt AS (SELECT b, cents, ({c}) AS c FROM expanded),
+reps AS (
+    SELECT b, SUM(c * cents) / (100.0 * SUM(c)) AS mean_b
+    FROM cnt GROUP BY b
+),
+rk AS (
+    SELECT mean_b, ROW_NUMBER() OVER (ORDER BY mean_b, b) AS rk FROM reps
+),
+pm AS (SELECT SUM(cents) / (100.0 * COUNT(*)) AS pm FROM base)
+SELECT CAST({BOOT_B} AS BIGINT) AS n_replicates,
+       ROUND(pm.pm, 4) AS point_mean,
+       ROUND((SELECT mean_b FROM rk WHERE rk = 2), 4) AS ci_lo,
+       ROUND((SELECT mean_b FROM rk WHERE rk = {BOOT_B - 1}), 4) AS ci_hi
+FROM pm
+"""
+
+
+@register("bootstrap_mean_ci", oracle=_bootstrap_oracle())
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for mean order value in ONE scan —
+    the Poisson bootstrap (the large-scale form: per-row Poisson(1)
+    multiplicities stand in for with-replacement resampling, exact as
+    n → ∞ and independent of knowing n up front). Every row carries
+    {BOOT_B} deterministic integer weights derived from content hashes
+    (``operators/sampling.poisson_bootstrap_counts`` — inverse-CDF over
+    the 48-bit md5 space, pure integer comparisons), so each replicate
+    mean is a weighted aggregate: the scan fans out ×B rows that
+    map-side-combine to B partials per task, and the shuffle carries
+    B rows total. No RNG state, no per-replicate pass, no data
+    resample shuffle — and the whole computation (weights, replicate
+    means, rank-2/rank-31 CI, point estimate) replays exactly in the
+    oracle because money is summed as exact cents and each mean is one
+    correctly-rounded IEEE division."""
+    from asritha_metamorphetl_spark.operators.sampling import (
+        BOOT_B,
+        poisson_bootstrap_counts,
+    )
+    from pyspark.sql import Window
+
+    orders = Catalog(sf_dir).load(spark, "orders").select(
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    expanded = orders.select(
+        "id",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    )
+    c = poisson_bootstrap_counts(F.col("id"), F.col("b"))
+    reps = (
+        expanded.select("b", "cents", c.alias("c"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("c") * F.col("cents"))
+                / (F.lit(100.0) * F.sum("c"))
+            ).alias("mean_b")
+        )
+    )
+    rk = reps.select(
+        "mean_b",
+        F.row_number()
+        .over(Window.orderBy(F.col("mean_b"), F.col("b")))
+        .alias("rk"),
+    )
+    point = orders.agg(
+        (F.sum("cents") / (F.lit(100.0) * F.count(F.lit(1)))).alias("pm")
+    )
+    lo = rk.filter(F.col("rk") == 2).select(F.col("mean_b").alias("ci_lo"))
+    hi = rk.filter(F.col("rk") == BOOT_B - 1).select(
+        F.col("mean_b").alias("ci_hi")
+    )
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.lit(BOOT_B).cast("bigint").alias("n_replicates"),
+            F.round("pm", 4).alias("point_mean"),
+            F.round("ci_lo", 4).alias("ci_lo"),
+            F.round("ci_hi", 4).alias("ci_hi"),
+        )
+    )

@@ -59,6 +59,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "streaming_hll_parity",
     "selfjoin_size_estimate",
     "incremental_join_view",
+    "bootstrap_mean_ci",
     # round-7 additions / changed behavior (r6 directives #1-#2, #4-#6):
     # IVF-PQ composition (new), gathered two-level assignment kernel,
     # single-scan BM25, PQ LUT id-type generalization, unimax budget

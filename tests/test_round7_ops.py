@@ -1007,3 +1007,55 @@ class TestJoinViewDelta:
         old = a_old.join(b_old, "k").count()
         delta = join_view_delta(a_old, a_delta, b_old, b_delta, ["k"]).count()
         assert old + delta == full
+
+
+class TestPoissonBootstrap:
+    def test_counts_distribution_and_determinism(self, spark):
+        """Multiplicities follow Poisson(1) closely (mean ~1, P(0) ~.368)
+        and are pure functions of (replicate, id)."""
+        import pyspark.sql.functions as F
+
+        from asritha_metamorphetl_spark.operators.sampling import (
+            poisson_bootstrap_counts,
+        )
+
+        df = spark.createDataFrame(
+            [(str(i),) for i in range(4000)], "id string"
+        ).withColumn("b", F.lit(0))
+        c = poisson_bootstrap_counts(F.col("id"), F.col("b"))
+        stats = df.select(
+            F.avg(c).alias("m"),
+            F.avg((c == 0).cast("double")).alias("p0"),
+            F.max(c).alias("mx"),
+        ).first()
+        assert abs(stats["m"] - 1.0) < 0.05
+        assert abs(stats["p0"] - 0.3679) < 0.03
+        assert stats["mx"] <= 7
+        again = df.select(c.alias("c")).collect()
+        once = df.select(c.alias("c")).collect()
+        assert once == again
+
+    def test_replicates_differ(self, spark):
+        import pyspark.sql.functions as F
+
+        from asritha_metamorphetl_spark.operators.sampling import (
+            poisson_bootstrap_counts,
+        )
+
+        df = spark.createDataFrame([(str(i),) for i in range(200)], "id string")
+        c0 = poisson_bootstrap_counts(F.col("id"), F.lit(0))
+        c1 = poisson_bootstrap_counts(F.col("id"), F.lit(1))
+        n_diff = df.filter(c0 != c1).count()
+        assert n_diff > 50  # independent hash streams per replicate
+
+    def test_ci_brackets_true_mean_on_synthetic(self, spark):
+        """CI from the registered query's machinery brackets the
+        population mean for an iid sample (sanity, not a coverage
+        proof)."""
+        from asritha_metamorphetl_spark.plans.registry import all_queries
+        from tests.conftest import SF_CORRECT
+
+        row = all_queries()["bootstrap_mean_ci"](spark, SF_CORRECT).first()
+        assert row["ci_lo"] <= row["point_mean"] <= row["ci_hi"]
+        spread = (row["ci_hi"] - row["ci_lo"]) / row["point_mean"]
+        assert 0 < spread < 0.1  # tight at n~15k, but nonzero

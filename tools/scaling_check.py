@@ -79,6 +79,7 @@ QUERIES = [
     ("streaming_hll_parity", "streaming HLL max-fold (micro-batch)"),
     ("selfjoin_size_estimate", "CM inner-product join-size estimate"),
     ("incremental_join_view", "delta-join IVM (broadcast deltas)"),
+    ("bootstrap_mean_ci", "one-pass Poisson bootstrap (32 replicates)"),
 ]
 
 RUNS = 2  # take the best of N to damp container noise
