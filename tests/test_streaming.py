@@ -308,3 +308,106 @@ def test_transform_with_state_totals_match_batch(spark, tmp_path_factory):
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_foreachbatch_retry_semantics_by_algebra(spark, tmp_path):
+    """At-least-once discipline, tested by actually replaying a batch:
+    the HLL fold (APPEND + max) absorbs a duplicate partial unchanged,
+    while naively APPENDING a sum partial double-counts — which is why
+    the sum algebras (Count-Min, Gram) must OVERWRITE their own
+    batch_id partition, and replaying one leaves them unchanged too."""
+    import pyspark.sql.functions as FF
+
+    from asritha_metamorphetl_spark.operators.frequent import hll_registers
+
+    df = spark.range(1000).select(F.col("id").cast("long").alias("x"))
+
+    # idempotent-max path: append the same partial twice
+    hdir = str(tmp_path / "hll")
+    part = hll_registers(df, "x")
+    part.write.mode("append").parquet(hdir)
+    part.write.mode("append").parquet(hdir)  # the retry
+    folded = {
+        r["bucket"]: r["register"]
+        for r in spark.read.parquet(hdir)
+        .groupBy("bucket")
+        .agg(FF.max("register").alias("register"))
+        .collect()
+    }
+    once = {r["bucket"]: r["register"] for r in part.collect()}
+    assert folded == once
+
+    # sum path, overwrite discipline: replaying batch 7 overwrites its
+    # own partition — fold unchanged; a plain append would double it
+    sdir = str(tmp_path / "sums")
+    sums = df.groupBy((F.col("x") % 10).alias("k")).agg(
+        F.sum("x").alias("val")
+    )
+    sums.write.mode("overwrite").parquet(f"{sdir}/batch_id=7")
+    sums.write.mode("overwrite").parquet(f"{sdir}/batch_id=7")  # retry
+    total = (
+        spark.read.parquet(sdir).agg(F.sum("val").alias("t")).first()["t"]
+    )
+    assert total == df.agg(F.sum("x")).first()[0]
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Kill-and-restart: a second availableNow run over the SAME
+    checkpoint processes only files that arrived after the first run —
+    no reprocessing (batch partials stay unique) — and the folded state
+    equals the one-shot batch answer over everything."""
+    import os
+
+    import pyspark.sql.functions as FF
+
+    from asritha_metamorphetl_spark.operators.frequent import hll_registers
+    from asritha_metamorphetl_spark.streaming.windows import (
+        hll_registers_stream,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    whole = spark.range(3000).select(F.col("id").cast("long").alias("x"))
+    for i in range(2):
+        whole.filter(F.col("x") % 3 == i).coalesce(1).write.parquet(
+            f"{src}/f{i}"
+        )
+
+    def run():
+        stream = (
+            spark.readStream.schema("x long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/")
+        )
+        q = (
+            hll_registers_stream(stream, state, "x", ())
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run()
+    n_first = len(
+        [f for f in os.listdir(state) if f.endswith(".parquet")]
+    )
+    whole.filter(F.col("x") % 3 == 2).coalesce(1).write.parquet(f"{src}/f2")
+    run()  # restart from the same checkpoint
+    n_second = len(
+        [f for f in os.listdir(state) if f.endswith(".parquet")]
+    )
+    assert n_first == 2 and n_second == 3  # only the new file processed
+
+    folded = {
+        r["bucket"]: r["register"]
+        for r in spark.read.parquet(state)
+        .groupBy("bucket")
+        .agg(FF.max("register").alias("register"))
+        .collect()
+    }
+    once = {
+        r["bucket"]: r["register"]
+        for r in hll_registers(whole, "x").collect()
+    }
+    assert folded == once
