@@ -136,26 +136,41 @@ def countmin_sketch(
     the hash functions are salted content hashes, so the same corpus
     yields the same sketch on any engine.
     """
-    from asritha_metamorphetl_spark.functions.hashing import shingle_hash
-
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("row"),
-                (
-                    shingle_hash(
-                        F.concat(F.lit(f"{salt}{i}:"), F.col(col))
-                    )
-                    % width
-                ).alias("cell"),
-            )
-            for i in range(depth)
-        ]
-    )
     return (
-        tokens.select(F.explode(rows).alias("rc"))
-        .groupBy(F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))
+        _cms_cells(tokens, col, depth, width, salt)
+        .select(F.posexplode(F.array(*[f"_c{i}" for i in range(depth)])).alias("row", "cell"))
+        .groupBy("row", "cell")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _cms_cells(
+    df: DataFrame, col: str, depth: int, width: int, salt: str
+) -> DataFrame:
+    """Per-row CMS cell columns ``_c0.._c{depth-1}``, computed in two
+    STAGED projections (md5 digests, then nibble arithmetic) so the
+    generator downstream explodes a plain bigint array of column refs.
+    Two traps measured at sf0.1 (600k-row build): inlining
+    ``_hex48(md5(...))`` re-evaluates md5 per nibble where common-
+    subexpression elimination doesn't reach, and exploding an array of
+    STRUCTS with non-trivial children knocks the generator off
+    whole-stage codegen into interpreted evaluation — together 26.3 s
+    vs 4.6 s for this staged + posexplode(array<bigint>) shape."""
+    from asritha_metamorphetl_spark.functions.hashing import _hex48
+
+    staged = df.select(
+        F.col(col),
+        *[
+            F.md5(F.concat(F.lit(f"{salt}{i}:"), F.col(col))).alias(f"_d{i}")
+            for i in range(depth)
+        ],
+    )
+    return staged.select(
+        F.col(col),
+        *[
+            (_hex48(F.col(f"_d{i}")) % width).alias(f"_c{i}")
+            for i in range(depth)
+        ],
     )
 
 
@@ -171,25 +186,12 @@ def countmin_estimate(
     over the item's ``depth`` cells. One equi-join of the item→cell
     rows against the (tiny, broadcastable) sketch plus a per-item min —
     the corpus itself is never touched again. Adds ``cms_n``."""
-    from asritha_metamorphetl_spark.functions.hashing import shingle_hash
-
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("row"),
-                (
-                    shingle_hash(
-                        F.concat(F.lit(f"{salt}{i}:"), F.col(col))
-                    )
-                    % width
-                ).alias("cell"),
-            )
-            for i in range(depth)
-        ]
+    cells = _cms_cells(items, col, depth, width, salt).select(
+        F.col(col),
+        F.posexplode(F.array(*[f"_c{i}" for i in range(depth)])).alias(
+            "row", "cell"
+        ),
     )
-    cells = items.select(
-        F.col(col), F.explode(rows).alias("rc")
-    ).select(col, "rc.row", "rc.cell")
     return (
         cells.join(F.broadcast(sketch), ["row", "cell"])
         .groupBy(col)
@@ -236,15 +238,23 @@ def hll_registers(
     no float log appears anywhere. Empty buckets are simply absent
     (readers treat absence as register 0).
     """
-    from asritha_metamorphetl_spark.functions.hashing import shingle_hash
+    from asritha_metamorphetl_spark.functions.hashing import _hex48
 
     m = 1 << p
     width = HLL_HASH_BITS - p  # bits of w, the post-bucket remainder
-    h = shingle_hash(F.concat(F.lit(salt), F.col(col).cast("string")))
-    staged = df.select(
+    # three staged projections (digest → 48-bit value → bucket/remainder)
+    # so md5 runs once per row: inlining _hex48(md5(...)) into bucket AND
+    # w re-evaluates the digest per nibble reference (24×) — Catalyst's
+    # CollapseProject keeps each multi-referenced non-cheap alias staged
+    digests = df.select(
         *group_cols,
-        (h % m).alias("bucket"),
-        F.floor(h / m).cast("long").alias("w"),
+        F.md5(F.concat(F.lit(salt), F.col(col).cast("string"))).alias("_dg"),
+    )
+    hashed = digests.select(*group_cols, _hex48(F.col("_dg")).alias("_h"))
+    staged = hashed.select(
+        *group_cols,
+        (F.col("_h") % m).alias("bucket"),
+        F.floor(F.col("_h") / m).cast("long").alias("w"),
     )
     rank = F.when(
         F.col("w") > 0,

@@ -1188,17 +1188,17 @@ def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asritha_metamorphetl_spark.operators.incremental import (
         join_view_delta,
     )
-    from asritha_metamorphetl_spark.operators.sampling import hash_bucket
 
     cat = Catalog(sf_dir)
     orders = cat.load(spark, "orders").select("o_orderkey", "o_custkey")
     li = cat.load(spark, "lineitem").select(
         F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "l_quantity"
     )
-    a_split = hash_bucket(F.col("o_orderkey"), 10)
-    b_split = hash_bucket(
-        F.concat_ws(":", F.col("o_orderkey"), F.col("l_linenumber")), 10
-    )
+    # integer-modulo splits (independent mixes per side): the oracle is
+    # split-agnostic, so the split only needs determinism — md5 buckets
+    # here would re-hash every row on every one of the four consumers
+    a_split = F.col("o_orderkey") % 10
+    b_split = (F.col("o_orderkey") * 31 + F.col("l_linenumber")) % 10
     a_old, a_delta = orders.filter(a_split <= 7), orders.filter(a_split >= 8)
     b_old, b_delta = li.filter(b_split <= 7), li.filter(b_split >= 8)
 
