@@ -304,3 +304,115 @@ def hll_estimate(
         inv_numer.alias("inv_numer"),
         (F.lit(numer) / inv_numer).alias("hll_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: build-side sketch + map-side probe pruning
+# ---------------------------------------------------------------------------
+
+def _bloom_pos_cols(
+    df: DataFrame, col: str, k: int, m: int, salt: str
+) -> DataFrame:
+    """Stage the ``k`` Bloom bit positions of ``df[col]`` as columns
+    ``_bp0.._bp{k-1}``: md5 digests first in their OWN projection, nibble
+    arithmetic second — the same two-stage shape as ``_cms_cells`` (an
+    inlined ``_hex48(md5(...))`` re-evaluates md5 once per nibble where
+    common-subexpression elimination doesn't reach). The hash family is
+    the portable salted-md5 48-bit construction every sketch in this
+    module uses, so a SQL oracle replays positions bit-for-bit."""
+    from asritha_metamorphetl_spark.functions.hashing import _hex48
+
+    staged = df.select(
+        "*",
+        *[
+            F.md5(
+                F.concat(F.lit(f"{salt}{i}:"), F.col(col).cast("string"))
+            ).alias(f"_bd{i}")
+            for i in range(k)
+        ],
+    )
+    return staged.select(
+        *df.columns,
+        *[(_hex48(F.col(f"_bd{i}")) % m).alias(f"_bp{i}") for i in range(k)],
+    )
+
+
+def bloom_build(
+    keys: DataFrame,
+    col: str,
+    k: int = 3,
+    bits_per_key: int = 16,
+    salt: str = "bloom:",
+) -> tuple[list[int], int, int]:
+    """Build a Bloom filter over the DISTINCT values of ``keys[col]``:
+    returns ``(words, m, n_build)`` where ``words`` packs the ``m``-bit
+    array little-endian into 64-bit signed words.
+
+    This is the build side of Bloom-pruned joins — the standard 100 TB
+    trick for cutting a shuffle before it happens (Spark's own runtime
+    row-level filtering, Iceberg/Parquet bloom columns): hash the small
+    side's join keys into a bitset a few KB–MB wide, broadcast it, and
+    drop probe rows map-side before they reach the exchange. With
+    ``bits_per_key=16`` and ``k=3`` the theoretical false-positive rate
+    is (1−e^(−3/16))³ ≈ 0.5%, so ≥ 99% of non-matching probe rows never
+    shuffle.
+
+    Everything up to the final word assembly is distributed: distinct →
+    position explode → per-word ``bit_or`` aggregate. The driver collect
+    is bounded by m/64 rows — the sketch itself, NOT the data (same
+    contract as collecting HLL registers or CMS cells; the whole point
+    of a sketch is that this is small). ``m = bits_per_key · n_distinct``
+    is data-derived the same way ``auto_nlist`` sizes IVF: a fixed m
+    would silently saturate when the build side grows 100×."""
+    distinct = keys.select(col).distinct()
+    n_build = distinct.count()
+    m = max(64, bits_per_key * n_build)
+    pos = _bloom_pos_cols(distinct, col, k, m, salt).select(
+        F.explode(F.array(*[f"_bp{i}" for i in range(k)])).alias("pos")
+    )
+    word_rows = (
+        pos.select(
+            F.floor(F.col("pos") / 64).cast("long").alias("w"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+        .collect()
+    )
+    words = [0] * ((m + 63) // 64)
+    for r in word_rows:
+        words[r["w"]] = r["word"]
+    return words, m, n_build
+
+
+def bloom_candidates(
+    probe: DataFrame,
+    col: str,
+    words: list[int],
+    m: int,
+    k: int = 3,
+    salt: str = "bloom:",
+) -> DataFrame:
+    """Filter ``probe`` to the rows whose ``col`` MIGHT be in the filter
+    (no false negatives; false positives at the build's configured rate).
+
+    The packed bitmap rides a ONE-ROW DataFrame broadcast into every
+    task (a one-row BroadcastNestedLoopJoin — constant cost, no literal
+    array bloating the plan tree), and membership is k JVM-side bit
+    tests per row: ``element_at`` the word, AND against the shifted bit.
+    The probe side is never shuffled, re-hashed into Python, or
+    collected — this predicate composes with any downstream join, which
+    then moves only the ≈(selectivity + 0.5%) fraction that survives."""
+    spark = probe.sparkSession
+    bitmap = spark.createDataFrame([(words,)], "_bw array<bigint>")
+    staged = _bloom_pos_cols(probe, col, k, m, salt).crossJoin(
+        F.broadcast(bitmap)
+    )
+    cond = None
+    for i in range(k):
+        bit = F.expr(
+            f"(element_at(_bw, CAST(_bp{i} / 64 AS INT) + 1)"
+            f" & shiftleft(1L, CAST(_bp{i} % 64 AS INT))) <> 0"
+        )
+        cond = bit if cond is None else (cond & bit)
+    return staged.filter(cond).select(*probe.columns)

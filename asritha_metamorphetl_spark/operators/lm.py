@@ -207,3 +207,96 @@ def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
             6,
         ).alias("entropy_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (byte-pair encoding, Sennrich et al. 2016)
+# ---------------------------------------------------------------------------
+
+def bpe_initial_sequences(
+    words: DataFrame, word_col: str = "w", freq_col: str = "freq"
+) -> DataFrame:
+    """Word-frequency table → canonical BPE symbol sequences.
+
+    A sequence is encoded as ONE string with ``||`` between symbols and
+    at both ends (``hello`` → ``||h||e||l||l||o||``). The double-bar
+    form makes each merge a plain leftmost non-overlapping string
+    ``replace`` — ``|a||b|`` → ``|ab|`` consumes one bar from each side,
+    so chained occurrences (``a b a b``) all merge in one pass while a
+    symbol can never match INSIDE a neighbor (``xa by`` does not contain
+    ``|a||b|``). Both Spark's and the SQL oracle's ``replace`` scan
+    leftmost non-overlapping, which is exactly BPE's merge order —
+    the semantics are engine-identical by construction."""
+    chars = F.expr(f"regexp_extract_all({word_col}, '.', 0)")
+    return words.select(
+        F.col(freq_col).alias("freq"),
+        F.concat(
+            F.lit("||"), F.array_join(chars, "||"), F.lit("||")
+        ).alias("seq"),
+    )
+
+
+def bpe_pair_counts(seqs: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent-symbol pair counts over the current
+    sequences: one row-local transform over 1-based symbol indices, one
+    aggregate — the vocabulary table is the only thing shuffled, never
+    the corpus."""
+    syms = F.filter(F.split("seq", "\\|\\|"), lambda x: x != "")
+    pairs = F.expr(
+        "transform(sequence(1, size(_syms) - 1),"
+        " i -> concat(element_at(_syms, i), ' ', element_at(_syms, i + 1)))"
+    )
+    return (
+        seqs.select("freq", syms.alias("_syms"))
+        .filter(F.size("_syms") >= 2)
+        .select("freq", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def bpe_learn_merges(
+    words: DataFrame,
+    steps: int,
+    word_col: str = "w",
+    freq_col: str = "freq",
+) -> list[tuple[int, str, int]]:
+    """Learn ``steps`` BPE merges: repeatedly take the most frequent
+    adjacent symbol pair (count desc, pair asc — a deterministic,
+    SQL-replayable tiebreak) and fuse it everywhere.
+
+    This is how production tokenizers train at corpus scale: the corpus
+    is reduced ONCE to a word-frequency table (Zipf-bounded — millions
+    of rows for a 100 TB corpus, not trillions), and every iteration
+    touches only that table: a row-local pair expansion, one aggregate,
+    a TakeOrdered(1) argmax, and a map-side ``replace``. The driver
+    round-trips exactly one (pair, count) row per step — the same
+    bounded-decision pattern as ``kmeans_step_centroids`` — and each
+    merged state is lazily localCheckpoint-ed so step N never re-runs
+    steps 1..N-1's replaces from lineage.
+
+    Returns ``[(step, merged_pair, pair_count), ...]``; ``merged_pair``
+    is the space-separated pair, e.g. ``('e s')``."""
+    seqs = bpe_initial_sequences(words, word_col, freq_col).localCheckpoint(
+        eager=False
+    )
+    out: list[tuple[int, str, int]] = []
+    for step in range(1, steps + 1):
+        top = (
+            bpe_pair_counts(seqs)
+            .orderBy(F.col("cnt").desc(), F.col("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, cnt = top[0]["pair"], int(top[0]["cnt"])
+        a, b = pair.split(" ")
+        seqs = seqs.select(
+            "freq",
+            F.replace(
+                F.col("seq"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")
+            ).alias("seq"),
+        ).localCheckpoint(eager=False)
+        out.append((step, pair, cnt))
+    return out

@@ -29,6 +29,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from asritha_metamorphetl_spark.operators.ranges import bucketed_range_join
+
 
 def as_of_join(
     left: DataFrame,
@@ -120,3 +122,75 @@ def as_of_join(
     if matched_ts_col is not None:
         out_cols.append(match_ts.alias(matched_ts_col))
     return filled.filter(F.col("_asof_side") == 1).select(*out_cols)
+
+
+def ewma_banded(
+    series: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    window: int = 16,
+    decimals: int = 6,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Truncated half-life EWMA over a per-key ordered series, as a
+    banded EQUI-join — the distributed spelling of a recursively-defined
+    statistic.
+
+    EWMA_t = Σ_j 2^-j · x_{t-j} / Σ_j 2^-j naively needs the previous
+    state (a sequential scan per key). Truncating at ``window`` lags
+    (2^-16 < 0.002% — below the rounding floor) turns each output row
+    into a fixed-width band of contributors, which
+    ``bucketed_range_join`` executes as a hash equi-join on
+    (keys…, rn-bucket): W contributor rows per point, linear total, no
+    per-key quadratic pairing and no BroadcastNestedLoop theta-join.
+
+    Weights are INTEGER ``shiftleft(1, window-1-lag)``, so numerator and
+    denominator are exact bigints under any summation order — the value
+    hash is engine-independent by construction; only the final ratio is
+    one deterministic double division, rounded to ``decimals``.
+
+    The row-number spine is windowed per key: callers' series must be
+    per-key bounded (daily/hourly rollups are — the calendar bounds
+    them, not data volume). The spine is lazily ``localCheckpoint``-ed
+    so the point and contributor sides share ONE materialization instead
+    of re-computing the upstream aggregate twice."""
+    klist = list(keys)
+    w = Window.partitionBy(*klist).orderBy(order_col)
+    spine = series.withColumn("_rn", F.row_number().over(w)).localCheckpoint(
+        eager=False
+    )
+    points = spine.withColumnRenamed("_rn", "_rn_p")
+    contrib = spine.select(
+        *klist,
+        F.col(value_col).alias("_x_c"),
+        F.col("_rn").alias("_rn_c"),
+        (F.col("_rn") + F.lit(window)).alias("_rn_end"),
+    )
+    banded = bucketed_range_join(
+        points,
+        contrib,
+        on=klist,
+        point_col="_rn_p",
+        start_col="_rn_c",
+        end_col="_rn_end",
+        bucket_width=window,
+    )
+    wint = F.expr(
+        f"shiftleft(1L, CAST({window - 1} - (_rn_p - _rn_c) AS INT))"
+    )
+    point_cols = [c for c in series.columns]
+    return (
+        banded.groupBy(*point_cols)
+        .agg(
+            F.sum(F.col("_x_c") * wint).alias("_num"),
+            F.sum(wint).alias("_den"),
+        )
+        .select(
+            *point_cols,
+            F.round(
+                F.col("_num").cast("double") / F.col("_den").cast("double"),
+                decimals,
+            ).alias(out_col),
+        )
+    )

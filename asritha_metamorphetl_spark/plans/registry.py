@@ -44,6 +44,14 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # composition into training shards
     "curation_verdict",
     "curated_shard_manifest",
+    # round-7 late additions (second wave): Bloom join pruning, banded
+    # EWMA, one-shuffle GROUPING SETS, and association rules — brand-new
+    # operator classes lead the driver window
+    "bloom_prune_audit",
+    "ewma_daily_orders",
+    "revenue_grouping_sets",
+    "market_basket_rules",
+    "bpe_merge_steps",
     # round-7 late additions: distributed second moments / PCA
     # projection and iterative PageRank — brand-new operator classes,
     # so they lead the window
@@ -255,6 +263,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from asritha_metamorphetl_spark.plans import (  # noqa: F401
+        analytics_queries,
         ann_queries,
         catalog_queries,
         corpus_queries,

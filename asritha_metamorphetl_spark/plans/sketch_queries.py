@@ -374,3 +374,147 @@ def selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_bound"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning: the map-side shuffle-avoidance audit
+# ---------------------------------------------------------------------------
+
+#: Bloom knobs, shared verbatim by engine and oracle. k=3 hashes at 16
+#: bits/key → theoretical fp ≈ (1−e^(−3/16))³ ≈ 0.5%; the audit bound is
+#: 1/20 (5%) — 10× headroom, checked per segment with integer
+#: cross-multiplication so no float literal can wobble the boolean.
+BLOOM_K = 3
+BLOOM_BPK = 16
+BLOOM_FP_DEN = 20
+BLOOM_SALT = "bloom:"
+
+
+def _bloom_oracle() -> str:
+    from asritha_metamorphetl_spark.plans.text_queries import _hex48_sql
+
+    def pos(i: int, key: str) -> str:
+        h = _hex48_sql(f"md5('{BLOOM_SALT}{i}:' || CAST({key} AS VARCHAR))")
+        return f"{h} % (SELECT m FROM par)"
+
+    pos_union = "\n    UNION ALL\n".join(
+        f"    SELECT {pos(i, 'key')} AS pos FROM bkeys"
+        for i in range(BLOOM_K)
+    )
+    member = "\n      AND ".join(
+        f"{pos(i, 'p.c_custkey')} IN (SELECT pos FROM bpos)"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+WITH bkeys AS (
+    SELECT DISTINCT o_custkey AS key FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+),
+par AS (SELECT GREATEST(64, {BLOOM_BPK} * COUNT(*)) AS m FROM bkeys),
+bpos AS (
+    SELECT DISTINCT pos FROM (
+{pos_union}
+    )
+),
+probe AS (SELECT c_custkey, c_mktsegment FROM customer),
+cand AS (
+    SELECT p.c_custkey, p.c_mktsegment FROM probe p
+    WHERE {member}
+),
+base AS (
+    SELECT c_mktsegment, COUNT(*) AS n_probe FROM probe GROUP BY 1
+),
+cnd AS (
+    SELECT c_mktsegment, COUNT(*) AS n_candidate FROM cand GROUP BY 1
+),
+exa AS (
+    SELECT c_mktsegment, COUNT(*) AS n_exact FROM probe
+    WHERE c_custkey IN (SELECT key FROM bkeys) GROUP BY 1
+)
+SELECT b.c_mktsegment,
+       b.n_probe,
+       COALESCE(c.n_candidate, 0) AS n_candidate,
+       COALESCE(e.n_exact, 0) AS n_exact,
+       COALESCE(c.n_candidate, 0) - COALESCE(e.n_exact, 0) AS n_false_pos,
+       (SELECT m FROM par) AS m_bits,
+       {BLOOM_FP_DEN} * (COALESCE(c.n_candidate, 0) - COALESCE(e.n_exact, 0))
+           <= b.n_probe - COALESCE(e.n_exact, 0) AS fp_within_bound
+FROM base b
+LEFT JOIN cnd c USING (c_mktsegment)
+LEFT JOIN exa e USING (c_mktsegment)
+"""
+
+
+@register("bloom_prune_audit", oracle=_bloom_oracle())
+def bloom_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """White-box Bloom-filter join pruning, audited against the exact
+    semi-join.
+
+    The 100 TB scenario: a probe table (here ``customer``) must join a
+    much smaller key set (urgent-order customers); shuffling the whole
+    probe side to discover that most rows don't match is the single
+    biggest avoidable exchange in many production joins. The Bloom path
+    hashes the build keys into a ``bits_per_key·n``-bit set
+    (``operators/frequent.bloom_build`` — distributed bit_or, O(m/64)
+    driver rows), broadcasts it as ONE row, and drops probe rows
+    map-side with 3 JVM bit tests (``bloom_candidates``) — no false
+    negatives, measured false positives.
+
+    The audit emits, per market segment: probe rows, Bloom candidates,
+    exact members (left-semi join ground truth), the false-positive
+    count, and an integer-arithmetic bound check (fp ≤ 1/20 of the
+    non-members — theory says ~0.5%). The DuckDB oracle replays the
+    salted-md5 positions bit-for-bit and recomputes the same counts, so
+    a hash drift, a saturated filter, or a broken bit test fails the
+    driver compare rather than silently degrading prune rates.
+
+    Reference scope: no Bloom surface in the reference; this belongs to
+    the scale-operations additions (SURVEY §2's quality/efficiency
+    envelope) alongside CMS/HLL."""
+    from asritha_metamorphetl_spark.operators.frequent import (
+        bloom_build,
+        bloom_candidates,
+    )
+
+    cat = Catalog(sf_dir)
+    orders = cat.load(spark, "orders")
+    cust = cat.load(spark, "customer")
+    build = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("key")
+    )
+    words, m, _n = bloom_build(
+        build, "key", k=BLOOM_K, bits_per_key=BLOOM_BPK, salt=BLOOM_SALT
+    )
+    probe = cust.select("c_custkey", "c_mktsegment")
+    cand = bloom_candidates(
+        probe, "c_custkey", words, m, k=BLOOM_K, salt=BLOOM_SALT
+    )
+    n_probe = probe.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_probe")
+    )
+    n_cand = cand.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_candidate")
+    )
+    n_exact = (
+        probe.join(F.broadcast(build), probe.c_custkey == build.key, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    cand_n = F.coalesce(F.col("n_candidate"), F.lit(0).cast("long"))
+    exact_n = F.coalesce(F.col("n_exact"), F.lit(0).cast("long"))
+    return (
+        n_probe.join(n_cand, "c_mktsegment", "left")
+        .join(n_exact, "c_mktsegment", "left")
+        .select(
+            "c_mktsegment",
+            "n_probe",
+            cand_n.alias("n_candidate"),
+            exact_n.alias("n_exact"),
+            (cand_n - exact_n).alias("n_false_pos"),
+            F.lit(m).cast("long").alias("m_bits"),
+            (
+                F.lit(BLOOM_FP_DEN) * (cand_n - exact_n)
+                <= F.col("n_probe") - exact_n
+            ).alias("fp_within_bound"),
+        )
+    )

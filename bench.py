@@ -159,6 +159,11 @@ def main() -> None:
         "clustered_skipping_gain",
         "leakage_free_splits",
         "quality_importance_sample",
+        # round-7 second wave
+        "bloom_prune_audit",
+        "ewma_daily_orders",
+        "revenue_grouping_sets",
+        "market_basket_rules",
     ]
     line = json.dumps(
         {
