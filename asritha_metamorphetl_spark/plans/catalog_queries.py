@@ -1207,3 +1207,169 @@ def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view_old.unionByName(delta).select(
         "o_orderkey", "l_linenumber", "o_custkey", "l_quantity"
     )
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read positional deletes (sources/mor.py): the Iceberg-v2
+# delete-file read path + targeted compaction, oracle-replayed
+# ---------------------------------------------------------------------------
+
+#: MoR layout knobs, shared verbatim with the SQL oracles: file id is a
+#: plain modulo so DuckDB replays the physical assignment.
+MOR_NFILES = 8
+MOR_COMPACT_RATIO = 0.1
+
+#: Delete predicates (deliberately FILE-SKEWED so compaction has both
+#: hot files to rewrite and cold files to leave pending):
+#: d1 hits every file (~urgent finished orders); d2 hits only files 0-2.
+_MOR_D1 = "o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'"
+_MOR_D2 = f"o_orderkey % {MOR_NFILES} < 3 AND o_orderpriority = '5-LOW'"
+_MOR_DELETED = f"(({_MOR_D1}) OR ({_MOR_D2}))"
+
+
+def _mor_table(spark: SparkSession, sf_dir: str, label: str):
+    """Build the shared MoR fixture: orders as base (integer cents),
+    delete commit d1, delete commit d2, then d1 AGAIN — the idempotent
+    re-delete an at-least-once upstream produces. Returns the table."""
+    import shutil
+
+    from asritha_metamorphetl_spark.sources.mor import MergeOnReadTable
+
+    root = scratch_dir(spark, label, sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    orders = Catalog(sf_dir).load(spark, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    t = MergeOnReadTable(spark, root, "o_orderkey", n_files=MOR_NFILES)
+    t.write_base(base)
+    t.delete_keys(orders.filter(_MOR_D1).select("o_orderkey"))
+    t.delete_keys(orders.filter(_MOR_D2).select("o_orderkey"))
+    t.delete_keys(orders.filter(_MOR_D1).select("o_orderkey"))  # re-delivery
+    return t
+
+
+@register(
+    "mor_delete_scan",
+    oracle=f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_live,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS live_cents
+FROM orders
+WHERE NOT {_MOR_DELETED}
+GROUP BY o_orderstatus
+""",
+)
+def mor_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read live scan: base parquet MINUS three positional
+    delete commits (the third re-delivers the first — at-least-once
+    idempotence) via ONE broadcast anti-join on (file, pos); the base
+    is never rewritten and never shuffles. The oracle computes the
+    surviving rows straight from the delete predicates, so a hash match
+    proves position resolution, delete accumulation, and dedup of
+    re-deliveries all compose to exact delete semantics."""
+    t = _mor_table(spark, sf_dir, "mor_scan")
+    return t.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.sum("cents").alias("live_cents"),
+    )
+
+
+@register(
+    "mor_compaction_profile",
+    oracle=f"""
+WITH assigned AS (
+    SELECT o_orderkey % {MOR_NFILES} AS file_id,
+           CASE WHEN {_MOR_DELETED} THEN 1 ELSE 0 END AS del
+    FROM orders
+),
+stats AS (
+    SELECT file_id,
+           COUNT(*) AS n_rows,
+           CAST(SUM(del) AS BIGINT) AS n_deleted
+    FROM assigned GROUP BY file_id
+)
+SELECT file_id, n_rows, n_deleted,
+       ROUND(CAST(n_deleted AS DOUBLE) / CAST(n_rows AS DOUBLE), 4)
+           AS delete_ratio,
+       CAST(n_deleted AS DOUBLE) / CAST(n_rows AS DOUBLE)
+           >= {MOR_COMPACT_RATIO} AND n_deleted > 0 AS compacted,
+       CASE WHEN CAST(n_deleted AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                 >= {MOR_COMPACT_RATIO} AND n_deleted > 0
+            THEN n_rows - n_deleted ELSE n_rows END AS n_base_post,
+       CASE WHEN CAST(n_deleted AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                 >= {MOR_COMPACT_RATIO} AND n_deleted > 0
+            THEN CAST(0 AS BIGINT) ELSE n_deleted END AS n_pending_post,
+       n_rows - n_deleted AS n_live
+FROM stats
+""",
+)
+def mor_compaction_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted compaction end-to-end: per-file delete ratios (the
+    maintenance trigger), then ``compact`` folds deletes into ONLY the
+    files over threshold; cold files keep their base bytes and pending
+    delete entries. Every post-compaction column is measured from the
+    ACTUAL rewritten table state (base counts re-read from disk,
+    pending deletes re-read from the delete dir) while the oracle
+    derives what selective copy-on-write MUST leave behind from the
+    predicates alone — a rewrite that touched the wrong file, dropped
+    the wrong delete rows, or lost live rows breaks the hash. The
+    invariant column ``n_live`` pins read-parity across compaction."""
+    t = _mor_table(spark, sf_dir, "mor_compact")
+    # EAGER checkpoint: compaction rewrites the very files this lazy
+    # frame reads — materialize the pre-state before mutating the table.
+    pre = (
+        t.delete_stats()
+        .select(
+            F.col("_file").alias("file_id"),
+            "n_rows",
+            "n_deleted",
+            "delete_ratio",
+        )
+        .localCheckpoint()
+    )
+    hot = t.compact(min_delete_ratio=MOR_COMPACT_RATIO)
+    base_post = (
+        spark.read.parquet(t._data)
+        .groupBy(F.col("_file").alias("file_id"))
+        .agg(F.count(F.lit(1)).alias("n_base_post"))
+    )
+    dels_post = t._delete_rows()
+    if dels_post is None:
+        pending = base_post.select(
+            "file_id", F.lit(0).cast("long").alias("n_pending_post")
+        )
+    else:
+        pending = (
+            dels_post.distinct()
+            .groupBy(F.col("_file").alias("file_id"))
+            .agg(F.count(F.lit(1)).alias("n_pending_post"))
+        )
+    live_post = (
+        t.read()
+        .groupBy(F.col("_file").alias("file_id"))
+        .agg(F.count(F.lit(1)).alias("n_live"))
+    )
+    return (
+        pre.withColumn("compacted", F.col("file_id").isin(hot))
+        .join(base_post, "file_id")
+        .join(pending, "file_id", "left")
+        .join(live_post, "file_id")
+        .select(
+            "file_id",
+            "n_rows",
+            "n_deleted",
+            "delete_ratio",
+            "compacted",
+            "n_base_post",
+            F.coalesce("n_pending_post", F.lit(0).cast("long")).alias(
+                "n_pending_post"
+            ),
+            "n_live",
+        )
+    )

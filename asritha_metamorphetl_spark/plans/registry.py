@@ -52,6 +52,8 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "revenue_grouping_sets",
     "market_basket_rules",
     "bpe_merge_steps",
+    "mor_delete_scan",
+    "mor_compaction_profile",
     # round-7 late additions: distributed second moments / PCA
     # projection and iterative PageRank — brand-new operator classes,
     # so they lead the window

@@ -164,6 +164,9 @@ def main() -> None:
         "ewma_daily_orders",
         "revenue_grouping_sets",
         "market_basket_rules",
+        "bpe_merge_steps",
+        "mor_delete_scan",
+        "mor_compaction_profile",
     ]
     line = json.dumps(
         {

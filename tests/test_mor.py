@@ -1,0 +1,114 @@
+"""MergeOnReadTable: positional-delete semantics the oracle umbrella
+can't see from the aggregate outputs — write contracts, idempotent
+re-delivery, SELECTIVE compaction (cold files byte-untouched), and the
+broadcast-anti-join read plan."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from asritha_metamorphetl_spark.sources.mor import MergeOnReadTable
+
+
+def _mk(spark, tmp_path, n=100, n_files=4):
+    t = MergeOnReadTable(
+        spark, str(tmp_path / "tbl"), "k", n_files=n_files
+    )
+    base = spark.range(0, n).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    t.write_base(base)
+    return t
+
+
+def test_write_base_rejects_duplicate_and_null_keys(spark, tmp_path):
+    t = MergeOnReadTable(spark, str(tmp_path / "t1"), "k")
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], "k long, v string")
+    with pytest.raises(ValueError, match="unique"):
+        t.write_base(dup)
+    nul = spark.createDataFrame([(None, "a"), (2, "b")], "k long, v string")
+    with pytest.raises(ValueError, match="null"):
+        t.write_base(nul)
+
+
+def test_delete_read_parity_and_idempotence(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    keys = spark.range(0, 30).select(F.col("id").alias("k"))
+    t.delete_keys(keys)
+    assert t.read().count() == 70
+    # re-delivery of the same delete batch must change nothing
+    t.delete_keys(keys)
+    assert t.read().count() == 70
+    live = {r["k"] for r in t.read().select("k").collect()}
+    assert live == set(range(30, 100))
+
+
+def test_delete_unknown_keys_is_noop(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete_keys(spark.range(500, 510).select(F.col("id").alias("k")))
+    assert t.read().count() == 100
+
+
+def test_compact_rewrites_only_hot_files(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=100, n_files=4)
+    # delete 20 of 25 rows in file 0 (k%4==0), 1 row elsewhere
+    hot_keys = [k for k in range(0, 80) if k % 4 == 0]
+    t.delete_keys(
+        spark.createDataFrame([(k,) for k in hot_keys + [1]], "k long")
+    )
+    data = t._data
+    cold_listing = {
+        fid: sorted(os.listdir(f"{data}/_file={fid}")) for fid in (1, 2, 3)
+    }
+    cold_mtimes = {
+        fid: os.path.getmtime(f"{data}/_file={fid}") for fid in (1, 2, 3)
+    }
+    rewritten = t.compact(min_delete_ratio=0.5)
+    assert rewritten == [0]
+    # cold file directories: identical listing, untouched mtime
+    for fid in (1, 2, 3):
+        assert sorted(os.listdir(f"{data}/_file={fid}")) == cold_listing[fid]
+        assert os.path.getmtime(f"{data}/_file={fid}") == cold_mtimes[fid]
+    # hot file: physically shrunk to its live rows
+    base0 = spark.read.parquet(f"{data}/_file=0")
+    assert base0.count() == 25 - len(hot_keys)
+    # pending deletes: only the cold-file entry for k=1 remains
+    pend = t._delete_rows().distinct().collect()
+    assert len(pend) == 1 and pend[0]["_file"] == 1
+    # read parity across compaction
+    live = {r["k"] for r in t.read().select("k").collect()}
+    assert live == set(range(100)) - set(hot_keys) - {1}
+
+
+def test_compact_below_threshold_is_noop(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete_keys(spark.createDataFrame([(1,)], "k long"))
+    assert t.compact(min_delete_ratio=0.5) == []
+    assert t.read().count() == 99
+
+
+def test_delete_stats_shapes(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=100, n_files=4)
+    stats0 = {r["_file"]: r for r in t.delete_stats().collect()}
+    assert all(r["n_deleted"] == 0 for r in stats0.values())
+    t.delete_keys(spark.range(0, 8).select(F.col("id").alias("k")))
+    stats = {r["_file"]: r for r in t.delete_stats().collect()}
+    assert all(stats[f]["n_deleted"] == 2 for f in range(4))
+    assert stats[0]["delete_ratio"] == round(2 / 25, 4)
+
+
+def test_read_plan_broadcasts_deletes_never_shuffles_base(spark, tmp_path):
+    """The 100 TB read path: the delete set broadcasts into the base
+    scan stage — no hash-partition exchange anywhere in the live read."""
+    t = _mk(spark, tmp_path)
+    t.delete_keys(spark.range(0, 10).select(F.col("id").alias("k")))
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the STREAMED (base) side — everything printed before the broadcast
+    # build — must be exchange-free; the dedup exchange INSIDE the
+    # broadcast build touches only the bounded delete set and is fine
+    streamed = plan[: plan.index("BroadcastExchange")]
+    assert "Exchange hashpartitioning" not in streamed

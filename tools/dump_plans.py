@@ -191,6 +191,30 @@ HEADLINERS = [
      "delta terms each broadcast the small delta against a base scan "
      "(no base-side shuffle); old-x-old is the stored view in "
      "production, recomputed here only to prove parity"),
+    ("bloom_prune_audit", "Bloom join pruning: the packed bitmap rides "
+     "a ONE-ROW BroadcastNestedLoopJoin into the probe scan stage — "
+     "probe rows are filtered by JVM bit tests before ANY exchange; "
+     "the only shuffles are the per-segment count aggregates"),
+    ("ewma_daily_orders", "recursive statistic as a banded EQUI-join: "
+     "the 16-lag contributor band hash-joins on (priority, rn-bucket) "
+     "— no BroadcastNestedLoop theta-join, no per-key quadratic "
+     "pairing; integer power-of-two weights keep sums exact"),
+    ("revenue_grouping_sets", "four aggregation granularities from ONE "
+     "FileScan through Expand into a single hash aggregate with "
+     "map-side partials — not four scans unioned"),
+    ("market_basket_rules", "order-local HOF pair expansion (Generate "
+     "over the collected basket, single lineitem scan via lazy "
+     "localCheckpoint) + TakeOrderedAndProject top-N — no op-x-op "
+     "self-join, no global row_number funnel"),
+    ("bpe_merge_steps", "iterative tokenizer training on the "
+     "Zipf-bounded vocabulary: per-step row-local pair Generate, one "
+     "SUM aggregate, TakeOrdered(1) argmax, map-side replace — the "
+     "corpus is scanned once, iterations never touch it"),
+    ("mor_delete_scan", "merge-on-read live scan: the accumulated "
+     "positional-delete set broadcasts into the base scan stage "
+     "(BroadcastHashJoin LeftAnti, BuildRight) — the base side has "
+     "ZERO exchanges before the final count aggregate; deletes never "
+     "rewrite or shuffle the data"),
 ]
 
 

@@ -80,6 +80,13 @@ QUERIES = [
     ("selfjoin_size_estimate", "CM inner-product join-size estimate"),
     ("incremental_join_view", "delta-join IVM (broadcast deltas)"),
     ("bootstrap_mean_ci", "one-pass Poisson bootstrap (32 replicates)"),
+    ("bloom_prune_audit", "Bloom build + map-side probe prune + exact audit"),
+    ("ewma_daily_orders", "banded-equi-join EWMA (calendar-bounded spine)"),
+    ("revenue_grouping_sets", "one-scan Expand grouping sets"),
+    ("market_basket_rules", "order-local pair expansion + broadcast rates"),
+    ("bpe_merge_steps", "3-step BPE merge loop over the word-freq table"),
+    ("mor_delete_scan", "MoR broadcast-anti-join live scan (3 delete commits)"),
+    ("mor_compaction_profile", "targeted MoR compaction + post-state audit"),
 ]
 
 RUNS = 2  # take the best of N to damp container noise
