@@ -1550,3 +1550,149 @@ def all_pairs_near(
     return corpus.select(
         F.col(id_col), _to_double(F.col(vec_col)).alias(vec_col)
     ).mapInPandas(gen, "xid long, yid long")
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization: sign-bit codes + Hamming shortlist + exact re-rank
+# ---------------------------------------------------------------------------
+
+def bq_center(
+    vectors: DataFrame, vec_col: str, dim: int, decimals: int = 6
+) -> list[float]:
+    """Per-dimension mean of the corpus, rounded to ``decimals`` — the
+    binarization threshold. One aggregate, one driver row of ``dim``
+    doubles (bounded model state, like the PCA moments); rounding BEFORE
+    any compare keeps the bit decision identical across engines whose
+    summation orders differ in the last ulp."""
+    row = vectors.agg(
+        *[
+            F.round(F.avg(F.col(vec_col)[i]), decimals).alias(f"c{i}")
+            for i in range(dim)
+        ]
+    ).head()
+    return [float(row[f"c{i}"]) for i in range(dim)]
+
+
+def bq_codes(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    center: list[float],
+    decimals: int = 6,
+) -> DataFrame:
+    """Sign-bit binary codes against a fixed center, packed 32 bits per
+    64-bit word (columns ``bq_w0..``): bit i set iff
+    ``round(v[i], decimals) > center[i]``.
+
+    32 bits per word — not 64 — so the packed value never touches the
+    sign bit: ``1 << 63`` overflows signed arithmetic differently
+    across engines, while everything here stays exactly representable
+    and oracle-replayable. The packing is ONE scan-stage higher-order
+    aggregate per word (pure JVM, no Python, no shuffle): at 100 TB the
+    64-dim float corpus shrinks 32× into the search structure, the same
+    memory story as PQ with an even cheaper distance (XOR + popcount)."""
+    ctr = F.array(*[F.lit(float(c)) for c in center])
+    staged = df.select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_ctr", ctr)
+    words = (dim + 31) // 32
+    cols = []
+    for w in range(words):
+        lo = 32 * w
+        n = min(32, dim - lo)
+        cols.append(
+            F.expr(
+                f"aggregate(sequence(1, {n}), 0L, (acc, i) -> acc +"
+                f" IF(round(element_at(_v, i + {lo}), {decimals})"
+                f" > element_at(_ctr, i + {lo}),"
+                f" shiftleft(1L, i - 1), 0L))"
+            ).alias(f"bq_w{w}")
+        )
+    return staged.select(F.col(id_col), *cols)
+
+
+def bq_hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    dim: int = 64,
+    shortlist: int = 100,
+    decimals: int = 6,
+    dist_decimals: int = 4,
+) -> DataFrame:
+    """Approximate L2 top-k via binary quantization: Hamming-distance
+    shortlist over sign-bit codes, exact squared-L2 re-rank.
+
+    The production BQ shape (popularized by vector stores as the
+    cheapest quantization tier): the corpus is searched as packed bits
+    — per candidate the distance is ``words`` XOR+popcount ops, ~50×
+    cheaper than a float dot product and 32× smaller in memory — and
+    only the ``shortlist`` best Hamming rows per query are re-scored
+    with the exact metric. No false negatives inside the shortlist;
+    recall is measured, not assumed (``knn_bq_recall_eval``).
+
+    The center comes from the CORPUS distribution (queries binarize
+    against the same center). Hamming ties break by neighbor id; the
+    re-rank reuses the exact rounded-L2 of ``brute_force_l2_topk``."""
+    center = bq_center(corpus, vec_col, dim, decimals)
+    ccodes = bq_codes(corpus, id_col, vec_col, dim, center, decimals).select(
+        F.col(id_col).alias("neighbor_id"), "*"
+    ).drop(id_col)
+    qcodes = bq_codes(queries, id_col, vec_col, dim, center, decimals)
+    words = (dim + 31) // 32
+    qcodes = qcodes.select(
+        F.col(id_col).alias("query_id"),
+        *[F.col(f"bq_w{w}").alias(f"qw{w}") for w in range(words)],
+    )
+    hamm = None
+    for w in range(words):
+        term = F.expr(f"bit_count(bq_w{w} ^ qw{w})")
+        hamm = term if hamm is None else (hamm + term)
+    cand = (
+        ccodes.crossJoin(F.broadcast(qcodes))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", hamm.alias("hamm"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("hamm").asc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        cand.withColumn("hrnk", F.row_number().over(ws))
+        .filter(F.col("hrnk") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+    )
+    rer = (
+        short.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                dist_decimals,
+            ).alias("dist"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "dist", "rnk")
+    )

@@ -1128,3 +1128,171 @@ def knn_ivfpq_residual_recall_eval(
         )
         .withColumn("recall_ok", F.col("recall") >= F.lit(0.8))
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization: sign-bit Hamming shortlist + exact re-rank
+# ---------------------------------------------------------------------------
+
+#: Bit-decision rounding (center and vector values are rounded to this
+#: before the strict compare, so summation-order ulps can't flip a bit).
+BQ_DECIMALS = 6
+_BQ_WORDS = (EMB_DIM + 31) // 32
+
+
+def _bq_topk_oracle() -> str:
+    word_cols = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN b AND i > {32 * w} AND i <= {32 * (w + 1)}"
+        f" THEN (CAST(1 AS BIGINT) << CAST(i - {32 * w + 1} AS INT))"
+        f" ELSE 0 END) AS BIGINT) AS w{w}"
+        for w in range(_BQ_WORDS)
+    )
+    ham_sum = " + ".join(
+        f"bit_count(xor(q.w{w}, c.w{w}))" for w in range(_BQ_WORDS)
+    )
+    return f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (
+    SELECT vec_id, i, v[i] AS x
+    FROM vecs, UNNEST(range(1, {EMB_DIM + 1})) AS t(i)
+),
+ctr AS (SELECT i, ROUND(AVG(x), {BQ_DECIMALS}) AS c FROM dims GROUP BY i),
+bits AS (
+    SELECT d.vec_id, d.i, ROUND(d.x, {BQ_DECIMALS}) > c.c AS b
+    FROM dims d JOIN ctr c USING (i)
+),
+codes AS (
+    SELECT vec_id,
+           {word_cols}
+    FROM bits GROUP BY vec_id
+),
+ham AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {ham_sum} AS hamm
+    FROM codes c JOIN codes q
+      ON q.vec_id < {KNN_QUERIES} AND c.vec_id <> q.vec_id
+),
+short AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY hamm ASC, neighbor_id ASC) AS hrnk FROM ham
+    ) WHERE hrnk <= {_PQ_SHORTLIST_SQL}
+),
+rer AS (
+    SELECT s.query_id, s.neighbor_id,
+           ROUND(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+               i -> (qv.v[i] - cv.v[i]) * (qv.v[i] - cv.v[i]))), 4) AS dist
+    FROM short s
+    JOIN vecs qv ON qv.vec_id = s.query_id
+    JOIN vecs cv ON cv.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, dist, rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY dist ASC, neighbor_id ASC) AS rnk FROM rer
+) WHERE rnk <= {KNN_K}
+"""
+
+
+@register("knn_bq_topk", oracle=_bq_topk_oracle())
+def knn_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization approximate top-k: corpus-mean sign bits
+    packed 32/word (scan-stage JVM aggregate, no Python), Hamming
+    shortlist via XOR+popcount — the cheapest quantization tier a
+    vector store offers, 32× smaller search state than float — then
+    exact squared-L2 re-rank of the shortlist. The oracle replays the
+    whole chain: center, bit decisions, packing, Hamming ranking,
+    shortlist cut, exact re-rank."""
+    from asritha_metamorphetl_spark.operators.similarity import (
+        bq_hamming_topk,
+    )
+
+    emb = Catalog(sf_dir).load(spark, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
+    return bq_hamming_topk(
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        k=KNN_K,
+        dim=EMB_DIM,
+        shortlist=pq_shortlist(emb.count()),
+        decimals=BQ_DECIMALS,
+    )
+
+
+@register(
+    "knn_bq_recall_eval",
+    oracle=f"""
+WITH approx AS ({_bq_topk_oracle()}),
+truth AS ({_KNN_EXACT_L2_SQL}),
+hits AS (
+    SELECT t.query_id, t.neighbor_id
+    FROM truth t JOIN approx a
+      ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+)
+SELECT
+    (SELECT COUNT(*) FROM truth)::BIGINT AS n_truth,
+    (SELECT COUNT(*) FROM approx)::BIGINT AS n_approx,
+    (SELECT COUNT(*) FROM hits)::BIGINT AS n_hits,
+    CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+         THEN ROUND((SELECT COUNT(*) FROM hits)::DOUBLE
+                    / (SELECT COUNT(*) FROM truth), 6)
+         ELSE 1.0 END AS recall,
+    TRUE AS recall_ok
+""",
+)
+def knn_bq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BQ quality telemetry against exact L2, same contract as the
+    LSH/IVF/PQ recall evals: the oracle hard-codes recall_ok TRUE, the
+    engine computes recall >= 0.8 — a recall regression goes red in
+    CORRECTNESS instead of silently degrading."""
+    from asritha_metamorphetl_spark.operators.similarity import (
+        bq_hamming_topk,
+    )
+
+    emb = Catalog(sf_dir).load(spark, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
+    truth = (
+        brute_force_l2_topk(emb, queries, "vec_id", "embedding", k=KNN_K)
+        .select("query_id", "neighbor_id")
+        .withColumn("in_t", F.lit(1))
+    )
+    approx = (
+        bq_hamming_topk(
+            emb,
+            queries,
+            "vec_id",
+            "embedding",
+            k=KNN_K,
+            dim=EMB_DIM,
+            shortlist=pq_shortlist(emb.count()),
+            decimals=BQ_DECIMALS,
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("in_a", F.lit(1))
+    )
+    both = truth.join(approx, ["query_id", "neighbor_id"], "full_outer")
+    counts = both.agg(
+        F.sum("in_t").cast("bigint").alias("n_truth"),
+        F.sum("in_a").cast("bigint").alias("n_approx"),
+        F.sum(F.col("in_t") * F.col("in_a")).cast("bigint").alias("n_hits"),
+    )
+    return (
+        counts.select(
+            F.coalesce(F.col("n_truth"), F.lit(0)).alias("n_truth"),
+            F.coalesce(F.col("n_approx"), F.lit(0)).alias("n_approx"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        )
+        .select(
+            "n_truth",
+            "n_approx",
+            "n_hits",
+            F.when(
+                F.col("n_truth") > 0,
+                F.round(F.col("n_hits").cast("double") / F.col("n_truth"), 6),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("recall"),
+        )
+        .withColumn("recall_ok", F.col("recall") >= F.lit(0.8))
+    )

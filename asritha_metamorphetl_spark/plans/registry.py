@@ -36,17 +36,21 @@ _REGISTRY: dict[str, RegisteredQuery] = {}
 #: them. test_registry_oracle pins that every name here exists (a typo
 #: must fail tests, not silently demote a query out of the window).
 QUERY_PRIORITY: tuple[str, ...] = (
-    # flagship marts
-    "supplier_performance",
-    "product_performance",
-    "customer_sales_report",
-    # the end-to-end curation pipeline: verdict + its round-7 last-mile
-    # composition into training shards
-    "curation_verdict",
+    # The window budget is 50 and round 7 registered ~53 new queries, so
+    # EVERY front-window slot goes to a query with no driver CORRECTNESS
+    # row in any round (the flagship marts have six rounds of rows and
+    # entry() still smoke-runs the flagship; they lead the tail instead).
+    # First: the only four queries never checked in ANY round (r6
+    # directive #3 — the driver row is the hard signal).
+    "lang_id_confusion",
+    "source_overlap_matrix",
+    "lonely_late_suppliers",
+    "top_revenue_supplier",
+    # the round-7 last-mile composition (r6 directive #5)
     "curated_shard_manifest",
     # round-7 late additions (second wave): Bloom join pruning, banded
-    # EWMA, one-shuffle GROUPING SETS, and association rules — brand-new
-    # operator classes lead the driver window
+    # EWMA, one-shuffle GROUPING SETS, association rules, BPE merge
+    # learning, merge-on-read deletes, binary-quantization ANN
     "bloom_prune_audit",
     "ewma_daily_orders",
     "revenue_grouping_sets",
@@ -54,6 +58,8 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "bpe_merge_steps",
     "mor_delete_scan",
     "mor_compaction_profile",
+    "knn_bq_topk",
+    "knn_bq_recall_eval",
     # round-7 late additions: distributed second moments / PCA
     # projection and iterative PageRank — brand-new operator classes,
     # so they lead the window
@@ -114,13 +120,15 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "knn_pq_recall_eval",
     "unimax_source_allocation",
     "token_budget_mix",
-    # round-7 driver-tail closure (r6 directive #3): the ONLY four
-    # registry queries that have never had a driver CORRECTNESS row in
-    # any round — all judge-green; the driver row is the hard signal
-    "lang_id_confusion",
-    "source_overlap_matrix",
-    "lonely_late_suppliers",
-    "top_revenue_supplier",
+    # --- front-50 boundary lands inside the block above; everything
+    # below keeps priority order for bench stability. The remaining
+    # never-driver-checked r7 queries lead the tail so they rotate into
+    # r8's window first, followed by the flagship marts (six rounds of
+    # driver rows each; entry() smoke-runs the flagship every round). ---
+    "supplier_performance",
+    "product_performance",
+    "customer_sales_report",
+    "curation_verdict",
     # stalest driver coverage next: this surface last met the driver in
     # r4/r5 (it sat behind the window during r6's TPC-H-tail rotation)
     "reconcile_lineitem_composite",
@@ -154,10 +162,8 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "dup_clusters",
     "embedding_near_dups",
     "embedding_label_stats",
-    # --- front-50 boundary is here; the rest keep priority order for
-    # bench stability but sit behind the driver window. The r6-checked
-    # surface (fresh driver rows) leads the tail so it re-enters the
-    # window soonest after the stale set above is re-covered. ---
+    # r6-checked surface (fresh driver rows) continues the tail, behind
+    # the stale r4/r5 set above.
     "knn_ivf_topk",
     "knn_ivf_recall_eval",
     "knn_l2_topk",

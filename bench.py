@@ -167,6 +167,7 @@ def main() -> None:
         "bpe_merge_steps",
         "mor_delete_scan",
         "mor_compaction_profile",
+        "knn_bq_topk",
     ]
     line = json.dumps(
         {

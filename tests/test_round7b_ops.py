@@ -267,3 +267,52 @@ def test_bpe_merge_is_leftmost_nonoverlapping(spark):
     )
     got = {r["pair"]: r["cnt"] for r in bpe_pair_counts(seqs).collect()}
     assert got == {"xa b": 1, "b y": 1} or got == {"xa by": 1}
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization
+# ---------------------------------------------------------------------------
+
+
+def test_bq_codes_hand_packing(spark):
+    """Known vectors against a zero center: bits set exactly where the
+    (rounded) component is positive, packed 32 per word."""
+    from asritha_metamorphetl_spark.operators.similarity import bq_codes
+
+    dim = 40
+    vec = [0.0] * dim
+    vec[0] = 1.0      # bit 0 of word 0
+    vec[5] = 0.5      # bit 5 of word 0
+    vec[31] = 2.0     # bit 31 of word 0
+    vec[32] = 3.0     # bit 0 of word 1
+    vec[39] = -1.0    # negative: NOT set
+    df = spark.createDataFrame([(1, vec)], "id long, v array<double>")
+    row = bq_codes(df, "id", "v", dim, [0.0] * dim).collect()[0]
+    assert row["bq_w0"] == (1 << 0) + (1 << 5) + (1 << 31)
+    assert row["bq_w1"] == 1
+    # strictly-greater: a value equal to the center sets nothing
+    df0 = spark.createDataFrame([(2, [0.0] * dim)], "id long, v array<double>")
+    r0 = bq_codes(df0, "id", "v", dim, [0.0] * dim).collect()[0]
+    assert r0["bq_w0"] == 0 and r0["bq_w1"] == 0
+
+
+def test_bq_topk_exact_on_separable_data(spark):
+    """Clearly separable clusters: BQ shortlist + exact re-rank must
+    return the true nearest neighbors."""
+    from asritha_metamorphetl_spark.operators.similarity import (
+        bq_hamming_topk,
+    )
+
+    dim = 8
+    rows = []
+    for i in range(20):  # cluster A: near +1
+        rows.append((i, [1.0 + 0.01 * i] * dim))
+    for i in range(20, 40):  # cluster B: near -1
+        rows.append((i, [-1.0 - 0.01 * i] * dim))
+    corpus = spark.createDataFrame(rows, "id long, v array<double>")
+    queries = corpus.filter(F.col("id") == 0)
+    got = bq_hamming_topk(
+        corpus, queries, "id", "v", k=5, dim=dim, shortlist=20
+    ).collect()
+    ids = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rnk"])]
+    assert ids == [1, 2, 3, 4, 5]  # nearest by construction

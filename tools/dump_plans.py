@@ -215,6 +215,11 @@ HEADLINERS = [
      "(BroadcastHashJoin LeftAnti, BuildRight) — the base side has "
      "ZERO exchanges before the final count aggregate; deletes never "
      "rewrite or shuffle the data"),
+    ("knn_bq_topk", "binary quantization: sign-bit packing is a "
+     "scan-stage HOF aggregate (pure JVM), Hamming scoring is "
+     "XOR+popcount against broadcast query codes, and only the "
+     "shortlist ever touches float vectors again for the exact "
+     "re-rank"),
 ]
 
 

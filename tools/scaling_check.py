@@ -87,6 +87,7 @@ QUERIES = [
     ("bpe_merge_steps", "3-step BPE merge loop over the word-freq table"),
     ("mor_delete_scan", "MoR broadcast-anti-join live scan (3 delete commits)"),
     ("mor_compaction_profile", "targeted MoR compaction + post-state audit"),
+    ("knn_bq_topk", "binary-quantization Hamming shortlist + exact re-rank"),
 ]
 
 RUNS = 2  # take the best of N to damp container noise
