@@ -60,6 +60,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "mor_compaction_profile",
     "knn_bq_topk",
     "knn_bq_recall_eval",
+    "hll_set_algebra_audit",
     # round-7 late additions: distributed second moments / PCA
     # projection and iterative PageRank — brand-new operator classes,
     # so they lead the window

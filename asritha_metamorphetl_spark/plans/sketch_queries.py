@@ -518,3 +518,197 @@ def bloom_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp_within_bound"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: mergeable union + inclusion-exclusion intersection
+# ---------------------------------------------------------------------------
+
+#: Separate precision for the set-algebra audit: m=1024 buckets (sigma
+#: = 1.04/sqrt(m) ~ 3.25%) so the inclusion-exclusion intersection
+#: bound is meaningful rather than vacuous at m=64.
+HLL_SET_P = 10
+_SET_A = "o_orderpriority = '1-URGENT'"
+_SET_B = "o_orderpriority = '2-HIGH'"
+#: 3 sigma at m=1024.
+_HLL_SET_3SIG = 0.0975
+
+
+def _hll_set_oracle() -> str:
+    from asritha_metamorphetl_spark.operators.frequent import (
+        HLL_ALPHA,
+        HLL_HASH_BITS,
+    )
+    from asritha_metamorphetl_spark.plans.text_queries import _hex48_sql
+
+    m = 1 << HLL_SET_P
+    top = HLL_HASH_BITS - HLL_SET_P + 1
+    dp = top  # common-denominator exponent (width + 1)
+    numer = HLL_ALPHA * (m * m) * (1 << dp)
+    hv = _hex48_sql("md5('hll:' || CAST(o_custkey AS VARCHAR))")
+
+    def reg(name: str, pred: str) -> str:
+        return f"""
+{name}_h AS (SELECT {hv} AS hv FROM orders WHERE {pred}),
+{name}_br AS (SELECT hv % {m} AS bucket, hv // {m} AS w FROM {name}_h),
+{name}_reg AS (
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(MAX(CASE WHEN w > 0
+                         THEN {top} - length(bin(CAST(w AS BIGINT)))
+                         ELSE {top} END) AS BIGINT) AS register
+    FROM {name}_br GROUP BY bucket
+)"""
+
+    def est(name: str, src: str) -> str:
+        return f"""
+{name} AS (
+    SELECT SUM(1::BIGINT << ({dp} - CAST(register AS INT)))
+           + ({m} - COUNT(*)) * (1::BIGINT << {dp}) AS inv,
+           COUNT(*) AS occ
+    FROM {src}
+)"""
+
+    def corr(t: str) -> str:
+        raw = f"{numer!r} / {t}.inv"
+        return (
+            f"CASE WHEN {raw} <= {2.5 * m} AND {m} - {t}.occ > 0"
+            f" THEN {float(m)!r} * ln({float(m)!r} / ({m} - {t}.occ))"
+            f" ELSE {raw} END"
+        )
+
+    ca, cb, cu = corr("a_est"), corr("b_est"), corr("u_est")
+    return f"""
+WITH {reg('a', _SET_A).lstrip()},
+{reg('b', _SET_B).lstrip()},
+u_reg AS (
+    SELECT bucket, MAX(register) AS register FROM (
+        SELECT * FROM a_reg UNION ALL SELECT * FROM b_reg
+    ) GROUP BY bucket
+),
+{est('a_est', 'a_reg').lstrip()},
+{est('b_est', 'b_reg').lstrip()},
+{est('u_est', 'u_reg').lstrip()},
+ex AS (
+    SELECT COUNT(DISTINCT CASE WHEN {_SET_A} THEN o_custkey END) AS exact_a,
+           COUNT(DISTINCT CASE WHEN {_SET_B} THEN o_custkey END) AS exact_b,
+           COUNT(DISTINCT CASE WHEN ({_SET_A}) OR ({_SET_B})
+                           THEN o_custkey END) AS exact_union
+    FROM orders
+),
+exi AS (
+    SELECT COUNT(*) AS exact_inter FROM (
+        SELECT o_custkey FROM orders GROUP BY o_custkey
+        HAVING SUM(CASE WHEN {_SET_A} THEN 1 ELSE 0 END) > 0
+           AND SUM(CASE WHEN {_SET_B} THEN 1 ELSE 0 END) > 0
+    )
+)
+SELECT ex.exact_a, ex.exact_b, ex.exact_union, exi.exact_inter,
+       ROUND({cu}, 3) AS est_union,
+       ROUND({ca} + {cb} - {cu}, 3) AS est_inter,
+       ABS({cu} - ex.exact_union)
+           <= {_HLL_SET_3SIG} * ex.exact_union AS union_ok,
+       ABS(({ca} + {cb} - {cu}) - exi.exact_inter)
+           <= {_HLL_SET_3SIG} * (ex.exact_a + ex.exact_b + ex.exact_union)
+           AS inter_ok
+FROM a_est, b_est, u_est, ex, exi
+"""
+
+
+@register("hll_set_algebra_audit", oracle=_hll_set_oracle())
+def hll_set_algebra_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register MERGEABILITY end-to-end: two independently-built
+    register tables (urgent-order vs high-order customers), union by
+    per-bucket MAX — never touching the raw data again — and the
+    inclusion-exclusion intersection estimate, both audited against
+    exact distinct counts.
+
+    This is why sketches win at 100 TB: |A ∪ B| for two corpora costs
+    one m-row register merge instead of a distinct-union shuffle, and
+    the same algebra answers overlap questions across any pre-computed
+    per-source/per-day register tables. The intersection bound is the
+    honest one — inclusion-exclusion accumulates the error of all three
+    estimates (3 sigma x (|A|+|B|+|A∪B|)), which is exactly why m=1024
+    here rather than the m=64 the single-set audits use. The oracle
+    replays registers bit-for-bit AND the exact-integer harmonic sums,
+    so the float estimates themselves hash-match."""
+    from asritha_metamorphetl_spark.operators.frequent import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    orders = Catalog(sf_dir).load(spark, "orders")
+    m = 1 << HLL_SET_P
+    ra = hll_registers(
+        orders.filter(_SET_A).select("o_custkey"), "o_custkey", p=HLL_SET_P
+    )
+    rb = hll_registers(
+        orders.filter(_SET_B).select("o_custkey"), "o_custkey", p=HLL_SET_P
+    )
+    ru = (
+        ra.unionByName(rb)
+        .groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+    )
+
+    def est(regs: DataFrame, name: str) -> DataFrame:
+        # raw harmonic estimate + the standard small-range LINEAR
+        # COUNTING correction (Flajolet et al. 2007 §4): below 2.5m the
+        # raw estimator overshoots badly (the sweep measured 795 vs 147
+        # at sf0.001), while m·ln(m/V) from the V empty buckets is
+        # near-exact. The regime decision compares a deterministic
+        # double to a constant; ln() differs across engines only in the
+        # last ulp, absorbed by the 3-decimal rounding and the wide
+        # audit bounds.
+        raw = hll_estimate(regs, (), p=HLL_SET_P).crossJoin(
+            regs.agg(F.count(F.lit(1)).alias("occ"))
+        )
+        v = F.lit(m) - F.col("occ")
+        corrected = F.when(
+            (F.col("hll_est") <= F.lit(2.5 * m)) & (v > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+        ).otherwise(F.col("hll_est"))
+        return raw.select(corrected.alias(name))
+
+    ea, eb, eu = est(ra, "e_a"), est(rb, "e_b"), est(ru, "e_u")
+    pa, pb = F.expr(_SET_A), F.expr(_SET_B)
+    ex = orders.agg(
+        F.countDistinct(F.when(pa, F.col("o_custkey"))).alias("exact_a"),
+        F.countDistinct(F.when(pb, F.col("o_custkey"))).alias("exact_b"),
+        F.countDistinct(F.when(pa | pb, F.col("o_custkey"))).alias(
+            "exact_union"
+        ),
+    )
+    exi = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(pa, 1).otherwise(0)).alias("na"),
+            F.sum(F.when(pb, 1).otherwise(0)).alias("nb"),
+        )
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    est_inter = F.col("e_a") + F.col("e_b") - F.col("e_u")
+    bound = F.lit(_HLL_SET_3SIG) * (
+        F.col("exact_a") + F.col("exact_b") + F.col("exact_union")
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .crossJoin(F.broadcast(ex))
+        .crossJoin(F.broadcast(exi))
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_inter",
+            F.round(F.col("e_u"), 3).alias("est_union"),
+            F.round(est_inter, 3).alias("est_inter"),
+            (
+                F.abs(F.col("e_u") - F.col("exact_union"))
+                <= F.lit(_HLL_SET_3SIG) * F.col("exact_union")
+            ).alias("union_ok"),
+            (F.abs(est_inter - F.col("exact_inter")) <= bound).alias(
+                "inter_ok"
+            ),
+        )
+    )

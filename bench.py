@@ -168,6 +168,7 @@ def main() -> None:
         "mor_delete_scan",
         "mor_compaction_profile",
         "knn_bq_topk",
+        "hll_set_algebra_audit",
     ]
     line = json.dumps(
         {

@@ -88,6 +88,7 @@ QUERIES = [
     ("mor_delete_scan", "MoR broadcast-anti-join live scan (3 delete commits)"),
     ("mor_compaction_profile", "targeted MoR compaction + post-state audit"),
     ("knn_bq_topk", "binary-quantization Hamming shortlist + exact re-rank"),
+    ("hll_set_algebra_audit", "mergeable HLL union + inclusion-exclusion"),
 ]
 
 RUNS = 2  # take the best of N to damp container noise
