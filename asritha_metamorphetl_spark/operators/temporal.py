@@ -150,7 +150,10 @@ def ewma_banded(
     hash is engine-independent by construction; only the final ratio is
     one deterministic double division, rounded to ``decimals``.
 
-    The row-number spine is windowed per key: callers' series must be
+    ``series`` must hold ONE row per (keys, order_col) — it is a rollup
+    output by contract; duplicate order positions would make row_number
+    assignment order-dependent and double-count contributors. The
+    row-number spine is windowed per key: callers' series must be
     per-key bounded (daily/hourly rollups are — the calendar bounds
     them, not data volume). The spine is lazily ``localCheckpoint``-ed
     so the point and contributor sides share ONE materialization instead

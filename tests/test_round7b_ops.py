@@ -316,3 +316,24 @@ def test_bq_topk_exact_on_separable_data(spark):
     ).collect()
     ids = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rnk"])]
     assert ids == [1, 2, 3, 4, 5]  # nearest by construction
+
+
+def test_bloom_generalizes_to_string_keys(spark):
+    """The hash is salted-md5 over CAST(key AS STRING), so non-numeric
+    key types work unchanged — same contract as the PQ LUT id-type
+    generalization."""
+    from asritha_metamorphetl_spark.operators.frequent import (
+        bloom_build,
+        bloom_candidates,
+    )
+
+    members = spark.createDataFrame(
+        [(f"doc-{i}",) for i in range(200)], "k string"
+    )
+    others = spark.createDataFrame(
+        [(f"other-{i}",) for i in range(500)], "k string"
+    )
+    words, m, n = bloom_build(members, "k")
+    assert n == 200
+    assert bloom_candidates(members, "k", words, m).count() == 200
+    assert bloom_candidates(others, "k", words, m).count() <= 500 * 0.05

@@ -132,7 +132,11 @@ def main() -> None:
         "no state-store profiling is warranted at this scale. The bucketed",
         "CDC fold is likewise dominated by its three commit cycles (manifest",
         "publish + parquet write per batch) — the merge compute itself is",
-        "the flat O(delta) shape the plan audit shows.",
+        "the flat O(delta) shape the plan audit shows. The same applies to",
+        "the merge-on-read queries: each run BUILDS its table fixture (base",
+        "write + three delete commits + compaction rewrites), so their wall",
+        "time is artifact I/O cycles, not the read path — the live scan",
+        "itself is the one broadcast anti-join the plan gate pins.",
         "",
         "Two-level assignment note (VERDICT r6 #1): the coarse->fine",
         "centroid-assignment kernel now scores ONLY the fine cells of each",
