@@ -119,17 +119,27 @@ def ewma_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # GROUPING SETS: every granularity from one shuffle (Expand)
 # ---------------------------------------------------------------------------
 
+#: The decimal money product is hoisted into a pre-projection BELOW the
+#: grouping sets: Expand replicates each input row once per set (4x),
+#: and aggregate expressions evaluate after Expand — an inline product
+#: would run the decimal multiply 4x per source row. Same arithmetic,
+#: same hash, one multiply.
 _GROUPING_SETS_SQL = """
 SELECT
     l_returnflag,
     l_linestatus,
     CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
     CAST(GROUPING(l_linestatus) AS INT) AS g_status,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-             * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
-    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+    CAST(SUM(rev_d) AS DOUBLE) AS revenue,
+    CAST(SUM(qty_d) AS DOUBLE) AS sum_qty,
     COUNT(*) AS n_lines
-FROM lineitem
+FROM (
+    SELECT l_returnflag, l_linestatus,
+           CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2))) AS rev_d,
+           CAST(l_quantity AS DECIMAL(18,2)) AS qty_d
+    FROM lineitem
+)
 GROUP BY GROUPING SETS (
     (l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ()
 )
