@@ -410,3 +410,110 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step int, merged_pair string, pair_count long"
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA-residual anomaly flags (forecast from PRIOR days only)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_volume_anomalies",
+    oracle=f"""
+WITH daily AS (
+    SELECT o_orderpriority, o_orderdate AS order_day,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY 1, 2
+),
+spine AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_orderpriority ORDER BY order_day) AS rn
+    FROM daily
+)
+SELECT p.o_orderpriority, p.order_day, p.n_orders,
+       ROUND(CAST(SUM(c.n_orders * (CAST(1 AS BIGINT)
+                 << CAST({EWMA_W} - (p.rn - c.rn) AS INT))) AS DOUBLE)
+             / CAST(SUM(CAST(1 AS BIGINT)
+                 << CAST({EWMA_W} - (p.rn - c.rn) AS INT)) AS DOUBLE),
+             {EWMA_DECIMALS}) AS ewma_prev,
+       2 * ABS(p.n_orders * SUM(CAST(1 AS BIGINT)
+                   << CAST({EWMA_W} - (p.rn - c.rn) AS INT))
+               - SUM(c.n_orders * (CAST(1 AS BIGINT)
+                   << CAST({EWMA_W} - (p.rn - c.rn) AS INT))))
+           > SUM(c.n_orders * (CAST(1 AS BIGINT)
+                   << CAST({EWMA_W} - (p.rn - c.rn) AS INT))) AS is_spike
+FROM spine p
+JOIN spine c
+  ON c.o_orderpriority = p.o_orderpriority
+ AND c.rn BETWEEN p.rn - {EWMA_W} AND p.rn - 1
+GROUP BY p.o_orderpriority, p.order_day, p.n_orders
+""",
+)
+def order_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-spike detection against an EWMA forecast built from PRIOR
+    days only: a day is flagged when it deviates more than 50% from the
+    half-life-weighted history (|x − ewma_prev| > ewma_prev/2).
+
+    The anomaly DECISION never touches a float: with integer
+    power-of-two weights the comparison cross-multiplies to
+    ``2·|x·Σw − Σwx| > Σwx`` — exact bigints, so the boolean cannot
+    wobble across engines no matter the summation order. The band is
+    the same ``bucketed_range_join`` equi-join as ``ewma_daily_orders``
+    shifted to exclude the current day (contributor lag ∈ [1, W]);
+    each priority's first day has no history and is absent by inner-join
+    semantics in both engines. ``ewma_prev`` is surfaced (rounded) for
+    report context only."""
+    orders = Catalog(sf_dir).load(spark, "orders")
+    daily = orders.groupBy(
+        "o_orderpriority", F.col("o_orderdate").alias("order_day")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    w = Window.partitionBy("o_orderpriority").orderBy("order_day")
+    spine = daily.withColumn("rn", F.row_number().over(w)).localCheckpoint(
+        eager=False
+    )
+    points = spine.select(
+        "o_orderpriority",
+        "order_day",
+        "n_orders",
+        F.col("rn").alias("rn_p"),
+    )
+    contrib = spine.select(
+        "o_orderpriority",
+        F.col("n_orders").alias("x_c"),
+        F.col("rn").alias("rn_c"),
+        (F.col("rn") + F.lit(1)).alias("rn_start"),
+        (F.col("rn") + F.lit(EWMA_W + 1)).alias("rn_end"),
+    )
+    from asritha_metamorphetl_spark.operators.ranges import (
+        bucketed_range_join,
+    )
+
+    banded = bucketed_range_join(
+        points,
+        contrib,
+        on=["o_orderpriority"],
+        point_col="rn_p",
+        start_col="rn_start",
+        end_col="rn_end",
+        bucket_width=EWMA_W,
+    )
+    wint = F.expr(
+        f"shiftleft(1L, CAST({EWMA_W} - (rn_p - rn_c) AS INT))"
+    )
+    agg = banded.groupBy("o_orderpriority", "order_day", "n_orders").agg(
+        F.sum(F.col("x_c") * wint).alias("_num"),
+        F.sum(wint).alias("_den"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "order_day",
+        "n_orders",
+        F.round(
+            F.col("_num").cast("double") / F.col("_den").cast("double"),
+            EWMA_DECIMALS,
+        ).alias("ewma_prev"),
+        (
+            2 * F.abs(F.col("n_orders") * F.col("_den") - F.col("_num"))
+            > F.col("_num")
+        ).alias("is_spike"),
+    )

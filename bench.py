@@ -169,6 +169,7 @@ def main() -> None:
         "mor_compaction_profile",
         "knn_bq_topk",
         "hll_set_algebra_audit",
+        "order_volume_anomalies",
     ]
     line = json.dumps(
         {

@@ -89,6 +89,7 @@ QUERIES = [
     ("mor_compaction_profile", "targeted MoR compaction + post-state audit"),
     ("knn_bq_topk", "binary-quantization Hamming shortlist + exact re-rank"),
     ("hll_set_algebra_audit", "mergeable HLL union + inclusion-exclusion"),
+    ("order_volume_anomalies", "EWMA-forecast spike flags (integer-exact)"),
 ]
 
 RUNS = 2  # take the best of N to damp container noise
