@@ -62,6 +62,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "knn_bq_recall_eval",
     "hll_set_algebra_audit",
     "order_volume_anomalies",
+    "streaming_mor_delete_parity",
     # round-7 late additions: distributed second moments / PCA
     # projection and iterative PageRank — brand-new operator classes,
     # so they lead the window

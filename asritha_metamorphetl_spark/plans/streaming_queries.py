@@ -881,3 +881,93 @@ def streaming_hll_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("register").cast("bigint").alias("register"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming merge-on-read deletes: erasure batches folding into delete
+# files under a real micro-batch query, with a re-delivered batch
+# ---------------------------------------------------------------------------
+
+
+def _mor_streaming_oracle() -> str:
+    from asritha_metamorphetl_spark.plans.catalog_queries import _MOR_DELETED
+
+    return f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_live,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS live_cents
+FROM orders
+WHERE NOT {_MOR_DELETED}
+GROUP BY o_orderpriority
+"""
+
+
+@register("streaming_mor_delete_parity", oracle=_mor_streaming_oracle())
+def streaming_mor_delete_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletes under a REAL streaming query — the GDPR /
+    erasure-pipeline shape at 100 TB: delete-key batches arrive as
+    files, a ``readStream`` with ``maxFilesPerTrigger=1`` delivers them
+    as separate micro-batches, and ``foreachBatch`` folds each into the
+    MoR table as one positional delete file (O(batch) work: a
+    column-pruned base resolve + a tiny write — the base is never
+    rewritten mid-stream). The THIRD batch re-delivers the first —
+    exactly the at-least-once duplicate a restarted sink produces — and
+    must be a no-op because the read-side anti-join dedups positions.
+    The final live state is profiled against the batch predicate
+    oracle, putting the micro-batch delete path itself under a
+    CORRECTNESS row (the batch-side math is ``mor_delete_scan``)."""
+    import os
+    import shutil
+
+    from asritha_metamorphetl_spark.plans.catalog_queries import (
+        _MOR_D1,
+        _MOR_D2,
+        MOR_NFILES,
+    )
+    from asritha_metamorphetl_spark.sources.mor import MergeOnReadTable
+
+    root = scratch_dir(spark, "stream_mor", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    orders = Catalog(sf_dir).load(spark, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    t = MergeOnReadTable(
+        spark, os.path.join(root, "tbl"), "o_orderkey", n_files=MOR_NFILES
+    )
+    t.write_base(base)
+
+    src = os.path.join(root, "deletekeys")
+    d1 = orders.filter(_MOR_D1).select("o_orderkey").localCheckpoint()
+    d2 = orders.filter(_MOR_D2).select("o_orderkey")
+    # one file per batch so maxFilesPerTrigger=1 yields EXACTLY three
+    # micro-batches; batch2 re-delivers batch0's keys verbatim
+    d1.coalesce(1).write.parquet(os.path.join(src, "b0"))
+    d2.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    d1.coalesce(1).write.parquet(os.path.join(src, "b2"))
+
+    stream = (
+        spark.readStream.schema("o_orderkey bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, _eid: t.delete_keys(batch.select("o_orderkey"))
+        )
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(_AWAIT_SEC):
+        q.stop()
+        raise TimeoutError("MoR delete stream did not finish")
+
+    return t.read().groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.sum("cents").alias("live_cents"),
+    )

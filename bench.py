@@ -170,6 +170,7 @@ def main() -> None:
         "knn_bq_topk",
         "hll_set_algebra_audit",
         "order_volume_anomalies",
+        "streaming_mor_delete_parity",
     ]
     line = json.dumps(
         {

@@ -90,6 +90,7 @@ QUERIES = [
     ("knn_bq_topk", "binary-quantization Hamming shortlist + exact re-rank"),
     ("hll_set_algebra_audit", "mergeable HLL union + inclusion-exclusion"),
     ("order_volume_anomalies", "EWMA-forecast spike flags (integer-exact)"),
+    ("streaming_mor_delete_parity", "streaming MoR delete fold (micro-batch)"),
 ]
 
 RUNS = 2  # take the best of N to damp container noise
