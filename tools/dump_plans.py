@@ -220,6 +220,15 @@ HEADLINERS = [
      "XOR+popcount against broadcast query codes, and only the "
      "shortlist ever touches float vectors again for the exact "
      "re-rank"),
+    ("order_volume_anomalies", "recursive-forecast anomaly flags as a "
+     "banded equi-join (prior-days-only contributor band); the spike "
+     "decision is exact bigint cross-multiplication — no float feeds "
+     "a boolean"),
+    ("hll_set_algebra_audit", "sketch set algebra: two register "
+     "tables merge by per-bucket MAX (never re-touching raw data), "
+     "register frames localCheckpointed so each feeds its estimate "
+     "AND the union from one materialization; all four exact counts "
+     "from ONE per-customer pass"),
 ]
 
 
