@@ -1355,21 +1355,27 @@ def mor_compaction_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("_file").alias("file_id"))
         .agg(F.count(F.lit(1)).alias("n_live"))
     )
+    # LEFT joins from pre (the authoritative per-file row set): a file
+    # whose rows were ALL deleted leaves the table at compaction, so it
+    # has no base_post/live_post group — the oracle still emits its
+    # file_id with zero counts, and so must we.
     return (
         pre.withColumn("compacted", F.col("file_id").isin(hot))
-        .join(base_post, "file_id")
+        .join(base_post, "file_id", "left")
         .join(pending, "file_id", "left")
-        .join(live_post, "file_id")
+        .join(live_post, "file_id", "left")
         .select(
             "file_id",
             "n_rows",
             "n_deleted",
             "delete_ratio",
             "compacted",
-            "n_base_post",
+            F.coalesce("n_base_post", F.lit(0).cast("long")).alias(
+                "n_base_post"
+            ),
             F.coalesce("n_pending_post", F.lit(0).cast("long")).alias(
                 "n_pending_post"
             ),
-            "n_live",
+            F.coalesce("n_live", F.lit(0).cast("long")).alias("n_live"),
         )
     )

@@ -14,9 +14,26 @@ The two industry-standard ways to delete from immutable columnar storage:
 At 100 TB the delete side of a day's GDPR/erasure batch is typically
 thousands-to-millions of positions against billions of base rows — the
 anti-join broadcasts the delete set and the base scan never shuffles.
+But compaction's per-file threshold means the steady-state PENDING
+delete set can approach ``min_delete_ratio`` of ALL base rows spread
+thin below the trigger — billions of (file, pos) pairs at 100 TB — so
+the broadcast hint is **size-conditioned**, not hard-coded: ``read()``
+sums the on-disk bytes of the delete files (filesystem metadata, no
+scan) and only hints ``broadcast`` under
+``broadcast_threshold_bytes``; above it the join is left to the
+optimizer/AQE, which shuffles both sides — slower, but it survives.
 Compaction is targeted: only files whose delete ratio crosses the
 threshold are rewritten (copy-on-write applied *selectively*, exactly
 the Iceberg maintenance recipe), and their delete entries are dropped.
+Compaction is crash-safe by write-new-then-swap: replacement file
+directories and the residual delete set are fully written to temp
+paths while every source byte is still on disk, then swapped into
+place with directory renames; no step deletes the only copy of a live
+row. (A production deployment would commit the swap through a
+manifest/snapshot pointer — ``sources/snapshots.py`` — to make it a
+single atomic flip; here the swap window is two renames per
+directory, with displaced originals parked in a trash dir until the
+swap completes.)
 
 Positions are assigned deterministically at write time (row_number by
 key within each hash-assigned file), so an external SQL oracle can
@@ -52,11 +69,18 @@ class MergeOnReadTable:
     """
 
     def __init__(self, spark: SparkSession, root: str, key_col: str,
-                 n_files: int = 8):
+                 n_files: int = 8,
+                 broadcast_threshold_bytes: int = 64 << 20):
         self.spark = spark
         self.root = root.rstrip("/")
         self.key = key_col
         self.n_files = n_files
+        #: read() hints broadcast for the delete anti-join only while
+        #: the delete files total at most this many ON-DISK bytes
+        #: (parquet of two int64 columns ≈ 2-6 bytes/pair compressed,
+        #: so the 64 MB default covers ~tens of millions of pending
+        #: deletes); past it the join shape is the optimizer's call.
+        self.broadcast_threshold_bytes = broadcast_threshold_bytes
 
     @property
     def _data(self) -> str:
@@ -71,11 +95,14 @@ class MergeOnReadTable:
     def write_base(self, df: DataFrame) -> None:
         """Assign each row a (file, position) and write the base data.
 
-        File = ``key % n_files`` (portable modulo so an oracle replays
-        it); position = row_number by key within the file — per-file
-        windows, bounded by file size, exactly the position a columnar
-        writer would record. ``partitionBy(_file)`` gives one directory
-        per file id so deletes and compaction address files natively."""
+        File = ``pmod(key, n_files)`` — the NONNEGATIVE modulo (Spark's
+        ``%`` keeps the dividend's sign, which would mint directories
+        like ``_file=-3`` for negative keys); an oracle replays it as
+        ``((key % n) + n) % n``. Position = row_number by key within
+        the file — per-file windows, bounded by file size, exactly the
+        position a columnar writer would record. ``partitionBy(_file)``
+        gives one directory per file id so deletes and compaction
+        address files natively."""
         chk = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.count(self.key).alias("nn"),
@@ -90,13 +117,22 @@ class MergeOnReadTable:
             )
         w = Window.partitionBy("_file").orderBy(self.key)
         positioned = df.withColumn(
-            "_file", (F.col(self.key) % self.n_files).cast("int")
+            "_file", F.pmod(F.col(self.key), F.lit(self.n_files)).cast("int")
         ).withColumn("_pos", F.row_number().over(w).cast("long"))
         positioned.write.mode("overwrite").partitionBy("_file").parquet(
             self._data
         )
 
     def _next_delete_commit(self) -> int:
+        """Next delete-commit number by listing ``deletes/``.
+
+        Same caveat as ``sources/bucketed.py``'s manifest: directory
+        listing as the commit log assumes a strongly-consistent,
+        atomically-listable filesystem (local disk, HDFS). On an object
+        store, eventually-consistent or non-atomic LIST can miss a
+        just-written delete file or hand two writers the same commit
+        number — route commits through a single-writer manifest (the
+        ``SnapshotTable`` pointer-swap) there instead."""
         if not os.path.isdir(self._deletes):
             return 1
         names = [n for n in os.listdir(self._deletes) if n.startswith("d-")]
@@ -128,34 +164,62 @@ class MergeOnReadTable:
 
     # -- read -----------------------------------------------------------
 
-    def _delete_rows(self) -> DataFrame | None:
+    def _delete_files(self) -> list[str]:
         if not os.path.isdir(self._deletes):
-            return None
-        files = [
+            return []
+        return [
             f"{self._deletes}/{n}"
             for n in sorted(os.listdir(self._deletes))
             if n.startswith("d-")
         ]
+
+    def _delete_rows(self) -> DataFrame | None:
+        files = self._delete_files()
         if not files:
             return None
         return self.spark.read.parquet(*files)
 
+    def _delete_bytes(self) -> int:
+        """On-disk size of all delete files — filesystem metadata only,
+        no data scan; this is the broadcast-safety signal."""
+        total = 0
+        for d in self._delete_files():
+            if os.path.isfile(d):
+                total += os.path.getsize(d)
+                continue
+            for dirpath, _, names in os.walk(d):
+                total += sum(
+                    os.path.getsize(os.path.join(dirpath, n)) for n in names
+                )
+        return total
+
+    def _anti_join_deletes(self, base: DataFrame, dels: DataFrame) -> DataFrame:
+        """base LEFT ANTI deletes on (_file, _pos), hinting broadcast
+        ONLY while the delete files are small on disk. Past the
+        threshold the shape is the optimizer's call (AQE shuffles or
+        broadcasts on real runtime sizes) — a forced hint there would
+        collect billions of pairs to the driver and OOM it."""
+        dels = dels.distinct()
+        if self._delete_bytes() <= self.broadcast_threshold_bytes:
+            dels = F.broadcast(dels)
+        return base.join(dels, ["_file", "_pos"], "left_anti")
+
     def read(self) -> DataFrame:
         """Live rows: base MINUS accumulated positional deletes.
 
-        One broadcast LEFT ANTI join on (_file, _pos) — the delete set
-        is the small side by design (it is re-folded away by compaction
-        before it can grow base-like), so the base never shuffles; at
-        scale this is the Iceberg v2 read path. Carries ``_file`` and
-        ``_pos`` so callers can audit provenance; project them away for
-        user-facing reads."""
+        One LEFT ANTI join on (_file, _pos); while the pending delete
+        set is small (the common case — compaction re-folds it) the
+        join is hinted broadcast and the base never shuffles, the
+        Iceberg v2 read path. A delete set past
+        ``broadcast_threshold_bytes`` drops the hint and survives as a
+        shuffled anti-join instead of OOMing the driver. Carries
+        ``_file`` and ``_pos`` so callers can audit provenance; project
+        them away for user-facing reads."""
         base = self.spark.read.parquet(self._data)
         dels = self._delete_rows()
         if dels is None:
             return base
-        return base.join(
-            F.broadcast(dels.distinct()), ["_file", "_pos"], "left_anti"
-        )
+        return self._anti_join_deletes(base, dels)
 
     def delete_stats(self) -> DataFrame:
         """Per-file (n_rows, n_deleted, delete_ratio) — the compaction
@@ -202,7 +266,18 @@ class MergeOnReadTable:
         then rewrite the delete set without the now-applied entries.
         Untouched files keep their directories byte-identical and their
         pending delete rows — selective copy-on-write, the Iceberg
-        maintenance recipe. Returns the rewritten file ids."""
+        maintenance recipe. Returns the rewritten file ids.
+
+        Crash-safe by WRITE-NEW-THEN-SWAP: every replacement byte (the
+        rewritten hot files AND the residual delete set) is fully on
+        disk at temp paths before any original is displaced, and
+        originals are renamed into a trash dir — never rmtree'd — until
+        the swap completes. A crash before the swap leaves the table
+        untouched; a crash mid-swap leaves each file either old or new,
+        both states the read path resolves correctly because rewritten
+        files keep their original ``_pos`` values, so stale pending
+        delete entries for an already-rewritten file anti-join against
+        rows that no longer exist — a no-op, not a resurrection."""
         stats = self.delete_stats().filter(
             (F.col("delete_ratio") >= min_delete_ratio)
             & (F.col("n_deleted") > 0)
@@ -210,24 +285,42 @@ class MergeOnReadTable:
         hot = [int(r["_file"]) for r in stats.select("_file").collect()]
         if not hot:
             return []
-        dels = self._delete_rows().distinct().localCheckpoint(eager=False)
+        dels = self._delete_rows().distinct()
         base = self.spark.read.parquet(self._data)
-        live_hot = (
-            base.filter(F.col("_file").isin(hot))
-            .join(F.broadcast(dels), ["_file", "_pos"], "left_anti")
-            .localCheckpoint()  # eager: sources are rewritten below
+        tmp = f"{self.root}/.compact-tmp"
+        trash = f"{self.root}/.compact-trash"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)
+        # 1. WRITE NEW: hot files minus their deletes → temp, one
+        # directory per file id (sources still fully intact on disk,
+        # so no localCheckpoint is needed for crash correctness).
+        base.filter(F.col("_file").isin(hot)).join(
+            dels, ["_file", "_pos"], "left_anti"
+        ).write.mode("overwrite").partitionBy("_file").parquet(
+            f"{tmp}/data"
         )
-        for fid in hot:
-            out = f"{self._data}/_file={fid}"
-            shutil.rmtree(out, ignore_errors=True)
-            live_hot.filter(F.col("_file") == fid).drop("_file").write.mode(
-                "overwrite"
-            ).parquet(out)
-        remaining = dels.filter(~F.col("_file").isin(hot)).localCheckpoint()
-        shutil.rmtree(self._deletes, ignore_errors=True)
-        if remaining.limit(1).count() > 0:
-            os.makedirs(self._deletes, exist_ok=True)
+        remaining = dels.filter(~F.col("_file").isin(hot))
+        has_remaining = remaining.limit(1).count() > 0
+        if has_remaining:
             remaining.write.mode("overwrite").parquet(
-                f"{self._deletes}/d-1.parquet"
+                f"{tmp}/deletes/d-1.parquet"
             )
+        # 2. SWAP: displace originals into trash, rename replacements
+        # in. A file whose rows were ALL deleted produced no temp dir
+        # and simply leaves the table.
+        os.makedirs(trash, exist_ok=True)
+        for fid in hot:
+            old = f"{self._data}/_file={fid}"
+            new = f"{tmp}/data/_file={fid}"
+            if os.path.isdir(old):
+                os.rename(old, f"{trash}/_file={fid}")
+            if os.path.isdir(new):
+                os.rename(new, old)
+        if os.path.isdir(self._deletes):
+            os.rename(self._deletes, f"{trash}/deletes")
+        if has_remaining:
+            os.rename(f"{tmp}/deletes", self._deletes)
+        # 3. only now drop the displaced originals
+        shutil.rmtree(trash, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
         return sorted(hot)

@@ -112,3 +112,109 @@ def test_read_plan_broadcasts_deletes_never_shuffles_base(spark, tmp_path):
     # broadcast build touches only the bounded delete set and is fine
     streamed = plan[: plan.index("BroadcastExchange")]
     assert "Exchange hashpartitioning" not in streamed
+
+
+def test_negative_keys_land_in_nonnegative_files(spark, tmp_path):
+    """pmod file assignment: negative keys must not mint directories
+    like _file=-3 (Spark's % keeps the dividend's sign)."""
+    t = MergeOnReadTable(spark, str(tmp_path / "neg"), "k", n_files=4)
+    base = spark.range(-10, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write_base(base)
+    files = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(t._data)
+        if d.startswith("_file=")
+    )
+    assert files == [0, 1, 2, 3]
+    # ((k % n) + n) % n replay: -10 -> 2, -1 -> 3
+    got = {
+        r["k"]: r["_file"]
+        for r in spark.read.parquet(t._data).select("k", "_file").collect()
+    }
+    assert got[-10] == 2 and got[-1] == 3 and got[5] == 1
+    t.delete_keys(spark.createDataFrame([(-10,), (5,)], "k long"))
+    assert t.read().count() == 18
+
+
+def test_large_delete_set_drops_broadcast_hint(spark, tmp_path):
+    """Past broadcast_threshold_bytes the read path must NOT hard-code
+    a broadcast hint: with auto-broadcast disabled the plan falls back
+    to a shuffled anti-join — the shape that survives a 100 TB pending
+    delete set instead of collecting it to the driver."""
+    t = MergeOnReadTable(
+        spark, str(tmp_path / "big"), "k", n_files=4,
+        broadcast_threshold_bytes=0,
+    )
+    t.write_base(
+        spark.range(0, 100).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    )
+    t.delete_keys(spark.range(0, 40).select(F.col("id").alias("k")))
+    assert t._delete_bytes() > 0
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = t.read()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert "LeftAnti" in plan
+        assert df.count() == 60  # same answer through the shuffled shape
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        if prev_aqe is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe
+            )
+    # default threshold on the SAME on-disk table: hint comes back even
+    # with auto-broadcast off — proving the switch is the threshold
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t2 = MergeOnReadTable(spark, str(tmp_path / "big"), "k", n_files=4)
+        plan2 = t2.read()._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_compact_drops_fully_deleted_file(spark, tmp_path):
+    """A file whose rows are ALL deleted leaves the table at
+    compaction (no empty directory), its delete entries are applied,
+    and the live read stays exact."""
+    t = _mk(spark, tmp_path, n=100, n_files=4)
+    all_file0 = [k for k in range(100) if k % 4 == 0]
+    t.delete_keys(spark.createDataFrame([(k,) for k in all_file0], "k long"))
+    rewritten = t.compact(min_delete_ratio=0.5)
+    assert rewritten == [0]
+    assert not os.path.isdir(f"{t._data}/_file=0")
+    assert t._delete_rows() is None  # all entries were applied
+    live = {r["k"] for r in t.read().select("k").collect()}
+    assert live == set(range(100)) - set(all_file0)
+    # stats over the shrunk table: three files, nothing pending
+    stats = {r["_file"]: r for r in t.delete_stats().collect()}
+    assert sorted(stats) == [1, 2, 3]
+    assert all(r["n_deleted"] == 0 for r in stats.values())
+
+
+def test_compact_leaves_no_temp_or_trash(spark, tmp_path):
+    """Write-new-then-swap cleans up: after a successful compaction the
+    table root holds only data/ and (if pending) deletes/."""
+    t = _mk(spark, tmp_path, n=100, n_files=4)
+    hot_keys = [k for k in range(0, 80) if k % 4 == 0]
+    t.delete_keys(
+        spark.createDataFrame([(k,) for k in hot_keys + [1]], "k long")
+    )
+    t.compact(min_delete_ratio=0.5)
+    entries = sorted(os.listdir(t.root))
+    assert entries == ["data", "deletes"]
+    # stale delete entries referencing a rewritten file are a no-op,
+    # not a resurrection: re-appending the applied batch changes nothing
+    t.delete_keys(spark.createDataFrame([(0,)], "k long"))
+    live = {r["k"] for r in t.read().select("k").collect()}
+    assert live == set(range(100)) - set(hot_keys) - {1}
