@@ -210,6 +210,20 @@ HLL_HASH_BITS = 48
 HLL_ALPHA = 0.709
 
 
+def hll_alpha(m: int) -> float:
+    """The Flajolet et al. 2007 bias constant for ``m`` registers:
+    tabulated for the small sketches, ``0.7213/(1 + 1.079/m)`` from
+    m=128 up. Using alpha_64 at m=1024 would bias every estimate ~1.6%
+    low — the constant must track the register count."""
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return HLL_ALPHA
+    return 0.7213 / (1 + 1.079 / m)
+
+
 def hll_registers(
     df: DataFrame,
     col: str,
@@ -288,7 +302,7 @@ def hll_estimate(
     m = 1 << p
     width = HLL_HASH_BITS - p
     denom_pow = width + 1
-    numer = HLL_ALPHA * (m * m) * (1 << denom_pow)
+    numer = hll_alpha(m) * (m * m) * (1 << denom_pow)
     agg = registers.groupBy(*group_cols).agg(
         F.sum(
             F.expr(f"shiftleft(1L, {denom_pow} - CAST(register AS INT))")
@@ -343,6 +357,7 @@ def bloom_build(
     k: int = 3,
     bits_per_key: int = 16,
     salt: str = "bloom:",
+    max_bits: int = 1 << 27,
 ) -> tuple[list[int], int, int]:
     """Build a Bloom filter over the DISTINCT values of ``keys[col]``:
     returns ``(words, m, n_build)`` where ``words`` packs the ``m``-bit
@@ -363,10 +378,21 @@ def bloom_build(
     contract as collecting HLL registers or CMS cells; the whole point
     of a sketch is that this is small). ``m = bits_per_key · n_distinct``
     is data-derived the same way ``auto_nlist`` sizes IVF: a fixed m
-    would silently saturate when the build side grows 100×."""
+    would silently saturate when the build side grows 100×.
+
+    ``max_bits`` (default 2²⁷ bits = 16 MB packed) caps the bitset so a
+    runaway build side degrades the false-positive rate instead of the
+    driver: uncapped, a 10⁹-distinct-key build would collect ~2 GB to
+    the driver and ship it in every task closure. At the cap the FPR
+    follows the standard curve ``(1 − e^(−k·n/m))^k`` — e.g. 10⁹ keys
+    against 2²⁷ bits ≈ (1−e^(−22.4))³ ≈ 1: the filter prunes nothing
+    but never drops a true match (no false negatives, pruning is the
+    only casualty). Builds that big should use the engine's runtime
+    row-level Bloom join instead (``spark.sql.optimizer.runtime.
+    bloomFilter.enabled``, pinned by ``tests/test_plan_quality.py``)."""
     distinct = keys.select(col).distinct()
     n_build = distinct.count()
-    m = max(64, bits_per_key * n_build)
+    m = min(max(64, bits_per_key * n_build), max_bits)
     pos = _bloom_pos_cols(distinct, col, k, m, salt).select(
         F.explode(F.array(*[f"_bp{i}" for i in range(k)])).alias("pos")
     )

@@ -154,10 +154,55 @@ def broadcast_centroids(spark, C: np.ndarray):
     hasn't executed yet — so they live until the result DataFrame and
     this handle are garbage-collected, at which point Spark's
     ContextCleaner removes the blocks. Callers invoking these operators
-    many times in one session should drop their result references (or
-    call ``.unpersist()`` on handles they manage) rather than expect
-    eager cleanup."""
-    return spark.sparkContext.broadcast(np.ascontiguousarray(C))
+    many times in one session should run each call inside
+    ``managed_broadcasts()`` (unpersists every handle minted in the
+    scope once the caller's action has run) or drop result references
+    and let the ContextCleaner work."""
+    return _register_broadcast(
+        spark.sparkContext.broadcast(np.ascontiguousarray(C))
+    )
+
+
+#: Innermost-scope stacks of ``managed_broadcasts`` collectors; every
+#: broadcast minted by this module registers with the active scope.
+_BROADCAST_COLLECTORS: list[list] = []
+
+
+def _register_broadcast(handle):
+    if _BROADCAST_COLLECTORS:
+        _BROADCAST_COLLECTORS[-1].append(handle)
+    return handle
+
+
+class managed_broadcasts:
+    """Context manager for repeated-invocation sessions: collects every
+    Broadcast this module mints inside the scope and unpersists them on
+    exit, so N successive ``pq_adc_topk``/``ivf_topk`` calls hold O(1)
+    broadcast blocks instead of accumulating N codebooks on the
+    executors. RUN THE ACTION INSIDE THE SCOPE — the returned plans
+    are lazy, and an unpersisted broadcast re-ships from the driver on
+    any later re-execution (correct but slow); pass ``destroy=True``
+    only when the results will never be recomputed."""
+
+    def __init__(self, destroy: bool = False):
+        self._destroy = destroy
+        self.handles: list = []
+
+    def __enter__(self):
+        _BROADCAST_COLLECTORS.append(self.handles)
+        return self
+
+    def __exit__(self, *exc):
+        _BROADCAST_COLLECTORS.pop()
+        for h in self.handles:
+            try:
+                if self._destroy:
+                    h.destroy()
+                else:
+                    h.unpersist()
+            except Exception:  # already cleaned by the ContextCleaner
+                pass
+        return False
 
 
 def auto_nlist(n_vectors: int, floor: int = 16, ceil: int = 1 << 17) -> int:
@@ -208,7 +253,7 @@ def _coarse_group_info(C_norm, n_coarse: int):
     except Exception:
         spark = None
     if hasattr(C_norm, "value") and spark is not None:
-        return spark.sparkContext.broadcast(info)
+        return _register_broadcast(spark.sparkContext.broadcast(info))
     return info
 
 
@@ -1525,7 +1570,9 @@ def all_pairs_near(
         )
     ids = _np.array([r[0] for r in rows], dtype=_np.int64)
     M = _np.vstack([_np.asarray(r[1], dtype=_np.float64) for r in rows])
-    bc = corpus.sparkSession.sparkContext.broadcast((ids, M))
+    bc = _register_broadcast(
+        corpus.sparkSession.sparkContext.broadcast((ids, M))
+    )
     tau = float(threshold)
 
     def gen(batches):

@@ -61,25 +61,27 @@ def legacy_day_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         ingest_entity,
     )
 
+    from asritha_metamorphetl_spark.session import cached_fixture
+
     sup = Catalog(sf_dir).load(spark, "supplier").select(
         "s_suppkey", "s_nationkey", "s_acctbal"
     )
-    # Deterministic scratch root, rebuilt per run (append would otherwise
-    # accumulate across invocations); keyed by sf_dir so scale factors
-    # don't collide.
-    root = scratch_dir(spark, "legacy_prune", sf_dir)
-    shutil.rmtree(root, ignore_errors=True)
-    wh = Warehouse(root)
-    for i, day in enumerate(
-        (dt.date(2025, 1, 1), dt.date(2025, 1, 2), dt.date(2025, 1, 3))
-    ):
-        feed = sup.filter(F.col("s_suppkey") % 3 == i)
-        conformed = ingest_entity(
-            feed, wh, "supplier", feed.schema, ["s_suppkey"], day=day
-        )
-        conformed.unpersist()
 
-    legacy = spark.read.parquet(wh.legacy_path("supplier"))
+    # Deterministic dated layout, built ONCE per session (the read below
+    # is read-only, so consumers share the cached build).
+    def build(root: str) -> None:
+        wh = Warehouse(root)
+        for i, day in enumerate(
+            (dt.date(2025, 1, 1), dt.date(2025, 1, 2), dt.date(2025, 1, 3))
+        ):
+            feed = sup.filter(F.col("s_suppkey") % 3 == i)
+            conformed = ingest_entity(
+                feed, wh, "supplier", feed.schema, ["s_suppkey"], day=day
+            )
+            conformed.unpersist()
+
+    root = cached_fixture(spark, "legacy_prune", sf_dir, build)
+    legacy = spark.read.parquet(Warehouse(root).legacy_path("supplier"))
     day2 = legacy.filter(F.col("DAY_DT") == F.lit("2025-01-02").cast("date"))
     return day2.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).alias("n_sup"),
@@ -758,16 +760,22 @@ def zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    root = scratch_dir(spark, "zonemap_tbl", sf_dir)
-    shutil.rmtree(root, ignore_errors=True)
-    t = SnapshotTable(spark, root)
-    for y in ZONEMAP_YEARS:
-        t.commit(
-            orders.filter(F.year("o_orderdate") == y).repartition(
-                ZONEMAP_FILES_PER_COMMIT, "o_orderkey"
-            ),
-            stats_cols=["o_orderdate"],
-        )
+    from asritha_metamorphetl_spark.session import cached_fixture
+
+    def build(root: str) -> None:
+        tb = SnapshotTable(spark, root)
+        for y in ZONEMAP_YEARS:
+            tb.commit(
+                orders.filter(F.year("o_orderdate") == y).repartition(
+                    ZONEMAP_FILES_PER_COMMIT, "o_orderkey"
+                ),
+                stats_cols=["o_orderdate"],
+            )
+
+    # read-only consumer of a deterministic layout: built once/session
+    t = SnapshotTable(
+        spark, cached_fixture(spark, "zonemap_tbl", sf_dir, build)
+    )
     pruned, report = t.read_skipping(
         [("o_orderdate", dt.datetime(1996, 1, 1), dt.datetime(1996, 12, 31))]
     )
@@ -850,19 +858,25 @@ def clustered_skipping_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     halfyear = (F.year("o_orderdate") - F.lit(1995)) * 2 + (
         F.month("o_orderdate") >= 7
     ).cast("int")
-    root = scratch_dir(spark, "cluster_gain", sf_dir)
-    shutil.rmtree(root, ignore_errors=True)
-    clustered = SnapshotTable(spark, f"{root}/clustered")
-    for p in range(CLUSTER_GAIN_PERIODS):
-        clustered.commit(
-            orders.filter(halfyear == p).repartition(1),
+    from asritha_metamorphetl_spark.session import cached_fixture
+
+    def build(root: str) -> None:
+        clus = SnapshotTable(spark, f"{root}/clustered")
+        for p in range(CLUSTER_GAIN_PERIODS):
+            clus.commit(
+                orders.filter(halfyear == p).repartition(1),
+                stats_cols=["o_orderdate"],
+            )
+        scat = SnapshotTable(spark, f"{root}/scattered")
+        scat.commit(
+            orders.repartition(CLUSTER_GAIN_PERIODS, "o_orderkey"),
             stats_cols=["o_orderdate"],
         )
+
+    # both layouts are read-only after the build: one build per session
+    root = cached_fixture(spark, "cluster_gain", sf_dir, build)
+    clustered = SnapshotTable(spark, f"{root}/clustered")
     scattered = SnapshotTable(spark, f"{root}/scattered")
-    scattered.commit(
-        orders.repartition(CLUSTER_GAIN_PERIODS, "o_orderkey"),
-        stats_cols=["o_orderdate"],
-    )
     bounds = [
         ("o_orderdate", dt.datetime(1996, 1, 1), dt.datetime(1996, 12, 31))
     ]
@@ -1227,30 +1241,43 @@ _MOR_D2 = f"o_orderkey % {MOR_NFILES} < 3 AND o_orderpriority = '5-LOW'"
 _MOR_DELETED = f"(({_MOR_D1}) OR ({_MOR_D2}))"
 
 
-def _mor_table(spark: SparkSession, sf_dir: str, label: str):
-    """Build the shared MoR fixture: orders as base (integer cents),
-    delete commit d1, delete commit d2, then d1 AGAIN — the idempotent
-    re-delete an at-least-once upstream produces. Returns the table."""
-    import shutil
+def _mor_table(spark: SparkSession, sf_dir: str, label: str | None = None):
+    """The shared PRISTINE MoR fixture, built once per session
+    (``cached_fixture``): orders as base (integer cents), delete commit
+    d1, delete commit d2, then d1 AGAIN — the idempotent re-delete an
+    at-least-once upstream produces. Returns the table.
 
+    Read-only consumers (``mor_delete_scan``) use it in place; mutating
+    consumers pass ``label`` to get a private working copy
+    (``fixture_working_copy``) so compaction never dirties the cache."""
+    from asritha_metamorphetl_spark.session import (
+        cached_fixture,
+        fixture_working_copy,
+    )
     from asritha_metamorphetl_spark.sources.mor import MergeOnReadTable
 
-    root = scratch_dir(spark, label, sf_dir)
-    shutil.rmtree(root, ignore_errors=True)
-    orders = Catalog(sf_dir).load(spark, "orders")
-    base = orders.select(
-        "o_orderkey",
-        "o_custkey",
-        "o_orderstatus",
-        "o_orderpriority",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    def build(root: str) -> None:
+        orders = Catalog(sf_dir).load(spark, "orders")
+        base = orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        t = MergeOnReadTable(spark, root, "o_orderkey", n_files=MOR_NFILES)
+        t.write_base(base)
+        t.delete_keys(orders.filter(_MOR_D1).select("o_orderkey"))
+        t.delete_keys(orders.filter(_MOR_D2).select("o_orderkey"))
+        t.delete_keys(orders.filter(_MOR_D1).select("o_orderkey"))  # re-send
+
+    pristine = cached_fixture(spark, "mor_fixture", sf_dir, build)
+    root = (
+        pristine
+        if label is None
+        else fixture_working_copy(spark, label, sf_dir, pristine)
     )
-    t = MergeOnReadTable(spark, root, "o_orderkey", n_files=MOR_NFILES)
-    t.write_base(base)
-    t.delete_keys(orders.filter(_MOR_D1).select("o_orderkey"))
-    t.delete_keys(orders.filter(_MOR_D2).select("o_orderkey"))
-    t.delete_keys(orders.filter(_MOR_D1).select("o_orderkey"))  # re-delivery
-    return t
+    return MergeOnReadTable(spark, root, "o_orderkey", n_files=MOR_NFILES)
 
 
 @register(
@@ -1273,7 +1300,7 @@ def mor_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving rows straight from the delete predicates, so a hash match
     proves position resolution, delete accumulation, and dedup of
     re-deliveries all compose to exact delete semantics."""
-    t = _mor_table(spark, sf_dir, "mor_scan")
+    t = _mor_table(spark, sf_dir)  # read-only: shared pristine fixture
     return t.read().groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_live"),
         F.sum("cents").alias("live_cents"),

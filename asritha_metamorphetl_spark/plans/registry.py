@@ -236,6 +236,45 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "media_asset_features",
     "source_mix_weights",
     "view_purchase_asof",
+    # long-stable r1-r4 surface, all driver-green in early rounds —
+    # listed so EVERY registered name appears here explicitly (a new
+    # query can't silently hide behind the window boundary by being
+    # absent from this list; test_registry_oracle pins the converse)
+    "pricing_summary",
+    "priority_price_profile",
+    "lineitem_rollup",
+    "lineitem_measures_long",
+    "orders_status_pivot",
+    "daily_revenue_spine",
+    "repeat_customers",
+    "running_customer_spend",
+    "customers_with_open_orders",
+    "customers_without_orders",
+    "open_and_pending_customers",
+    "open_minus_fulfilled_customers",
+    "top3_parts_per_brand",
+    "similar_part_names",
+    "party_directory",
+    "events_hourly",
+    "event_sessions",
+    "event_funnel",
+    "event_gaps",
+    "events_sliding_stats",
+    "event_props_stats",
+    "props_kv_totals",
+    "user_journeys",
+    "user_retention_cohorts",
+    "views_before_purchase",
+    "salted_hot_user_events",
+    # round-8 statistics batch (moved into the front window at release)
+    "lineitem_corr_matrix",
+    "regr_price_on_qty",
+    "zipf_token_slope",
+    "benford_price_digits",
+    "gini_revenue_concentration",
+    "chi2_priority_segment_cells",
+    "mutual_info_status_priority",
+    "winsorized_price_stats",
 )
 
 
@@ -285,6 +324,7 @@ def _load_all() -> None:
         pipeline_queries,
         quality_queries,
         sketch_queries,
+        stats_queries,
         streaming_queries,
         text_queries,
         tpch_deep,

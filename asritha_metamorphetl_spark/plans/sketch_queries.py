@@ -191,14 +191,14 @@ def hll_register_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hll_est_oracle() -> str:
     from asritha_metamorphetl_spark.operators.frequent import (
-        HLL_ALPHA,
         HLL_HASH_BITS,
         HLL_P,
+        hll_alpha,
     )
 
     m = 1 << HLL_P
     dp = HLL_HASH_BITS - HLL_P + 1  # common-denominator exponent
-    numer = HLL_ALPHA * (m * m) * (1 << dp)
+    numer = hll_alpha(m) * (m * m) * (1 << dp)
     return f"""
 WITH {_hll_reg_core_sql()},
 est AS (
@@ -536,15 +536,15 @@ _HLL_SET_3SIG = 0.0975
 
 def _hll_set_oracle() -> str:
     from asritha_metamorphetl_spark.operators.frequent import (
-        HLL_ALPHA,
         HLL_HASH_BITS,
+        hll_alpha,
     )
     from asritha_metamorphetl_spark.plans.text_queries import _hex48_sql
 
     m = 1 << HLL_SET_P
     top = HLL_HASH_BITS - HLL_SET_P + 1
     dp = top  # common-denominator exponent (width + 1)
-    numer = HLL_ALPHA * (m * m) * (1 << dp)
+    numer = hll_alpha(m) * (m * m) * (1 << dp)
     hv = _hex48_sql("md5('hll:' || CAST(o_custkey AS VARCHAR))")
 
     def reg(name: str, pred: str) -> str:

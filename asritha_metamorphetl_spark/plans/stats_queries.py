@@ -1,0 +1,695 @@
+"""Statistical-analysis queries: correlation, regression, distribution
+audits (Benford, Gini, chi-square, mutual information), Zipf fits, and
+robust (winsorized) summaries.
+
+The shared discipline that makes every float here hash-comparable
+across Spark and DuckDB: all SUMS are exact integer arithmetic
+(measures encoded as cents/hundredths bigints, accumulated in
+decimal(38,0) on the Spark side and HUGEINT on the DuckDB side), and
+floats appear only in a FINAL bounded expression — one or two IEEE
+divisions/sqrts over the exact sums, written with the identical
+operation tree in both engines, then rounded. IEEE ops on identical
+inputs are engine-identical (÷, ×, −, sqrt are correctly rounded), so
+the hash compare is stable; what is NOT stable — and therefore never
+appears — is a float SUM whose partition order varies.
+
+Why these shapes scale: every query is one or two scans feeding
+map-side-combining aggregates whose shuffled state is O(groups) or
+O(cells), never O(rows) — correlation matrices, contingency tables,
+and OLS fits are all "sufficient statistics" computations, the classic
+single-pass distributed-statistics design.
+
+Reference scope: the reference has no statistics surface beyond plain
+aggregates; this extends the analytics envelope (SURVEY.md §2 E/A
+families) the way a warehouse analyst would use it.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from asritha_metamorphetl_spark.plans.registry import register
+from asritha_metamorphetl_spark.sources.files import Catalog
+
+#: Decimals for final statistic rounding (shared with oracles).
+STAT_DECIMALS = 6
+
+#: lineitem measures as exact integers: name -> (spark builder, sql).
+_MEASURES = {
+    "qty": (
+        lambda: F.col("l_quantity").cast("bigint"),
+        "CAST(l_quantity AS BIGINT)",
+    ),
+    "price": (
+        lambda: F.round(F.col("l_extendedprice") * 100).cast("bigint"),
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT)",
+    ),
+    "disc": (
+        lambda: F.round(F.col("l_discount") * 100).cast("bigint"),
+        "CAST(ROUND(l_discount * 100) AS BIGINT)",
+    ),
+    "tax": (
+        lambda: F.round(F.col("l_tax") * 100).cast("bigint"),
+        "CAST(ROUND(l_tax * 100) AS BIGINT)",
+    ),
+}
+
+_CORR_PAIRS = (
+    ("qty", "price"),
+    ("qty", "disc"),
+    ("qty", "tax"),
+    ("price", "disc"),
+    ("price", "tax"),
+    ("disc", "tax"),
+)
+
+
+def _corr_oracle() -> str:
+    cols = ", ".join(f"{sql} AS {n}" for n, (_, sql) in _MEASURES.items())
+    rows = []
+    for x, y in _CORR_PAIRS:
+        rows.append(f"""
+SELECT '{x}_{y}' AS pair,
+       ROUND((CAST(n AS DOUBLE) * CAST(s_{x}{y} AS DOUBLE)
+              - CAST(s_{x} AS DOUBLE) * CAST(s_{y} AS DOUBLE))
+             / (SQRT(CAST(n AS DOUBLE) * CAST(s_{x}2 AS DOUBLE)
+                     - CAST(s_{x} AS DOUBLE) * CAST(s_{x} AS DOUBLE))
+                * SQRT(CAST(n AS DOUBLE) * CAST(s_{y}2 AS DOUBLE)
+                       - CAST(s_{y} AS DOUBLE) * CAST(s_{y} AS DOUBLE))),
+             {STAT_DECIMALS}) AS r
+FROM sums""")
+    sums = ", ".join(
+        [f"COUNT(*) AS n"]
+        + [f"SUM({n}) AS s_{n}" for n in _MEASURES]
+        + [f"SUM({n} * {n}) AS s_{n}2" for n in _MEASURES]
+        + [f"SUM({x} * {y}) AS s_{x}{y}" for x, y in _CORR_PAIRS]
+    )
+    body = "\nUNION ALL".join(rows)
+    return f"""
+WITH enc AS (SELECT {cols} FROM lineitem),
+sums AS (SELECT {sums} FROM enc)
+{body}
+"""
+
+
+@register("lineitem_corr_matrix", oracle=_corr_oracle())
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation for all 6 lineitem measure pairs from ONE
+    scan of sufficient statistics (n, Σx, Σx², Σxy — 15 exact-integer
+    aggregates), instead of 6 ``corr()`` passes whose float summation
+    order would differ run-to-run. The shuffle carries one partial-sum
+    row per task; the 6 divisions happen on a single driver-sized row.
+    This is the textbook single-pass distributed correlation — at
+    100 TB the cost is exactly one scan regardless of how many pairs
+    are requested."""
+    li = Catalog(sf_dir).load(spark, "lineitem")
+    enc = li.select(
+        *[b().alias(n) for n, (b, _) in _MEASURES.items()]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for n in _MEASURES:
+        aggs.append(
+            F.sum(F.col(n).cast("decimal(38,0)")).alias(f"s_{n}")
+        )
+        aggs.append(
+            F.sum((F.col(n) * F.col(n)).cast("decimal(38,0)")).alias(
+                f"s_{n}2"
+            )
+        )
+    for x, y in _CORR_PAIRS:
+        aggs.append(
+            F.sum((F.col(x) * F.col(y)).cast("decimal(38,0)")).alias(
+                f"s_{x}{y}"
+            )
+        )
+    sums = enc.agg(*aggs)
+
+    def corr_col(x: str, y: str):
+        n = F.col("n").cast("double")
+        sx = F.col(f"s_{x}").cast("double")
+        sy = F.col(f"s_{y}").cast("double")
+        sxy = F.col(f"s_{x}{y}").cast("double")
+        sx2 = F.col(f"s_{x}2").cast("double")
+        sy2 = F.col(f"s_{y}2").cast("double")
+        return F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy)),
+            STAT_DECIMALS,
+        )
+
+    # one row of 6 correlations, unpivoted with stack — a UNION of six
+    # selects over `sums` would re-execute the aggregate (6 scans)
+    rcols = sums.select(
+        *[corr_col(x, y).alias(f"r_{x}_{y}") for x, y in _CORR_PAIRS]
+    )
+    pairs_expr = ", ".join(
+        f"'{x}_{y}', r_{x}_{y}" for x, y in _CORR_PAIRS
+    )
+    return rcols.selectExpr(
+        f"stack({len(_CORR_PAIRS)}, {pairs_expr}) AS (pair, r)"
+    )
+
+
+@register(
+    "regr_price_on_qty",
+    oracle=f"""
+WITH enc AS (
+    SELECT l_returnflag AS flag,
+           CAST(l_quantity AS BIGINT) AS x,
+           CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+    FROM lineitem
+),
+sums AS (
+    SELECT flag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sx2
+    FROM enc GROUP BY flag
+)
+SELECT flag, n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+             {STAT_DECIMALS}) AS slope_cents_per_unit,
+       ROUND((CAST(sy AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), {STAT_DECIMALS}) AS intercept_cents
+FROM sums
+""",
+)
+def regr_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS (extended price on quantity) via the normal
+    equations over exact integer sufficient statistics — the
+    distributed closed-form regression: one scan, one O(groups)
+    shuffle, slope/intercept from 5 sums per group. The float division
+    tree is written identically in the oracle so the rounded results
+    hash-match bit-for-bit."""
+    li = Catalog(sf_dir).load(spark, "lineitem")
+    enc = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    sums = enc.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sx2"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx2 = F.col("sx2").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+    return sums.select(
+        "flag",
+        "n",
+        F.round(slope, STAT_DECIMALS).alias("slope_cents_per_unit"),
+        F.round((sy - slope * sx) / n, STAT_DECIMALS).alias(
+            "intercept_cents"
+        ),
+    )
+
+
+#: Zipf fit: top-N tokens by (freq desc, token asc) — the cap bounds
+#: the ln() evaluations (libm log differs across engines only in the
+#: last ulp; over 500 values the 6-decimal rounding absorbs it).
+ZIPF_TOP_N = 500
+
+
+@register(
+    "zipf_token_slope",
+    oracle=f"""
+WITH toks AS (
+    SELECT unnest(list_filter(string_split(text, ' '), x -> x != ''))
+        AS token
+    FROM documents
+),
+freqs AS (
+    SELECT token, COUNT(*) AS freq FROM toks
+    WHERE length(token) > 2 GROUP BY token
+),
+ranked AS (
+    SELECT freq,
+           ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS rnk
+    FROM freqs
+    ORDER BY freq DESC, token ASC LIMIT {ZIPF_TOP_N}
+),
+pts AS (
+    SELECT LN(CAST(rnk AS DOUBLE)) AS x, LN(CAST(freq AS DOUBLE)) AS y,
+           CAST(ROUND(LN(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT) AS xi,
+           CAST(ROUND(LN(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT) AS yi
+    FROM ranked
+),
+sums AS (
+    SELECT COUNT(*) AS n, SUM(xi) AS sx, SUM(yi) AS sy,
+           SUM(xi * yi) AS sxy, SUM(xi * xi) AS sx2
+    FROM pts
+)
+SELECT n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+             4) AS zipf_slope
+FROM sums
+""",
+)
+def zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    ln(freq) on ln(rank) for the top-{ZIPF_TOP_N} tokens (a natural
+    corpus should sit near −1; a synthetic or template-heavy corpus
+    drifts). The float-discipline trick: each ln() value is QUANTIZED
+    to a 1e-6 grid (bigint) before summation, so the OLS sums are
+    exact integers and partition order cannot perturb the fit — only
+    the 500 pointwise ln() calls touch libm, each absorbed by its own
+    rounding. One corpus scan + an O(vocab) aggregate + a top-N sort
+    of the vocabulary table, which is Zipf-bounded — never the corpus."""
+    from asritha_metamorphetl_spark.functions.text import tokens
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    freqs = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.length("token") > 2)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    ranked = (
+        freqs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ZIPF_TOP_N)
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("rnk").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("xi"),
+        F.round(F.log(F.col("freq").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("yi"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xi").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("yi").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("xi") * F.col("yi")).cast("decimal(38,0)")).alias(
+            "sxy"
+        ),
+        F.sum((F.col("xi") * F.col("xi")).cast("decimal(38,0)")).alias(
+            "sx2"
+        ),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx2 = F.col("sx2").cast("double")
+    return sums.select(
+        "n",
+        F.round(
+            (n * sxy - sx * sy) / (n * sx2 - sx * sx), 4
+        ).alias("zipf_slope"),
+    )
+
+
+#: Benford first-digit expectation, precomputed in Python and injected
+#: as literals on BOTH sides (keeps libm log10 out of the compare).
+_BENFORD = {d: round(math.log10(1 + 1 / d), STAT_DECIMALS) for d in range(1, 10)}
+
+
+def _benford_oracle() -> str:
+    cases = " ".join(
+        f"WHEN {d} THEN {_BENFORD[d]!r}" for d in range(1, 10)
+    )
+    return f"""
+WITH cents AS (
+    SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders
+),
+digits AS (
+    SELECT c // CAST(POWER(10, LENGTH(CAST(c AS VARCHAR)) - 1) AS BIGINT)
+        AS digit
+    FROM cents
+),
+counts AS (SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit),
+tot AS (SELECT SUM(n) AS total FROM counts)
+SELECT digit, n,
+       ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE),
+             {STAT_DECIMALS}) AS observed_share,
+       CASE digit {cases} END AS benford_share
+FROM counts, tot
+"""
+
+
+@register("benford_price_digits", oracle=_benford_oracle())
+def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: leading-digit distribution
+    vs the log10(1+1/d) expectation — the classic fabricated-data /
+    unit-mix-bug detector for financial columns. The leading digit is
+    extracted ARITHMETICALLY from the exact cents integer (value //
+    10^(decimal-length−1)) — never from float formatting, which the
+    two engines render differently. Expected shares are Python-
+    precomputed literals injected into both plans, so no runtime
+    transcendental enters the hash. One scan, 9-row result."""
+    orders = Catalog(sf_dir).load(spark, "orders")
+    cents = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c")
+    )
+    digit = F.floor(
+        F.col("c")
+        / F.pow(F.lit(10.0), F.length(F.col("c").cast("string")) - 1)
+    ).cast("bigint")
+    counts = cents.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    bf = F.create_map(
+        *[x for d in range(1, 10) for x in (F.lit(d), F.lit(_BENFORD[d]))]
+    )
+    return counts.crossJoin(tot).select(
+        "digit",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.col("total").cast("double"),
+            STAT_DECIMALS,
+        ).alias("observed_share"),
+        bf[F.col("digit")].alias("benford_share"),
+    )
+
+
+@register(
+    "gini_revenue_concentration",
+    oracle=f"""
+WITH rev AS (
+    SELECT c.c_mktsegment AS segment, c.c_custkey,
+           SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT segment, cents,
+           ROW_NUMBER() OVER (
+               PARTITION BY segment ORDER BY cents ASC, c_custkey ASC
+           ) AS i
+    FROM rev
+),
+sums AS (
+    SELECT segment, COUNT(*) AS n, SUM(cents) AS s,
+           SUM(i * cents) AS si
+    FROM ranked GROUP BY segment
+)
+SELECT segment, n,
+       CAST(s AS BIGINT) AS total_cents,
+       ROUND((2.0 * CAST(si AS DOUBLE)
+              - (CAST(n AS DOUBLE) + 1.0) * CAST(s AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)),
+             {STAT_DECIMALS}) AS gini
+FROM sums
+""",
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment Gini coefficient of customer revenue — the
+    concentration metric a curation pipeline uses on source/domain
+    contribution skew. Exact form: with per-customer cents ranked
+    ascending, G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) — every sum an
+    exact integer (decimal(38,0)/HUGEINT), one rounded division per
+    segment. The rank window is PER-SEGMENT (partitionBy, never a
+    global sort), and ties rank deterministically by custkey so both
+    engines assign identical i."""
+    cust = Catalog(sf_dir).load(spark, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    orders = Catalog(sf_dir).load(spark, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    rev = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("segment", "c_custkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = Window.partitionBy("segment").orderBy(
+        F.col("cents").asc(), F.col("c_custkey").asc()
+    )
+    ranked = rev.withColumn("i", F.row_number().over(w))
+    sums = ranked.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        F.sum((F.col("i") * F.col("cents")).cast("decimal(38,0)")).alias(
+            "si"
+        ),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    si = F.col("si").cast("double")
+    return sums.select(
+        "segment",
+        "n",
+        F.col("s").cast("bigint").alias("total_cents"),
+        F.round(
+            (F.lit(2.0) * si - (n + F.lit(1.0)) * s) / (n * s),
+            STAT_DECIMALS,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "chi2_priority_segment_cells",
+    oracle=f"""
+WITH joined AS (
+    SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+cells AS (
+    SELECT segment, priority, COUNT(*) AS n_obs
+    FROM joined GROUP BY 1, 2
+),
+margins AS (
+    SELECT segment, priority, n_obs,
+           SUM(n_obs) OVER (PARTITION BY segment) AS row_tot,
+           SUM(n_obs) OVER (PARTITION BY priority) AS col_tot,
+           SUM(n_obs) OVER () AS grand
+    FROM cells
+)
+SELECT segment, priority, n_obs,
+       ROUND(CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+             / CAST(grand AS DOUBLE), {STAT_DECIMALS}) AS expected,
+       ROUND((CAST(n_obs AS DOUBLE)
+              - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                / CAST(grand AS DOUBLE))
+             * (CAST(n_obs AS DOUBLE)
+                - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                  / CAST(grand AS DOUBLE))
+             / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                / CAST(grand AS DOUBLE)),
+             {STAT_DECIMALS}) AS chi2_term
+FROM margins
+""",
+)
+def chi2_priority_segment_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit (order priority × market segment)
+    emitted at CELL level: observed count, expected count under
+    independence, and the cell's χ² contribution — cell-level output
+    keeps every float a bounded expression over exact counts (a global
+    χ² would sum 25 doubles in nondeterministic order). Margins come
+    from window sums over the 25-row cell table, so the fact scan
+    happens once and everything after is O(cells)."""
+    orders = Catalog(sf_dir).load(spark, "orders").select(
+        "o_custkey", F.col("o_orderpriority").alias("priority")
+    )
+    cust = Catalog(sf_dir).load(spark, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("segment", "priority")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    margins = (
+        cells.withColumn(
+            "row_tot", F.sum("n_obs").over(Window.partitionBy("segment"))
+        )
+        .withColumn(
+            "col_tot", F.sum("n_obs").over(Window.partitionBy("priority"))
+        )
+        .withColumn(
+            "grand",
+            F.sum("n_obs").over(
+                Window.partitionBy()
+            ),
+        )
+    )
+    expected = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("grand").cast("double")
+    )
+    return margins.select(
+        "segment",
+        "priority",
+        "n_obs",
+        F.round(expected, STAT_DECIMALS).alias("expected"),
+        F.round(
+            (F.col("n_obs").cast("double") - expected)
+            * (F.col("n_obs").cast("double") - expected)
+            / expected,
+            STAT_DECIMALS,
+        ).alias("chi2_term"),
+    )
+
+
+@register(
+    "mutual_info_status_priority",
+    oracle=f"""
+WITH cells AS (
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           COUNT(*) AS n_obs
+    FROM orders GROUP BY 1, 2
+),
+margins AS (
+    SELECT status, priority, n_obs,
+           SUM(n_obs) OVER (PARTITION BY status) AS row_tot,
+           SUM(n_obs) OVER (PARTITION BY priority) AS col_tot,
+           SUM(n_obs) OVER () AS grand
+    FROM cells
+)
+SELECT status, priority, n_obs,
+       ROUND((CAST(n_obs AS DOUBLE) / CAST(grand AS DOUBLE))
+             * LN(CAST(n_obs AS DOUBLE) * CAST(grand AS DOUBLE)
+                  / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE))),
+             {STAT_DECIMALS}) AS mi_term
+FROM margins
+""",
+)
+def mutual_info_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual-information cells between order status and
+    priority — the dependence scan feature pipelines run between
+    metadata columns before trusting one as a stratification key. Same
+    cell-margin shape as the χ² audit: one scan to a 15-row cell
+    table, window margins, one ln() per cell over exact counts (each
+    absorbed by its own rounding — never summed)."""
+    orders = Catalog(sf_dir).load(spark, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    margins = (
+        cells.withColumn(
+            "row_tot", F.sum("n_obs").over(Window.partitionBy("status"))
+        )
+        .withColumn(
+            "col_tot", F.sum("n_obs").over(Window.partitionBy("priority"))
+        )
+        .withColumn("grand", F.sum("n_obs").over(Window.partitionBy()))
+    )
+    return margins.select(
+        "status",
+        "priority",
+        "n_obs",
+        F.round(
+            (F.col("n_obs").cast("double") / F.col("grand").cast("double"))
+            * F.log(
+                F.col("n_obs").cast("double")
+                * F.col("grand").cast("double")
+                / (
+                    F.col("row_tot").cast("double")
+                    * F.col("col_tot").cast("double")
+                )
+            ),
+            STAT_DECIMALS,
+        ).alias("mi_term"),
+    )
+
+
+#: Winsorization clip points as integer-exact rank positions:
+#: k = ceil(p·n) computed as (p_num·n + 99) // 100 — no float.
+WINSOR_LO_PCT = 5
+WINSOR_HI_PCT = 95
+
+
+@register(
+    "winsorized_price_stats",
+    oracle=f"""
+WITH enc AS (
+    SELECT l_returnflag AS flag,
+           CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+    FROM lineitem
+),
+ranked AS (
+    SELECT flag, cents,
+           ROW_NUMBER() OVER (PARTITION BY flag ORDER BY cents ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY flag) AS n
+    FROM enc
+),
+clips AS (
+    SELECT flag,
+           MAX(CASE WHEN rn = ({WINSOR_LO_PCT} * n + 99) // 100
+                    THEN cents END) AS lo,
+           MAX(CASE WHEN rn = ({WINSOR_HI_PCT} * n + 99) // 100
+                    THEN cents END) AS hi
+    FROM ranked GROUP BY flag
+)
+SELECT e.flag, c.lo AS lo_cents, c.hi AS hi_cents,
+       COUNT(*) AS n,
+       CAST(SUM(LEAST(GREATEST(e.cents, c.lo), c.hi)) AS BIGINT)
+           AS winsorized_sum_cents,
+       ROUND(CAST(SUM(LEAST(GREATEST(e.cents, c.lo), c.hi)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS winsorized_mean_cents
+FROM enc e JOIN clips c ON e.flag = c.flag
+GROUP BY e.flag, c.lo, c.hi
+""",
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%/95%-clipped) price statistics per return flag —
+    the robust-mean building block quality pipelines use so a handful
+    of outlier documents can't move a threshold. Clip points are EXACT
+    order statistics at integer-computed ranks (k = ⌈p·n⌉ via
+    (p·n+99)//100 — no float percentile, no interpolation ambiguity
+    between engines), found with one per-group window pass; the
+    clipped sum is exact integers. Two scans of the encoded column,
+    per-group windows only."""
+    li = Catalog(sf_dir).load(spark, "lineitem")
+    enc = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("flag").orderBy(F.col("cents").asc())
+    wn = Window.partitionBy("flag")
+    ranked = enc.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    k_lo = F.floor((F.lit(WINSOR_LO_PCT) * F.col("n") + 99) / 100)
+    k_hi = F.floor((F.lit(WINSOR_HI_PCT) * F.col("n") + 99) / 100)
+    clips = ranked.groupBy("flag").agg(
+        F.max(F.when(F.col("rn") == k_lo, F.col("cents"))).alias("lo"),
+        F.max(F.when(F.col("rn") == k_hi, F.col("cents"))).alias("hi"),
+    )
+    clipped = enc.join(clips, "flag").select(
+        "flag",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi")).alias(
+            "wc"
+        ),
+    )
+    return clipped.groupBy("flag", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("wc").cast("bigint").alias("winsorized_sum_cents"),
+        F.round(
+            F.sum("wc").cast("double") / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("winsorized_mean_cents"),
+    ).select(
+        "flag",
+        F.col("lo").alias("lo_cents"),
+        F.col("hi").alias("hi_cents"),
+        "n",
+        "winsorized_sum_cents",
+        "winsorized_mean_cents",
+    )

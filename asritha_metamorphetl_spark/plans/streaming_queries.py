@@ -923,23 +923,18 @@ def streaming_mor_delete_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asritha_metamorphetl_spark.plans.catalog_queries import (
         _MOR_D1,
         _MOR_D2,
-        MOR_NFILES,
+        _mor_table,
     )
-    from asritha_metamorphetl_spark.sources.mor import MergeOnReadTable
 
     root = scratch_dir(spark, "stream_mor", sf_dir)
     shutil.rmtree(root, ignore_errors=True)
     orders = Catalog(sf_dir).load(spark, "orders")
-    base = orders.select(
-        "o_orderkey",
-        "o_orderstatus",
-        "o_orderpriority",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    )
-    t = MergeOnReadTable(
-        spark, os.path.join(root, "tbl"), "o_orderkey", n_files=MOR_NFILES
-    )
-    t.write_base(base)
+    # Base table: a private working copy of the shared pristine MoR
+    # fixture with its delete commits stripped — the stream below must
+    # apply them itself. Saves re-running write_base per invocation;
+    # the extra o_custkey column is inert for the aggregates.
+    t = _mor_table(spark, sf_dir, "stream_mor_tbl")
+    shutil.rmtree(t._deletes, ignore_errors=True)
 
     src = os.path.join(root, "deletekeys")
     d1 = orders.filter(_MOR_D1).select("o_orderkey").localCheckpoint()

@@ -135,3 +135,54 @@ def scratch_dir(spark: SparkSession, label: str, sf_dir: str) -> str:
         f"ametl_{label}",
         f"{tag}-{spark.sparkContext.applicationId}",
     )
+
+
+def cached_fixture(spark: SparkSession, label: str, sf_dir: str, build) -> str:
+    """Build-once-per-session cache for a DETERMINISTIC on-disk fixture.
+
+    Several registered queries exercise table-format machinery (snapshot
+    commits, positional deletes, clustered layouts) and must first BUILD
+    the table they read. The build is pure data-work — same (label, sf)
+    always produces byte-equivalent content — so one session (the bench
+    run, the correctness sweep) building it once per consumer is pure
+    waste. ``build(root)`` runs only if the root lacks a ``_FIXTURE_READY``
+    marker; a crashed partial build leaves no marker and is rebuilt from
+    scratch. The marker lives under the ``scratch_dir`` applicationId key,
+    so fresh sessions always rebuild and concurrent sessions never share.
+
+    ONLY for fixtures the consuming queries treat as READ-ONLY: a query
+    that mutates table state (compaction, streamed deletes) must take a
+    ``fixture_working_copy`` instead of touching the cache.
+    """
+    import os
+    import shutil
+
+    root = scratch_dir(spark, label, sf_dir)
+    marker = os.path.join(root, "_FIXTURE_READY")
+    if os.path.exists(marker):
+        return root
+    shutil.rmtree(root, ignore_errors=True)
+    build(root)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return root
+
+
+def fixture_working_copy(
+    spark: SparkSession, label: str, sf_dir: str, src_root: str
+) -> str:
+    """A private mutable copy of a cached fixture for queries that
+    mutate table state: local copytree (cheap next to the Spark jobs
+    that built the fixture), fresh per invocation so re-runs start from
+    the pristine state. The ``_FIXTURE_READY`` marker is not copied —
+    the copy is working state, not a cache entry."""
+    import os
+    import shutil
+
+    dst = scratch_dir(spark, label, sf_dir)
+    shutil.rmtree(dst, ignore_errors=True)
+    shutil.copytree(
+        src_root, dst,
+        ignore=shutil.ignore_patterns("_FIXTURE_READY"),
+    )
+    return dst

@@ -69,3 +69,16 @@ def test_query_priority_names_all_exist():
     assert len(set(QUERY_PRIORITY)) == len(QUERY_PRIORITY), "duplicates"
     # the driver-checked window is exactly the priority front
     assert list(all_queries())[: len(QUERY_PRIORITY)] == list(QUERY_PRIORITY)
+
+
+def test_every_registered_query_is_in_priority_list():
+    """The converse of the existence pin: _ordered() appends unlisted
+    registered queries silently, so a forgotten new query would hide
+    behind the window boundary without this assertion."""
+    from asritha_metamorphetl_spark.plans.registry import (
+        QUERY_PRIORITY,
+        all_queries,
+    )
+
+    unlisted = [n for n in all_queries() if n not in set(QUERY_PRIORITY)]
+    assert not unlisted, f"registered but not in QUERY_PRIORITY: {unlisted}"

@@ -82,9 +82,11 @@ def test_bloom_audit_pushes_build_filter_to_scan(spark):
         seg for seg in plan.split("FileScan")[1:]
         if "orders" in seg.splitlines()[0]
     )
-    assert "EqualTo(o_orderpriority,1-URGENT)" in scan.splitlines()[0] or (
-        "o_orderpriority" in scan[: scan.index("ReadSchema")]
-    )
+    # the PushedFilters section specifically — column pruning alone
+    # (o_orderpriority in ReadSchema) must NOT satisfy this
+    header = scan.splitlines()[0]
+    pushed = header[header.index("PushedFilters"):]
+    assert "EqualTo(o_orderpriority,1-URGENT)" in pushed
 
 
 # ---------------------------------------------------------------------------
