@@ -1296,3 +1296,172 @@ def knn_bq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("recall_ok", F.col("recall") >= F.lit(0.8))
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection: dimensionality reduction as a
+# search accelerator, with its recall measured rather than assumed
+# ---------------------------------------------------------------------------
+
+#: Projected dimensionality (64 -> 8) and the deterministic +-1 sign
+#: matrix (Achlioptas 2003: Rademacher entries satisfy the JL lemma).
+#: Signs are PYTHON-generated literals baked into both plans, so no
+#: runtime hash needs cross-engine parity.
+JL_DIM = 8
+
+
+def _jl_sign(i: int, j: int) -> int:
+    """Deterministic Rademacher sign for (input dim i, output dim j)."""
+    return 1 if ((i * 31 + j * 17) % 7) % 2 == 0 else -1
+
+
+def _jl_proj_sql(vec: str, j: int) -> str:
+    """The j-th projected coordinate as a left-associated literal sum —
+    identical addition order in both engines => identical doubles."""
+    terms = [
+        f"({_jl_sign(i, j)}.0 * CAST({vec}[{i + 1}] AS DOUBLE))"
+        for i in range(EMB_DIM)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _jl_proj_spark(j: int) -> str:
+    terms = [
+        f"({_jl_sign(i, j)}.0 * CAST(element_at(embedding, {i + 1}) AS DOUBLE))"
+        for i in range(EMB_DIM)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _jl_topk_oracle() -> str:
+    projs = ", ".join(
+        f"{_jl_proj_sql('v', j)} AS p{j}" for j in range(JL_DIM)
+    )
+    d2 = " + ".join(
+        f"((q.p{j} - c.p{j}) * (q.p{j} - c.p{j}))" for j in range(JL_DIM)
+    )
+    return f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+proj AS (SELECT vec_id, {projs} FROM vecs),
+qs AS (SELECT * FROM proj WHERE vec_id < {KNN_QUERIES}),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND({d2}, 4) AS dist
+    FROM proj c CROSS JOIN qs q
+    WHERE c.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id, dist, rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY dist ASC, neighbor_id ASC) AS rnk
+    FROM scored
+) WHERE rnk <= {KNN_K}
+"""
+
+
+def _jl_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(sf_dir).load(spark, "embeddings")
+    return emb.select(
+        "vec_id",
+        *[F.expr(_jl_proj_spark(j)).alias(f"p{j}") for j in range(JL_DIM)],
+    )
+
+
+@register("knn_jl_topk", oracle=_jl_topk_oracle())
+def knn_jl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k in JL-projected space: every vector is mapped
+    through a +-1 Rademacher projection (64 -> {JL_DIM} dims, an 8x
+    distance-computation compression that preserves pairwise L2 within
+    the JL bound), then ranked by projected squared-L2. At 100 TB this
+    is the cheap FIRST pass of a projection cascade: the projection is
+    a map-side JVM expression in the scan stage (no UDF, no shuffle),
+    and the projected corpus is what a shortlist search actually
+    touches. Companion recall eval measures what the compression costs
+    rather than assuming it."""
+    proj = _jl_projected(spark, sf_dir)
+    qs = proj.filter(F.col("vec_id") < KNN_QUERIES)
+    qr = qs.select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"p{j}").alias(f"q{j}") for j in range(JL_DIM)],
+    )
+    d2 = None
+    for j in range(JL_DIM):
+        term = (F.col(f"q{j}") - F.col(f"p{j}")) * (
+            F.col(f"q{j}") - F.col(f"p{j}")
+        )
+        d2 = term if d2 is None else (d2 + term)
+    from pyspark.sql import Window as W
+
+    scored = (
+        proj.crossJoin(F.broadcast(qr))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(d2, 4).alias("dist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_K)
+        .select("query_id", "neighbor_id", "dist", "rnk")
+    )
+
+
+@register(
+    "knn_jl_recall_eval",
+    oracle=f"""
+WITH approx AS ({_jl_topk_oracle()}),
+truth AS ({_KNN_EXACT_L2_SQL}),
+hits AS (
+    SELECT t.query_id, t.neighbor_id
+    FROM truth t JOIN approx a
+      ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+)
+SELECT
+    (SELECT COUNT(*) FROM truth)::BIGINT AS n_truth,
+    (SELECT COUNT(*) FROM approx)::BIGINT AS n_approx,
+    (SELECT COUNT(*) FROM hits)::BIGINT AS n_hits,
+    CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+         THEN ROUND((SELECT COUNT(*) FROM hits)::DOUBLE
+                    / (SELECT COUNT(*) FROM truth), 6)
+         ELSE 1.0 END AS recall
+""",
+)
+def knn_jl_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of JL-projected search against exact full-dimension L2
+    truth — the honest price tag of the 8x compression (the JL lemma
+    bounds DISTORTION, not top-k recall; only measurement answers
+    whether a given projected width is usable as a filter stage).
+    Both sides are the registered, individually-audited rankers."""
+    approx = knn_jl_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    emb = Catalog(sf_dir).load(spark, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
+    truth = brute_force_l2_topk(
+        emb, queries, "vec_id", "embedding", k=KNN_K
+    ).select("query_id", "neighbor_id")
+    hits = truth.join(approx, ["query_id", "neighbor_id"])
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    na = approx.agg(F.count(F.lit(1)).alias("n_approx"))
+    nh = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        nt.crossJoin(na)
+        .crossJoin(nh)
+        .select(
+            "n_truth",
+            "n_approx",
+            "n_hits",
+            F.when(
+                F.col("n_truth") > 0,
+                F.round(
+                    F.col("n_hits").cast("double")
+                    / F.col("n_truth").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("recall"),
+        )
+    )

@@ -1308,6 +1308,40 @@ def mor_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mor_shuffled_delete_scan",
+    oracle=f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_live,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS live_cents
+FROM orders
+WHERE NOT {_MOR_DELETED}
+GROUP BY o_orderstatus
+""",
+)
+def mor_shuffled_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LARGE-delete-set read path: the same live scan as
+    ``mor_delete_scan`` but with ``broadcast_threshold_bytes=0``, so
+    the anti-join runs WITHOUT the broadcast hint — the shape that
+    survives when the pending delete set is billions of (file, pos)
+    pairs and a forced broadcast would OOM the driver (the round-7
+    scale finding). Answers must be identical through either join
+    strategy; this row pins the shuffled shape under the driver's hash
+    while ``tests/test_mor.py`` pins the plan switch itself."""
+    from asritha_metamorphetl_spark.sources.mor import MergeOnReadTable
+
+    t = _mor_table(spark, sf_dir)  # shared pristine fixture (read-only)
+    big = MergeOnReadTable(
+        spark, t.root, "o_orderkey", n_files=MOR_NFILES,
+        broadcast_threshold_bytes=0,
+    )
+    return big.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.sum("cents").alias("live_cents"),
+    )
+
+
+@register(
     "mor_compaction_profile",
     oracle=f"""
 WITH assigned AS (

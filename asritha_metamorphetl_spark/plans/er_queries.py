@@ -1,0 +1,1069 @@
+"""Entity-resolution, text-index, and data-integrity queries.
+
+New surfaces this file evidences first-class:
+
+- **Probabilistic record linkage** (``fellegi_sunter_links``) — the
+  Fellegi–Sunter model: blocked candidate pairs scored by summed
+  field-agreement log-odds weights, thresholded into link / possible /
+  non-link, with ground-truth precision measured against the known key.
+- **Referential-integrity audit** (``fk_orphan_audit``) — orphan counts
+  for every foreign-key edge of the schema, plus a degraded-parent
+  variant proving the anti-join detects loss.
+- **Inverted-index statistics** (``posting_list_stats``) — the
+  document-frequency spectrum (power-of-two buckets) a search engine
+  sizes posting lists and skip pointers from.
+- **Vocabulary richness** (``type_token_stats_by_source``), **TF-IDF
+  term profiles** (``tfidf_top_terms``), **padding-waste profiling**
+  for length-bucketed batching (``padding_waste_by_bucket``), a
+  **near-dup threshold sweep** (``dedup_threshold_sweep``), and
+  **rolling z-score anomaly flags** over a daily series with exact
+  integer window sums (``rolling_zscore_outliers``).
+
+Float discipline matches ``stats_queries``: sums are exact integers,
+floats are final bounded expressions written identically in the oracle,
+then rounded.
+
+Reference scope: the reference's quality surface is assert-style checks
+(Raptor/Raptor.py duplicate/null gates); linkage, index stats, and
+integrity audits extend that family to the shapes a 100 TB curation
+pipeline runs daily.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from asritha_metamorphetl_spark.plans.registry import register
+from asritha_metamorphetl_spark.sources.files import Catalog
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit
+# ---------------------------------------------------------------------------
+
+#: FK edges audited: (edge label, child table, fk col, parent table, pk col).
+_FK_EDGES = (
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    (
+        "lineitem->supplier",
+        "lineitem",
+        "l_suppkey",
+        "supplier",
+        "s_suppkey",
+    ),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+#: Degraded-parent mode drops parents with pk % DEGRADE_MOD == 0 to
+#: prove the audit detects loss (a zero-orphan result alone would pass
+#: vacuously on a broken anti-join).
+FK_DEGRADE_MOD = 10
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for label, child, fk, parent, pk in _FK_EDGES:
+        parts.append(f"""
+SELECT '{label}' AS edge, 'live' AS mode, COUNT(*) AS n_child,
+       CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_orphans
+FROM {child} c LEFT JOIN {parent} p ON c.{fk} = p.{pk}
+UNION ALL
+SELECT '{label}', 'degraded', COUNT(*),
+       CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM {child} c
+LEFT JOIN (SELECT * FROM {parent}
+           WHERE {pk} % {FK_DEGRADE_MOD} != 0) p
+  ON c.{fk} = p.{pk}""")
+    return "\nUNION ALL".join(parts)
+
+
+@register("fk_orphan_audit", oracle=_fk_oracle())
+def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity sweep over every FK edge of the schema:
+    child rows whose key has no parent. Each edge is ONE left join
+    (the parent key side broadcasts — dimensions are small; the fact
+    side never shuffles) aggregated to a single row, so the whole audit
+    is O(edges) joins each costing one child scan. The 'degraded' mode
+    re-runs the audit against a parent with every {FK_DEGRADE_MOD}th
+    key dropped — nonzero orphan counts prove the probe actually
+    detects loss rather than vacuously passing."""
+    cat = Catalog(sf_dir)
+    out = None
+    for label, child, fk, parent, pk in _FK_EDGES:
+        c = cat.load(spark, child).select(F.col(fk).alias("fk"))
+        p = cat.load(spark, parent).select(F.col(pk).alias("pk"))
+        for mode, pframe in (
+            ("live", p),
+            ("degraded", p.filter(F.col("pk") % FK_DEGRADE_MOD != 0)),
+        ):
+            row = (
+                c.join(
+                    F.broadcast(pframe),
+                    c.fk == pframe.pk,
+                    "left",
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n_child"),
+                    F.sum(
+                        F.when(F.col("pk").isNull(), 1).otherwise(0)
+                    )
+                    .cast("bigint")
+                    .alias("n_orphans"),
+                )
+                .select(
+                    F.lit(label).alias("edge"),
+                    F.lit(mode).alias("mode"),
+                    "n_child",
+                    "n_orphans",
+                )
+            )
+            out = row if out is None else out.unionByName(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter probabilistic record linkage
+# ---------------------------------------------------------------------------
+
+#: Field-agreement log-odds weights (ln(m/u)-style literals, shared
+#: verbatim with the oracle): agreement adds, disagreement subtracts.
+FS_W_NAME_A, FS_W_NAME_D = 4.0, -1.5
+FS_W_BAL_A, FS_W_BAL_D = 2.0, -0.5
+FS_W_SEG_A, FS_W_SEG_D = 1.0, -0.8
+#: Decision thresholds on the summed score.
+FS_LINK_MIN = 4.0
+FS_POSSIBLE_MIN = 1.0
+
+#: Deterministic dirt: every 5th name mutated at its TAIL (blocking
+#: prefixes survive), every 3rd balance off by 7 cents, every 7th
+#: segment overwritten.
+_FS_DIRTY_SQL = f"""
+SELECT c_custkey AS d_key, c_nationkey AS d_nation,
+       CASE WHEN c_custkey % 5 = 0
+            THEN substr(c_name, 1, length(c_name) - 1) || '#'
+            ELSE c_name END AS d_name,
+       CAST(ROUND(c_acctbal * 100) AS BIGINT)
+           + CASE WHEN c_custkey % 3 = 0 THEN 7 ELSE 0 END AS d_bal,
+       CASE WHEN c_custkey % 7 = 0 THEN 'SYNTHETIC'
+            ELSE c_mktsegment END AS d_seg
+FROM customer
+"""
+
+
+@register(
+    "fellegi_sunter_links",
+    oracle=f"""
+WITH clean AS (
+    SELECT c_custkey AS key, c_nationkey AS nation, c_name AS name,
+           CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal,
+           c_mktsegment AS seg
+    FROM customer
+),
+dirty AS ({_FS_DIRTY_SQL}),
+pairs AS (
+    SELECT c.key, d.d_key,
+           CASE WHEN c.name = d.d_name THEN {FS_W_NAME_A}
+                ELSE {FS_W_NAME_D} END
+           + CASE WHEN c.bal = d.d_bal THEN {FS_W_BAL_A}
+                  ELSE {FS_W_BAL_D} END
+           + CASE WHEN c.seg = d.d_seg THEN {FS_W_SEG_A}
+                  ELSE {FS_W_SEG_D} END AS score
+    FROM clean c
+    JOIN dirty d
+      ON c.nation = d.d_nation
+     AND substr(c.name, 1, 4) = substr(d.d_name, 1, 4)
+),
+decided AS (
+    SELECT key, d_key, score,
+           CASE WHEN score >= {FS_LINK_MIN} THEN 'link'
+                WHEN score >= {FS_POSSIBLE_MIN} THEN 'possible'
+                ELSE 'non_link' END AS decision
+    FROM pairs
+)
+SELECT decision, COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN key = d_key THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_true
+FROM decided GROUP BY decision
+""",
+)
+def fellegi_sunter_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter record linkage between the customer table and a
+    deterministically-dirtied copy of itself: candidate pairs from
+    BLOCKING (nation + 4-char name prefix — a plain equi-join, never
+    the O(n²) cross product), each pair scored by summed field
+    log-odds, thresholded into link/possible/non-link, and audited for
+    true-match content via the known key. Tail-mutated names keep
+    their blocking prefix (realistic typos); the summed score is 3
+    literal additions — engine-identical. At 100 TB blocking is THE
+    linkage scale lever: pair volume tracks block sizes, and the score
+    pass is map-side arithmetic on the joined rows."""
+    cust = Catalog(sf_dir).load(spark, "customer")
+    clean = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_name").alias("name"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    # dirty columns mirror the oracle's CASE trees exactly
+    dirty = cust.select(
+        F.col("c_custkey").alias("d_key"),
+        F.col("c_nationkey").alias("d_nation"),
+        F.when(
+            F.col("c_custkey") % 5 == 0,
+            F.concat(
+                F.expr("substr(c_name, 1, length(c_name) - 1)"),
+                F.lit("#"),
+            ),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("d_name"),
+        (
+            F.round(F.col("c_acctbal") * 100).cast("bigint")
+            + F.when(F.col("c_custkey") % 3 == 0, 7).otherwise(0)
+        ).alias("d_bal"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("SYNTHETIC"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("d_seg"),
+    )
+    pairs = clean.join(
+        dirty,
+        (clean.nation == dirty.d_nation)
+        & (
+            F.substring(clean.name, 1, 4)
+            == F.substring(dirty.d_name, 1, 4)
+        ),
+    )
+    score = (
+        F.when(F.col("name") == F.col("d_name"), FS_W_NAME_A).otherwise(
+            FS_W_NAME_D
+        )
+        + F.when(F.col("bal") == F.col("d_bal"), FS_W_BAL_A).otherwise(
+            FS_W_BAL_D
+        )
+        + F.when(F.col("seg") == F.col("d_seg"), FS_W_SEG_A).otherwise(
+            FS_W_SEG_D
+        )
+    )
+    decided = pairs.select(
+        "key",
+        "d_key",
+        F.when(score >= FS_LINK_MIN, "link")
+        .when(score >= FS_POSSIBLE_MIN, "possible")
+        .otherwise("non_link")
+        .alias("decision"),
+    )
+    return decided.groupBy("decision").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("key") == F.col("d_key"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_true"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index posting-list statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "posting_list_stats",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), x -> x != ''))
+        AS token
+    FROM documents
+),
+tf AS (
+    SELECT token, doc_id, COUNT(*) AS tf FROM toks
+    WHERE length(token) > 2 GROUP BY token, doc_id
+),
+terms AS (
+    SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+           MAX(tf) AS max_tf
+    FROM tf GROUP BY token
+)
+SELECT length(bin(CAST(df AS BIGINT))) - 1 AS df_bucket_pow,
+       COUNT(*) AS n_terms,
+       CAST(SUM(df) AS BIGINT) AS total_postings,
+       CAST(SUM(total_tf) AS BIGINT) AS total_occurrences,
+       MAX(max_tf) AS max_tf
+FROM terms
+GROUP BY 1
+""",
+)
+def posting_list_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list spectrum of the corpus's inverted index: terms
+    bucketed by ⌊log₂(document frequency)⌋ (the pure-integer
+    length-of-binary trick — no float log), with posting and
+    occurrence totals per bucket. This is the profile a search/RAG
+    system reads to size skip lists, pick stop-word cutoffs, and
+    predict intersection costs. One corpus scan → per-(term,doc)
+    partial counts (map-side combined) → O(vocab) term rollup →
+    O(log df) bucket rows."""
+    from asritha_metamorphetl_spark.functions.text import tokens
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+        )
+        .filter(F.length("token") > 2)
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    terms = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+        F.max("tf").alias("max_tf"),
+    )
+    return (
+        terms.withColumn(
+            "df_bucket_pow",
+            (F.length(F.bin(F.col("df").cast("bigint"))) - 1).cast("bigint"),
+        )
+        .groupBy("df_bucket_pow")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("df").cast("bigint").alias("total_postings"),
+            F.sum("total_tf").cast("bigint").alias("total_occurrences"),
+            F.max("max_tf").alias("max_tf"),
+        )
+    )
+
+
+@register(
+    "type_token_stats_by_source",
+    oracle="""
+WITH toks AS (
+    SELECT source,
+           unnest(list_filter(string_split(text, ' '), x -> x != ''))
+        AS token
+    FROM documents
+),
+counts AS (
+    SELECT source, token, COUNT(*) AS n FROM toks GROUP BY source, token
+)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_types,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+           AS type_token_ratio,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       ROUND(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio
+FROM counts GROUP BY source
+""",
+)
+def type_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary richness per source: type-token ratio and hapax-
+    legomenon share — the quick template/boilerplate detector (a
+    machine-generated source shows abnormally LOW TTR; OCR noise shows
+    abnormally HIGH hapax share). One scan → per-(source,token) counts
+    (map-side combined) → O(sources) rollup; every ratio is one
+    division over exact counts."""
+    from asritha_metamorphetl_spark.functions.text import tokens
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    counts = (
+        docs.select(
+            "source", F.explode(tokens(F.col("text"))).alias("token")
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hapax = F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("bigint")
+    return counts.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(
+            F.count(F.lit(1)).cast("double")
+            / F.sum("n").cast("double"),
+            6,
+        ).alias("type_token_ratio"),
+        hapax.alias("n_hapax"),
+        F.round(
+            hapax.cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("hapax_ratio"),
+    )
+
+
+#: TF-IDF profile knobs (shared with the oracle).
+TFIDF_TOP_K = 5
+TFIDF_MIN_LEN = 3
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           unnest(list_filter(string_split(text, ' '), x -> x != ''))
+        AS token
+    FROM documents
+),
+filtered AS (SELECT * FROM toks WHERE length(token) >= {TFIDF_MIN_LEN}),
+df AS (
+    SELECT token, COUNT(DISTINCT doc_id) AS df FROM filtered GROUP BY token
+),
+ndocs AS (SELECT COUNT(*) AS n FROM documents),
+tf AS (
+    SELECT source, token, COUNT(*) AS tf FROM filtered GROUP BY source, token
+),
+scored AS (
+    SELECT t.source, t.token, t.tf, d.df,
+           ROUND(CAST(t.tf AS DOUBLE)
+                 * LN(CAST(n.n AS DOUBLE) / CAST(d.df AS DOUBLE)), 6)
+               AS tfidf
+    FROM tf t JOIN df d ON t.token = d.token CROSS JOIN ndocs n
+),
+ranked AS (
+    SELECT source, token, tf, df, tfidf,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY tfidf DESC, token ASC
+           ) AS rnk
+    FROM scored
+)
+SELECT source, rnk, token, tf, df, tfidf FROM ranked
+WHERE rnk <= {TFIDF_TOP_K}
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOP_K} characteristic terms per source by TF-IDF —
+    the source-fingerprint profile used to spot crawl contamination
+    (one source's vocabulary leaking into another). tf is per-source
+    term count, idf = ln(N/df) over document frequency; ranking is
+    per-source only (per-group window, no global sort). The ln() runs
+    once per (source,term) on exact integer ratios and is immediately
+    rounded — never summed."""
+    from asritha_metamorphetl_spark.functions.text import tokens
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("token")
+    ).filter(F.length("token") >= TFIDF_MIN_LEN)
+    df = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = docs.count()
+    tf = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    scored = tf.join(df, "token").select(
+        "source",
+        "token",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("source", "rnk", "token", "tf", "df", "tfidf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching: padding waste profile
+# ---------------------------------------------------------------------------
+
+PAD_BUCKET = 64
+PAD_MAX_LEN = 512
+
+
+@register(
+    "padding_waste_by_bucket",
+    oracle=f"""
+WITH lens AS (
+    SELECT len(list_filter(string_split(text, ' '), x -> x != ''))
+        AS n_tok
+    FROM documents
+),
+bucketed AS (
+    SELECT LEAST(n_tok, {PAD_MAX_LEN}) AS eff,
+           LEAST(((n_tok + {PAD_BUCKET - 1}) // {PAD_BUCKET})
+                 * {PAD_BUCKET}, {PAD_MAX_LEN}) AS bucket_len
+    FROM lens WHERE n_tok > 0
+)
+SELECT bucket_len, COUNT(*) AS n_docs,
+       CAST(SUM(eff) AS BIGINT) AS sum_tokens,
+       CAST(SUM(bucket_len - eff) AS BIGINT) AS sum_padding,
+       ROUND(CAST(SUM(bucket_len - eff) AS DOUBLE)
+             / CAST(SUM(bucket_len) AS DOUBLE), 6) AS waste_share
+FROM bucketed GROUP BY bucket_len
+""",
+)
+def padding_waste_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste profile for length-bucketed training batches:
+    docs rounded up to {PAD_BUCKET}-token buckets (capped at
+    {PAD_MAX_LEN}), with padded-token counts and waste share per
+    bucket — the measurement that justifies sequence packing
+    (``packed_training_sequences``) over naive bucketing. Bucket
+    arithmetic is pure integer (⌈n/b⌉·b via (n+b−1)//b·b); one scan,
+    O(buckets) output."""
+    from asritha_metamorphetl_spark.functions.text import tokens
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    lens = docs.select(F.size(tokens(F.col("text"))).alias("n_tok")).filter(
+        F.col("n_tok") > 0
+    )
+    eff = F.least(F.col("n_tok"), F.lit(PAD_MAX_LEN))
+    bucket = F.least(
+        F.floor((F.col("n_tok") + (PAD_BUCKET - 1)) / PAD_BUCKET)
+        * PAD_BUCKET,
+        F.lit(PAD_MAX_LEN),
+    ).cast("bigint")
+    return (
+        lens.select(eff.alias("eff"), bucket.alias("bucket_len"))
+        .groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("eff").cast("bigint").alias("sum_tokens"),
+            F.sum(F.col("bucket_len") - F.col("eff"))
+            .cast("bigint")
+            .alias("sum_padding"),
+            F.round(
+                F.sum(F.col("bucket_len") - F.col("eff")).cast("double")
+                / F.sum("bucket_len").cast("double"),
+                6,
+            ).alias("waste_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup threshold sweep
+# ---------------------------------------------------------------------------
+
+DEDUP_SWEEP_TAUS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def _sweep_oracle() -> str:
+    from asritha_metamorphetl_spark.plans.text_queries import _SHINGLE_CTE
+
+    taus = ", ".join(f"({t})" for t in DEDUP_SWEEP_TAUS)
+    return f"""
+WITH {_SHINGLE_CTE},
+sh_d AS (
+    SELECT doc_id, unnest(list_distinct(s)) AS sh
+    FROM shingled WHERE len(s) > 0
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh_d GROUP BY doc_id),
+rare AS (SELECT sh FROM sh_d GROUP BY sh HAVING COUNT(*) <= 100),
+idx AS (SELECT d.doc_id, d.sh FROM sh_d d JOIN rare USING (sh)),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM idx a JOIN idx b USING (sh)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+    SELECT doc_a, doc_b,
+           ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common)
+          >= {min(DEDUP_SWEEP_TAUS)}
+),
+taus(tau) AS (VALUES {taus}),
+per AS (
+    SELECT t.tau, p.doc_a, p.doc_b
+    FROM taus t JOIN pairs p ON p.jaccard >= t.tau
+),
+pair_counts AS (SELECT tau, COUNT(*) AS n_pairs FROM per GROUP BY tau),
+docs AS (
+    SELECT tau, doc_a AS doc FROM per
+    UNION ALL SELECT tau, doc_b AS doc FROM per
+),
+doc_counts AS (
+    SELECT tau, COUNT(DISTINCT doc) AS n_docs FROM docs GROUP BY tau
+)
+SELECT t.tau,
+       COALESCE(pc.n_pairs, 0) AS n_pairs,
+       COALESCE(dc.n_docs, 0) AS n_docs
+FROM taus t
+LEFT JOIN pair_counts pc ON t.tau = pc.tau
+LEFT JOIN doc_counts dc ON t.tau = dc.tau
+"""
+
+
+@register("dedup_threshold_sweep", oracle=_sweep_oracle())
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup aggressiveness sweep: near-dup pair and affected-document
+    counts at every candidate Jaccard threshold, from ONE pair
+    computation — the curve a curation team reads before picking its
+    dedup cutoff (how much of the corpus each setting would touch).
+    The exact-Jaccard pair table (already an audited operator) is
+    computed once at the loosest threshold and localCheckpointed for
+    its two consumers; the sweep joins it against the 5-row threshold
+    frame (broadcast nested loop over 5 rows — constant), so the sweep
+    costs one pair materialization regardless of how many thresholds
+    are probed. Pairs are Zipf-bounded by the rare-shingle blocking
+    (max_doc_freq=100), never all-pairs."""
+    from asritha_metamorphetl_spark.operators import dedup as D
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    pairs = (
+        D.ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=min(DEDUP_SWEEP_TAUS),
+            max_doc_freq=100,
+        )
+        .select("doc_a", "doc_b", "jaccard")
+        .localCheckpoint(eager=False)  # two consumers below
+    )
+    taus = spark.createDataFrame(
+        [(t,) for t in DEDUP_SWEEP_TAUS], "tau double"
+    )
+    per = taus.join(pairs, pairs.jaccard >= taus.tau)
+    pair_counts = per.groupBy("tau").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    doc_frame = per.select("tau", F.col("doc_a").alias("doc")).unionByName(
+        per.select("tau", F.col("doc_b").alias("doc"))
+    )
+    doc_counts = doc_frame.groupBy("tau").agg(
+        F.countDistinct("doc").alias("n_docs")
+    )
+    return (
+        taus.join(pair_counts, "tau", "left")
+        .join(doc_counts, "tau", "left")
+        .select(
+            "tau",
+            F.coalesce("n_pairs", F.lit(0).cast("bigint")).alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0).cast("bigint")).alias("n_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly flags (exact integer window sums)
+# ---------------------------------------------------------------------------
+
+#: Rolling window width (rows) and |z| flag threshold.
+ZSCORE_WIN = 7
+ZSCORE_FLAG = 2.0
+
+
+@register(
+    "rolling_zscore_outliers",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+    FROM orders GROUP BY 1
+),
+win AS (
+    SELECT day, n,
+           SUM(n) OVER w AS s,
+           SUM(n * n) OVER w AS s2,
+           ROW_NUMBER() OVER (ORDER BY day) AS rn
+    FROM daily
+    WINDOW w AS (ORDER BY day
+                 ROWS BETWEEN {ZSCORE_WIN - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, n,
+       ROUND(({ZSCORE_WIN}.0 * CAST(n AS DOUBLE) - CAST(s AS DOUBLE))
+             / SQRT({ZSCORE_WIN}.0 * CAST(s2 AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 4) AS z
+FROM win
+WHERE rn >= {ZSCORE_WIN}
+  AND {ZSCORE_WIN} * s2 - s * s > 0
+  AND ABS(({ZSCORE_WIN}.0 * CAST(n AS DOUBLE) - CAST(s AS DOUBLE))
+          / SQRT({ZSCORE_WIN}.0 * CAST(s2 AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)))
+      >= {ZSCORE_FLAG}
+""",
+)
+def rolling_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window z-score anomaly flags over the daily order
+    series: each day scored against its trailing {ZSCORE_WIN}-row
+    window, flagged at |z| ≥ {ZSCORE_FLAG}. The variance comes from
+    exact INTEGER window sums (Σn, Σn² over a fixed ROWS frame —
+    deterministic in both engines because the frame content is exact),
+    algebraically rearranged so the only floats are one sqrt and one
+    division per row: z = (w·n − S)/√(w·S₂ − S²). Complements the
+    EWMA detector (``order_volume_anomalies``) with the fixed-window
+    spelling; the series is O(days), so the window pass is trivially
+    single-partition — at scale the same shape runs per-key
+    (partitionBy) without a global sort."""
+    orders = Catalog(sf_dir).load(spark, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(-(ZSCORE_WIN - 1), Window.currentRow)
+    )
+    rn_w = Window.orderBy("day")
+    scored = (
+        daily.withColumn("s", F.sum("n").over(w))
+        .withColumn("s2", F.sum(F.col("n") * F.col("n")).over(w))
+        .withColumn("rn", F.row_number().over(rn_w))
+    )
+    z = (
+        F.lit(float(ZSCORE_WIN)) * F.col("n").cast("double")
+        - F.col("s").cast("double")
+    ) / F.sqrt(
+        F.lit(float(ZSCORE_WIN)) * F.col("s2").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+    )
+    return (
+        scored.filter(
+            (F.col("rn") >= ZSCORE_WIN)
+            & (
+                F.lit(ZSCORE_WIN) * F.col("s2")
+                - F.col("s") * F.col("s")
+                > 0
+            )
+            & (F.abs(z) >= ZSCORE_FLAG)
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            F.round(z, 4).alias("z"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingle vocabulary curve (k = 2, 3, 5)
+# ---------------------------------------------------------------------------
+
+SHINGLE_CURVE_KS = (2, 3, 5)
+
+
+def _shingle_k_cte(k: int) -> str:
+    join = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return f"""
+sh{k} AS (
+    SELECT unnest(list_transform(
+        generate_series(1, greatest(len(t) - {k - 1}, 0)),
+        i -> {join})) AS sh
+    FROM toks
+),
+agg{k} AS (
+    SELECT {k} AS k, COUNT(*) AS n_total, COUNT(DISTINCT sh) AS n_distinct
+    FROM sh{k}
+)"""
+
+
+def _shingle_curve_oracle() -> str:
+    ctes = ",".join(_shingle_k_cte(k) for k in SHINGLE_CURVE_KS)
+    union = "\nUNION ALL ".join(
+        f"SELECT * FROM agg{k}" for k in SHINGLE_CURVE_KS
+    )
+    return f"""
+WITH toks AS (
+    SELECT list_filter(string_split(text, ' '), x -> x != '') AS t
+    FROM documents
+),{ctes}
+SELECT k, n_total, n_distinct,
+       ROUND(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_total AS DOUBLE),
+             6) AS dup_ratio
+FROM ({union})
+"""
+
+
+@register("shingle_vocab_curve", oracle=_shingle_curve_oracle())
+def shingle_vocab_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-vocabulary growth curve: total vs distinct k-word
+    shingles (and the implied duplication ratio) at k = 2, 3, 5 — the
+    measurement behind choosing a dedup shingle width (too small ⇒
+    everything collides; too large ⇒ near-dups stop colliding). Each k
+    is one scan + a distinct-count aggregate; the duplication ratio is
+    one mirrored division."""
+    from asritha_metamorphetl_spark.functions.hashing import word_shingles
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    out = None
+    for k in SHINGLE_CURVE_KS:
+        sh = docs.select(
+            F.explode(word_shingles(F.col("text"), k)).alias("sh")
+        )
+        row = sh.agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct("sh").alias("n_distinct"),
+        ).select(
+            F.lit(k).alias("k"),
+            "n_total",
+            "n_distinct",
+            F.round(
+                1.0
+                - F.col("n_distinct").cast("double")
+                / F.col("n_total").cast("double"),
+                6,
+            ).alias("dup_ratio"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty: how much of each doc is first-seen there
+# ---------------------------------------------------------------------------
+
+NOVELTY_Q = 1000000
+
+
+@register(
+    "ngram_novelty_profile",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           list_filter(string_split(text, ' '), x -> x != '') AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, source,
+           unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+    FROM toks
+),
+firsts AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s),
+per_doc AS (
+    SELECT sh.doc_id, sh.source, COUNT(*) AS n_sh,
+           CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel
+    FROM sh JOIN firsts f ON f.s = sh.s
+    GROUP BY sh.doc_id, sh.source
+),
+quantized AS (
+    SELECT source,
+           CAST(ROUND({NOVELTY_Q}.0 * CAST(n_novel AS DOUBLE)
+                      / CAST(n_sh AS DOUBLE)) AS BIGINT) AS nq
+    FROM per_doc
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(nq) AS BIGINT) AS sum_novelty_q,
+       ROUND(CAST(SUM(nq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             / {NOVELTY_Q}, 6) AS mean_novelty
+FROM quantized GROUP BY source
+""",
+)
+def ngram_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram novelty: for each doc, the share of its
+    distinct trigrams whose corpus-wide FIRST occurrence (min doc_id)
+    is that doc — averaged per source. A template-heavy or scraped-
+    mirror source scores near zero; fresh prose scores high. This is
+    the ordering-sensitive cousin of dedup: one shingle rollup to
+    first-owners, one join back, one per-doc count — never pairwise.
+    Per-doc ratios are quantized to a 1e-6 grid before the source mean
+    so the aggregate stays an exact integer sum."""
+    from asritha_metamorphetl_spark.functions.hashing import word_shingles
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(word_shingles(F.col("text"), 3))
+        ).alias("s"),
+    )
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(firsts, "s")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    quantized = per_doc.select(
+        "source",
+        F.round(
+            F.lit(float(NOVELTY_Q))
+            * F.col("n_novel").cast("double")
+            / F.col("n_sh").cast("double")
+        )
+        .cast("bigint")
+        .alias("nq"),
+    )
+    return quantized.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nq").cast("bigint").alias("sum_novelty_q"),
+        F.round(
+            F.sum("nq").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / NOVELTY_Q,
+            6,
+        ).alias("mean_novelty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global-decile source mix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "global_decile_source_mix",
+    oracle="""
+WITH ranked AS (
+    SELECT source,
+           (ROW_NUMBER() OVER (ORDER BY n_chars ASC, doc_id ASC) - 1)
+               * 10 // (COUNT(*) OVER ()) AS decile
+    FROM documents
+),
+cells AS (
+    SELECT decile, source, COUNT(*) AS n_docs
+    FROM ranked GROUP BY decile, source
+)
+SELECT decile, source, n_docs,
+       ROUND(CAST(n_docs AS DOUBLE)
+             / CAST(SUM(n_docs) OVER (PARTITION BY decile) AS DOUBLE),
+             6) AS share_in_decile
+FROM cells
+""",
+)
+def global_decile_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source composition of each GLOBAL document-length decile: which
+    sources dominate the shortest and longest tails of the corpus —
+    the cross-source quantile-alignment view that per-source
+    histograms (``equidepth_chars_histogram``) can't show. Decile is
+    the integer equi-depth rule over a global deterministic ordering,
+    computed with the SCALABLE two-pass rank (``operators/ranks.py``:
+    repartitionByRange + per-partition windows + broadcast offsets) so
+    no raw row funnels through a single partition — the registry-wide
+    plan gate enforces exactly that. Output is O(deciles × sources)."""
+    from asritha_metamorphetl_spark.operators.ranks import global_row_number
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    n_docs = docs.count()
+    ranked = global_row_number(
+        docs.select("source", "n_chars", "doc_id"),
+        [F.col("n_chars").asc(), F.col("doc_id").asc()],
+        out_col="rn",
+    ).select(
+        "source",
+        F.floor((F.col("rn") - 1) * 10 / F.lit(n_docs)).alias("decile"),
+    )
+    cells = ranked.groupBy("decile", "source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    wd = Window.partitionBy("decile")
+    return cells.select(
+        "decile",
+        "source",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(wd).cast("double"),
+            6,
+        ).alias("share_in_decile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-balance PSI cells (train vs validation distribution parity)
+# ---------------------------------------------------------------------------
+
+PSI_BUCKET_WIDTH = 500
+PSI_BUCKET_CAP = 19
+
+
+def _split_psi_oracle() -> str:
+    from asritha_metamorphetl_spark.plans.text_queries import _hex48_sql
+
+    hv = _hex48_sql("md5('split:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH assigned AS (
+    SELECT LEAST(n_chars // {PSI_BUCKET_WIDTH}, {PSI_BUCKET_CAP})
+               AS bucket,
+           {hv} % 10 AS sp
+    FROM documents
+),
+cells AS (
+    SELECT bucket,
+           CAST(SUM(CASE WHEN sp < 8 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_train,
+           CAST(SUM(CASE WHEN sp >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_val
+    FROM assigned GROUP BY bucket
+),
+tots AS (
+    SELECT bucket, n_train, n_val,
+           SUM(n_train) OVER () AS t_all, SUM(n_val) OVER () AS v_all
+    FROM cells
+)
+SELECT bucket, n_train, n_val,
+       ROUND((CAST(n_train AS DOUBLE) / CAST(t_all AS DOUBLE)
+              - CAST(n_val AS DOUBLE) / CAST(v_all AS DOUBLE))
+             * LN((CAST(n_train AS DOUBLE) / CAST(t_all AS DOUBLE))
+                  / (CAST(n_val AS DOUBLE) / CAST(v_all AS DOUBLE))),
+             6) AS psi_term
+FROM tots
+WHERE n_train > 0 AND n_val > 0
+"""
+
+
+@register("split_balance_psi_cells", oracle=_split_psi_oracle())
+def split_balance_psi_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/validation distribution parity as per-bucket PSI terms:
+    docs split 80/20 by salted content hash, document length bucketed
+    equi-width, each bucket's population-stability-index contribution
+    emitted cell-level (the float ln() is computed once per bucket
+    over exact counts and never summed — same discipline as the χ²
+    audit; buckets empty on either side are excluded by definition on
+    both sides). A healthy hash split shows |PSI| ≈ 0 everywhere; a
+    biased splitter (e.g. keyed on an ordered id) lights up the
+    tails. One scan, O(buckets) output."""
+    from asritha_metamorphetl_spark.functions.hashing import _hex48
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    digests = docs.select(
+        "n_chars",
+        F.md5(
+            F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+        ).alias("_dg"),
+    )
+    assigned = digests.select(
+        F.least(
+            F.floor(F.col("n_chars") / PSI_BUCKET_WIDTH),
+            F.lit(PSI_BUCKET_CAP),
+        )
+        .cast("bigint")
+        .alias("bucket"),
+        (_hex48(F.col("_dg")) % 10).alias("sp"),
+    )
+    cells = assigned.groupBy("bucket").agg(
+        F.sum(F.when(F.col("sp") < 8, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum(F.when(F.col("sp") >= 8, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_val"),
+    )
+    wt = Window.partitionBy()
+    tots = cells.withColumn(
+        "t_all", F.sum("n_train").over(wt)
+    ).withColumn("v_all", F.sum("n_val").over(wt))
+    p = F.col("n_train").cast("double") / F.col("t_all").cast("double")
+    q = F.col("n_val").cast("double") / F.col("v_all").cast("double")
+    return (
+        tots.filter((F.col("n_train") > 0) & (F.col("n_val") > 0))
+        .select(
+            "bucket",
+            "n_train",
+            "n_val",
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+    )

@@ -36,21 +36,73 @@ _REGISTRY: dict[str, RegisteredQuery] = {}
 #: them. test_registry_oracle pins that every name here exists (a typo
 #: must fail tests, not silently demote a query out of the window).
 QUERY_PRIORITY: tuple[str, ...] = (
-    # The window budget is 50 and round 7 registered ~53 new queries, so
-    # EVERY front-window slot goes to a query with no driver CORRECTNESS
-    # row in any round (the flagship marts have six rounds of rows and
-    # entry() still smoke-runs the flagship; they lead the tail instead).
-    # First: the only four queries never checked in ANY round (r6
-    # directive #3 — the driver row is the hard signal).
+    # =====================================================================
+    # ROUND-8 DRIVER WINDOW (first 50 = exactly what the correctness
+    # driver checks). Slots 1-10: the ten r7 queries that have never had
+    # a driver CORRECTNESS row in any round (VERDICT r7 directive #2).
+    # Slots 11-50: every query ADDED this round — statistics, entity
+    # resolution, text-index, JL projection, profiling, time series,
+    # retail analytics, and the shuffled MoR read path — so the window
+    # stays 100% never-driver-checked. Everything below keeps priority
+    # order for bench stability; older rounds' windows hold their
+    # driver-green rows.
+    # =====================================================================
+    "clustered_skipping_gain",
+    "eval_ngram_contamination",
+    "heavy_hitter_tokens",
+    "leakage_free_splits",
+    "near_dup_best_keeper",
+    "normalized_dup_gain",
+    "quality_drift_psi",
+    "quality_importance_sample",
+    "shard_manifest_incremental",
+    "zonemap_pruned_scan",
+    "lineitem_corr_matrix",
+    "regr_price_on_qty",
+    "zipf_token_slope",
+    "benford_price_digits",
+    "gini_revenue_concentration",
+    "chi2_priority_segment_cells",
+    "mutual_info_status_priority",
+    "winsorized_price_stats",
+    "fk_orphan_audit",
+    "fellegi_sunter_links",
+    "posting_list_stats",
+    "type_token_stats_by_source",
+    "tfidf_top_terms",
+    "padding_waste_by_bucket",
+    "dedup_threshold_sweep",
+    "rolling_zscore_outliers",
+    "shingle_vocab_curve",
+    "ngram_novelty_profile",
+    "global_decile_source_mix",
+    "split_balance_psi_cells",
+    "knn_jl_topk",
+    "knn_jl_recall_eval",
+    "equidepth_chars_histogram",
+    "cube_returnflag_status",
+    "loo_source_influence",
+    "embedding_dim_profile",
+    "event_transition_matrix",
+    "stratified_kfold_assignment",
+    "mor_shuffled_delete_scan",
+    "autocorrelation_daily_orders",
+    "theil_sen_daily_trend",
+    "weekday_seasonality_profile",
+    "semi_additive_last_balance",
+    "median_order_value_by_priority",
+    "top_decile_revenue_share",
+    "customer_rfm_segments",
+    "rollup_region_nation_revenue",
+    "copurchase_jaccard_parts",
+    "orderkey_islands",
+    "incremental_agg_view",
+    # --- end of driver window; previously-checked registry follows ---
     "lang_id_confusion",
     "source_overlap_matrix",
     "lonely_late_suppliers",
     "top_revenue_supplier",
-    # the round-7 last-mile composition (r6 directive #5)
     "curated_shard_manifest",
-    # round-7 late additions (second wave): Bloom join pruning, banded
-    # EWMA, one-shuffle GROUPING SETS, association rules, BPE merge
-    # learning, merge-on-read deletes, binary-quantization ANN
     "bloom_prune_audit",
     "ewma_daily_orders",
     "revenue_grouping_sets",
@@ -63,26 +115,17 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "hll_set_algebra_audit",
     "order_volume_anomalies",
     "streaming_mor_delete_parity",
-    # round-7 late additions: distributed second moments / PCA
-    # projection and iterative PageRank — brand-new operator classes,
-    # so they lead the window
     "embedding_covariance_matrix",
     "pca_power_projection",
     "part_copurchase_pagerank",
     "streaming_gram_parity",
     "copurchase_triangle_rank",
-    # round-7 white-box HLL: register-exact sketch replay + the
-    # idempotent-max streaming fold
     "hll_register_table",
     "hll_estimate_audit",
     "streaming_hll_parity",
     "selfjoin_size_estimate",
     "incremental_join_view",
     "bootstrap_mean_ci",
-    # round-7 additions / changed behavior (r6 directives #1-#2, #4-#6):
-    # IVF-PQ composition (new), gathered two-level assignment kernel,
-    # single-scan BM25, PQ LUT id-type generalization, unimax budget
-    # guard — everything whose code changed this round fronts the window
     "merge_into_orders",
     "quality_weighted_sample",
     "per_source_weighted_sample",
@@ -105,16 +148,6 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "knn_ivfpq_residual_topk",
     "knn_ivfpq_residual_recall_eval",
     "hybrid_search_rrf",
-    "heavy_hitter_tokens",
-    "near_dup_best_keeper",
-    "shard_manifest_incremental",
-    "eval_ngram_contamination",
-    "quality_drift_psi",
-    "normalized_dup_gain",
-    "zonemap_pruned_scan",
-    "clustered_skipping_gain",
-    "leakage_free_splits",
-    "quality_importance_sample",
     "ivf_twolevel_agreement",
     "bm25_search",
     "semdedup_recall_eval",
@@ -123,17 +156,10 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "knn_pq_recall_eval",
     "unimax_source_allocation",
     "token_budget_mix",
-    # --- front-50 boundary lands inside the block above; everything
-    # below keeps priority order for bench stability. The remaining
-    # never-driver-checked r7 queries lead the tail so they rotate into
-    # r8's window first, followed by the flagship marts (six rounds of
-    # driver rows each; entry() smoke-runs the flagship every round). ---
     "supplier_performance",
     "product_performance",
     "customer_sales_report",
     "curation_verdict",
-    # stalest driver coverage next: this surface last met the driver in
-    # r4/r5 (it sat behind the window during r6's TPC-H-tail rotation)
     "reconcile_lineitem_composite",
     "cdc_orders_snapshot",
     "cdc_resumable_state",
@@ -165,8 +191,6 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "dup_clusters",
     "embedding_near_dups",
     "embedding_label_stats",
-    # r6-checked surface (fresh driver rows) continues the tail, behind
-    # the stale r4/r5 set above.
     "knn_ivf_topk",
     "knn_ivf_recall_eval",
     "knn_l2_topk",
@@ -236,10 +260,6 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "media_asset_features",
     "source_mix_weights",
     "view_purchase_asof",
-    # long-stable r1-r4 surface, all driver-green in early rounds —
-    # listed so EVERY registered name appears here explicitly (a new
-    # query can't silently hide behind the window boundary by being
-    # absent from this list; test_registry_oracle pins the converse)
     "pricing_summary",
     "priority_price_profile",
     "lineitem_rollup",
@@ -266,15 +286,6 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "user_retention_cohorts",
     "views_before_purchase",
     "salted_hot_user_events",
-    # round-8 statistics batch (moved into the front window at release)
-    "lineitem_corr_matrix",
-    "regr_price_on_qty",
-    "zipf_token_slope",
-    "benford_price_digits",
-    "gini_revenue_concentration",
-    "chi2_priority_segment_cells",
-    "mutual_info_status_priority",
-    "winsorized_price_stats",
 )
 
 
@@ -318,14 +329,18 @@ def _load_all() -> None:
         catalog_queries,
         corpus_queries,
         curation_queries,
+        er_queries,
         linalg_queries,
         operator_queries,
         passage_queries,
         pipeline_queries,
+        profile_queries,
         quality_queries,
+        retail_queries,
         sketch_queries,
         stats_queries,
         streaming_queries,
+        timeseries_queries,
         text_queries,
         tpch_deep,
         tpch_queries,

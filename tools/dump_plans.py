@@ -229,6 +229,32 @@ HEADLINERS = [
      "register frames localCheckpointed so each feeds its estimate "
      "AND the union from one materialization; all four exact counts "
      "from ONE per-customer pass"),
+    ("lineitem_corr_matrix", "all 6 correlations from ONE FileScan: "
+     "15 exact-integer sufficient statistics in a single hash "
+     "aggregate (map-side partials), stack-unpivoted — a union of "
+     "per-pair selects would rescan 6x"),
+    ("fellegi_sunter_links", "record linkage paired by the blocking "
+     "EQUI-join (nation + name prefix) — no BroadcastNestedLoopJoin, "
+     "no customer x customer product; scoring is map-side CASE "
+     "arithmetic on the joined rows"),
+    ("mor_shuffled_delete_scan", "the large-delete-set MoR read: NO "
+     "broadcast hint on the anti-join (size-conditioned switch at "
+     "broadcast_threshold_bytes) — the optimizer picks the join "
+     "shape from real sizes, so a driver-OOM-scale delete set "
+     "shuffles instead of collecting"),
+    ("theil_sen_daily_trend", "median of pairwise slopes WITHOUT a "
+     "global row sort: slopes collapse to per-value counts "
+     "(map-side-combining aggregate) before the cumulative window "
+     "walks the O(distinct) table — the SinglePartition stage sits "
+     "above an aggregation, never raw rows"),
+    ("global_decile_source_mix", "global decile rank via the two-pass "
+     "machinery: repartitionByRange + per-partition row_number + "
+     "broadcast offsets — no raw-row SinglePartition exchange "
+     "anywhere in the plan"),
+    ("rollup_region_nation_revenue", "geo hierarchy ROLLUP: three "
+     "BroadcastHashJoins (dimensions never shuffle the fact side) "
+     "into one Expand + grouped exchange — three granularities, one "
+     "shuffle"),
 ]
 
 

@@ -58,6 +58,14 @@ QUERIES = [
     ("merge_into_orders", "MERGE INTO (one full-outer equi-join)"),
     ("quality_weighted_sample", "E-S weighted top-k sample (no global sort)"),
     ("skipgram_cooccurrence", "skip-gram pairs: scan-stage HOF + one agg"),
+    ("lineitem_corr_matrix", "one-scan sufficient-statistics correlation"),
+    ("fellegi_sunter_links", "blocked probabilistic record linkage"),
+    ("theil_sen_daily_trend", "calendar-bounded pairwise-slope median"),
+    ("copurchase_jaccard_parts", "order-local item-item similarity"),
+    ("global_decile_source_mix", "scalable two-pass global decile rank"),
+    ("knn_jl_topk", "JL random-projection search (scan-stage matmul-free)"),
+    ("mor_shuffled_delete_scan", "MoR read via unhinted (AQE) anti-join"),
+    ("dedup_threshold_sweep", "one pair materialization, 5-threshold sweep"),
     ("skipgram_pmi", "PMI over checkpointed pair counts (one corpus scan)"),
     ("countmin_estimate_audit", "CMS build (bounded agg) + top-50 audit"),
     ("per_source_weighted_sample", "per-group E-S quota (narrow window)"),
