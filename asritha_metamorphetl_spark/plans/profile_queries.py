@@ -53,14 +53,21 @@ def equidepth_chars_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     spelling). Bucket id is the pure-integer ⌊(rank−1)·B/n⌋ — no float
     percentile, no interpolation — so both engines agree bucket-for-
     bucket. One scan, per-source windows only."""
-    docs = Catalog(sf_dir).load(spark, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.col("n_chars").asc(), F.col("doc_id").asc()
+    from asritha_metamorphetl_spark.operators.ranks import (
+        grouped_row_number,
     )
-    wn = Window.partitionBy("source")
-    ranked = docs.select("source", "n_chars", "doc_id").withColumn(
-        "rn", F.row_number().over(w)
-    ).withColumn("n", F.count(F.lit(1)).over(wn))
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    # scale-safe per-source rank: tiny scan-backed inputs take the
+    # plain-window fast path automatically; big ones range-partition
+    # WITHIN each source (two-phase + broadcast offsets)
+    ranked = grouped_row_number(
+        docs.select("source", "n_chars", "doc_id"),
+        ["source"],
+        [F.col("n_chars").asc(), F.col("doc_id").asc()],
+        out_col="rn",
+        count_col="n",
+    )
     bucketed = ranked.select(
         "source",
         "n_chars",

@@ -96,8 +96,13 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "rollup_region_nation_revenue",
     "copurchase_jaccard_parts",
     "orderkey_islands",
-    "incremental_agg_view",
+    "streaming_semi_additive_parity",
     # --- end of driver window; previously-checked registry follows ---
+    # incremental_agg_view sits first in the tail: it is the round-8
+    # addition deferred to r9's window (the 50 slots were full; its
+    # split-agnostic IVM merge pattern already holds a driver row via
+    # incremental_join_view, and the full-registry selfcheck pins it)
+    "incremental_agg_view",
     "lang_id_confusion",
     "source_overlap_matrix",
     "lonely_late_suppliers",

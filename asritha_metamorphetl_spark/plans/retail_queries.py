@@ -53,10 +53,16 @@ def median_order_value_by_priority(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("o_orderpriority").alias("priority"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-    w = Window.partitionBy("priority").orderBy(F.col("cents").asc())
-    wn = Window.partitionBy("priority")
-    ranked = enc.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(wn)
+    from asritha_metamorphetl_spark.operators.ranks import (
+        grouped_row_number,
+    )
+
+    # scale-safe per-group rank: range-partitioned within each priority
+    # (two-phase w/ broadcast offsets) — a plain per-group window would
+    # sort each priority's billions of rows in ONE task at 100 TB
+    ranked = grouped_row_number(
+        enc, ["priority"], [F.col("cents").asc()], out_col="rn",
+        count_col="n",
     )
     lo = F.max(
         F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("cents"))
@@ -115,12 +121,16 @@ def top_decile_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nation", "c_custkey")
         .agg(F.sum("cents").alias("cents"))
     )
-    w = Window.partitionBy("nation").orderBy(
-        F.col("cents").desc(), F.col("c_custkey").asc()
+    from asritha_metamorphetl_spark.operators.ranks import (
+        grouped_row_number,
     )
-    wn = Window.partitionBy("nation")
-    ranked = rev.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(wn)
+
+    ranked = grouped_row_number(
+        rev,
+        ["nation"],
+        [F.col("cents").desc(), F.col("c_custkey").asc()],
+        out_col="rn",
+        count_col="n",
     )
     in_top = F.col("rn") <= F.floor((F.col("n") + 9) / 10)
     top_sum = F.sum(F.when(in_top, F.col("cents")).otherwise(0)).cast(
@@ -181,31 +191,35 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("monetary"),
     )
-    n_w = Window.partitionBy()
-
-    def quintile(order_cols):
-        w = Window.orderBy(*order_cols)
-        return (
-            F.floor(
-                (F.row_number().over(w) - 1)
-                * RFM_Q
-                / F.count(F.lit(1)).over(n_w)
-            )
-            + 1
-        ).cast("bigint")
-
-    scored = base.select(
-        "o_custkey",
-        quintile(
-            [F.col("last_order").desc(), F.col("o_custkey").asc()]
-        ).alias("r_score"),
-        quintile([F.col("freq").desc(), F.col("o_custkey").asc()]).alias(
-            "f_score"
-        ),
-        quintile(
-            [F.col("monetary").desc(), F.col("o_custkey").asc()]
-        ).alias("m_score"),
+    from asritha_metamorphetl_spark.operators.ranks import (
+        global_row_number,
     )
+
+    # three scale-safe GLOBAL ranks (two-pass range partitioning — a
+    # plain Window.orderBy would funnel every customer through one
+    # task); each rank converts to its quintile by integer equi-depth
+    n_cust = base.count()
+
+    def with_quintile(df, order_cols, out):
+        ranked = global_row_number(df, order_cols, out_col="_rn")
+        return ranked.withColumn(
+            out,
+            (F.floor((F.col("_rn") - 1) * RFM_Q / F.lit(n_cust)) + 1)
+            .cast("bigint"),
+        ).drop("_rn")
+
+    scored = with_quintile(
+        base, [F.col("last_order").desc(), F.col("o_custkey").asc()],
+        "r_score",
+    )
+    scored = with_quintile(
+        scored, [F.col("freq").desc(), F.col("o_custkey").asc()],
+        "f_score",
+    )
+    scored = with_quintile(
+        scored, [F.col("monetary").desc(), F.col("o_custkey").asc()],
+        "m_score",
+    ).select("o_custkey", "r_score", "f_score", "m_score")
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
@@ -403,11 +417,17 @@ def orderkey_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition-key (partitionBy) exactly like the per-group ranks
     elsewhere in this repo."""
     orders = Catalog(sf_dir).load(spark, "orders")
-    keys = orders.select(F.col("o_orderkey").alias("k")).distinct()
-    w = Window.orderBy(F.col("k").asc())
-    marked = keys.select(
-        "k", (F.col("k") - F.row_number().over(w)).alias("grp")
+    from asritha_metamorphetl_spark.operators.ranks import (
+        global_row_number,
     )
+
+    keys = orders.select(F.col("o_orderkey").alias("k")).distinct()
+    # scale-safe global rank (two-pass range partitioning) — the gaps
+    # arithmetic only needs SOME total rank, and at 100 TB the key set
+    # is billions of rows no single task should sort
+    marked = global_row_number(
+        keys, [F.col("k").asc()], out_col="_rn"
+    ).select("k", (F.col("k") - F.col("_rn")).alias("grp"))
     islands = marked.groupBy("grp").agg(
         F.min("k").alias("island_start"),
         F.max("k").alias("island_end"),

@@ -434,10 +434,16 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("segment", "c_custkey")
         .agg(F.sum("cents").alias("cents"))
     )
-    w = Window.partitionBy("segment").orderBy(
-        F.col("cents").asc(), F.col("c_custkey").asc()
+    from asritha_metamorphetl_spark.operators.ranks import (
+        grouped_row_number,
     )
-    ranked = rev.withColumn("i", F.row_number().over(w))
+
+    ranked = grouped_row_number(
+        rev,
+        ["segment"],
+        [F.col("cents").asc(), F.col("c_custkey").asc()],
+        out_col="i",
+    )
     sums = ranked.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
@@ -659,10 +665,16 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("flag"),
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
     )
-    w = Window.partitionBy("flag").orderBy(F.col("cents").asc())
-    wn = Window.partitionBy("flag")
-    ranked = enc.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(wn)
+    from asritha_metamorphetl_spark.operators.ranks import (
+        grouped_row_number,
+    )
+
+    # scale-safe per-group rank (two-phase range partitioning within
+    # each flag): a plain per-group window would sort one flag's
+    # billions of rows in a single task at 100 TB
+    ranked = grouped_row_number(
+        enc, ["flag"], [F.col("cents").asc()], out_col="rn",
+        count_col="n",
     )
     k_lo = F.floor((F.lit(WINSOR_LO_PCT) * F.col("n") + 99) / 100)
     k_hi = F.floor((F.lit(WINSOR_HI_PCT) * F.col("n") + 99) / 100)

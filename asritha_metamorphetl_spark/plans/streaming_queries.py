@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from asritha_metamorphetl_spark.session import scratch_dir
@@ -965,4 +965,96 @@ def streaming_mor_delete_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_live"),
         F.sum("cents").alias("live_cents"),
+    )
+
+
+def _semi_additive_oracle() -> str:
+    # the batch twin's oracle verbatim: parity claims the streamed
+    # fold lands on the identical per-month totals whatever the batch
+    # boundaries and despite the re-delivered batch
+    from asritha_metamorphetl_spark.plans.timeseries_queries import (
+        SEMI_ADDITIVE_ORACLE,
+    )
+
+    return SEMI_ADDITIVE_ORACLE
+
+
+@register("streaming_semi_additive_parity", oracle=_semi_additive_oracle())
+def streaming_semi_additive_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming maintenance of the semi-additive LAST-VALUE state
+    under a REAL streaming query, proved equal to the one-shot batch
+    aggregate (``semi_additive_last_balance``): the base events'
+    per-(user, month) latest rows seed batch_id=-1, three delta files
+    arrive as separate micro-batches, each folds argmax-by-(ts,
+    event_id) against the persisted state and republishes — and the
+    THIRD batch re-delivers the first verbatim, the at-least-once
+    duplicate a restarted sink produces, which the idempotent argmax
+    fold must absorb. This is the fourth merge algebra in the
+    streaming family (sets: ingest dedup; sums: Count-Min; order
+    statistics: weighted sample; argmax: this). The final state rolls
+    up to per-month totals against the split-agnostic batch oracle."""
+    import os
+    import shutil
+
+    from asritha_metamorphetl_spark.operators.sampling import hash_bucket
+    from asritha_metamorphetl_spark.streaming.windows import (
+        last_value_fold_stream,
+    )
+
+    ev = Catalog(sf_dir).load(spark, "events")
+    enc = ev.select(
+        "user_id",
+        (F.year("ts") * 100 + F.month("ts")).alias("ym"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        "ts",
+        "event_id",
+    )
+    bucket = hash_bucket(F.col("event_id"), 10)
+    base = enc.filter(bucket <= 7)
+    delta = enc.filter(bucket >= 8)
+
+    root = scratch_dir(spark, "stream_semiadd", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    state_dir = os.path.join(root, "state")
+    src = os.path.join(root, "delta")
+
+    w = Window.partitionBy("user_id", "ym").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    base.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    ).drop("_rn").coalesce(1).write.parquet(
+        os.path.join(state_dir, "batch_id=-1")
+    )
+    d0 = delta.filter(F.col("event_id") % 2 == 0).localCheckpoint()
+    d1 = delta.filter(F.col("event_id") % 2 == 1)
+    d0.coalesce(1).write.parquet(os.path.join(src, "b0"))
+    d1.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    d0.coalesce(1).write.parquet(os.path.join(src, "b2"))  # re-delivery
+
+    stream = (
+        spark.readStream.schema(enc.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    q = (
+        last_value_fold_stream(
+            stream, state_dir, ["user_id", "ym"], ["ts", "event_id"]
+        )
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(_AWAIT_SEC):
+        q.stop()
+        raise TimeoutError("semi-additive fold stream did not finish")
+
+    state = spark.read.parquet(state_dir)
+    latest_id = state.agg(F.max("batch_id")).collect()[0][0]
+    latest = state.filter(F.col("batch_id") == latest_id)
+    return latest.groupBy("ym").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("cents").cast("bigint").alias("total_last_cents"),
     )

@@ -252,9 +252,10 @@ def weekday_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "semi_additive_last_balance",
-    oracle="""
+#: Shared verbatim with the streaming parity twin
+#: (``streaming_semi_additive_parity``): the claim is that the
+#: micro-batch argmax fold lands on the identical totals.
+SEMI_ADDITIVE_ORACLE = """
 WITH enc AS (
     SELECT user_id,
            YEAR(ts) * 100 + MONTH(ts) AS ym,
@@ -276,8 +277,10 @@ latest AS (
 SELECT ym, COUNT(*) AS n_users,
        CAST(SUM(cents) AS BIGINT) AS total_last_cents
 FROM latest GROUP BY ym
-""",
-)
+"""
+
+
+@register("semi_additive_last_balance", oracle=SEMI_ADDITIVE_ORACLE)
 def semi_additive_last_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-additive aggregation — the balance/inventory pattern:
     measures that are additive ACROSS users but not across time take

@@ -556,3 +556,48 @@ def hll_registers_stream(
         part.coalesce(1).write.mode("append").parquet(state_dir)
 
     return vecs.writeStream.foreachBatch(apply_batch)
+
+
+def last_value_fold_stream(
+    stream: DataFrame,
+    state_dir: str,
+    key_cols: list[str],
+    order_cols: list[str],
+):
+    """Streaming maintenance of a LAST-VALUE-PER-KEY state (the
+    semi-additive balance pattern): each micro-batch unions the
+    persisted per-key latest rows with its own rows and keeps, per
+    key, the row with the greatest ``order_cols`` tuple — an argmax
+    fold, which is mergeable (max(A ∪ B) = max(max(A), B)) and
+    IDEMPOTENT (re-folding an already-folded row ties with itself and
+    changes nothing), so an at-least-once upstream costs nothing.
+    State after batch n lands at ``state_dir/batch_id=<n>`` (same
+    publish protocol as the Count-Min / weighted-sample folds);
+    readers take the highest batch_id. Seed the base corpus' per-key
+    latest rows as ``batch_id=-1``.
+
+    Per-batch cost: O(batch + affected-state) — the state frame holds
+    ONE row per key, never the event history."""
+    from pyspark.sql import Window
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        state = spark.read.parquet(state_dir)
+        latest = state.filter(
+            F.col("batch_id")
+            == state.agg(F.max("batch_id")).collect()[0][0]
+        ).drop("batch_id")
+        merged = latest.unionByName(batch_df.select(latest.columns))
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        folded = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        folded.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/batch_id={batch_id}"
+        )
+
+    return stream.writeStream.foreachBatch(apply_batch)

@@ -143,10 +143,19 @@ def main() -> None:
         "CDC fold is likewise dominated by its three commit cycles (manifest",
         "publish + parquet write per batch) — the merge compute itself is",
         "the flat O(delta) shape the plan audit shows. The same applies to",
-        "the merge-on-read queries: each run BUILDS its table fixture (base",
-        "write + three delete commits + compaction rewrites), so their wall",
-        "time is artifact I/O cycles, not the read path — the live scan",
-        "itself is the one broadcast anti-join the plan gate pins.",
+        "the merge-on-read queries: the first run per session BUILDS the",
+        "shared pristine table fixture (base write + three delete commits;",
+        "round 8 caches it via session.cached_fixture — reruns measured",
+        "3-14 s -> 0.5-1 s across the MoR/zone-map/clustered/dated-layout",
+        "queries), and mutating consumers copy it; wall time beyond that is",
+        "the read path: one anti-join whose broadcast hint is now",
+        "SIZE-CONDITIONED on the on-disk delete bytes (VERDICT r7 #1) —",
+        "small pending sets broadcast (base exchange-free, plan-gated),",
+        "large ones fall back to the optimizer's shuffled shape",
+        "(mor_shuffled_delete_scan pins that path under the driver hash;",
+        "tests/test_mor.py pins the plan switch both ways). Compaction is",
+        "crash-safe write-new-then-swap: replacements land fully on disk",
+        "before any original is displaced.",
         "",
         "Two-level assignment note (VERDICT r6 #1): the coarse->fine",
         "centroid-assignment kernel now scores ONLY the fine cells of each",
@@ -170,7 +179,23 @@ def main() -> None:
         "same-session run-to-run variance on sub-2 s queries reaches ±50%",
         "(e.g. knn_lsh_topk 1.18 vs 2.26 s in consecutive runs); treat",
         "single-query deltas under ~2x in this container as noise and",
-        "compare only the multi-run aggregate.",
+        "compare only the multi-run aggregate. The r8 bench (238 queries,",
+        "396.9 s total) ran concurrently with a full pytest suite, so its",
+        "absolute per-query numbers carry extra contention; the aggregate",
+        "still came in BELOW r7's 198-query total (417.9 s) because the",
+        "fixture cache removed repeated table builds.",
+        "",
+        "Round-8 float discipline note: every new statistics query",
+        "(correlation, OLS, Gini, Theil-Sen, PSI, autocorrelation, ...)",
+        "aggregates EXACT integers (cents/hundredths, 1e-6-quantized",
+        "transcendentals) and computes floats only in final mirrored",
+        "expressions, so partition order cannot perturb a hash — the same",
+        "contract that keeps them deterministic on a 1000-executor",
+        "cluster. Global ranks use the two-pass range-partitioned",
+        "machinery, and the Theil-Sen median is found by cumulative",
+        "counting over per-value counts; the registry-wide plan gate",
+        "(test_no_query_funnels_raw_rows_single_partition) holds for all",
+        "239 registered queries.",
         "",
         "| query | shape | sf0.001 | sf0.01 | sf0.1 | x10 @0.01 | x10 @0.1 |",
         "|---|---|---|---|---|---|---|",
