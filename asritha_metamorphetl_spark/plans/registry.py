@@ -98,11 +98,13 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "orderkey_islands",
     "streaming_semi_additive_parity",
     # --- end of driver window; previously-checked registry follows ---
-    # incremental_agg_view sits first in the tail: it is the round-8
-    # addition deferred to r9's window (the 50 slots were full; its
-    # split-agnostic IVM merge pattern already holds a driver row via
-    # incremental_join_view, and the full-registry selfcheck pins it)
+    # incremental_agg_view and the post-window round-8 additions lead
+    # the tail: deferred to r9's window (the 50 slots were full); the
+    # full-registry selfcheck pins them green meanwhile
     "incremental_agg_view",
+    "bottomk_quantile_audit",
+    "bottomk_merge_parity",
+    "minhash_band_tuning",
     "lang_id_confusion",
     "source_overlap_matrix",
     "lonely_late_suppliers",

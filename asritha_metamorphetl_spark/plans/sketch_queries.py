@@ -716,3 +716,212 @@ def hll_set_algebra_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k sample quantile sketch: the mergeable white-box alternative
+# to engine-private quantile sketches (approx_percentile's KLL bytes)
+# ---------------------------------------------------------------------------
+
+#: Sample size and salt, shared verbatim with the oracle. With k=1024
+#: the q-quantile estimate's CDF position concentrates within
+#: ~1/sqrt(k) ≈ 3% of q (Chernoff on the uniform hash order).
+BK_K = 1024
+BK_SALT = "bk:"
+BK_QS = (25, 50, 75, 90)
+
+
+def _bottomk_oracle() -> str:
+    from asritha_metamorphetl_spark.plans.text_queries import _hex48_sql
+
+    hv = _hex48_sql(f"md5('{BK_SALT}' || CAST(o_orderkey AS VARCHAR))")
+    qs = ", ".join(f"({q})" for q in BK_QS)
+    return f"""
+WITH enc AS (
+    SELECT o_orderkey AS id,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+           ROUND(LN((({hv} % 1000000) + 1) / 1000000.0) / 1.0, 6)
+               AS es_key
+    FROM orders
+),
+sample AS (
+    SELECT cents FROM enc ORDER BY es_key DESC, id LIMIT {BK_K}
+),
+scounts AS (SELECT cents, COUNT(*) AS c FROM sample GROUP BY cents),
+scum AS (
+    SELECT cents,
+           SUM(c) OVER (ORDER BY cents ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum
+    FROM scounts
+),
+fcounts AS (SELECT cents, COUNT(*) AS c FROM enc GROUP BY cents),
+fcum AS (
+    SELECT cents,
+           SUM(c) OVER (ORDER BY cents ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum,
+           SUM(c) OVER () AS n
+    FROM fcounts
+),
+qs(q_pct) AS (VALUES {qs}),
+est AS (
+    SELECT q.q_pct, MIN(s.cents) AS est_cents
+    FROM qs q JOIN scum s ON s.cum >= (q.q_pct * {BK_K} + 99) // 100
+    GROUP BY q.q_pct
+),
+exact AS (
+    SELECT q.q_pct, MIN(f.cents) AS exact_cents
+    FROM qs q
+    JOIN fcum f ON f.cum >= (q.q_pct * f.n + 99) // 100
+    GROUP BY q.q_pct
+)
+SELECT e.q_pct, CAST({BK_K} AS BIGINT) AS k,
+       e.est_cents, x.exact_cents,
+       ROUND(CAST(f.cum AS DOUBLE) / CAST(f.n AS DOUBLE), 6)
+           AS cdf_at_est,
+       ROUND(ABS(CAST(f.cum AS DOUBLE) / CAST(f.n AS DOUBLE)
+                 - e.q_pct / 100.0), 6) AS abs_cdf_err
+FROM est e
+JOIN exact x ON x.q_pct = e.q_pct
+JOIN fcum f ON f.cents = e.est_cents
+"""
+
+
+@register("bottomk_quantile_audit", oracle=_bottomk_oracle())
+def bottomk_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a MERGEABLE bottom-k hash sample,
+    audited against the exact order statistics: the {BK_K} rows with
+    the largest content-hash keys are a uniform sample whose union
+    across any corpus partition re-folds to the same sketch
+    (bottomk(A ∪ B) = bottomk(bottomk(A) ∪ bottomk(B)) — the same
+    merge algebra the streaming weighted-sample fold already proves),
+    so per-shard sketches answer corpus-wide quantiles with one O(k)
+    merge — the white-box, SQL-replayable alternative to
+    ``approx_percentile``'s engine-private KLL bytes that
+    ``quantile_sketch_audit`` can only bound-check. The sample is one
+    TakeOrderedAndProject pass (O(k) per task, no global sort); both
+    the sample and full-data quantiles are found by CUMULATIVE
+    COUNTING over per-value count tables (the Theil–Sen spelling —
+    no raw-row single-partition stage), and the audit emits each
+    estimate's exact CDF position, whose distance from q is the
+    measured sketch error."""
+    from asritha_metamorphetl_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+    from pyspark.sql import Window
+
+    orders = Catalog(sf_dir).load(spark, "orders")
+    enc = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    sample = weighted_sample_without_replacement(
+        enc.withColumn("w", F.lit(1.0)), "w", "id", BK_K, salt=BK_SALT
+    ).select("cents")
+
+    def cum_counts(df: DataFrame, with_total: bool) -> DataFrame:
+        counts = df.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.orderBy(F.col("cents").asc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        out = counts.withColumn("cum", F.sum("c").over(w))
+        if with_total:
+            out = out.withColumn(
+                "n", F.sum("c").over(Window.partitionBy())
+            )
+        return out
+
+    scum = cum_counts(sample, with_total=False)
+    fcum = cum_counts(enc, with_total=True).localCheckpoint(eager=False)
+    qs = spark.createDataFrame([(q,) for q in BK_QS], "q_pct int")
+    est = (
+        qs.join(
+            scum,
+            scum.cum >= F.floor((qs.q_pct * BK_K + 99) / 100),
+        )
+        .groupBy("q_pct")
+        .agg(F.min("cents").alias("est_cents"))
+    )
+    exact = (
+        qs.join(
+            fcum,
+            fcum.cum >= F.floor((qs.q_pct * fcum.n + 99) / 100),
+        )
+        .groupBy("q_pct")
+        .agg(F.min("cents").alias("exact_cents"))
+    )
+    cdf = fcum.select(
+        F.col("cents").alias("est_cents"),
+        (F.col("cum").cast("double") / F.col("n").cast("double")).alias(
+            "_cdf"
+        ),
+    )
+    return (
+        est.join(exact, "q_pct")
+        .join(cdf, "est_cents")
+        .select(
+            "q_pct",
+            F.lit(BK_K).cast("bigint").alias("k"),
+            "est_cents",
+            "exact_cents",
+            F.round(F.col("_cdf"), 6).alias("cdf_at_est"),
+            F.round(
+                F.abs(F.col("_cdf") - F.col("q_pct") / 100.0), 6
+            ).alias("abs_cdf_err"),
+        )
+    )
+
+
+def _bottomk_merge_oracle() -> str:
+    from asritha_metamorphetl_spark.plans.text_queries import _hex48_sql
+
+    hv = _hex48_sql(f"md5('{BK_SALT}' || CAST(o_orderkey AS VARCHAR))")
+    return f"""
+WITH enc AS (
+    SELECT o_orderkey AS id,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+           ROUND(LN((({hv} % 1000000) + 1) / 1000000.0) / 1.0, 6)
+               AS es_key
+    FROM orders
+),
+sample AS (
+    SELECT cents FROM enc ORDER BY es_key DESC, id LIMIT {BK_K}
+)
+SELECT cents, COUNT(*) AS n FROM sample GROUP BY cents
+"""
+
+
+@register("bottomk_merge_parity", oracle=_bottomk_merge_oracle())
+def bottomk_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bottom-k sketch's MERGE LAW proved end-to-end: the corpus is
+    hash-split three ways, each split builds its OWN k-sample, and the
+    re-fold of the three partial sketches (top-k of their union) must
+    equal the one-shot sample over the whole corpus — value-multiset
+    identical under the oracle hash. This is why the sketch works at
+    100 TB: every shard/day/source keeps an O(k) sample, and any
+    ad-hoc scope (one source, one month, everything) answers quantile
+    questions by merging the relevant sketches — the raw data is never
+    re-scanned. Each partial is a TakeOrderedAndProject over its split;
+    the fold runs over 3k rows."""
+    from asritha_metamorphetl_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    orders = Catalog(sf_dir).load(spark, "orders")
+    enc = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    ).withColumn("w", F.lit(1.0))
+    parts = [
+        weighted_sample_without_replacement(
+            enc.filter(F.col("id") % 3 == i), "w", "id", BK_K,
+            salt=BK_SALT,
+        ).select("id", "cents", "w")
+        for i in range(3)
+    ]
+    pooled = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    folded = weighted_sample_without_replacement(
+        pooled, "w", "id", BK_K, salt=BK_SALT
+    )
+    return folded.groupBy("cents").agg(F.count(F.lit(1)).alias("n"))

@@ -2075,3 +2075,191 @@ def containment_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Catalog(sf_dir).load(spark, "documents")
     return containment_pairs(docs, "text", "doc_id", t_num=9, t_den=10)
+
+
+# ---------------------------------------------------------------------------
+# LSH band tuning: the S-curve measured, not assumed
+# ---------------------------------------------------------------------------
+
+#: (bands, rows-per-band) configurations swept, all within the k=12
+#: signature. Shared verbatim with the oracle.
+BAND_CONFIGS = ((4, 3), (6, 2), (3, 4), (12, 1), (2, 6))
+#: Ground-truth threshold for precision/recall (the audited exact
+#: pair operator's own threshold).
+BAND_TUNE_TAU = 0.5
+
+
+def _band_rows_sql(bands: int, rows: int) -> str:
+    return "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, md5('{b}' || '|' || "
+        + " || '|' || ".join(
+            f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        + ") AS band_key FROM sig"
+        for b in range(bands)
+    )
+
+
+def _band_tuning_oracle() -> str:
+    exact = f"""
+sh_d AS (
+    SELECT doc_id, unnest(list_distinct(s)) AS sh
+    FROM shingled WHERE len(s) > 0
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh_d GROUP BY doc_id),
+rare AS (SELECT sh FROM sh_d GROUP BY sh HAVING COUNT(*) <= 100),
+idx AS (SELECT d.doc_id, d.sh FROM sh_d d JOIN rare USING (sh)),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM idx a JOIN idx b USING (sh)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+exact AS (
+    SELECT doc_a, doc_b FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {BAND_TUNE_TAU}
+),
+n_exact AS (SELECT COUNT(*) AS nx FROM exact)"""
+    per_cfg = []
+    for bands, rows in BAND_CONFIGS:
+        tag = f"{bands}_{rows}"
+        per_cfg.append(f"""
+bands{tag} AS (
+{_band_rows_sql(bands, rows)}
+),
+pairs{tag} AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands{tag} a JOIN bands{tag} b USING (band_key)
+    WHERE a.doc_id < b.doc_id
+),
+stats{tag} AS (
+    SELECT {bands} AS n_bands, {rows} AS n_rows,
+           (SELECT COUNT(*) FROM pairs{tag})::BIGINT AS n_candidates,
+           (SELECT COUNT(*) FROM pairs{tag} p
+             JOIN exact e ON e.doc_a = p.doc_a AND e.doc_b = p.doc_b
+           )::BIGINT AS n_true
+)""")
+    union = "\nUNION ALL ".join(
+        f"SELECT * FROM stats{b}_{r}" for b, r in BAND_CONFIGS
+    )
+    return f"""
+WITH {_SHINGLE_CTE},
+nonempty AS (SELECT doc_id, s FROM shingled WHERE len(s) > 0),
+hashed AS (
+    SELECT doc_id, list_transform(s, x -> {_hex48_sql('md5(x)')}) AS hv
+    FROM nonempty
+),
+sig AS (
+    SELECT doc_id,
+       {_minhash_sig_sql()}
+    FROM hashed
+),
+{exact},
+{",".join(per_cfg)}
+SELECT s.n_bands, s.n_rows, s.n_candidates, s.n_true,
+       ROUND(CASE WHEN s.n_candidates > 0
+                  THEN CAST(s.n_true AS DOUBLE)
+                       / CAST(s.n_candidates AS DOUBLE)
+                  ELSE 1.0 END, 6) AS precision_vs_exact,
+       ROUND(CASE WHEN x.nx > 0
+                  THEN CAST(s.n_true AS DOUBLE) / CAST(x.nx AS DOUBLE)
+                  ELSE 1.0 END, 6) AS recall_vs_exact
+FROM ({union}) s CROSS JOIN n_exact x
+"""
+
+
+@register("minhash_band_tuning", oracle=_band_tuning_oracle())
+def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH S-curve measured end-to-end: candidate-pair volume,
+    precision, and recall against the audited exact-Jaccard pair set
+    for five (bands × rows) splits of the SAME 12-hash signature —
+    from 12 bands of 1 (collision probability s per hash: everything
+    collides, recall 1, precision floor) to 2 bands of 6 (s⁶ per
+    band: near-exact precision, recall cliff). This is the table a
+    dedup owner reads to place the S-curve knee at their target
+    threshold BEFORE burning a corpus-scale run — at 100 TB a
+    mis-tuned band config is either a missed-duplicate epidemic or a
+    candidate-verification bill that dwarfs the scan. The signature
+    table is computed ONCE (localCheckpoint) and each config is one
+    banded self-join over its exploded keys, the identical audited
+    shape as minhash_near_dups; truth is the registered blocked
+    exact-pair operator at τ={BAND_TUNE_TAU}."""
+    from asritha_metamorphetl_spark.functions import hashing as H
+    from asritha_metamorphetl_spark.operators import dedup as D
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    shingled = docs.select(
+        "doc_id", H.word_shingles(F.col("text")).alias("sh")
+    ).filter(F.size("sh") > 0)
+    hashed = shingled.select("doc_id", H.hashed48(F.col("sh")).alias("hv"))
+    sig = hashed.select(
+        "doc_id", *H.minhash_signature(F.col("hv"))
+    ).localCheckpoint(eager=False)  # one materialization, 5 configs
+    exact = (
+        D.ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=BAND_TUNE_TAU,
+            max_doc_freq=100,
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)  # 5 semi-joins + 1 count
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("nx"))
+    out = None
+    for bands, rows in BAND_CONFIGS:
+        banded = sig.select(
+            "doc_id",
+            F.explode(
+                H.lsh_band_keys(
+                    [F.col(f"mh_{i}") for i in range(H.MINHASH_K)],
+                    bands=bands,
+                    rows=rows,
+                )
+            ).alias("band_key"),
+        ).repartition(F.col("band_key"))
+        left = banded.alias("l")
+        right = banded.alias("r")
+        pairs = (
+            left.join(right, "band_key")
+            .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(
+                F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .localCheckpoint(eager=False)  # candidate count + semi-join
+        )
+        n_cand = pairs.agg(F.count(F.lit(1)).alias("n_candidates"))
+        n_true = (
+            pairs.join(exact, ["doc_a", "doc_b"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_true"))
+        )
+        row = (
+            n_cand.crossJoin(n_true)
+            .crossJoin(n_exact)
+            .select(
+                F.lit(bands).alias("n_bands"),
+                F.lit(rows).alias("n_rows"),
+                "n_candidates",
+                "n_true",
+                F.round(
+                    F.when(
+                        F.col("n_candidates") > 0,
+                        F.col("n_true").cast("double")
+                        / F.col("n_candidates").cast("double"),
+                    ).otherwise(F.lit(1.0)),
+                    6,
+                ).alias("precision_vs_exact"),
+                F.round(
+                    F.when(
+                        F.col("nx") > 0,
+                        F.col("n_true").cast("double")
+                        / F.col("nx").cast("double"),
+                    ).otherwise(F.lit(1.0)),
+                    6,
+                ).alias("recall_vs_exact"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
