@@ -19,6 +19,8 @@ JVM-side, no Python in the loop.
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -165,12 +167,23 @@ def broadcast_centroids(spark, C: np.ndarray):
 
 #: Innermost-scope stacks of ``managed_broadcasts`` collectors; every
 #: broadcast minted by this module registers with the active scope.
-_BROADCAST_COLLECTORS: list[list] = []
+#: THREAD-LOCAL: Spark drivers routinely submit jobs from several
+#: threads, and a process-global stack would let thread B's scope exit
+#: unpersist a broadcast thread A minted for a still-lazy plan.
+_BROADCAST_SCOPES = threading.local()
+
+
+def _collector_stack() -> list:
+    stack = getattr(_BROADCAST_SCOPES, "stack", None)
+    if stack is None:
+        stack = _BROADCAST_SCOPES.stack = []
+    return stack
 
 
 def _register_broadcast(handle):
-    if _BROADCAST_COLLECTORS:
-        _BROADCAST_COLLECTORS[-1].append(handle)
+    stack = _collector_stack()
+    if stack:
+        stack[-1].append(handle)
     return handle
 
 
@@ -189,11 +202,11 @@ class managed_broadcasts:
         self.handles: list = []
 
     def __enter__(self):
-        _BROADCAST_COLLECTORS.append(self.handles)
+        _collector_stack().append(self.handles)
         return self
 
     def __exit__(self, *exc):
-        _BROADCAST_COLLECTORS.pop()
+        _collector_stack().pop()
         for h in self.handles:
             try:
                 if self._destroy:

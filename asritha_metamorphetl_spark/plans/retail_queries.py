@@ -329,8 +329,11 @@ def copurchase_jaccard_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pair generation is ORDER-LOCAL (self-join on the order key — each
     order contributes its own bounded pair set; baskets are ≤7 parts,
     so the blow-up is Σ basket² ≈ linear, the same shape as
-    ``market_basket_rules``, never part×part). The final top-N sorts
-    only the support-filtered pair table."""
+    ``market_basket_rules``, never part×part). The final top-N is
+    ``orderBy().limit()`` → TakeOrderedAndProject, so the scored-pair
+    table (itself O(orders × basket²) at corpus scale) is never
+    funnelled through one partition; only the {COPURCHASE_TOP}-row
+    survivor frame sees a window. Plan-gated in test_round9_plans."""
     li = Catalog(sf_dir).load(spark, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
     sizes = op.groupBy("l_partkey").agg(
@@ -371,15 +374,22 @@ def copurchase_jaccard_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
-    w = Window.orderBy(
+    # Scored pairs are O(orders × basket²) — billions of rows at
+    # 100 TB — so the global top-N must NOT be a global window.
+    # orderBy().limit() compiles to TakeOrderedAndProject
+    # (per-partition top-N + driver merge of 32×N rows); the
+    # tie-break chain is total so the result is hash-identical. Only
+    # the 50-row survivor frame gets the trivial rank window.
+    order_keys = [
         F.col("jaccard").desc(),
         F.col("n_common").desc(),
         F.col("part_a").asc(),
         F.col("part_b").asc(),
-    )
+    ]
+    top = scored.orderBy(*order_keys).limit(COPURCHASE_TOP)
+    w = Window.orderBy(*order_keys)
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= COPURCHASE_TOP)
+        top.withColumn("rnk", F.row_number().over(w))
         .select("part_a", "part_b", "n_common", "jaccard", "rnk")
     )
 

@@ -271,8 +271,12 @@ def zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a 1e-6 grid (bigint) before summation, so the OLS sums are
     exact integers and partition order cannot perturb the fit — only
     the 500 pointwise ln() calls touch libm, each absorbed by its own
-    rounding. One corpus scan + an O(vocab) aggregate + a top-N sort
-    of the vocabulary table, which is Zipf-bounded — never the corpus."""
+    rounding. One corpus scan + an O(vocab) aggregate; the top-N is an
+    ``orderBy().limit()`` that compiles to TakeOrderedAndProject —
+    per-partition top-N then a driver merge of 32×{ZIPF_TOP_N} rows —
+    so a billion-token web-scale vocabulary never passes through a
+    single partition (the only global window runs AFTER the limit, on
+    exactly {ZIPF_TOP_N} rows). Plan-gated in test_round9_plans."""
     from asritha_metamorphetl_spark.functions.text import tokens
 
     docs = Catalog(sf_dir).load(spark, "documents")
@@ -282,11 +286,15 @@ def zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    # TakeOrderedAndProject: per-partition top-N + driver merge. The
+    # tie-break (freq desc, token asc) is total, so this is
+    # hash-identical to the old global row_number() <= N spelling
+    # while never single-partitioning the vocabulary table.
+    top = freqs.orderBy(
+        F.col("freq").desc(), F.col("token").asc()
+    ).limit(ZIPF_TOP_N)
     w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
-    ranked = (
-        freqs.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= ZIPF_TOP_N)
-    )
+    ranked = top.withColumn("rnk", F.row_number().over(w))
     pts = ranked.select(
         F.round(F.log(F.col("rnk").cast("double")) * 1000000)
         .cast("bigint")

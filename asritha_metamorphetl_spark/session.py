@@ -180,6 +180,12 @@ def fixture_working_copy(
     import shutil
 
     dst = scratch_dir(spark, label, sf_dir)
+    if os.path.abspath(dst) == os.path.abspath(src_root):
+        raise ValueError(
+            f"fixture_working_copy label {label!r} resolves to the "
+            f"pristine cache itself ({src_root}); the rmtree below "
+            "would destroy the cached fixture — use a distinct label"
+        )
     shutil.rmtree(dst, ignore_errors=True)
     shutil.copytree(
         src_root, dst,

@@ -25,15 +25,21 @@ optimizer/AQE, which shuffles both sides — slower, but it survives.
 Compaction is targeted: only files whose delete ratio crosses the
 threshold are rewritten (copy-on-write applied *selectively*, exactly
 the Iceberg maintenance recipe), and their delete entries are dropped.
-Compaction is crash-safe by write-new-then-swap: replacement file
-directories and the residual delete set are fully written to temp
-paths while every source byte is still on disk, then swapped into
-place with directory renames; no step deletes the only copy of a live
-row. (A production deployment would commit the swap through a
-manifest/snapshot pointer — ``sources/snapshots.py`` — to make it a
-single atomic flip; here the swap window is two renames per
-directory, with displaced originals parked in a trash dir until the
-swap completes.)
+Compaction is crash-safe by write-new + roll-forward journal:
+replacement file directories and the residual delete set are fully
+written to temp paths while every source byte is still on disk, the
+residual delete set is committed into the live ``deletes/`` dir (so
+the visible delete set is a superset at every subsequent instant),
+a journal records the swap about to happen, and only then are
+directories renamed. Every table operation first runs ``_recover()``:
+a crash before the journal rolls the temp writes back; a crash after
+it rolls the swap forward deterministically (the journal records
+which files are replaced vs dropped, so recovery is unambiguous at
+every rename boundary). No step ever deletes the only copy of a live
+row, and no instant hides a pending delete. (A production deployment
+would commit through a manifest/snapshot pointer to additionally get
+reader ISOLATION — a reader never sees a half-swapped table; here a
+concurrent reader mid-swap can see a mixed-but-correct-per-file view.)
 
 Positions are assigned deterministically at write time (row_number by
 key within each hash-assigned file), so an external SQL oracle can
@@ -48,6 +54,7 @@ immutable-storage delete story; this extends the table-format surface
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -151,6 +158,7 @@ class MergeOnReadTable:
         the read-side anti-join makes harmless — deletes are idempotent
         by construction, the property an at-least-once upstream needs.
         Returns the delete-commit number."""
+        self._recover()
         base = self.spark.read.parquet(self._data).select(
             self.key, "_file", "_pos"
         )
@@ -215,6 +223,7 @@ class MergeOnReadTable:
         shuffled anti-join instead of OOMing the driver. Carries
         ``_file`` and ``_pos`` so callers can audit provenance; project
         them away for user-facing reads."""
+        self._recover()
         base = self.spark.read.parquet(self._data)
         dels = self._delete_rows()
         if dels is None:
@@ -225,6 +234,7 @@ class MergeOnReadTable:
         """Per-file (n_rows, n_deleted, delete_ratio) — the compaction
         trigger a table service polls. Two bounded aggregates; the
         ratio divides exact bigints once."""
+        self._recover()
         base = self.spark.read.parquet(self._data).groupBy("_file").agg(
             F.count(F.lit(1)).alias("n_rows")
         )
@@ -268,16 +278,27 @@ class MergeOnReadTable:
         pending delete rows — selective copy-on-write, the Iceberg
         maintenance recipe. Returns the rewritten file ids.
 
-        Crash-safe by WRITE-NEW-THEN-SWAP: every replacement byte (the
-        rewritten hot files AND the residual delete set) is fully on
-        disk at temp paths before any original is displaced, and
-        originals are renamed into a trash dir — never rmtree'd — until
-        the swap completes. A crash before the swap leaves the table
-        untouched; a crash mid-swap leaves each file either old or new,
-        both states the read path resolves correctly because rewritten
-        files keep their original ``_pos`` values, so stale pending
-        delete entries for an already-rewritten file anti-join against
-        rows that no longer exist — a no-op, not a resurrection."""
+        Crash-safe by SUPERSET + ROLL-FORWARD JOURNAL: (1) every
+        replacement byte (rewritten hot files and the residual delete
+        set) is written to temp paths first; (2) the residual deletes
+        are committed INTO the live ``deletes/`` dir as a new
+        ``d-<next>`` file before anything is displaced — the read path
+        unions+distincts all ``d-*`` files, so overlap with the old
+        commits is harmless and the visible delete set is a SUPERSET
+        of the required one from here to the end (no resurrection
+        window — the bug a wholesale rename-out of ``deletes/``
+        opens); (3) a journal recording the exact swap plan
+        (replaced/dropped file ids + superseded delete commits) is
+        fsync'd into place; (4) hot data dirs are swapped; (5) the
+        superseded old ``d-*`` commits are pruned one at a time. A
+        crash before (3) is rolled BACK by ``_recover()`` (temp dirs
+        dropped; a stray residual commit only duplicates rows the
+        distinct absorbs); a crash after (3) is rolled FORWARD
+        deterministically — the journal says whether a missing temp
+        dir means "already swapped in" or "file fully deleted", so
+        recovery is unambiguous at every rename boundary, including
+        the instant a hot file's old dir is displaced but its new dir
+        is not yet in place."""
         stats = self.delete_stats().filter(
             (F.col("delete_ratio") >= min_delete_ratio)
             & (F.col("n_deleted") > 0)
@@ -285,6 +306,7 @@ class MergeOnReadTable:
         hot = [int(r["_file"]) for r in stats.select("_file").collect()]
         if not hot:
             return []
+        superseded = self._delete_files()
         dels = self._delete_rows().distinct()
         base = self.spark.read.parquet(self._data)
         tmp = f"{self.root}/.compact-tmp"
@@ -303,24 +325,97 @@ class MergeOnReadTable:
         has_remaining = remaining.limit(1).count() > 0
         if has_remaining:
             remaining.write.mode("overwrite").parquet(
-                f"{tmp}/deletes/d-1.parquet"
+                f"{tmp}/deletes-residual"
             )
-        # 2. SWAP: displace originals into trash, rename replacements
-        # in. A file whose rows were ALL deleted produced no temp dir
-        # and simply leaves the table.
+        # 2. COMMIT the residual delete set into the LIVE deletes/ dir
+        # as a fresh d-<next> commit (atomic rename). From here on the
+        # visible delete set is a superset of the required one at
+        # every crash point — never a window with deletes missing.
+        if has_remaining:
+            commit = self._next_delete_commit()
+            os.rename(
+                f"{tmp}/deletes-residual",
+                f"{self._deletes}/d-{commit}.parquet",
+            )
+        # 3. JOURNAL the swap plan, atomically (write + rename). A
+        # journal on disk = roll the swap FORWARD; no journal = roll
+        # the temp writes back. ``replaced`` vs ``dropped`` removes
+        # the one ambiguity recovery would otherwise face: a hot fid
+        # with no temp dir either already swapped in (replaced) or
+        # never had one because every row died (dropped).
+        replaced = [
+            fid for fid in hot
+            if os.path.isdir(f"{tmp}/data/_file={fid}")
+        ]
+        dropped = [fid for fid in hot if fid not in replaced]
+        plan = {
+            "replaced": replaced,
+            "dropped": dropped,
+            "superseded": [os.path.basename(p) for p in superseded],
+        }
+        with open(f"{tmp}/journal", "w") as fh:
+            fh.write(json.dumps(plan))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(f"{tmp}/journal", self._journal)
+        # 4-6. the swap itself is exactly the recovery roll-forward —
+        # run it inline so a crash at ANY rename resumes at the same
+        # code path.
+        self._roll_forward(plan)
+        return sorted(hot)
+
+    @property
+    def _journal(self) -> str:
+        return f"{self.root}/.compact-journal.json"
+
+    def _roll_forward(self, plan: dict) -> None:
+        """Complete a journaled swap from any intermediate state: swap
+        replaced files in, drop fully-deleted files, prune superseded
+        delete commits, clear trash/tmp/journal. Every step is
+        idempotent — recovery after a crash inside recovery is fine."""
+        tmp = f"{self.root}/.compact-tmp"
+        trash = f"{self.root}/.compact-trash"
         os.makedirs(trash, exist_ok=True)
-        for fid in hot:
+        for fid in plan["replaced"]:
             old = f"{self._data}/_file={fid}"
             new = f"{tmp}/data/_file={fid}"
+            if os.path.isdir(new):
+                if os.path.isdir(old):
+                    os.rename(old, f"{trash}/_file={fid}")
+                os.rename(new, old)
+            # no temp dir → this fid already swapped in; nothing to do
+        for fid in plan["dropped"]:
+            old = f"{self._data}/_file={fid}"
             if os.path.isdir(old):
                 os.rename(old, f"{trash}/_file={fid}")
-            if os.path.isdir(new):
-                os.rename(new, old)
-        if os.path.isdir(self._deletes):
-            os.rename(self._deletes, f"{trash}/deletes")
-        if has_remaining:
-            os.rename(f"{tmp}/deletes", self._deletes)
-        # 3. only now drop the displaced originals
+        # prune superseded delete commits one at a time: every entry
+        # still visible is either covered by the residual commit
+        # (non-hot file) or a post-swap no-op (hot file), so a crash
+        # mid-loop only costs redundant anti-join rows.
+        for name in plan["superseded"]:
+            path = f"{self._deletes}/{name}"
+            if os.path.isdir(path):
+                shutil.rmtree(path, ignore_errors=True)
+            elif os.path.exists(path):
+                os.unlink(path)
         shutil.rmtree(trash, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
-        return sorted(hot)
+        if os.path.exists(self._journal):
+            os.unlink(self._journal)
+
+    def _recover(self) -> None:
+        """Crash recovery, run before every table operation: a
+        journal on disk means a compaction swap was in flight — roll
+        it forward; temp/trash without a journal means the crash hit
+        the write phase — roll back (sources were never displaced).
+        Bounded filesystem metadata checks on the no-crash path."""
+        has_journal = os.path.exists(self._journal)
+        tmp = f"{self.root}/.compact-tmp"
+        trash = f"{self.root}/.compact-trash"
+        if has_journal:
+            with open(self._journal) as fh:
+                plan = json.load(fh)
+            self._roll_forward(plan)
+        elif os.path.isdir(tmp) or os.path.isdir(trash):
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(trash, ignore_errors=True)

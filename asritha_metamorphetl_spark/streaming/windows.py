@@ -449,10 +449,12 @@ def weighted_topk_stream(
     persisted k-best with its own keyed rows and republishes the
     k-best of the union. The state after batch n lands at
     ``state_dir/batch_id=<n>`` (overwriting, like the Count-Min fold);
-    a RETRIED batch re-reads the latest state — which may already
-    include its own survivors — and the ``dropDuplicates(id)`` before
-    the top-k makes re-folding the same rows a no-op, so the
-    at-least-once contract costs nothing. Readers take the state with
+    a RETRIED batch folds from the newest state with
+    ``batch_id < n`` — NEVER its own prior attempt — so the lazy read
+    can't race the ``overwrite`` that deletes ``batch_id=<n>`` before
+    the write job executes (read-your-own-overwrite is the classic
+    foreachBatch retry bug), and the recomputation is bit-identical
+    because the fold is idempotent. Readers take the state with
     the highest batch_id; after all batches it equals the one-shot
     batch sample over the full corpus exactly (the parity query pins
     this under the oracle hash).
@@ -462,31 +464,56 @@ def weighted_topk_stream(
     O(batch) + the O(k) fold. Seed the base corpus' top-k as
     ``batch_id=-1``.
     """
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fold_weighted_sample_batch(
+            batch_df, batch_id, state_dir, weight_fn, id_col, k, salt
+        )
+
+    return docs.writeStream.foreachBatch(apply_batch)
+
+
+def fold_weighted_sample_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    weight_fn,
+    id_col: str,
+    k: int,
+    salt: str = "es:",
+) -> None:
+    """One micro-batch of the weighted-sample fold, module-level so a
+    RETRY (same batch_id delivered twice — foreachBatch's at-least-once
+    contract) is directly testable without driving a stream restart."""
     from asritha_metamorphetl_spark.operators.sampling import (
         weighted_sample_without_replacement,
     )
 
-    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        keyed = weighted_sample_without_replacement(
-            weight_fn(batch_df), "w", id_col, k, salt=salt
-        )
-        state = spark.read.parquet(state_dir)
-        latest = state.filter(
-            F.col("batch_id")
-            == state.agg(F.max("batch_id")).collect()[0][0]
-        ).drop("batch_id")
-        merged = (
-            latest.unionByName(keyed)
-            .dropDuplicates([id_col])
-            .orderBy(F.col("es_key").desc(), F.col(id_col))
-            .limit(k)
-        )
-        merged.coalesce(1).write.mode("overwrite").parquet(
-            f"{state_dir}/batch_id={batch_id}"
-        )
-
-    return docs.writeStream.foreachBatch(apply_batch)
+    spark = batch_df.sparkSession
+    keyed = weighted_sample_without_replacement(
+        weight_fn(batch_df), "w", id_col, k, salt=salt
+    )
+    # Fold ONLY from states strictly older than this batch: on a
+    # retry (state write succeeded, checkpoint commit didn't) the
+    # newest partition is batch_id=<n> itself, and reading it
+    # lazily while mode("overwrite") deletes it would lose the
+    # state or FileNotFound the tasks. batch n-1's state + this
+    # batch's rows re-fold to the identical result (idempotent).
+    state = spark.read.parquet(state_dir).filter(
+        F.col("batch_id") < F.lit(batch_id)
+    )
+    latest = state.filter(
+        F.col("batch_id")
+        == state.agg(F.max("batch_id")).collect()[0][0]
+    ).drop("batch_id")
+    merged = (
+        latest.unionByName(keyed)
+        .dropDuplicates([id_col])
+        .orderBy(F.col("es_key").desc(), F.col(id_col))
+        .limit(k)
+    )
+    merged.coalesce(1).write.mode("overwrite").parquet(
+        f"{state_dir}/batch_id={batch_id}"
+    )
 
 
 def gram_moments_stream(
@@ -572,32 +599,55 @@ def last_value_fold_stream(
     IDEMPOTENT (re-folding an already-folded row ties with itself and
     changes nothing), so an at-least-once upstream costs nothing.
     State after batch n lands at ``state_dir/batch_id=<n>`` (same
-    publish protocol as the Count-Min / weighted-sample folds);
-    readers take the highest batch_id. Seed the base corpus' per-key
-    latest rows as ``batch_id=-1``.
+    publish protocol as the Count-Min / weighted-sample folds); a
+    retried batch folds from the newest state with ``batch_id < n`` so
+    it never lazily reads the partition its own ``overwrite`` is about
+    to delete. Readers take the highest batch_id. Seed the base
+    corpus' per-key latest rows as ``batch_id=-1``.
 
     Per-batch cost: O(batch + affected-state) — the state frame holds
     ONE row per key, never the event history."""
-    from pyspark.sql import Window
-
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        state = spark.read.parquet(state_dir)
-        latest = state.filter(
-            F.col("batch_id")
-            == state.agg(F.max("batch_id")).collect()[0][0]
-        ).drop("batch_id")
-        merged = latest.unionByName(batch_df.select(latest.columns))
-        w = Window.partitionBy(*key_cols).orderBy(
-            *[F.col(c).desc() for c in order_cols]
-        )
-        folded = (
-            merged.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        folded.coalesce(1).write.mode("overwrite").parquet(
-            f"{state_dir}/batch_id={batch_id}"
+        fold_last_value_batch(
+            batch_df, batch_id, state_dir, key_cols, order_cols
         )
 
     return stream.writeStream.foreachBatch(apply_batch)
+
+
+def fold_last_value_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    key_cols: list[str],
+    order_cols: list[str],
+) -> None:
+    """One micro-batch of the last-value fold, module-level so a RETRY
+    (same batch_id twice) is directly testable."""
+    from pyspark.sql import Window
+
+    spark = batch_df.sparkSession
+    # Strictly-older states only: a retried batch must never read
+    # the batch_id=<n> partition it is about to overwrite (the
+    # lazy read races the delete); folding batch n-1's state with
+    # this batch's rows is bit-identical because argmax is
+    # idempotent.
+    state = spark.read.parquet(state_dir).filter(
+        F.col("batch_id") < F.lit(batch_id)
+    )
+    latest = state.filter(
+        F.col("batch_id")
+        == state.agg(F.max("batch_id")).collect()[0][0]
+    ).drop("batch_id")
+    merged = latest.unionByName(batch_df.select(latest.columns))
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    folded = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    folded.coalesce(1).write.mode("overwrite").parquet(
+        f"{state_dir}/batch_id={batch_id}"
+    )

@@ -218,3 +218,58 @@ def test_compact_leaves_no_temp_or_trash(spark, tmp_path):
     t.delete_keys(spark.createDataFrame([(0,)], "k long"))
     live = {r["k"] for r in t.read().select("k").collect()}
     assert live == set(range(100)) - set(hot_keys) - {1}
+
+
+def test_compact_crash_at_every_rename_never_resurrects(spark, tmp_path):
+    """Kill compact() at EVERY os.rename boundary (the only mutation
+    points after the temp writes) and assert the read path still
+    returns exactly the live set — in particular that pending deletes
+    for NON-compacted files never vanish mid-swap. This pins the
+    superset-then-swap-then-prune ordering: the residual delete set is
+    committed into the live deletes/ dir BEFORE any data dir moves, so
+    no crash point has a delete-less window (the GDPR resurrection bug
+    a wholesale deletes/ rename-out opens)."""
+    from asritha_metamorphetl_spark.sources import mor as mor_mod
+
+    hot_keys = [k for k in range(0, 80) if k % 4 == 0]  # file 0
+    cold_key = 1  # file 1 — the delete that must survive every crash
+    expected = set(range(100)) - set(hot_keys) - {cold_key}
+
+    class Crash(RuntimeError):
+        pass
+
+    real_rename = os.rename
+    crash_at = 1
+    while True:
+        t = _mk(spark, tmp_path / f"c{crash_at}", n=100, n_files=4)
+        t.delete_keys(
+            spark.createDataFrame(
+                [(k,) for k in hot_keys + [cold_key]], "k long"
+            )
+        )
+        calls = {"n": 0}
+
+        def crashing(src, dst, _budget=crash_at, _calls=calls):
+            _calls["n"] += 1
+            if _calls["n"] >= _budget:
+                raise Crash(f"injected at rename #{_calls['n']}")
+            real_rename(src, dst)
+
+        mor_mod.os.rename = crashing
+        try:
+            t.compact(min_delete_ratio=0.5)
+            crashed = False
+        except Crash:
+            crashed = True
+        finally:
+            mor_mod.os.rename = real_rename
+        live = {r["k"] for r in t.read().select("k").collect()}
+        assert live == expected, (
+            f"crash at rename #{crash_at}: live set wrong "
+            f"(missing={expected - live}, resurrected={live - expected})"
+        )
+        if not crashed:  # compaction ran to completion — all points hit
+            assert crash_at > 1
+            break
+        crash_at += 1
+        assert crash_at < 20, "rename budget runaway"

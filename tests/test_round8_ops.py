@@ -110,11 +110,46 @@ class TestManagedBroadcasts:
         import numpy as np
 
         from asritha_metamorphetl_spark.operators.similarity import (
-            _BROADCAST_COLLECTORS,
+            _collector_stack,
             broadcast_centroids,
         )
 
-        assert _BROADCAST_COLLECTORS == []
+        assert _collector_stack() == []
         h = broadcast_centroids(spark, np.eye(2))
         assert h._jbroadcast.isValid()  # no scope -> caller owns it
         h.destroy()
+
+
+def test_broadcast_scopes_are_thread_local(spark):
+    """Spark drivers submit jobs from multiple threads; a scope opened
+    on thread B must NOT capture (and later unpersist) a broadcast
+    minted by thread A for a still-lazy plan."""
+    import threading
+
+    import numpy as np
+
+    from asritha_metamorphetl_spark.operators.similarity import (
+        broadcast_centroids,
+        managed_broadcasts,
+    )
+
+    captured = {}
+    ready = threading.Event()
+    release = threading.Event()
+
+    def scoped_thread():
+        with managed_broadcasts() as scope:
+            ready.set()
+            release.wait(timeout=30)
+            captured["handles"] = list(scope.handles)
+
+    t = threading.Thread(target=scoped_thread)
+    t.start()
+    ready.wait(timeout=30)
+    # main thread mints a broadcast while B's scope is open
+    h = broadcast_centroids(spark, np.eye(2))
+    release.set()
+    t.join(timeout=30)
+    assert captured["handles"] == []  # B's scope never saw A's handle
+    assert h._jbroadcast.isValid()  # and A's broadcast survived B's exit
+    h.destroy()

@@ -411,3 +411,74 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
         for r in hll_registers(whole, "x").collect()
     }
     assert folded == once
+
+
+def test_last_value_fold_retry_same_batch_id(spark, tmp_path):
+    """foreachBatch's at-least-once contract: batch n's state write
+    succeeded but the checkpoint commit didn't, so batch n is
+    re-delivered. The fold must (a) not lazily read the batch_id=<n>
+    partition its own overwrite is deleting (FileNotFound / lost
+    state) and (b) reproduce the exact same state. Calling the fold
+    twice with the SAME batch_id simulates the retry precisely."""
+    from asritha_metamorphetl_spark.streaming.windows import (
+        fold_last_value_batch,
+    )
+
+    state = str(tmp_path / "state")
+    seed = spark.createDataFrame(
+        [("a", 1, 10), ("b", 1, 20)], "k string, ord int, v int"
+    )
+    seed.coalesce(1).write.parquet(f"{state}/batch_id=-1")
+    batch = spark.createDataFrame(
+        [("a", 2, 11), ("c", 1, 30)], "k string, ord int, v int"
+    )
+    fold_last_value_batch(batch, 0, state, ["k"], ["ord"])
+    first = sorted(
+        (r["k"], r["ord"], r["v"])
+        for r in spark.read.parquet(f"{state}/batch_id=0").collect()
+    )
+    # the retry: same batch_df, same batch_id, state already present
+    fold_last_value_batch(batch, 0, state, ["k"], ["ord"])
+    second = sorted(
+        (r["k"], r["ord"], r["v"])
+        for r in spark.read.parquet(f"{state}/batch_id=0").collect()
+    )
+    assert first == second == [("a", 2, 11), ("b", 1, 20), ("c", 1, 30)]
+
+
+def test_weighted_sample_fold_retry_same_batch_id(spark, tmp_path):
+    """Same retry contract for the order-statistics fold: re-running
+    batch n folds from batch n-1's state, never its own half-committed
+    partition, and lands an identical top-k."""
+    import pyspark.sql.functions as FF
+
+    from asritha_metamorphetl_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+    from asritha_metamorphetl_spark.streaming.windows import (
+        fold_weighted_sample_batch,
+    )
+
+    state = str(tmp_path / "state")
+    base = spark.range(0, 50).select(
+        FF.col("id").alias("doc_id"), FF.lit(1.0).alias("w")
+    )
+    weighted_sample_without_replacement(
+        base, "w", "doc_id", 5
+    ).coalesce(1).write.parquet(f"{state}/batch_id=-1")
+    batch = spark.range(50, 80).select(FF.col("id").alias("doc_id"))
+
+    def wfn(df):
+        return df.withColumn("w", FF.lit(1.0))
+
+    fold_weighted_sample_batch(batch, 0, state, wfn, "doc_id", 5)
+    first = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{state}/batch_id=0").collect()
+    )
+    fold_weighted_sample_batch(batch, 0, state, wfn, "doc_id", 5)
+    second = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{state}/batch_id=0").collect()
+    )
+    assert first == second and len(first) == 5
