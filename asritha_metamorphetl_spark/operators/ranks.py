@@ -148,6 +148,82 @@ def _global_row_number_with_total(
     return out, running
 
 
+def global_cumsum(
+    df: DataFrame,
+    order_by: list[Column],
+    sum_col: str,
+    out_col: str = "global_cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact INCLUSIVE cumulative sum of ``sum_col`` under a total
+    order, without a single-partition window — the running-CDF twin of
+    ``global_row_number``. The cumulative-count quantile spelling
+    (per-value count tables walked by a running sum) degrades to a
+    single-partition pass when the value domain is near-unique (order
+    totalprice in cents, finely-quantized slopes: the count table is
+    ~O(rows)); this keeps it partition-parallel at any cardinality:
+    range-repartition on the order keys, per-partition running sums,
+    and a driver prefix sum over ONE total per partition — the only
+    collect is O(partitions), bounded by ``check_partition_bound``.
+    ``order_by`` must be a total order (for the per-value count-table
+    caller the value itself is already unique)."""
+    out, _total = global_cumsum_with_total(
+        df, order_by, sum_col, out_col, num_partitions
+    )
+    return out
+
+
+def global_cumsum_with_total(
+    df: DataFrame,
+    order_by: list[Column],
+    sum_col: str,
+    out_col: str = "global_cum",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Also returns the grand total — free from the per-partition
+    totals pass, saving callers the ``sum().over(Window.partitionBy())``
+    spelling that would re-funnel the frame through one partition."""
+    parts = check_partition_bound(
+        num_partitions
+        if num_partitions is not None
+        else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"),
+        "global_cumsum",
+    )
+    ranged = df.repartitionByRange(int(parts), *order_by).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    # Pin the sampled range boundaries so the totals pass and the
+    # running-sum pass see one consistent partitioning (same rationale
+    # as global_row_number).
+    ranged = ranged.localCheckpoint(eager=True)
+    totals = {
+        r["__pid"]: (r["s"] or 0)
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(sum_col).alias("s"))
+        .collect()
+    }
+    offsets, running = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = running
+        running += totals[pid]
+    offset_df = df.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()],
+        "__pid int, __offset long",
+    )
+    local_window = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        ranged.withColumn("__local_cum", F.sum(sum_col).over(local_window))
+        .join(F.broadcast(offset_df), "__pid")
+        .withColumn(out_col, F.col("__local_cum") + F.col("__offset"))
+        .drop("__pid", "__local_cum", "__offset")
+    )
+    return out, running
+
+
 def global_percent_rank(
     df: DataFrame,
     value: Column,

@@ -802,14 +802,21 @@ def bottomk_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``quantile_sketch_audit`` can only bound-check. The sample is one
     TakeOrderedAndProject pass (O(k) per task, no global sort); both
     the sample and full-data quantiles are found by CUMULATIVE
-    COUNTING over per-value count tables (the Theil–Sen spelling —
-    no raw-row single-partition stage), and the audit emits each
+    COUNTING over per-value count tables, and the running sum is the
+    two-pass ``global_cumsum`` — order totalprice in cents is
+    near-unique, so the count table is ~O(rows) and a plain global
+    window over it WOULD be a single-partition pass; the two-pass
+    spelling keeps it partition-parallel at any value cardinality
+    (its only collect is O(partitions)). The audit emits each
     estimate's exact CDF position, whose distance from q is the
     measured sketch error."""
+    from asritha_metamorphetl_spark.operators.ranks import (
+        global_cumsum,
+        global_cumsum_with_total,
+    )
     from asritha_metamorphetl_spark.operators.sampling import (
         weighted_sample_without_replacement,
     )
-    from pyspark.sql import Window
 
     orders = Catalog(sf_dir).load(spark, "orders")
     enc = orders.select(
@@ -820,20 +827,21 @@ def bottomk_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         enc.withColumn("w", F.lit(1.0)), "w", "id", BK_K, salt=BK_SALT
     ).select("cents")
 
-    def cum_counts(df: DataFrame, with_total: bool) -> DataFrame:
-        counts = df.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
-        w = Window.orderBy(F.col("cents").asc()).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        out = counts.withColumn("cum", F.sum("c").over(w))
-        if with_total:
-            out = out.withColumn(
-                "n", F.sum("c").over(Window.partitionBy())
-            )
-        return out
-
-    scum = cum_counts(sample, with_total=False)
-    fcum = cum_counts(enc, with_total=True).localCheckpoint(eager=False)
+    scum = global_cumsum(
+        sample.groupBy("cents").agg(F.count(F.lit(1)).alias("c")),
+        [F.col("cents").asc()],
+        "c",
+        out_col="cum",
+    )
+    fcum, n_total = global_cumsum_with_total(
+        enc.groupBy("cents").agg(F.count(F.lit(1)).alias("c")),
+        [F.col("cents").asc()],
+        "c",
+        out_col="cum",
+    )
+    fcum = fcum.withColumn(
+        "n", F.lit(int(n_total)).cast("bigint")
+    ).localCheckpoint(eager=False)
     qs = spark.createDataFrame([(q,) for q in BK_QS], "q_pct int")
     est = (
         qs.join(

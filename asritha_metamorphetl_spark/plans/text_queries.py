@@ -2217,7 +2217,9 @@ def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows=rows,
                 )
             ).alias("band_key"),
-        ).repartition(F.col("band_key"))
+        )  # no explicit repartition: the band self-join hash-partitions
+        # on band_key itself, and an extra repartition ahead of it just
+        # adds a shuffle per config (x5) without enabling exchange reuse
         left = banded.alias("l")
         right = banded.alias("r")
         pairs = (

@@ -150,11 +150,15 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope quantized to a 1e-6 grid so the median is an exact integer
     order statistic — found by CUMULATIVE COUNTING, not a global row
     sort: slopes collapse to per-value counts first (a map-side-
-    combining aggregate), the running-sum window then walks only the
-    O(distinct slopes) count table, and the median is the least value
-    whose cumulative count reaches rank ⌈m/2⌉ (averaged with rank
-    ⌊m/2⌋+1). No raw slope row ever funnels through a single
-    partition — the registry-wide plan gate checks that."""
+    combining aggregate), and the running sum over the count table is
+    the two-pass ``global_cumsum`` — finely-quantized slopes are
+    near-unique, so the count table itself is ~O(pairs) and a plain
+    global window over it would degrade to the single-partition pass
+    the counting was meant to avoid; the two-pass spelling stays
+    partition-parallel at any slope cardinality (one O(partitions)
+    collect). The median is the least value whose cumulative count
+    reaches rank ⌈m/2⌉ (averaged with rank ⌊m/2⌋+1); m comes from the
+    same pass's driver-side total, not a whole-frame window."""
     daily = _daily(spark, sf_dir).localCheckpoint(eager=False)
     a = daily.select(F.col("day").alias("day_a"), F.col("n").alias("n_a"))
     b = daily.select(F.col("day").alias("day_b"), F.col("n").alias("n_b"))
@@ -173,19 +177,21 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sq")
         )
     )
+    from asritha_metamorphetl_spark.operators.ranks import (
+        global_cumsum_with_total,
+    )
+
     counts = slopes.groupBy("sq").agg(F.count(F.lit(1)).alias("c"))
-    wc = Window.orderBy(F.col("sq").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cum, m_total = global_cumsum_with_total(
+        counts, [F.col("sq").asc()], "c", out_col="cum"
     )
-    cum = counts.withColumn("cum", F.sum("c").over(wc)).withColumn(
-        "m", F.sum("c").over(Window.partitionBy())
-    )
-    r1 = F.floor((F.col("m") + 1) / 2)
-    r2 = F.floor((F.col("m") + 2) / 2)
+    m = F.lit(int(m_total)).cast("bigint")
+    r1 = F.floor((m + 1) / 2)
+    r2 = F.floor((m + 2) / 2)
     lo = F.min(F.when(F.col("cum") >= r1, F.col("sq")))
     hi = F.min(F.when(F.col("cum") >= r2, F.col("sq")))
     return cum.agg(
-        F.max("m").alias("n_slopes"),
+        F.max(m).alias("n_slopes"),
         F.round((lo + hi) / 2.0 / TS_SLOPE_Q, 6).alias("theil_sen_slope"),
     )
 

@@ -180,3 +180,57 @@ def test_global_percent_rank_enforces_distinct_cardinality(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_global_cumsum_matches_window(spark):
+    """global_cumsum == the single-partition window spelling, at any
+    partitioning, including duplicate-free and total-returning forms."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from asritha_metamorphetl_spark.operators.ranks import (
+        global_cumsum,
+        global_cumsum_with_total,
+    )
+
+    df = spark.range(0, 500).select(
+        (F.col("id") * 7 % 503).alias("v"),
+        (F.col("id") % 9 + 1).alias("c"),
+    ).repartition(13)
+    w = Window.orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        (r["v"], r["cum"])
+        for r in df.withColumn("cum", F.sum("c").over(w)).collect()
+    }
+    got_df, total = global_cumsum_with_total(
+        df, [F.col("v").asc()], "c", out_col="cum"
+    )
+    got = {(r["v"], r["cum"]) for r in got_df.collect()}
+    assert got == want
+    assert total == sum(r["c"] for r in df.collect())
+    # plain variant agrees
+    got2 = {
+        (r["v"], r["cum"])
+        for r in global_cumsum(
+            df, [F.col("v").asc()], "c", out_col="cum"
+        ).collect()
+    }
+    assert got2 == want
+
+
+def test_global_cumsum_no_single_partition_exchange(spark):
+    """The running sum must never range-sort the count table into one
+    partition — the plan carries the range repartition plus per-pid
+    windows only."""
+    import pyspark.sql.functions as F
+
+    from asritha_metamorphetl_spark.operators.ranks import global_cumsum
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("v"), F.lit(1).alias("c")
+    )
+    out = global_cumsum(df, [F.col("v").asc()], "c", out_col="cum")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
