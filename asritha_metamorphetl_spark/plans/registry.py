@@ -333,10 +333,14 @@ def _load_all() -> None:
     from asritha_metamorphetl_spark.plans import (  # noqa: F401
         analytics_queries,
         ann_queries,
+        behavior_queries,
         catalog_queries,
+        commerce_queries,
         corpus_queries,
         curation_queries,
         er_queries,
+        integrity_queries,
+        lexical_queries,
         linalg_queries,
         operator_queries,
         passage_queries,
@@ -347,6 +351,7 @@ def _load_all() -> None:
         sketch_queries,
         stats_queries,
         streaming_queries,
+        vector_queries,
         timeseries_queries,
         text_queries,
         tpch_deep,
