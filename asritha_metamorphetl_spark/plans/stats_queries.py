@@ -713,3 +713,533 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "winsorized_sum_cents",
         "winsorized_mean_cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: two-sample tests, rank correlations, dispersion, association
+# ---------------------------------------------------------------------------
+
+#: The two order-priority populations the KS test compares.
+KS_GROUP_A = "1-URGENT"
+KS_GROUP_B = "5-LOW"
+
+
+@register(
+    "ks_two_sample_price",
+    oracle=f"""
+WITH enc AS (
+    SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+           CASE WHEN o_orderpriority = '{KS_GROUP_A}' THEN 1 ELSE 0 END
+               AS in_a
+    FROM orders
+    WHERE o_orderpriority IN ('{KS_GROUP_A}', '{KS_GROUP_B}')
+),
+counts AS (
+    SELECT cents, CAST(SUM(in_a) AS BIGINT) AS c1,
+           CAST(SUM(1 - in_a) AS BIGINT) AS c2
+    FROM enc GROUP BY cents
+),
+cum AS (
+    SELECT cents,
+           SUM(c1) OVER (ORDER BY cents ASC) AS cum1,
+           SUM(c2) OVER (ORDER BY cents ASC) AS cum2
+    FROM counts
+),
+tot AS (
+    SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+    FROM counts
+),
+d AS (
+    SELECT cents,
+           ABS(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1)
+               AS diff
+    FROM cum CROSS JOIN tot
+),
+mx AS (SELECT MAX(diff) AS m FROM d)
+SELECT t.n1 AS n_a, t.n2 AS n_b,
+       ROUND(CAST(mx.m AS DOUBLE)
+             / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)),
+             {STAT_DECIMALS}) AS ks_stat,
+       MIN(d.cents) AS at_cents
+FROM d CROSS JOIN mx CROSS JOIN tot t
+WHERE d.diff = mx.m
+GROUP BY t.n1, t.n2, mx.m
+""",
+)
+def ks_two_sample_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the order-value
+    distributions of {KS_GROUP_A} and {KS_GROUP_B} orders — the
+    distribution-shift test a data-quality gate runs between cohorts.
+    ENTIRELY integer-exact: both empirical CDFs come from the two-pass
+    ``global_cumsum`` (order value in cents is near-unique, so the
+    per-value count table is ~O(rows) — a window spelling would
+    single-partition it at scale), and the sup-distance is maximized
+    over |cum1·n2 − cum2·n1| in decimal(38,0)/HUGEINT, with ONE double
+    division at the very end. Also reports the value where the gap
+    peaks (the place to look when the test fires)."""
+    from asritha_metamorphetl_spark.operators.ranks import (
+        global_cumsum_with_total,
+    )
+
+    orders = Catalog(sf_dir).load(spark, "orders")
+    enc = orders.filter(
+        F.col("o_orderpriority").isin(KS_GROUP_A, KS_GROUP_B)
+    ).select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("o_orderpriority") == KS_GROUP_A, 1)
+        .otherwise(0)
+        .alias("in_a"),
+    )
+    counts = enc.groupBy("cents").agg(
+        F.sum("in_a").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("in_a")).cast("bigint").alias("c2"),
+    )
+    cum1, n1 = global_cumsum_with_total(
+        counts, [F.col("cents").asc()], "c1", out_col="cum1"
+    )
+    cum12, n2 = global_cumsum_with_total(
+        cum1, [F.col("cents").asc()], "c2", out_col="cum2"
+    )
+    diff = F.abs(
+        F.col("cum1").cast("decimal(38,0)") * F.lit(int(n2))
+        - F.col("cum2").cast("decimal(38,0)") * F.lit(int(n1))
+    )
+    d = cum12.select("cents", diff.alias("diff"))
+    mx = d.agg(F.max("diff").alias("m"))
+    return (
+        d.crossJoin(F.broadcast(mx))
+        .filter(F.col("diff") == F.col("m"))
+        .agg(
+            F.lit(int(n1)).cast("bigint").alias("n_a"),
+            F.lit(int(n2)).cast("bigint").alias("n_b"),
+            F.round(
+                F.max("m").cast("double")
+                / F.lit(float(n1) * float(n2)),
+                STAT_DECIMALS,
+            ).alias("ks_stat"),
+            F.min("cents").alias("at_cents"),
+        )
+    )
+
+
+@register(
+    "spearman_price_qty",
+    oracle="""
+WITH enc AS (
+    SELECT CAST(l_quantity AS BIGINT) AS qty,
+           CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+    FROM lineitem
+),
+qc AS (SELECT qty, COUNT(*) AS c FROM enc GROUP BY qty),
+qr AS (
+    SELECT qty,
+           2 * SUM(c) OVER (ORDER BY qty ASC) - c + 1 AS rq2
+    FROM qc
+),
+pc AS (SELECT cents, COUNT(*) AS c FROM enc GROUP BY cents),
+pr AS (
+    SELECT cents,
+           2 * SUM(c) OVER (ORDER BY cents ASC) - c + 1 AS rp2
+    FROM pc
+),
+ranked AS (
+    SELECT CAST(qr.rq2 AS HUGEINT) AS x, CAST(pr.rp2 AS HUGEINT) AS y
+    FROM enc JOIN qr ON qr.qty = enc.qty JOIN pr ON pr.cents = enc.cents
+),
+sums AS (
+    SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sx2, SUM(y * y) AS sy2
+    FROM ranked
+)
+SELECT n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (SQRT(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * SQRT(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+           AS spearman_rho
+FROM sums
+""",
+)
+def spearman_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs extended price —
+    the monotone-association twin of ``regr_price_on_qty`` (Pearson
+    on raw values breaks under outliers and nonlinearity; ranks do
+    not). Tie-corrected average ranks come from cumulative counting
+    with NO per-row window: rank2(v) = 2·cum(v) − c(v) + 1 (doubled to
+    stay integer). The quantity domain is bounded (~50 values — its
+    cum runs on a 50-row table); the PRICE domain is near-unique, so
+    its running count routes through the two-pass ``global_cumsum``.
+    Rank maps join back by value (equi-joins), and Pearson over the
+    doubled ranks uses decimal(38,0)/HUGEINT sums — rank products
+    reach 4n² per row and overflow int64 at corpus scale."""
+    from asritha_metamorphetl_spark.operators.ranks import global_cumsum
+    from pyspark.sql import Window
+
+    li = Catalog(sf_dir).load(spark, "lineitem")
+    enc = li.select(
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    qc = enc.groupBy("qty").agg(F.count(F.lit(1)).alias("c"))
+    wq = Window.orderBy(F.col("qty").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    qr = qc.select(
+        "qty",
+        (2 * F.sum("c").over(wq) - F.col("c") + 1).alias("rq2"),
+    )
+    pc = enc.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    pcum = global_cumsum(pc, [F.col("cents").asc()], "c", out_col="cum")
+    pr = pcum.select(
+        "cents", (2 * F.col("cum") - F.col("c") + 1).alias("rp2")
+    )
+    ranked = (
+        enc.join(F.broadcast(qr), "qty")
+        .join(pr, "cents")
+        .select(
+            F.col("rq2").cast("decimal(38,0)").alias("x"),
+            F.col("rp2").cast("decimal(38,0)").alias("y"),
+        )
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    return sums.select(
+        "n",
+        F.round(
+            (n * F.col("sxy").cast("double") - sx * sy)
+            / (
+                F.sqrt(n * F.col("sx2").cast("double") - sx * sx)
+                * F.sqrt(n * F.col("sy2").cast("double") - sy * sy)
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+@register(
+    "kendall_tau_daily",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+    FROM orders GROUP BY 1
+),
+pairs AS (
+    SELECT CASE WHEN b.n > a.n THEN 1 ELSE 0 END AS conc,
+           CASE WHEN b.n < a.n THEN 1 ELSE 0 END AS disc
+    FROM daily a JOIN daily b ON b.day > a.day
+),
+agg AS (
+    SELECT COUNT(*) AS n_pairs,
+           CAST(SUM(conc) AS BIGINT) AS concordant,
+           CAST(SUM(disc) AS BIGINT) AS discordant
+    FROM pairs
+)
+SELECT (SELECT COUNT(*) FROM daily) AS n_days,
+       n_pairs, concordant, discordant,
+       n_pairs - concordant - discordant AS ties,
+       ROUND((CAST(concordant AS DOUBLE) - CAST(discordant AS DOUBLE))
+             / CAST(n_pairs AS DOUBLE), 6) AS tau_a
+FROM agg
+""",
+)
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-a trend test on daily order volume: the share of
+    concordant minus discordant day pairs — the nonparametric
+    monotone-trend companion to ``theil_sen_daily_trend`` (same pair
+    set, counting signs instead of fitting slopes). The O(days²) pair
+    join runs over the AGGREGATED calendar-bounded daily series (the
+    raw facts only feed the daily count), the same defense as the
+    Theil–Sen and autocorrelation queries. All counts exact; one final
+    division."""
+    orders = Catalog(sf_dir).load(spark, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    a = daily.select(F.col("day").alias("day_a"), F.col("n").alias("n_a"))
+    b = daily.select(F.col("day").alias("day_b"), F.col("n").alias("n_b"))
+    pairs = a.join(b, F.col("day_b") > F.col("day_a")).select(
+        F.when(F.col("n_b") > F.col("n_a"), 1).otherwise(0).alias("conc"),
+        F.when(F.col("n_b") < F.col("n_a"), 1).otherwise(0).alias("disc"),
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("conc").cast("bigint").alias("concordant"),
+        F.sum("disc").cast("bigint").alias("discordant"),
+    )
+    n_days = daily.count()
+    return agg.select(
+        F.lit(int(n_days)).cast("bigint").alias("n_days"),
+        "n_pairs",
+        "concordant",
+        "discordant",
+        (
+            F.col("n_pairs") - F.col("concordant") - F.col("discordant")
+        ).alias("ties"),
+        F.round(
+            (
+                F.col("concordant").cast("double")
+                - F.col("discordant").cast("double")
+            )
+            / F.col("n_pairs").cast("double"),
+            6,
+        ).alias("tau_a"),
+    )
+
+
+@register(
+    "daily_count_dispersion",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+    FROM orders GROUP BY 1
+),
+dowed AS (
+    SELECT (day - DATE '1970-01-01') % 7 AS dow_idx, n FROM daily
+)
+SELECT dow_idx, COUNT(*) AS n_days,
+       ROUND(CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS mean_orders,
+       ROUND((CAST(COUNT(*) AS DOUBLE)
+              * CAST(SUM(CAST(n AS HUGEINT) * n) AS DOUBLE)
+              - CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE))
+             / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)), 6)
+           AS dispersion
+FROM dowed GROUP BY dow_idx
+""",
+)
+def daily_count_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-to-mean ratio (index of dispersion) of daily order
+    counts per weekday — a Poisson arrival process sits at 1.0;
+    meaningfully above means bursty demand (overdispersion), the
+    check run before anyone fits a Poisson capacity model. Portable
+    epoch-day weekday; exact integer sufficient statistics (n² sums in
+    decimal/HUGEINT); dispersion = (k·Σn² − (Σn)²)/(k·Σn) with one
+    final division. Facts feed a daily count only — O(days) rows."""
+    orders = Catalog(sf_dir).load(spark, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dowed = daily.select(
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) % 7
+        ).alias("dow_idx"),
+        "n",
+    )
+    k = F.count(F.lit(1)).cast("double")
+    s = F.sum("n").cast("double")
+    ss = F.sum(F.col("n").cast("decimal(38,0)") * F.col("n")).cast(
+        "double"
+    )
+    return dowed.groupBy("dow_idx").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(s / k, 6).alias("mean_orders"),
+        F.round((k * ss - s * s) / (k * s), 6).alias("dispersion"),
+    )
+
+
+@register(
+    "entropy_categorical_columns",
+    oracle=f"""
+WITH s AS (
+    SELECT 'o_orderstatus' AS col_name, o_orderstatus AS val FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', o_orderpriority FROM orders
+),
+counts AS (
+    SELECT col_name, val, COUNT(*) AS c FROM s GROUP BY 1, 2
+),
+tot AS (
+    SELECT col_name, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY 1
+),
+terms AS (
+    SELECT counts.col_name,
+           CAST(ROUND((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                      * LN(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                      * 1000000) AS BIGINT) AS term_q,
+           n
+    FROM counts JOIN tot ON tot.col_name = counts.col_name
+)
+SELECT col_name, CAST(MAX(n) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_values,
+       ROUND(-CAST(SUM(term_q) AS DOUBLE) / 1000000, {STAT_DECIMALS})
+           AS entropy
+FROM terms GROUP BY col_name
+""",
+)
+def entropy_categorical_columns(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shannon entropy (nats) of each categorical order column — the
+    information-content profile a feature selector reads first (an
+    entropy near zero is a constant column wearing a category's
+    clothes). Each p·ln(p) term is computed from exact counts and
+    quantized to a 1e-6 grid before the sum, so partition order cannot
+    perturb the hash; value domains are bounded, counts map-side
+    combine."""
+    orders = Catalog(sf_dir).load(spark, "orders")
+    stacked = orders.select(
+        F.lit("o_orderstatus").alias("col_name"),
+        F.col("o_orderstatus").alias("val"),
+    ).unionByName(
+        orders.select(
+            F.lit("o_orderpriority").alias("col_name"),
+            F.col("o_orderpriority").alias("val"),
+        )
+    )
+    counts = stacked.groupBy("col_name", "val").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = counts.groupBy("col_name").agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    terms = counts.join(F.broadcast(tot), "col_name").select(
+        "col_name",
+        "n",
+        F.round(p * F.log(p) * 1000000).cast("bigint").alias("term_q"),
+    )
+    return terms.groupBy("col_name").agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_values"),
+        F.round(
+            -F.sum("term_q").cast("double") / 1000000, STAT_DECIMALS
+        ).alias("entropy"),
+    )
+
+
+def _cramers_oracle_for(
+    pair: str, table: str, col_a: str, col_b: str
+) -> str:
+    return f"""
+SELECT '{pair}' AS pair, n_rows, n_cells, chi2, cramers_v FROM (
+WITH cells AS (
+    SELECT {col_a} AS a, {col_b} AS b, COUNT(*) AS o
+    FROM {table} GROUP BY 1, 2
+),
+rt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM cells GROUP BY a),
+ct AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM cells GROUP BY b),
+tot AS (
+    SELECT CAST(SUM(o) AS BIGINT) AS n,
+           COUNT(DISTINCT a) AS nr, COUNT(DISTINCT b) AS nc
+    FROM cells
+),
+terms AS (
+    SELECT CAST(ROUND(
+               ((CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                 - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE))
+                * (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                   - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)))
+               / (CAST(n AS DOUBLE) * CAST(ra AS DOUBLE)
+                  * CAST(cb AS DOUBLE)) * 1000000) AS BIGINT) AS term_q,
+           n, nr, nc
+    FROM cells
+    JOIN rt ON rt.a = cells.a JOIN ct ON ct.b = cells.b
+    CROSS JOIN tot
+)
+SELECT MAX(n) AS n_rows, COUNT(*) AS n_cells,
+       ROUND(CAST(SUM(term_q) AS DOUBLE) / 1000000, 6) AS chi2,
+       ROUND(SQRT((CAST(SUM(term_q) AS DOUBLE) / 1000000)
+                  / (CAST(MAX(n) AS DOUBLE)
+                     * (LEAST(MAX(nr), MAX(nc)) - 1))), 6) AS cramers_v
+FROM terms
+)
+"""
+
+
+@register(
+    "cramers_v_categorical_pairs",
+    oracle=(
+        _cramers_oracle_for(
+            "status_priority", "orders", "o_orderstatus", "o_orderpriority"
+        )
+        + "\nUNION ALL\n"
+        + _cramers_oracle_for(
+            "returnflag_linestatus",
+            "lineitem",
+            "l_returnflag",
+            "l_linestatus",
+        )
+    ),
+)
+def cramers_v_categorical_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cramér's V association strength for two categorical pairs
+    (order status×priority; returnflag×linestatus) — the normalized
+    chi-square [0, 1] a feature-redundancy screen compares across
+    pairs of ANY cardinality, extending ``chi2_priority_segment_cells``
+    from one table's cells to a cross-table scorecard. Each cell's
+    chi-square term is computed from exact marginals as
+    (o·n − r·c)²/(n·r·c), quantized to 1e-6, and summed as integers;
+    contingency cells are bounded, so every aggregate is O(cells)."""
+
+    def one(df: DataFrame, pair: str, a: str, b: str) -> DataFrame:
+        cells = df.groupBy(
+            F.col(a).alias("a"), F.col(b).alias("b")
+        ).agg(F.count(F.lit(1)).alias("o"))
+        rt = cells.groupBy("a").agg(F.sum("o").cast("bigint").alias("ra"))
+        ct = cells.groupBy("b").agg(F.sum("o").cast("bigint").alias("cb"))
+        tot = cells.agg(
+            F.sum("o").cast("bigint").alias("n"),
+            F.countDistinct("a").alias("nr"),
+            F.countDistinct("b").alias("nc"),
+        )
+        od = F.col("o").cast("double")
+        nd = F.col("n").cast("double")
+        rd = F.col("ra").cast("double")
+        cd = F.col("cb").cast("double")
+        num = od * nd - rd * cd
+        terms = (
+            cells.join(F.broadcast(rt), "a")
+            .join(F.broadcast(ct), "b")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.round(num * num / (nd * rd * cd) * 1000000)
+                .cast("bigint")
+                .alias("term_q"),
+                "n",
+                "nr",
+                "nc",
+            )
+        )
+        chi2 = F.sum("term_q").cast("double") / 1000000
+        return terms.agg(
+            F.lit(pair).alias("pair"),
+            F.max("n").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(chi2, 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    chi2
+                    / (
+                        F.max("n").cast("double")
+                        * (F.least(F.max("nr"), F.max("nc")) - 1)
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+
+    cat = Catalog(sf_dir)
+    orders = cat.load(spark, "orders")
+    li = cat.load(spark, "lineitem")
+    return one(
+        orders, "status_priority", "o_orderstatus", "o_orderpriority"
+    ).unionByName(
+        one(li, "returnflag_linestatus", "l_returnflag", "l_linestatus")
+    )
