@@ -47,7 +47,7 @@ actives AS (
 dau AS (
     SELECT day, COUNT(*) AS n_active_today FROM user_days GROUP BY day
 )
-SELECT a.day, a.n_active_7d, d.n_active_today,
+SELECT CAST(a.day AS VARCHAR) AS day, a.n_active_7d, d.n_active_today,
        ROUND(CAST(d.n_active_today AS DOUBLE)
              / CAST(a.n_active_7d AS DOUBLE), 6) AS dau_wau_ratio
 FROM actives a JOIN dau d ON d.day = a.day
@@ -84,7 +84,9 @@ def rolling_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_active_today")
     )
     return actives.join(dau, "day").select(
-        "day",
+        # ISO string, not DATE: engines render date cells differently
+        # in crude string hashes; the text form is unambiguous
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
         "n_active_7d",
         "n_active_today",
         F.round(

@@ -1058,3 +1058,85 @@ def streaming_semi_additive_parity(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("cents").cast("bigint").alias("total_last_cents"),
     )
+
+
+@register(
+    "streaming_retry_fold_parity",
+    oracle="""
+WITH enc AS (
+    SELECT user_id, event_type,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+)
+SELECT event_type, COUNT(*) AS n_users,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM enc WHERE rn = 1
+GROUP BY event_type
+""",
+)
+def streaming_retry_fold_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The foreachBatch RETRY contract proved against the batch
+    oracle: the last-value-per-user state is seeded from 60% of the
+    events, two delta micro-batches fold the rest — and batch 0 is
+    DELIVERED TWICE with the same batch_id (state written, checkpoint
+    commit lost, batch re-run: exactly the at-least-once failure the
+    r8 ADVICE flagged). The fold reads only ``batch_id < n`` states,
+    so the retry neither races its own overwrite nor double-counts,
+    and the final state's per-type rollup hash-matches the one-shot
+    SQL over ALL events. Companion to ``streaming_semi_additive_parity``
+    (which proves duplicate ROWS are absorbed; this proves duplicate
+    BATCHES are)."""
+    import os
+    import shutil
+
+    from asritha_metamorphetl_spark.operators.sampling import hash_bucket
+    from asritha_metamorphetl_spark.streaming.windows import (
+        fold_last_value_batch,
+    )
+
+    ev = Catalog(sf_dir).load(spark, "events")
+    enc = ev.select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        "ts",
+        "event_id",
+    )
+    bucket = hash_bucket(F.col("event_id"), 10)
+    seed = enc.filter(bucket <= 5)
+    b0 = enc.filter((bucket == 6) | (bucket == 7)).localCheckpoint(
+        eager=False
+    )
+    b1 = enc.filter(bucket >= 8)
+
+    root = scratch_dir(spark, "stream_retry_fold", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    state_dir = os.path.join(root, "state")
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    seed.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    ).drop("_rn").coalesce(1).write.parquet(
+        os.path.join(state_dir, "batch_id=-1")
+    )
+    key_cols = ["user_id"]
+    order_cols = ["ts", "event_id"]
+    fold_last_value_batch(b0, 0, state_dir, key_cols, order_cols)
+    # the retry: same frame, same batch_id, state already present
+    fold_last_value_batch(b0, 0, state_dir, key_cols, order_cols)
+    fold_last_value_batch(b1, 1, state_dir, key_cols, order_cols)
+
+    state = spark.read.parquet(state_dir)
+    latest_id = state.agg(F.max("batch_id")).collect()[0][0]
+    latest = state.filter(F.col("batch_id") == latest_id)
+    return latest.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )

@@ -1,0 +1,406 @@
+"""Embedding-column hygiene queries: norm outliers, bucketed cosine
+histograms, per-dimension clip profiles, and per-label centroid
+spread.
+
+Float discipline (shared with ``plans/profile_queries.py``): embedding
+components quantize to an integer grid BEFORE any sum — dot products,
+norms, and moments become exact integer arithmetic (decimal(38,0) /
+HUGEINT where products can pass int64), and doubles appear only in
+final bounded expressions written identically in both engines.
+
+Scale discipline: pairwise work is BUCKETED (hash blocks — n²/B pairs,
+the LSH-shaped bound), per-dimension profiles run on a coarse
+quantization grid so count tables stay bounded, and everything else is
+one posexplode scan into O(dims)/O(labels) aggregates.
+
+Reference scope: the reference has no vector surface; this extends the
+embedding-pipeline envelope (SemDeDup/ANN families) with the audits run
+before anyone trusts a new encoder checkpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from asritha_metamorphetl_spark.plans.registry import register
+from asritha_metamorphetl_spark.sources.files import Catalog
+
+#: Fine grid for exact dot products / moments (1e-6).
+EMB_Q = 1000000
+
+#: Coarse grid for per-dimension distribution profiles (1e-3) — keeps
+#: the per-dim count table bounded by the grid, not the corpus.
+EMB_Q3 = 1000
+
+#: Hash blocks for the pairwise cosine histogram: pairs are n²/B per
+#: block; B grows with the corpus to hold block size constant.
+COS_BUCKETS = 32
+
+DIMS = 64
+
+
+def _qarr() -> F.Column:
+    return F.transform(
+        F.col("embedding"),
+        lambda v: F.round(v.cast("double") * EMB_Q).cast("bigint"),
+    )
+
+
+def _norm2(arr: F.Column) -> F.Column:
+    return F.aggregate(
+        arr,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x * x,
+    )
+
+
+_DIMS_SQL = f"""
+    SELECT vec_id, u.i AS dim,
+           CAST(ROUND(CAST(embedding[u.i] AS DOUBLE) * {EMB_Q}) AS BIGINT)
+               AS q
+    FROM embeddings
+    CROSS JOIN (SELECT unnest(generate_series(1, {DIMS})) AS i) u
+"""
+
+
+@register(
+    "embedding_norm_outliers",
+    oracle=f"""
+WITH dims AS ({_DIMS_SQL}),
+norms AS (
+    SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS norm2_q
+    FROM dims GROUP BY vec_id
+),
+stats AS (
+    SELECT COUNT(*) AS n, CAST(SUM(norm2_q) AS HUGEINT) AS s,
+           CAST(SUM(CAST(norm2_q AS HUGEINT) * norm2_q) AS HUGEINT) AS ss
+    FROM norms
+)
+SELECT vec_id, norm2_q,
+       ROUND((CAST(n AS DOUBLE) * CAST(norm2_q AS DOUBLE)
+              - CAST(s AS DOUBLE))
+             / SQRT(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 4) AS z
+FROM norms CROSS JOIN stats
+WHERE CAST(n AS HUGEINT) * ss - s * s > 0
+  AND ABS(ROUND((CAST(n AS DOUBLE) * CAST(norm2_q AS DOUBLE)
+                 - CAST(s AS DOUBLE))
+                / SQRT(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 4)) > 2
+""",
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectors whose squared norm sits beyond 2σ of the corpus — dead
+    encoders emit near-zero vectors, saturated ones blow up, and both
+    poison cosine ANN (norms divide out but quantizers and IVF
+    assignments do not). Norms are exact integer sums of quantized
+    squares (one JVM ``aggregate`` per row — no explode, no Python);
+    corpus moments are a 1-row broadcast; z is rounded to 4 dp on both
+    sides of the threshold so the filter cannot flip between engines."""
+    emb = Catalog(sf_dir).load(spark, "embeddings")
+    norms = emb.select(
+        "vec_id", _norm2(_qarr()).alias("norm2_q")
+    )
+    stats = norms.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("norm2_q").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("norm2_q").cast("decimal(38,0)") * F.col("norm2_q")
+        ).alias("ss"),
+    )
+    z = F.round(
+        (
+            F.col("n").cast("double") * F.col("norm2_q").cast("double")
+            - F.col("s").cast("double")
+        )
+        / F.sqrt(
+            F.col("n").cast("double") * F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+        ),
+        4,
+    )
+    return (
+        norms.crossJoin(F.broadcast(stats))
+        .filter(
+            F.col("n").cast("decimal(38,0)") * F.col("ss")
+            - F.col("s") * F.col("s")
+            > 0
+        )
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 2)
+        .select("vec_id", "norm2_q", "z")
+    )
+
+
+def _cos_bucket_sql(expr: str) -> str:
+    from asritha_metamorphetl_spark.plans.text_queries import _hex48_sql
+
+    return f"({_hex48_sql(f'md5(CAST({expr} AS VARCHAR))')} % {COS_BUCKETS})"
+
+
+def _cos_pair_oracle() -> str:
+    return f"""
+WITH dims AS ({_DIMS_SQL}),
+norms AS (
+    SELECT vec_id, {_cos_bucket_sql('vec_id')} AS bucket,
+           CAST(SUM(q * q) AS BIGINT) AS norm2_q
+    FROM dims GROUP BY vec_id
+),
+pairs AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb,
+           a.norm2_q AS na, b.norm2_q AS nb
+    FROM norms a JOIN norms b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE a.norm2_q > 0 AND b.norm2_q > 0
+),
+dots AS (
+    SELECT p.va, p.vb, p.na, p.nb,
+           CAST(SUM(da.q * db.q) AS BIGINT) AS dot_q
+    FROM pairs p
+    JOIN dims da ON da.vec_id = p.va
+    JOIN dims db ON db.vec_id = p.vb AND db.dim = da.dim
+    GROUP BY p.va, p.vb, p.na, p.nb
+)
+SELECT CAST(FLOOR(CAST(dot_q AS DOUBLE)
+                  / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE)))
+                  * 10) AS BIGINT) AS cos_band,
+       COUNT(*) AS n_pairs
+FROM dots GROUP BY 1
+""";
+
+
+@register("cosine_pair_histogram", oracle=_cos_pair_oracle())
+def cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of pairwise cosine similarity over HASH-BLOCKED pairs
+    (stable id-hash into {COS_BUCKETS} blocks, pairs within a block
+    only) — the similarity-mass profile that says whether a corpus is
+    ANN-friendly (mass near 0) or collapse-suspect (mass near 1),
+    measured on n²/B pairs instead of n². B scales with the corpus to
+    hold block size constant — the same bound as every LSH band join
+    in this repo; all-pairs never appears in the plan. Dot products
+    and norms are exact integer sums over the 1e-6 grid; the one
+    double expression (cos → decile band) is written identically in
+    the oracle."""
+    from asritha_metamorphetl_spark.operators.sampling import hash_bucket
+
+    emb = Catalog(sf_dir).load(spark, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        hash_bucket(F.col("vec_id"), COS_BUCKETS).alias("bucket"),
+        _qarr().alias("qa"),
+    ).withColumn("norm2_q", _norm2(F.col("qa")))
+    a = vecs.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("va"),
+        F.col("qa").alias("arr_a"),
+        F.col("norm2_q").alias("na"),
+    )
+    b = vecs.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("vb"),
+        F.col("qa").alias("arr_b"),
+        F.col("norm2_q").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("va") < F.col("vb"))
+            & (F.col("na") > 0)
+            & (F.col("nb") > 0)
+        )
+        .select(
+            F.aggregate(
+                F.zip_with(
+                    F.col("arr_a"), F.col("arr_b"), lambda x, y: x * y
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("dot_q"),
+            "na",
+            "nb",
+        )
+    )
+    band = F.floor(
+        F.col("dot_q").cast("double")
+        / (
+            F.sqrt(F.col("na").cast("double"))
+            * F.sqrt(F.col("nb").cast("double"))
+        )
+        * 10
+    ).cast("bigint")
+    return pairs.groupBy(band.alias("cos_band")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+@register(
+    "embedding_dim_clip_profile",
+    oracle=f"""
+WITH vals AS (
+    SELECT u.i AS dim,
+           CAST(ROUND(CAST(embedding[u.i] AS DOUBLE) * {EMB_Q3})
+                AS BIGINT) AS q3
+    FROM embeddings
+    CROSS JOIN (SELECT unnest(generate_series(1, {DIMS})) AS i) u
+),
+counts AS (
+    SELECT dim, q3, COUNT(*) AS c FROM vals GROUP BY dim, q3
+),
+cum AS (
+    SELECT dim, q3,
+           SUM(c) OVER (PARTITION BY dim ORDER BY q3 ASC) AS cum,
+           SUM(c) OVER (PARTITION BY dim) AS n
+    FROM counts
+)
+SELECT dim, CAST(MAX(n) AS BIGINT) AS n_vals,
+       MIN(CASE WHEN cum >= (n + 99) // 100 THEN q3 END) AS p01_q3,
+       MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN q3 END) AS p99_q3,
+       MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN q3 END)
+           - MIN(CASE WHEN cum >= (n + 99) // 100 THEN q3 END)
+           AS spread_q3
+FROM cum GROUP BY dim
+""",
+)
+def embedding_dim_clip_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-dimension P1/P99 clip thresholds on a 1e-3 grid — the table
+    an int8 quantizer calibrates from (clip then scale beats min/max
+    scaling exactly because of the tails this query measures). The
+    COARSE grid is the scale defense: the per-dim count table is
+    bounded by the grid (thousands of rows per dim), so the per-dim
+    cumulative windows walk bounded partitions — unlike a 1e-6 grid,
+    where near-unique values would make each dim's partition O(corpus).
+    Percentiles are exact order statistics of the quantized values."""
+    emb = Catalog(sf_dir).load(spark, "embeddings")
+    vals = emb.select(
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda v: F.round(v.cast("double") * EMB_Q3).cast(
+                    "bigint"
+                ),
+            )
+        ).alias("pos", "q3")
+    ).select((F.col("pos") + 1).alias("dim"), "q3")
+    counts = vals.groupBy("dim", "q3").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("dim")
+        .orderBy(F.col("q3").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("dim")
+    cum = counts.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(wall)
+    )
+    p01 = F.min(
+        F.when(
+            F.col("cum") >= F.floor((F.col("n") + 99) / 100), F.col("q3")
+        )
+    )
+    p99 = F.min(
+        F.when(
+            F.col("cum") >= F.floor((99 * F.col("n") + 99) / 100),
+            F.col("q3"),
+        )
+    )
+    return cum.groupBy("dim").agg(
+        F.max("n").cast("bigint").alias("n_vals"),
+        p01.alias("p01_q3"),
+        p99.alias("p99_q3"),
+        (p99 - p01).alias("spread_q3"),
+    )
+
+
+@register(
+    "embedding_label_centroid_spread",
+    oracle=f"""
+WITH dims AS (
+    SELECT label, u.i AS dim,
+           CAST(ROUND(CAST(embedding[u.i] AS DOUBLE) * {EMB_Q})
+                AS BIGINT) AS q
+    FROM embeddings
+    CROSS JOIN (SELECT unnest(generate_series(1, {DIMS})) AS i) u
+),
+per_ld AS (
+    SELECT label, dim, COUNT(*) AS n,
+           CAST(SUM(q) AS HUGEINT) AS s,
+           CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS ss
+    FROM dims GROUP BY label, dim
+),
+global_d AS (
+    SELECT dim, CAST(SUM(s) AS HUGEINT) AS gs,
+           CAST(SUM(n) AS BIGINT) AS gn
+    FROM per_ld GROUP BY dim
+),
+terms AS (
+    SELECT label, per_ld.n,
+           CAST(ROUND((CAST(ss AS DOUBLE) / CAST(per_ld.n AS DOUBLE)
+                       - (CAST(s AS DOUBLE) / CAST(per_ld.n AS DOUBLE))
+                         * (CAST(s AS DOUBLE) / CAST(per_ld.n AS DOUBLE)))
+                      / {EMB_Q} / {EMB_Q} * {EMB_Q}) AS BIGINT)
+               AS var_term_q,
+           CAST(ROUND((CAST(s AS DOUBLE) / CAST(per_ld.n AS DOUBLE)
+                       - CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE))
+                      * (CAST(s AS DOUBLE) / CAST(per_ld.n AS DOUBLE)
+                         - CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE))
+                      / {EMB_Q} / {EMB_Q} * {EMB_Q}) AS BIGINT)
+               AS dist_term_q
+    FROM per_ld JOIN global_d ON global_d.dim = per_ld.dim
+)
+SELECT label, CAST(MAX(n) AS BIGINT) AS n_vecs,
+       ROUND(CAST(SUM(var_term_q) AS DOUBLE) / {EMB_Q}, 6)
+           AS within_var,
+       ROUND(CAST(SUM(dist_term_q) AS DOUBLE) / {EMB_Q}, 6)
+           AS dist_to_global
+FROM terms GROUP BY label
+""",
+)
+def embedding_label_centroid_spread(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-label cluster geometry from sufficient statistics only:
+    within-label variance (trace of the label's covariance) and the
+    squared distance from the label centroid to the global centroid —
+    the Fisher-style separability readout (labels are learnable when
+    between-distance rivals within-variance). One posexplode scan into
+    O(labels×dims) exact moments; every per-dim double term is
+    quantized to 1e-6 before the 64-term sum, so partition order never
+    perturbs the hash. No pairwise distances anywhere — this is the
+    O(n) spelling of a question people answer with O(n²) samples."""
+    emb = Catalog(sf_dir).load(spark, "embeddings")
+    dims = emb.select(
+        "label",
+        F.posexplode(_qarr()).alias("pos", "q"),
+    ).select("label", (F.col("pos") + 1).alias("dim"), "q")
+    per_ld = dims.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("ss"),
+    )
+    global_d = per_ld.groupBy("dim").agg(
+        F.sum("s").alias("gs"), F.sum("n").cast("bigint").alias("gn")
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    gmean = F.col("gs").cast("double") / F.col("gn").cast("double")
+    var_term = (
+        F.col("ss").cast("double") / F.col("n").cast("double")
+        - mean * mean
+    ) / EMB_Q / EMB_Q * EMB_Q
+    dist_term = (mean - gmean) * (mean - gmean) / EMB_Q / EMB_Q * EMB_Q
+    terms = per_ld.join(F.broadcast(global_d), "dim").select(
+        "label",
+        "n",
+        F.round(var_term).cast("bigint").alias("var_term_q"),
+        F.round(dist_term).cast("bigint").alias("dist_term_q"),
+    )
+    return terms.groupBy("label").agg(
+        F.max("n").cast("bigint").alias("n_vecs"),
+        F.round(F.sum("var_term_q").cast("double") / EMB_Q, 6).alias(
+            "within_var"
+        ),
+        F.round(F.sum("dist_term_q").cast("double") / EMB_Q, 6).alias(
+            "dist_to_global"
+        ),
+    )

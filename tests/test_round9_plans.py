@@ -51,3 +51,66 @@ def test_copurchase_top_k_is_take_ordered(spark):
     # carried from round 8: pairs stay order-local
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_percentile_bands_have_no_global_window(spark):
+    """The exact percentile bands walk the near-unique cents count
+    table with the two-pass cumsum — a SinglePartition exchange before
+    the (tiny) quantile join would be the O(rows) window spelling."""
+    plan = _plan(_q(spark, "order_value_percentile_bands"))
+    assert _single_partition_only_merges_partials(plan)
+
+
+def test_ks_cdfs_have_no_global_window(spark):
+    """Both CDFs come from the two-pass cumsum; the only permissible
+    SinglePartition exchanges merge partial aggregates (the max-diff
+    and totals rows), never the value tables."""
+    plan = _plan(_q(spark, "ks_two_sample_price"))
+    assert _single_partition_only_merges_partials(plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_session_deciles_rank_is_two_pass(spark):
+    """Global decile rank must be the per-pid window over the range
+    repartition, never a whole-frame SinglePartition sort."""
+    plan = _plan(_q(spark, "session_duration_deciles"))
+    assert _single_partition_only_merges_partials(plan)
+
+
+def _single_partition_only_merges_partials(plan: str) -> bool:
+    """True when every SinglePartition exchange in the plan merges
+    map-side-combined partial aggregates (O(partitions) rows — the
+    correct global-aggregate shape), never raw data. Checked by
+    requiring a partial aggregate immediately below each occurrence."""
+    chunks = plan.split("Exchange SinglePartition")
+    for below in chunks[1:]:
+        if "partial_" not in below[:1200]:
+            return False
+    return True
+
+
+def test_event_pareto_rank_is_two_pass(spark):
+    plan = _plan(_q(spark, "event_value_pareto"))
+    assert _single_partition_only_merges_partials(plan)
+
+
+def test_cosine_pairs_are_bucket_blocked(spark):
+    """Pairwise cosine work joins on the hash bucket — a cartesian or
+    nested-loop pair generator is exactly what the blocking avoids."""
+    plan = _plan(_q(spark, "cosine_pair_histogram"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rolling_actives_use_equi_joins_only(spark):
+    """The 7-day rolling distinct expands user-days into their bounded
+    coverage set; a theta/range join against facts would be the
+    nested-loop spelling."""
+    plan = _plan(_q(spark, "rolling_active_users_7d"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_spearman_price_ranks_are_two_pass(spark):
+    plan = _plan(_q(spark, "spearman_price_qty"))
+    assert _single_partition_only_merges_partials(plan)
