@@ -255,6 +255,31 @@ HEADLINERS = [
      "BroadcastHashJoins (dimensions never shuffle the fact side) "
      "into one Expand + grouped exchange — three granularities, one "
      "shuffle"),
+    ("zipf_token_slope", "vocabulary top-N as TakeOrderedAndProject "
+     "(per-partition top-N + driver merge) — round 9 replaced the "
+     "global row_number window that single-partitioned the whole "
+     "vocab; the only window now ranks the 500-row survivor frame"),
+    ("copurchase_jaccard_parts", "global top-50 of the O(orders x "
+     "basket^2) scored-pair table as TakeOrderedAndProject — the "
+     "round-8 global-window spelling is gone; pair generation stays "
+     "order-local (no part x part product)"),
+    ("order_value_percentile_bands", "exact percentiles by cumulative "
+     "counting with the two-pass global_cumsum: repartitionByRange + "
+     "per-pid running sums + O(partitions) offset broadcast; the "
+     "near-unique cents table never crosses a SinglePartition "
+     "exchange"),
+    ("ks_two_sample_price", "both empirical CDFs from the two-pass "
+     "cumsum; sup-distance maximized in decimal over exact integers; "
+     "the only SinglePartition exchanges merge partial aggregates"),
+    ("cosine_pair_histogram", "pairwise cosine bounded by hash "
+     "blocking: the self-join keys on the id-hash bucket (n^2/B "
+     "pairs), dot products are JVM zip_with/aggregate over quantized "
+     "ints — no cartesian, no Python row path"),
+    ("rolling_active_users_7d", "rolling 7-day distinct actives via "
+     "coverage expansion (sequence + explode to <=7 target days, "
+     "dedup, count) — equi-joins and hash aggregates only; the "
+     "windowed-count-distinct and theta-join spellings both appear "
+     "nowhere"),
 ]
 
 

@@ -99,6 +99,22 @@ QUERIES = [
     ("hll_set_algebra_audit", "mergeable HLL union + inclusion-exclusion"),
     ("order_volume_anomalies", "EWMA-forecast spike flags (integer-exact)"),
     ("streaming_mor_delete_parity", "streaming MoR delete fold (micro-batch)"),
+    # round-9 additions: the shapes whose scale behavior is the claim
+    ("order_value_percentile_bands", "two-pass global cumsum percentiles"),
+    ("ks_two_sample_price", "integer-exact KS over two-pass CDFs"),
+    ("spearman_price_qty", "tie-corrected rank correlation (two-pass)"),
+    ("kendall_tau_daily", "calendar-bounded pairwise sign test"),
+    ("rolling_active_users_7d", "bounded coverage-expansion rolling distinct"),
+    ("session_duration_deciles", "per-user sessions + two-pass global deciles"),
+    ("event_value_pareto", "two-pass global rank + top-20% share"),
+    ("cosine_pair_histogram", "hash-blocked pairwise cosine (n^2/B)"),
+    ("heaps_law_fit", "range-bucketed vocab growth + quantized OLS"),
+    ("hapax_legomena_rate", "per-source vocab profile (Zipf-bounded)"),
+    ("embedding_label_centroid_spread", "label geometry from moments only"),
+    ("yoy_revenue_growth_by_region", "broadcast dims + bounded self-join"),
+    ("order_fulfillment_backlog", "two fact reductions + bounded spine"),
+    ("key_cardinality_audit", "10-table distinct-key audit (one agg each)"),
+    ("streaming_retry_fold_parity", "retried-batch argmax fold (batch_id<n)"),
 ]
 
 RUNS = 2  # take the best of N to damp container noise
