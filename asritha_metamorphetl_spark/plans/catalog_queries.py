@@ -1395,8 +1395,12 @@ def mor_compaction_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     hot = t.compact(min_delete_ratio=MOR_COMPACT_RATIO)
+    # post-state resolves through the committed manifest (round 9:
+    # rewritten files live in a new generation dir; data/ keeps the
+    # superseded hot dirs for snapshot readers until vacuum)
+    _, manifest_post = t._resolve()
     base_post = (
-        spark.read.parquet(t._data)
+        t._base_frame(manifest_post)
         .groupBy(F.col("_file").alias("file_id"))
         .agg(F.count(F.lit(1)).alias("n_base_post"))
     )

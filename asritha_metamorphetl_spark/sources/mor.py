@@ -1,4 +1,5 @@
-"""Merge-on-read tables: positional delete files over immutable base data.
+"""Merge-on-read tables: positional delete files over immutable base data,
+committed through an atomic manifest pointer.
 
 The two industry-standard ways to delete from immutable columnar storage:
 
@@ -11,6 +12,26 @@ The two industry-standard ways to delete from immutable columnar storage:
   them with an anti-join. Deletes are O(deleted keys), reads pay one
   broadcast anti-join until a compaction folds the deletes in.
 
+**Commit protocol (round 9 — the snapshot pointer).** Every mutation
+(base write, delete commit, compaction) first lands ALL its bytes at
+paths no reader can see, then publishes ONE manifest json
+(``_v/v<k>.json``, written to a temp name and renamed — atomic on a
+POSIX filesystem) that names exactly which data directories and which
+delete files constitute version k. Readers resolve the newest manifest
+and plan against the paths it names, so:
+
+- a crash anywhere before the manifest rename leaves the previous
+  version intact and the half-written files invisible (orphans for
+  ``vacuum``) — no roll-back/roll-forward machinery is needed, the
+  pointer IS the recovery protocol;
+- a CONCURRENT reader is snapshot-isolated: compaction never renames
+  or deletes the files a committed manifest references, so a plan
+  resolved against version k collects correctly even while version
+  k+1 is being written and after it is published. Old versions stay
+  readable (time travel) until ``vacuum`` prunes them — exactly the
+  Iceberg/Delta retention model, and the closure of the
+  reader-isolation window the round-8 rename-swap design left open.
+
 At 100 TB the delete side of a day's GDPR/erasure batch is typically
 thousands-to-millions of positions against billions of base rows — the
 anti-join broadcasts the delete set and the base scan never shuffles.
@@ -18,34 +39,27 @@ But compaction's per-file threshold means the steady-state PENDING
 delete set can approach ``min_delete_ratio`` of ALL base rows spread
 thin below the trigger — billions of (file, pos) pairs at 100 TB — so
 the broadcast hint is **size-conditioned**, not hard-coded: ``read()``
-sums the on-disk bytes of the delete files (filesystem metadata, no
-scan) and only hints ``broadcast`` under
+sums the on-disk bytes of the manifest's delete files (filesystem
+metadata, no scan) and only hints ``broadcast`` under
 ``broadcast_threshold_bytes``; above it the join is left to the
 optimizer/AQE, which shuffles both sides — slower, but it survives.
 Compaction is targeted: only files whose delete ratio crosses the
 threshold are rewritten (copy-on-write applied *selectively*, exactly
-the Iceberg maintenance recipe), and their delete entries are dropped.
-Compaction is crash-safe by write-new + roll-forward journal:
-replacement file directories and the residual delete set are fully
-written to temp paths while every source byte is still on disk, the
-residual delete set is committed into the live ``deletes/`` dir (so
-the visible delete set is a superset at every subsequent instant),
-a journal records the swap about to happen, and only then are
-directories renamed. Every table operation first runs ``_recover()``:
-a crash before the journal rolls the temp writes back; a crash after
-it rolls the swap forward deterministically (the journal records
-which files are replaced vs dropped, so recovery is unambiguous at
-every rename boundary). No step ever deletes the only copy of a live
-row, and no instant hides a pending delete. (A production deployment
-would commit through a manifest/snapshot pointer to additionally get
-reader ISOLATION — a reader never sees a half-swapped table; here a
-concurrent reader mid-swap can see a mixed-but-correct-per-file view.)
+the Iceberg maintenance recipe); rewritten files land in a fresh
+generation directory and the manifest flips hot file ids to it, while
+cold files keep their original directories byte-identical.
 
 Positions are assigned deterministically at write time (row_number by
 key within each hash-assigned file), so an external SQL oracle can
 replay file assignment and delete resolution bit-for-bit — physical
 layout stays checkable semantics, the same contract as
 ``sources/bucketed.py``.
+
+Single-writer caveat (same as ``_next`` counters everywhere in this
+package): the version counter comes from listing ``_v/``, which
+assumes a strongly-consistent, atomically-listable filesystem and one
+writer. Multi-writer deployments route commits through a lock or a
+compare-and-swap object store primitive.
 
 Reference scope: the reference loads into mutable Postgres and has no
 immutable-storage delete story; this extends the table-format surface
@@ -57,6 +71,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -66,9 +81,12 @@ from pyspark.sql.window import Window
 class MergeOnReadTable:
     """Positional-delete table rooted at a directory:
 
-    - ``data/``     one subdirectory per hash-assigned file id
-      (``_file=<id>``, written once, never mutated by deletes)
-    - ``deletes/``  ``d-<n>.parquet`` delete files of ``(_file, _pos)``
+    - ``data/``    ``_file=<id>`` base directories (generation 0)
+    - ``gen-v<k>/`` ``_file=<id>`` directories rewritten by the
+      compaction that published version k
+    - ``deletes/`` ``d-<n>.parquet`` delete files of ``(_file, _pos)``
+    - ``_v/``      ``v<k>.json`` manifests: the atomic pointers that
+      name which directories + delete files form each version
 
     ``key_col`` must be unique per row (the usual primary-key contract;
     violations make position assignment ambiguous and are the caller's
@@ -97,10 +115,66 @@ class MergeOnReadTable:
     def _deletes(self) -> str:
         return f"{self.root}/deletes"
 
+    @property
+    def _manifests(self) -> str:
+        return f"{self.root}/_v"
+
+    # -- manifest pointer -------------------------------------------------
+
+    def versions(self) -> list[int]:
+        """Committed versions, ascending (empty for a new table)."""
+        if not os.path.isdir(self._manifests):
+            return []
+        out = []
+        for n in os.listdir(self._manifests):
+            if n.startswith("v") and n.endswith(".json"):
+                out.append(int(n[1:-5]))
+        return sorted(out)
+
+    def _manifest_path(self, version: int) -> str:
+        return f"{self._manifests}/v{version}.json"
+
+    def _read_manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as fh:
+            return json.load(fh)
+
+    def _resolve(self, version: int | None = None) -> tuple[int, dict]:
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(
+                f"no committed version under {self.root} — write_base first"
+            )
+        v = max(vs) if version is None else version
+        if v not in vs:
+            raise ValueError(f"version {v} not in {vs}")
+        return v, self._read_manifest(v)
+
+    def _commit(self, gen_dirs: dict, delete_files: list[str]) -> int:
+        """Publish a new version: write the manifest to a temp name,
+        fsync, rename into ``_v/v<k>.json`` — the single atomic step
+        that makes everything the manifest references visible. A crash
+        at any earlier instant leaves the previous version intact and
+        the new files as invisible orphans for vacuum()."""
+        os.makedirs(self._manifests, exist_ok=True)
+        version = max(self.versions(), default=0) + 1
+        manifest = {
+            "version": version,
+            "gen_dirs": {str(k): v for k, v in gen_dirs.items()},
+            "delete_files": sorted(delete_files),
+        }
+        tmp = f"{self._manifests}/.tmp-v{version}.json"
+        with open(tmp, "w") as fh:
+            fh.write(json.dumps(manifest))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, self._manifest_path(version))
+        return version
+
     # -- write ----------------------------------------------------------
 
     def write_base(self, df: DataFrame) -> None:
-        """Assign each row a (file, position) and write the base data.
+        """Assign each row a (file, position), write the base data, and
+        commit version 1.
 
         File = ``pmod(key, n_files)`` — the NONNEGATIVE modulo (Spark's
         ``%`` keeps the dividend's sign, which would mint directories
@@ -129,17 +203,17 @@ class MergeOnReadTable:
         positioned.write.mode("overwrite").partitionBy("_file").parquet(
             self._data
         )
+        fids = [
+            int(n.split("=")[1])
+            for n in os.listdir(self._data)
+            if n.startswith("_file=")
+        ]
+        self._commit({fid: "data" for fid in fids}, [])
 
     def _next_delete_commit(self) -> int:
-        """Next delete-commit number by listing ``deletes/``.
-
-        Same caveat as ``sources/bucketed.py``'s manifest: directory
-        listing as the commit log assumes a strongly-consistent,
-        atomically-listable filesystem (local disk, HDFS). On an object
-        store, eventually-consistent or non-atomic LIST can miss a
-        just-written delete file or hand two writers the same commit
-        number — route commits through a single-writer manifest (the
-        ``SnapshotTable`` pointer-swap) there instead."""
+        """Next delete-commit number by listing ``deletes/`` — counts
+        orphans from crashed writes too, so a number is never reused
+        (an orphan is invisible anyway: only manifested files read)."""
         if not os.path.isdir(self._deletes):
             return 1
         names = [n for n in os.listdir(self._deletes) if n.startswith("d-")]
@@ -149,7 +223,8 @@ class MergeOnReadTable:
 
     def delete_keys(self, keys: DataFrame) -> int:
         """Resolve ``keys`` (single column named like ``key_col``) to
-        (file, pos) against the base and append ONE delete file.
+        (file, pos) against the base, write ONE delete file, and commit
+        a new version whose delete list includes it.
 
         The resolution scan is column-pruned to (key, _file, _pos) and
         semi-joined against the (broadcast) key set — the base is read,
@@ -157,41 +232,70 @@ class MergeOnReadTable:
         already-deleted key appends a duplicate (file, pos) row, which
         the read-side anti-join makes harmless — deletes are idempotent
         by construction, the property an at-least-once upstream needs.
-        Returns the delete-commit number."""
-        self._recover()
-        base = self.spark.read.parquet(self._data).select(
+        The delete file is INVISIBLE until the manifest commit, so a
+        crashed half-written delete can never hide rows or corrupt a
+        read. Returns the delete-commit number."""
+        _, manifest = self._resolve()
+        base = self._base_frame(manifest).select(
             self.key, "_file", "_pos"
         )
         resolved = base.join(F.broadcast(keys), [self.key], "left_semi")
         commit = self._next_delete_commit()
         os.makedirs(self._deletes, exist_ok=True)
+        name = f"d-{commit}.parquet"
         resolved.select("_file", "_pos").write.mode("overwrite").parquet(
-            f"{self._deletes}/d-{commit}.parquet"
+            f"{self._deletes}/{name}"
+        )
+        self._commit(
+            manifest["gen_dirs"], manifest["delete_files"] + [name]
         )
         return commit
 
     # -- read -----------------------------------------------------------
 
-    def _delete_files(self) -> list[str]:
-        if not os.path.isdir(self._deletes):
-            return []
-        return [
-            f"{self._deletes}/{n}"
-            for n in sorted(os.listdir(self._deletes))
-            if n.startswith("d-")
-        ]
+    def _base_frame(self, manifest: dict) -> DataFrame:
+        """The manifest's base rows: one scan per generation directory
+        (``basePath`` keeps ``_file`` as a partition column), unioned.
+        Generations are bounded by compaction count (and pruned by
+        vacuum), so this is a union of a handful of scans — 1 for an
+        uncompacted table."""
+        by_parent: dict[str, list[int]] = {}
+        for fid, parent in manifest["gen_dirs"].items():
+            by_parent.setdefault(parent, []).append(int(fid))
+        if not by_parent:
+            # every row deleted+compacted away: empty frame, base schema
+            return self.spark.read.parquet(self._data).limit(0)
+        frames = []
+        for parent, fids in sorted(by_parent.items()):
+            base_path = f"{self.root}/{parent}"
+            paths = [f"{base_path}/_file={fid}" for fid in sorted(fids)]
+            frames.append(
+                self.spark.read.option("basePath", base_path).parquet(
+                    *paths
+                )
+            )
+        return reduce(lambda a, b: a.unionByName(b), frames)
 
-    def _delete_rows(self) -> DataFrame | None:
-        files = self._delete_files()
-        if not files:
+    def _delete_paths(self, manifest: dict) -> list[str]:
+        return [f"{self._deletes}/{n}" for n in manifest["delete_files"]]
+
+    def _delete_rows(
+        self, manifest: dict | None = None
+    ) -> DataFrame | None:
+        if manifest is None:
+            _, manifest = self._resolve()
+        paths = self._delete_paths(manifest)
+        if not paths:
             return None
-        return self.spark.read.parquet(*files)
+        return self.spark.read.parquet(*paths)
 
-    def _delete_bytes(self) -> int:
-        """On-disk size of all delete files — filesystem metadata only,
-        no data scan; this is the broadcast-safety signal."""
+    def _delete_bytes(self, manifest: dict | None = None) -> int:
+        """On-disk size of the manifest's delete files — filesystem
+        metadata only, no data scan; the broadcast-safety signal."""
+        if manifest is None:
+            _, manifest = self._resolve()
         total = 0
-        for d in self._delete_files():
+        for d in self._delete_paths(manifest):
             if os.path.isfile(d):
                 total += os.path.getsize(d)
                 continue
@@ -201,47 +305,53 @@ class MergeOnReadTable:
                 )
         return total
 
-    def _anti_join_deletes(self, base: DataFrame, dels: DataFrame) -> DataFrame:
+    def _anti_join_deletes(
+        self, base: DataFrame, dels: DataFrame, manifest: dict
+    ) -> DataFrame:
         """base LEFT ANTI deletes on (_file, _pos), hinting broadcast
         ONLY while the delete files are small on disk. Past the
         threshold the shape is the optimizer's call (AQE shuffles or
         broadcasts on real runtime sizes) — a forced hint there would
         collect billions of pairs to the driver and OOM it."""
         dels = dels.distinct()
-        if self._delete_bytes() <= self.broadcast_threshold_bytes:
+        if self._delete_bytes(manifest) <= self.broadcast_threshold_bytes:
             dels = F.broadcast(dels)
         return base.join(dels, ["_file", "_pos"], "left_anti")
 
-    def read(self) -> DataFrame:
-        """Live rows: base MINUS accumulated positional deletes.
+    def read(self, version: int | None = None) -> DataFrame:
+        """Live rows at a version (default: newest): base MINUS that
+        version's positional deletes.
 
         One LEFT ANTI join on (_file, _pos); while the pending delete
         set is small (the common case — compaction re-folds it) the
         join is hinted broadcast and the base never shuffles, the
         Iceberg v2 read path. A delete set past
         ``broadcast_threshold_bytes`` drops the hint and survives as a
-        shuffled anti-join instead of OOMing the driver. Carries
-        ``_file`` and ``_pos`` so callers can audit provenance; project
-        them away for user-facing reads."""
-        self._recover()
-        base = self.spark.read.parquet(self._data)
-        dels = self._delete_rows()
+        shuffled anti-join instead of OOMing the driver. The plan
+        resolves the manifest ONCE, here — a reader holds its snapshot
+        through any concurrent commit (files referenced by a committed
+        manifest are never moved; only vacuum() reclaims them).
+        Carries ``_file`` and ``_pos`` so callers can audit provenance;
+        project them away for user-facing reads."""
+        _, manifest = self._resolve(version)
+        base = self._base_frame(manifest)
+        dels = self._delete_rows(manifest)
         if dels is None:
             return base
-        return self._anti_join_deletes(base, dels)
+        return self._anti_join_deletes(base, dels, manifest)
 
     def delete_stats(self) -> DataFrame:
         """Per-file (n_rows, n_deleted, delete_ratio) — the compaction
         trigger a table service polls. Two bounded aggregates; the
         ratio divides exact bigints once."""
-        self._recover()
-        base = self.spark.read.parquet(self._data).groupBy("_file").agg(
+        _, manifest = self._resolve()
+        base = self._base_frame(manifest).groupBy("_file").agg(
             F.count(F.lit(1)).alias("n_rows")
         )
-        dels = self._delete_rows()
+        dels = self._delete_rows(manifest)
         if dels is None:
-            deleted = base.select(
-                "_file", F.lit(0).cast("long").alias("n_deleted")
+            deleted = base.select("_file").withColumn(
+                "n_deleted", F.lit(0).cast("bigint")
             )
         else:
             deleted = (
@@ -250,13 +360,10 @@ class MergeOnReadTable:
                 .agg(F.count(F.lit(1)).alias("n_deleted"))
             )
         return (
-            base.join(deleted, ["_file"], "left")
-            .select(
-                "_file",
-                "n_rows",
-                F.coalesce("n_deleted", F.lit(0).cast("long")).alias(
-                    "n_deleted"
-                ),
+            base.join(deleted, "_file", "left")
+            .withColumn(
+                "n_deleted",
+                F.coalesce(F.col("n_deleted"), F.lit(0)).cast("bigint"),
             )
             .withColumn(
                 "delete_ratio",
@@ -272,33 +379,25 @@ class MergeOnReadTable:
 
     def compact(self, min_delete_ratio: float = 0.1) -> list[int]:
         """Fold deletes into the files whose delete ratio ≥ threshold:
-        rewrite ONLY those file directories without their deleted rows,
-        then rewrite the delete set without the now-applied entries.
-        Untouched files keep their directories byte-identical and their
-        pending delete rows — selective copy-on-write, the Iceberg
-        maintenance recipe. Returns the rewritten file ids.
+        rewrite ONLY those file directories without their deleted rows
+        into a fresh generation directory, then commit a manifest that
+        (a) points the hot file ids at the new generation, (b) drops
+        fully-deleted file ids, and (c) lists only the RESIDUAL delete
+        set (entries for non-compacted files). Untouched files keep
+        their directories byte-identical — selective copy-on-write,
+        the Iceberg maintenance recipe. Returns the rewritten file ids.
 
-        Crash-safe by SUPERSET + ROLL-FORWARD JOURNAL: (1) every
-        replacement byte (rewritten hot files and the residual delete
-        set) is written to temp paths first; (2) the residual deletes
-        are committed INTO the live ``deletes/`` dir as a new
-        ``d-<next>`` file before anything is displaced — the read path
-        unions+distincts all ``d-*`` files, so overlap with the old
-        commits is harmless and the visible delete set is a SUPERSET
-        of the required one from here to the end (no resurrection
-        window — the bug a wholesale rename-out of ``deletes/``
-        opens); (3) a journal recording the exact swap plan
-        (replaced/dropped file ids + superseded delete commits) is
-        fsync'd into place; (4) hot data dirs are swapped; (5) the
-        superseded old ``d-*`` commits are pruned one at a time. A
-        crash before (3) is rolled BACK by ``_recover()`` (temp dirs
-        dropped; a stray residual commit only duplicates rows the
-        distinct absorbs); a crash after (3) is rolled FORWARD
-        deterministically — the journal says whether a missing temp
-        dir means "already swapped in" or "file fully deleted", so
-        recovery is unambiguous at every rename boundary, including
-        the instant a hot file's old dir is displaced but its new dir
-        is not yet in place."""
+        Crash-safe and reader-isolated BY THE POINTER: every new byte
+        (the rewritten generation, the residual delete file) lands at
+        paths no committed manifest references; the single rename that
+        publishes the new manifest is the only visible state change. A
+        crash before it leaves the table at the previous version with
+        some orphan files (vacuum's job); a crash after it IS the new
+        version. A reader that resolved the previous manifest keeps
+        collecting correctly throughout, because nothing it references
+        moves — the resurrection and missing-file windows of a rename-
+        swap design structurally cannot occur."""
+        _, manifest = self._resolve()
         stats = self.delete_stats().filter(
             (F.col("delete_ratio") >= min_delete_ratio)
             & (F.col("n_deleted") > 0)
@@ -306,116 +405,106 @@ class MergeOnReadTable:
         hot = [int(r["_file"]) for r in stats.select("_file").collect()]
         if not hot:
             return []
-        superseded = self._delete_files()
-        dels = self._delete_rows().distinct()
-        base = self.spark.read.parquet(self._data)
-        tmp = f"{self.root}/.compact-tmp"
-        trash = f"{self.root}/.compact-trash"
-        shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(trash, ignore_errors=True)
-        # 1. WRITE NEW: hot files minus their deletes → temp, one
-        # directory per file id (sources still fully intact on disk,
-        # so no localCheckpoint is needed for crash correctness).
+        dels = self._delete_rows(manifest).distinct()
+        base = self._base_frame(manifest)
+        gen = f"gen-v{max(self.versions()) + 1}"
+        gen_path = f"{self.root}/{gen}"
+        shutil.rmtree(gen_path, ignore_errors=True)
+        # 1. WRITE NEW: hot files minus their deletes → the new
+        # generation, one directory per file id. Sources stay fully
+        # intact and visible at the current version.
         base.filter(F.col("_file").isin(hot)).join(
             dels, ["_file", "_pos"], "left_anti"
-        ).write.mode("overwrite").partitionBy("_file").parquet(
-            f"{tmp}/data"
-        )
-        remaining = dels.filter(~F.col("_file").isin(hot))
-        has_remaining = remaining.limit(1).count() > 0
-        if has_remaining:
-            remaining.write.mode("overwrite").parquet(
-                f"{tmp}/deletes-residual"
-            )
-        # 2. COMMIT the residual delete set into the LIVE deletes/ dir
-        # as a fresh d-<next> commit (atomic rename). From here on the
-        # visible delete set is a superset of the required one at
-        # every crash point — never a window with deletes missing.
-        if has_remaining:
-            commit = self._next_delete_commit()
-            os.rename(
-                f"{tmp}/deletes-residual",
-                f"{self._deletes}/d-{commit}.parquet",
-            )
-        # 3. JOURNAL the swap plan, atomically (write + rename). A
-        # journal on disk = roll the swap FORWARD; no journal = roll
-        # the temp writes back. ``replaced`` vs ``dropped`` removes
-        # the one ambiguity recovery would otherwise face: a hot fid
-        # with no temp dir either already swapped in (replaced) or
-        # never had one because every row died (dropped).
+        ).write.mode("overwrite").partitionBy("_file").parquet(gen_path)
         replaced = [
-            fid for fid in hot
-            if os.path.isdir(f"{tmp}/data/_file={fid}")
+            fid
+            for fid in hot
+            if os.path.isdir(f"{gen_path}/_file={fid}")
         ]
         dropped = [fid for fid in hot if fid not in replaced]
-        plan = {
-            "replaced": replaced,
-            "dropped": dropped,
-            "superseded": [os.path.basename(p) for p in superseded],
+        # 2. WRITE the residual delete set (pending deletes for
+        # non-compacted files) as a fresh delete commit — invisible
+        # until the manifest flips.
+        remaining = dels.filter(~F.col("_file").isin(hot))
+        has_remaining = remaining.limit(1).count() > 0
+        delete_files: list[str] = []
+        if has_remaining:
+            commit = self._next_delete_commit()
+            name = f"d-{commit}.parquet"
+            os.makedirs(self._deletes, exist_ok=True)
+            remaining.write.mode("overwrite").parquet(
+                f"{self._deletes}/{name}"
+            )
+            delete_files = [name]
+        # 3. COMMIT: one atomic pointer flip.
+        gen_dirs = {
+            int(fid): parent
+            for fid, parent in manifest["gen_dirs"].items()
+            if int(fid) not in set(dropped)
         }
-        with open(f"{tmp}/journal", "w") as fh:
-            fh.write(json.dumps(plan))
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.rename(f"{tmp}/journal", self._journal)
-        # 4-6. the swap itself is exactly the recovery roll-forward —
-        # run it inline so a crash at ANY rename resumes at the same
-        # code path.
-        self._roll_forward(plan)
+        for fid in replaced:
+            gen_dirs[fid] = gen
+        self._commit(gen_dirs, delete_files)
         return sorted(hot)
 
-    @property
-    def _journal(self) -> str:
-        return f"{self.root}/.compact-journal.json"
-
-    def _roll_forward(self, plan: dict) -> None:
-        """Complete a journaled swap from any intermediate state: swap
-        replaced files in, drop fully-deleted files, prune superseded
-        delete commits, clear trash/tmp/journal. Every step is
-        idempotent — recovery after a crash inside recovery is fine."""
-        tmp = f"{self.root}/.compact-tmp"
-        trash = f"{self.root}/.compact-trash"
-        os.makedirs(trash, exist_ok=True)
-        for fid in plan["replaced"]:
-            old = f"{self._data}/_file={fid}"
-            new = f"{tmp}/data/_file={fid}"
-            if os.path.isdir(new):
-                if os.path.isdir(old):
-                    os.rename(old, f"{trash}/_file={fid}")
-                os.rename(new, old)
-            # no temp dir → this fid already swapped in; nothing to do
-        for fid in plan["dropped"]:
-            old = f"{self._data}/_file={fid}"
-            if os.path.isdir(old):
-                os.rename(old, f"{trash}/_file={fid}")
-        # prune superseded delete commits one at a time: every entry
-        # still visible is either covered by the residual commit
-        # (non-hot file) or a post-swap no-op (hot file), so a crash
-        # mid-loop only costs redundant anti-join rows.
-        for name in plan["superseded"]:
-            path = f"{self._deletes}/{name}"
-            if os.path.isdir(path):
-                shutil.rmtree(path, ignore_errors=True)
-            elif os.path.exists(path):
-                os.unlink(path)
-        shutil.rmtree(trash, ignore_errors=True)
-        shutil.rmtree(tmp, ignore_errors=True)
-        if os.path.exists(self._journal):
-            os.unlink(self._journal)
-
-    def _recover(self) -> None:
-        """Crash recovery, run before every table operation: a
-        journal on disk means a compaction swap was in flight — roll
-        it forward; temp/trash without a journal means the crash hit
-        the write phase — roll back (sources were never displaced).
-        Bounded filesystem metadata checks on the no-crash path."""
-        has_journal = os.path.exists(self._journal)
-        tmp = f"{self.root}/.compact-tmp"
-        trash = f"{self.root}/.compact-trash"
-        if has_journal:
-            with open(self._journal) as fh:
-                plan = json.load(fh)
-            self._roll_forward(plan)
-        elif os.path.isdir(tmp) or os.path.isdir(trash):
-            shutil.rmtree(tmp, ignore_errors=True)
-            shutil.rmtree(trash, ignore_errors=True)
+    def vacuum(self, keep_last: int = 2) -> list[str]:
+        """Reclaim storage: delete every data directory and delete file
+        not referenced by the newest ``keep_last`` manifests, plus the
+        superseded manifests themselves and crash orphans. Retention is
+        the reader contract — a plan resolved against a retained
+        version stays collectible; only vacuum can break a reader, and
+        only one older than the retention horizon (the Iceberg/Delta
+        ``VACUUM`` semantics exactly). Returns the removed paths."""
+        vs = self.versions()
+        if not vs:
+            return []
+        kept = vs[-keep_last:] if keep_last > 0 else []
+        ref_dirs: set[str] = set()
+        ref_dels: set[str] = set()
+        for v in kept:
+            m = self._read_manifest(v)
+            for fid, parent in m["gen_dirs"].items():
+                ref_dirs.add(f"{parent}/_file={fid}")
+            ref_dels.update(m["delete_files"])
+        removed: list[str] = []
+        # data directories (base + generations)
+        parents = [
+            n
+            for n in os.listdir(self.root)
+            if n == "data" or n.startswith("gen-")
+        ]
+        for parent in parents:
+            pdir = f"{self.root}/{parent}"
+            if not os.path.isdir(pdir):
+                continue
+            for n in os.listdir(pdir):
+                if not n.startswith("_file="):
+                    continue
+                rel = f"{parent}/{n}"
+                if rel not in ref_dirs:
+                    shutil.rmtree(f"{pdir}/{n}", ignore_errors=True)
+                    removed.append(rel)
+            if not any(
+                n.startswith("_file=") for n in os.listdir(pdir)
+            ) and parent != "data":
+                shutil.rmtree(pdir, ignore_errors=True)
+        # delete files
+        if os.path.isdir(self._deletes):
+            for n in os.listdir(self._deletes):
+                if n.startswith("d-") and n not in ref_dels:
+                    path = f"{self._deletes}/{n}"
+                    if os.path.isdir(path):
+                        shutil.rmtree(path, ignore_errors=True)
+                    else:
+                        os.unlink(path)
+                    removed.append(f"deletes/{n}")
+        # superseded manifests + crashed temp manifests
+        for v in vs:
+            if v not in kept:
+                os.unlink(self._manifest_path(v))
+                removed.append(f"_v/v{v}.json")
+        for n in os.listdir(self._manifests):
+            if n.startswith(".tmp-"):
+                os.unlink(f"{self._manifests}/{n}")
+                removed.append(f"_v/{n}")
+        return sorted(removed)

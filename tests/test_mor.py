@@ -72,8 +72,15 @@ def test_compact_rewrites_only_hot_files(spark, tmp_path):
     for fid in (1, 2, 3):
         assert sorted(os.listdir(f"{data}/_file={fid}")) == cold_listing[fid]
         assert os.path.getmtime(f"{data}/_file={fid}") == cold_mtimes[fid]
-    # hot file: physically shrunk to its live rows
-    base0 = spark.read.parquet(f"{data}/_file=0")
+    # hot file: physically shrunk to its live rows, in the NEW
+    # generation dir the manifest points at (old dir stays on disk for
+    # snapshot readers until vacuum)
+    _, manifest = t._resolve()
+    assert manifest["gen_dirs"]["0"].startswith("gen-")
+    assert all(manifest["gen_dirs"][str(f)] == "data" for f in (1, 2, 3))
+    base0 = spark.read.parquet(
+        f"{t.root}/{manifest['gen_dirs']['0']}/_file=0"
+    )
     assert base0.count() == 25 - len(hot_keys)
     # pending deletes: only the cold-file entry for k=1 remains
     pend = t._delete_rows().distinct().collect()
@@ -192,8 +199,13 @@ def test_compact_drops_fully_deleted_file(spark, tmp_path):
     t.delete_keys(spark.createDataFrame([(k,) for k in all_file0], "k long"))
     rewritten = t.compact(min_delete_ratio=0.5)
     assert rewritten == [0]
-    assert not os.path.isdir(f"{t._data}/_file=0")
+    # the manifest no longer references file 0 ...
+    _, manifest = t._resolve()
+    assert "0" not in manifest["gen_dirs"]
     assert t._delete_rows() is None  # all entries were applied
+    # ... and vacuum reclaims its directory once retention passes
+    t.vacuum(keep_last=1)
+    assert not os.path.isdir(f"{t._data}/_file=0")
     live = {r["k"] for r in t.read().select("k").collect()}
     assert live == set(range(100)) - set(all_file0)
     # stats over the shrunk table: three files, nothing pending
@@ -202,17 +214,24 @@ def test_compact_drops_fully_deleted_file(spark, tmp_path):
     assert all(r["n_deleted"] == 0 for r in stats.values())
 
 
-def test_compact_leaves_no_temp_or_trash(spark, tmp_path):
-    """Write-new-then-swap cleans up: after a successful compaction the
-    table root holds only data/ and (if pending) deletes/."""
+def test_compact_layout_and_vacuum(spark, tmp_path):
+    """After compaction the root holds the manifest dir, base data, the
+    new generation, and deletes; vacuum(keep_last=1) prunes everything
+    the newest manifest doesn't reference (superseded delete commits,
+    the old hot-file dir, old manifests)."""
     t = _mk(spark, tmp_path, n=100, n_files=4)
     hot_keys = [k for k in range(0, 80) if k % 4 == 0]
     t.delete_keys(
         spark.createDataFrame([(k,) for k in hot_keys + [1]], "k long")
     )
     t.compact(min_delete_ratio=0.5)
-    entries = sorted(os.listdir(t.root))
-    assert entries == ["data", "deletes"]
+    entries = sorted(
+        n for n in os.listdir(t.root) if not n.startswith("gen-")
+    )
+    assert entries == ["_v", "data", "deletes"]
+    removed = t.vacuum(keep_last=1)
+    assert "data/_file=0" in removed  # superseded hot dir reclaimed
+    assert len(t.versions()) == 1
     # stale delete entries referencing a rewritten file are a no-op,
     # not a resurrection: re-appending the applied batch changes nothing
     t.delete_keys(spark.createDataFrame([(0,)], "k long"))
@@ -221,14 +240,13 @@ def test_compact_leaves_no_temp_or_trash(spark, tmp_path):
 
 
 def test_compact_crash_at_every_rename_never_resurrects(spark, tmp_path):
-    """Kill compact() at EVERY os.rename boundary (the only mutation
-    points after the temp writes) and assert the read path still
-    returns exactly the live set — in particular that pending deletes
-    for NON-compacted files never vanish mid-swap. This pins the
-    superset-then-swap-then-prune ordering: the residual delete set is
-    committed into the live deletes/ dir BEFORE any data dir moves, so
-    no crash point has a delete-less window (the GDPR resurrection bug
-    a wholesale deletes/ rename-out opens)."""
+    """Kill compact() at EVERY os.rename boundary and assert the read
+    path always returns exactly the live set. Under the manifest
+    protocol the only rename in compact() is the pointer flip itself:
+    a crash before it leaves the table at the previous version (whose
+    visible delete set still hides every deleted row — no
+    resurrection), a crash after it IS the new version, and no
+    intermediate state exists for a reader to observe."""
     from asritha_metamorphetl_spark.sources import mor as mor_mod
 
     hot_keys = [k for k in range(0, 80) if k % 4 == 0]  # file 0
@@ -249,13 +267,13 @@ def test_compact_crash_at_every_rename_never_resurrects(spark, tmp_path):
         )
         calls = {"n": 0}
 
-        def crashing(src, dst, _budget=crash_at, _calls=calls):
+        def crashing(src_p, dst_p, _budget=crash_at, _calls=calls):
             _calls["n"] += 1
             if _calls["n"] >= _budget:
                 raise Crash(f"injected at rename #{_calls['n']}")
-            real_rename(src, dst)
+            real_rename(src_p, dst_p)
 
-        mor_mod.os.rename = crashing
+        mor_mod.os.rename = crashing  # compact()-scoped: setup ran clean
         try:
             t.compact(min_delete_ratio=0.5)
             crashed = False
@@ -268,8 +286,47 @@ def test_compact_crash_at_every_rename_never_resurrects(spark, tmp_path):
             f"crash at rename #{crash_at}: live set wrong "
             f"(missing={expected - live}, resurrected={live - expected})"
         )
+        # a crashed run must also leave the table fully operational:
+        # the next compaction (and vacuum) completes from the orphans
+        if crashed:
+            t.compact(min_delete_ratio=0.5)
+            live2 = {r["k"] for r in t.read().select("k").collect()}
+            assert live2 == expected
+            t.vacuum(keep_last=1)
+            assert {r["k"] for r in t.read().select("k").collect()} == expected
         if not crashed:  # compaction ran to completion — all points hit
-            assert crash_at > 1
             break
         crash_at += 1
-        assert crash_at < 20, "rename budget runaway"
+        assert crash_at < 10, "rename budget runaway"
+
+
+def test_concurrent_reader_is_snapshot_isolated(spark, tmp_path):
+    """The directive-#8 contract: a reader plan resolved BEFORE a
+    compaction commits keeps collecting the exact same live set while
+    and after the new version publishes — compaction never moves or
+    deletes files a committed manifest references. Only vacuum (the
+    retention boundary) may reclaim them, after which a FRESH read of
+    the current version is still exact."""
+    t = _mk(spark, tmp_path, n=100, n_files=4)
+    hot_keys = [k for k in range(0, 80) if k % 4 == 0]
+    t.delete_keys(
+        spark.createDataFrame([(k,) for k in hot_keys + [1]], "k long")
+    )
+    expected = set(range(100)) - set(hot_keys) - {1}
+
+    reader_before = t.read()  # resolves the pre-compaction manifest
+    assert t.compact(min_delete_ratio=0.5) == [0]
+    # the old plan still collects the exact snapshot — mid/post-commit
+    live_old = {r["k"] for r in reader_before.select("k").collect()}
+    assert live_old == expected
+    # a fresh read at the new version agrees
+    live_new = {r["k"] for r in t.read().select("k").collect()}
+    assert live_new == expected
+    # time travel: both versions remain addressable until vacuum
+    vs = t.versions()
+    assert len(vs) >= 3  # base, delete commit, compaction
+    live_v = {r["k"] for r in t.read(version=vs[-2]).select("k").collect()}
+    assert live_v == expected
+    # vacuum prunes beyond retention; the current version stays exact
+    t.vacuum(keep_last=1)
+    assert {r["k"] for r in t.read().select("k").collect()} == expected
