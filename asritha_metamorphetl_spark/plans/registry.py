@@ -106,6 +106,16 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # --- round-9 additions: streaming retry contract ---
     "streaming_retry_fold_parity",
     # --- end of driver window; previously-checked registry follows ---
+    # post-window round-9 additions lead the tail: never driver-checked,
+    # selfcheck-pinned, seeded first for the round-10 window
+    "cume_dist_scalable",
+    "weighted_median_price",
+    "order_value_mad",
+    "join_key_skew_audit",
+    "fuzzy_part_name_pairs",
+    "session_type_affinity",
+    "customer_decile_transitions",
+    "price_equiwidth_histogram",
     # (the round-8 window, all driver-green in CORRECTNESS_r08)
     "clustered_skipping_gain",
     "eval_ngram_contamination",
@@ -383,6 +393,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from asritha_metamorphetl_spark.plans import (  # noqa: F401
+        analytics2_queries,
         analytics_queries,
         ann_queries,
         behavior_queries,
