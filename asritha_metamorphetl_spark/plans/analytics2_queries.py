@@ -576,3 +576,312 @@ def price_equiwidth_histogram(
             6,
         ).alias("share"),
     )
+
+
+@register(
+    "text_number_extraction_profile",
+    oracle="""
+WITH per_doc AS (
+    SELECT source,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_nums
+    FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_nums) AS BIGINT) AS total_numbers,
+       CAST(SUM(CASE WHEN n_nums > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_with_numbers,
+       CAST(MAX(n_nums) AS BIGINT) AS max_per_doc,
+       ROUND(CAST(SUM(n_nums) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS mean_per_doc
+FROM per_doc GROUP BY source
+""",
+)
+def text_number_extraction_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Numeric-literal density per source (regex ``[0-9]+`` runs per
+    doc, JVM-side) — the structured-content tell: tables, logs, and
+    price lists light up here while prose stays near zero, and the
+    profile routes documents toward numeracy-aware processing. The
+    ASCII-only pattern is engine-portable by construction; one scan
+    into an O(sources) aggregate."""
+    docs = Catalog(sf_dir).load(spark, "documents")
+    per_doc = docs.select(
+        "source",
+        F.size(
+            F.regexp_extract_all("text", F.lit("[0-9]+"), 0)
+        ).alias("n_nums"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_nums").cast("bigint").alias("total_numbers"),
+        F.sum(F.when(F.col("n_nums") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_with_numbers"),
+        F.max("n_nums").cast("bigint").alias("max_per_doc"),
+        F.round(
+            F.sum("n_nums").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_per_doc"),
+    )
+
+
+@register(
+    "seasonal_adjustment_residuals",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+    FROM orders GROUP BY 1
+),
+dowed AS (
+    SELECT (day - DATE '1970-01-01') % 7 AS dow_idx, n FROM daily
+),
+dow_means AS (
+    SELECT dow_idx, CAST(SUM(n) AS BIGINT) AS s, COUNT(*) AS k
+    FROM dowed GROUP BY dow_idx
+),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS st, COUNT(*) AS kt FROM dowed
+),
+terms AS (
+    SELECT CAST(ROUND((CAST(n AS DOUBLE)
+                       - CAST(s AS DOUBLE) / CAST(k AS DOUBLE))
+                      * (CAST(n AS DOUBLE)
+                         - CAST(s AS DOUBLE) / CAST(k AS DOUBLE))
+                      * 1000000) AS BIGINT) AS ssr_q,
+           CAST(ROUND((CAST(n AS DOUBLE)
+                       - CAST(st AS DOUBLE) / CAST(kt AS DOUBLE))
+                      * (CAST(n AS DOUBLE)
+                         - CAST(st AS DOUBLE) / CAST(kt AS DOUBLE))
+                      * 1000000) AS BIGINT) AS sst_q
+    FROM dowed
+    JOIN dow_means USING (dow_idx)
+    CROSS JOIN tot
+)
+SELECT COUNT(*) AS n_days,
+       ROUND(CAST(SUM(sst_q) AS DOUBLE) / 1000000, 6) AS sst,
+       ROUND(CAST(SUM(ssr_q) AS DOUBLE) / 1000000, 6) AS ssr,
+       ROUND(1.0 - CAST(SUM(ssr_q) AS DOUBLE)
+             / CAST(SUM(sst_q) AS DOUBLE), 6) AS r2_seasonal
+FROM terms
+""",
+)
+def seasonal_adjustment_residuals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How much of daily order-volume variance weekday seasonality
+    explains: R² = 1 − SSR/SST, residuals against per-weekday means vs
+    the grand mean — the decomposition check run BEFORE fitting any
+    trend (de-seasonalize first or the trend fit eats the weekly
+    cycle; composes ``weekday_seasonality_profile`` with
+    ``theil_sen_daily_trend``). Facts reduce to the calendar-bounded
+    daily series; every squared residual is computed from exact
+    integer sums via one mirrored double expression and QUANTIZED to
+    1e-6 before summation (bounded terms, but partition order must not
+    perturb the hash)."""
+    orders = Catalog(sf_dir).load(spark, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dowed = daily.select(
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) % 7
+        ).alias("dow_idx"),
+        "n",
+    )
+    dow_means = dowed.groupBy("dow_idx").agg(
+        F.sum("n").cast("bigint").alias("s"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    tot = dowed.agg(
+        F.sum("n").cast("bigint").alias("st"),
+        F.count(F.lit(1)).alias("kt"),
+    )
+    rd = F.col("n").cast("double") - F.col("s").cast("double") / F.col(
+        "k"
+    ).cast("double")
+    rt = F.col("n").cast("double") - F.col("st").cast("double") / F.col(
+        "kt"
+    ).cast("double")
+    terms = (
+        dowed.join(F.broadcast(dow_means), "dow_idx")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(rd * rd * 1000000).cast("bigint").alias("ssr_q"),
+            F.round(rt * rt * 1000000).cast("bigint").alias("sst_q"),
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.sum("sst_q").cast("double") / 1000000, 6).alias("sst"),
+        F.round(F.sum("ssr_q").cast("double") / 1000000, 6).alias("ssr"),
+        F.round(
+            1.0
+            - F.sum("ssr_q").cast("double")
+            / F.sum("sst_q").cast("double"),
+            6,
+        ).alias("r2_seasonal"),
+    )
+
+
+@register(
+    "median_ci_binomial",
+    oracle=f"""
+WITH enc AS (SELECT {_CENTS} AS cents FROM orders),
+counts AS (SELECT cents, COUNT(*) AS c FROM enc GROUP BY cents),
+cum AS (
+    SELECT cents, SUM(c) OVER (ORDER BY cents ASC) AS cum,
+           (SELECT COUNT(*) FROM enc) AS n
+    FROM counts
+),
+ranks AS (
+    SELECT n,
+           (n + 1) // 2 AS r_med,
+           CAST(FLOOR((CAST(n AS DOUBLE)
+                       - 1.96 * SQRT(CAST(n AS DOUBLE))) / 2) AS BIGINT)
+               AS r_lo,
+           CAST(CEIL(1 + (CAST(n AS DOUBLE)
+                          + 1.96 * SQRT(CAST(n AS DOUBLE))) / 2)
+                AS BIGINT) AS r_hi
+    FROM (SELECT DISTINCT n FROM cum)
+)
+SELECT r.n AS n_orders,
+       MIN(CASE WHEN cum >= r_med THEN cents END) AS median_cents,
+       MIN(CASE WHEN cum >= r_lo THEN cents END) AS ci_lo_cents,
+       MIN(CASE WHEN cum >= r_hi THEN cents END) AS ci_hi_cents
+FROM cum CROSS JOIN ranks r
+GROUP BY r.n
+""",
+)
+def median_ci_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the median of
+    order value, by the binomial order-statistic bound: the CI
+    endpoints are the values at ranks (n ∓ 1.96√n)/2 — no normality
+    assumption anywhere, which is the point for money amounts. Ranks
+    are scalars derived from n with one mirrored IEEE expression; the
+    three rank lookups walk the two-pass cumulative table
+    (``global_cumsum`` — the oracle's window is the single-partition
+    spelling this avoids). The lower-median convention ((n+1)//2)
+    keeps odd/even cases deterministic."""
+    import math
+
+    from asritha_metamorphetl_spark.operators.ranks import (
+        global_cumsum_with_total,
+    )
+
+    orders = Catalog(sf_dir).load(spark, "orders")
+    counts = (
+        orders.select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+                "cents"
+            )
+        )
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cum, n = global_cumsum_with_total(
+        counts, [F.col("cents").asc()], "c", out_col="cum"
+    )
+    n = int(n)
+    r_med = (n + 1) // 2
+    r_lo = int(math.floor((float(n) - 1.96 * math.sqrt(float(n))) / 2))
+    r_hi = int(math.ceil(1 + (float(n) + 1.96 * math.sqrt(float(n))) / 2))
+    return cum.agg(
+        F.lit(n).cast("bigint").alias("n_orders"),
+        F.min(F.when(F.col("cum") >= r_med, F.col("cents"))).alias(
+            "median_cents"
+        ),
+        F.min(F.when(F.col("cum") >= r_lo, F.col("cents"))).alias(
+            "ci_lo_cents"
+        ),
+        F.min(F.when(F.col("cum") >= r_hi, F.col("cents"))).alias(
+            "ci_hi_cents"
+        ),
+    )
+
+
+@register(
+    "part_size_price_anova",
+    oracle="""
+WITH enc AS (
+    SELECT p_size AS grp,
+           CAST(ROUND(p_retailprice * 100) AS BIGINT) AS x
+    FROM part
+),
+per_grp AS (
+    SELECT grp, COUNT(*) AS ng,
+           CAST(SUM(x) AS HUGEINT) AS sg,
+           CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS ssg
+    FROM enc GROUP BY grp
+),
+terms AS (
+    SELECT ng, sg, ssg,
+           CAST(ROUND(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                      / CAST(ng AS DOUBLE) * 1000000) AS BIGINT)
+               AS bterm_q
+    FROM per_grp
+),
+sums AS (
+    SELECT COUNT(*) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+           CAST(SUM(sg) AS HUGEINT) AS s,
+           CAST(SUM(ssg) AS HUGEINT) AS ss,
+           CAST(SUM(bterm_q) AS HUGEINT) AS b_q
+    FROM terms
+)
+SELECT k AS k_groups, n,
+       ROUND((CAST(b_q AS DOUBLE) / 1000000
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1)
+             / ((CAST(ss AS DOUBLE) - CAST(b_q AS DOUBLE) / 1000000)
+                / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+           AS f_stat
+FROM sums
+""",
+)
+def part_size_price_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic: does part size explain retail price?
+    F = (SSB/(k−1)) / (SSW/(n−k)) computed entirely from per-group
+    sufficient statistics — one scan, O(sizes) shuffled rows, the
+    distributed closed form (no residual pass, no per-row second
+    visit). The only non-integer intermediates are the per-group
+    s²/n terms, each QUANTIZED to 1e-6 before the cross-group sum;
+    squared cent sums ride in decimal(38,0)/HUGEINT since they pass
+    int64 at catalog scale."""
+    part = Catalog(sf_dir).load(spark, "part")
+    enc = part.select(
+        F.col("p_size").alias("grp"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("x"),
+    )
+    per_grp = enc.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sg"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("ssg"),
+    )
+    bterm = F.round(
+        F.col("sg").cast("double")
+        * F.col("sg").cast("double")
+        / F.col("ng").cast("double")
+        * 1000000
+    ).cast("bigint")
+    terms = per_grp.select("ng", "sg", "ssg", bterm.alias("bterm_q"))
+    sums = terms.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("ssg").alias("ss"),
+        F.sum(F.col("bterm_q").cast("decimal(38,0)")).alias("b_q"),
+    )
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    bd = F.col("b_q").cast("double") / 1000000
+    return sums.select(
+        F.col("k").alias("k_groups"),
+        "n",
+        F.round(
+            (bd - sd * sd / nd) / (kd - 1) / ((ssd - bd) / (nd - kd)),
+            6,
+        ).alias("f_stat"),
+    )

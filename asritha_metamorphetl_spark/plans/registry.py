@@ -116,6 +116,10 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "session_type_affinity",
     "customer_decile_transitions",
     "price_equiwidth_histogram",
+    "text_number_extraction_profile",
+    "seasonal_adjustment_residuals",
+    "median_ci_binomial",
+    "part_size_price_anova",
     # (the round-8 window, all driver-green in CORRECTNESS_r08)
     "clustered_skipping_gain",
     "eval_ngram_contamination",
