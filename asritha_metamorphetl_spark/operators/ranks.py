@@ -196,19 +196,42 @@ def global_cumsum_with_total(
     # running-sum pass see one consistent partitioning (same rationale
     # as global_row_number).
     ranged = ranged.localCheckpoint(eager=True)
-    totals = {
-        r["__pid"]: (r["s"] or 0)
-        for r in ranged.groupBy("__pid")
-        .agg(F.sum(sum_col).alias("s"))
-        .collect()
-    }
+    totals_df = ranged.groupBy("__pid").agg(F.sum(sum_col).alias("s"))
+    # The offset frame's type must follow F.sum(sum_col)'s result type
+    # (long for integrals, decimal(38,x) for decimals, double for
+    # floats) — a hardcoded `long` made any non-integral sum_col raise
+    # in createDataFrame (or silently lose precision).
+    sum_type = totals_df.schema["s"].dataType
+    totals = {r["__pid"]: (r["s"] or 0) for r in totals_df.collect()}
     offsets, running = {}, 0
     for pid in sorted(totals):
         offsets[pid] = running
         running += totals[pid]
+    from pyspark.sql.types import (
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    def _as_sum_type(v):
+        import decimal
+
+        from pyspark.sql.types import DecimalType, DoubleType, FloatType
+
+        if isinstance(sum_type, (DoubleType, FloatType)):
+            return float(v)
+        if isinstance(sum_type, DecimalType):
+            return decimal.Decimal(v)
+        return int(v)
+
     offset_df = df.sparkSession.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()],
-        "__pid int, __offset long",
+        [(pid, _as_sum_type(off)) for pid, off in offsets.items()],
+        StructType(
+            [
+                StructField("__pid", IntegerType()),
+                StructField("__offset", sum_type),
+            ]
+        ),
     )
     local_window = (
         Window.partitionBy("__pid")

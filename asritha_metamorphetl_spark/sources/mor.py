@@ -142,26 +142,42 @@ class MergeOnReadTable:
         vs = self.versions()
         if not vs:
             raise FileNotFoundError(
-                f"no committed version under {self.root} — write_base first"
+                f"no committed version under {self.root} — write_base "
+                "first (or bootstrap_legacy() for a pre-manifest layout)"
             )
         v = max(vs) if version is None else version
         if v not in vs:
             raise ValueError(f"version {v} not in {vs}")
         return v, self._read_manifest(v)
 
-    def _commit(self, gen_dirs: dict, delete_files: list[str]) -> int:
+    def _commit(
+        self,
+        gen_dirs: dict,
+        delete_files: list[str],
+        schema_json: str | None = None,
+    ) -> int:
         """Publish a new version: write the manifest to a temp name,
         fsync, rename into ``_v/v<k>.json`` — the single atomic step
         that makes everything the manifest references visible. A crash
         at any earlier instant leaves the previous version intact and
-        the new files as invisible orphans for vacuum()."""
+        the new files as invisible orphans for vacuum().
+
+        The manifest also persists the table SCHEMA (written at
+        write_base, carried forward on every later commit) so a fully
+        deleted + compacted + vacuumed table can still serve an empty
+        frame after ``data/`` holds no readable parquet."""
         os.makedirs(self._manifests, exist_ok=True)
-        version = max(self.versions(), default=0) + 1
+        vs = self.versions()
+        if schema_json is None and vs:
+            schema_json = self._read_manifest(max(vs)).get("schema")
+        version = max(vs, default=0) + 1
         manifest = {
             "version": version,
             "gen_dirs": {str(k): v for k, v in gen_dirs.items()},
             "delete_files": sorted(delete_files),
         }
+        if schema_json is not None:
+            manifest["schema"] = schema_json
         tmp = f"{self._manifests}/.tmp-v{version}.json"
         with open(tmp, "w") as fh:
             fh.write(json.dumps(manifest))
@@ -208,7 +224,46 @@ class MergeOnReadTable:
             for n in os.listdir(self._data)
             if n.startswith("_file=")
         ]
-        self._commit({fid: "data" for fid in fids}, [])
+        # read-back schema (footer-only scan): partition col `_file`
+        # lands last and is inference-typed — store exactly what
+        # readers will see so the empty-table fallback reproduces it
+        schema_json = self.spark.read.parquet(self._data).schema.json()
+        self._commit(
+            {fid: "data" for fid in fids}, [], schema_json=schema_json
+        )
+
+    def bootstrap_legacy(self) -> int:
+        """One-time migration for tables written by the pre-manifest
+        layout (``data/`` + ``deletes/`` but no ``_v/``): synthesize v1
+        from a directory listing — every ``data/_file=*`` directory as
+        an uncompacted generation member, every ``deletes/d-*.parquet``
+        in the delete list. No-op (raises) if the table already has
+        manifests, so it can never clobber a committed history."""
+        if self.versions():
+            raise ValueError(
+                f"{self.root} already has committed versions — "
+                "bootstrap_legacy is only for pre-manifest tables"
+            )
+        if not os.path.isdir(self._data):
+            raise FileNotFoundError(f"no data/ under {self.root}")
+        fids = [
+            int(n.split("=")[1])
+            for n in os.listdir(self._data)
+            if n.startswith("_file=")
+        ]
+        dels = (
+            sorted(
+                n
+                for n in os.listdir(self._deletes)
+                if n.startswith("d-")
+            )
+            if os.path.isdir(self._deletes)
+            else []
+        )
+        schema_json = self.spark.read.parquet(self._data).schema.json()
+        return self._commit(
+            {fid: "data" for fid in fids}, dels, schema_json=schema_json
+        )
 
     def _next_delete_commit(self) -> int:
         """Next delete-commit number by listing ``deletes/`` — counts
@@ -263,7 +318,17 @@ class MergeOnReadTable:
         for fid, parent in manifest["gen_dirs"].items():
             by_parent.setdefault(parent, []).append(int(fid))
         if not by_parent:
-            # every row deleted+compacted away: empty frame, base schema
+            # every row deleted+compacted away: empty frame, base
+            # schema — from the manifest when persisted (data/ may hold
+            # no readable parquet after compaction + vacuum), falling
+            # back to a data/ footer scan for legacy manifests
+            schema_json = manifest.get("schema")
+            if schema_json is not None:
+                from pyspark.sql.types import StructType
+
+                return self.spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(schema_json))
+                )
             return self.spark.read.parquet(self._data).limit(0)
         frames = []
         for parent, fids in sorted(by_parent.items()):
@@ -454,11 +519,21 @@ class MergeOnReadTable:
         the reader contract — a plan resolved against a retained
         version stays collectible; only vacuum can break a reader, and
         only one older than the retention horizon (the Iceberg/Delta
-        ``VACUUM`` semantics exactly). Returns the removed paths."""
+        ``VACUUM`` semantics exactly). Returns the removed paths.
+
+        ``keep_last`` must be ≥ 1: retaining zero versions would delete
+        every manifest, data directory, and delete file — silently
+        destroying the table instead of reclaiming storage (Iceberg/
+        Delta VACUUM always retains the current snapshot)."""
+        if keep_last < 1:
+            raise ValueError(
+                f"vacuum(keep_last={keep_last}): must retain >= 1 "
+                "version — the current snapshot is never collectible"
+            )
         vs = self.versions()
         if not vs:
             return []
-        kept = vs[-keep_last:] if keep_last > 0 else []
+        kept = vs[-keep_last:]
         ref_dirs: set[str] = set()
         ref_dels: set[str] = set()
         for v in kept:

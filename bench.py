@@ -93,8 +93,14 @@ def main() -> None:
                     "overwrite"
                 ).save()
                 elapsed = min(elapsed, time.perf_counter() - start)
-            except Exception:
-                pass  # keep the first successful timing
+            except Exception as exc:
+                # keep the first successful timing, but a
+                # pass-then-fail query is a flake worth seeing
+                print(
+                    f"bench: {name} second run FAILED "
+                    f"(keeping first timing): {exc}",
+                    file=sys.stderr,
+                )
         timings[name] = round(elapsed, 3)
         total += elapsed
         # keep queries independent: no cached frames leaking across runs

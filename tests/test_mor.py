@@ -330,3 +330,56 @@ def test_concurrent_reader_is_snapshot_isolated(spark, tmp_path):
     # vacuum prunes beyond retention; the current version stays exact
     t.vacuum(keep_last=1)
     assert {r["k"] for r in t.read().select("k").collect()} == expected
+
+
+def test_vacuum_rejects_zero_retention(spark, tmp_path):
+    """vacuum(keep_last=0) would delete every manifest and data dir —
+    it must raise, never silently destroy the table (ADVICE r9)."""
+    t = _mk(spark, tmp_path, n=20)
+    with pytest.raises(ValueError, match="retain"):
+        t.vacuum(keep_last=0)
+    with pytest.raises(ValueError, match="retain"):
+        t.vacuum(keep_last=-1)
+    # the table is untouched
+    assert t.read().count() == 20
+
+
+def test_empty_table_reads_from_persisted_schema(spark, tmp_path):
+    """Delete every row, compact everything away, vacuum down to the
+    newest manifest: data/ holds no readable parquet, but read() must
+    still return an empty frame with the base schema (ADVICE r9 — the
+    schema is persisted in the manifest)."""
+    import shutil
+
+    t = _mk(spark, tmp_path, n=40, n_files=2)
+    before = t.read().schema
+    t.delete_keys(spark.range(0, 40).select(F.col("id").alias("k")))
+    t.compact(min_delete_ratio=0.0)
+    t.vacuum(keep_last=1)
+    # simulate the pruned layout aggressively: drop any leftover
+    # parquet under data/ entirely
+    data = os.path.join(str(tmp_path / "tbl"), "data")
+    if os.path.isdir(data):
+        shutil.rmtree(data)
+    got = t.read()
+    assert got.count() == 0
+    assert got.schema == before
+
+
+def test_bootstrap_legacy_synthesizes_v1(spark, tmp_path):
+    """A pre-round-9 layout (data/ + deletes/, no _v/) migrates with
+    one bootstrap_legacy() call and then reads normally (ADVICE r9)."""
+    import shutil
+
+    t = _mk(spark, tmp_path, n=50, n_files=2)
+    t.delete_keys(spark.range(0, 10).select(F.col("id").alias("k")))
+    # strip the manifests: this is exactly the legacy on-disk layout
+    shutil.rmtree(os.path.join(str(tmp_path / "tbl"), "_v"))
+    t2 = MergeOnReadTable(spark, str(tmp_path / "tbl"), "k", n_files=2)
+    with pytest.raises(FileNotFoundError, match="bootstrap_legacy"):
+        t2.read()
+    v = t2.bootstrap_legacy()
+    assert v == 1
+    assert t2.read().count() == 40
+    with pytest.raises(ValueError, match="already has committed"):
+        t2.bootstrap_legacy()

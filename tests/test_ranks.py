@@ -234,3 +234,50 @@ def test_global_cumsum_no_single_partition_exchange(spark):
     out = global_cumsum(df, [F.col("v").asc()], "c", out_col="cum")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
+
+
+def test_global_cumsum_nonintegral_sum_types(spark):
+    """The offset frame's type follows F.sum(sum_col)'s result type —
+    double and decimal sum columns must work (ADVICE r9: the hardcoded
+    `__offset long` schema raised on non-integral sums)."""
+    import decimal
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from asritha_metamorphetl_spark.operators.ranks import (
+        global_cumsum_with_total,
+    )
+
+    w = Window.orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # double
+    dbl = spark.range(0, 200).select(
+        (F.col("id") * 3 % 211).alias("v"),
+        (F.col("id") % 4 + 0.5).cast("double").alias("c"),
+    ).repartition(7)
+    want = {
+        (r["v"], round(r["cum"], 6))
+        for r in dbl.withColumn("cum", F.sum("c").over(w)).collect()
+    }
+    got_df, total = global_cumsum_with_total(
+        dbl, [F.col("v").asc()], "c", out_col="cum"
+    )
+    got = {(r["v"], round(r["cum"], 6)) for r in got_df.collect()}
+    assert got == want
+    assert abs(total - sum(r["c"] for r in dbl.collect())) < 1e-6
+    # decimal(38,2)
+    dec = spark.range(0, 100).select(
+        (F.col("id") * 3 % 101).alias("v"),
+        (F.col("id") % 5 + 1).cast("decimal(20,2)").alias("c"),
+    ).repartition(5)
+    got_df2, total2 = global_cumsum_with_total(
+        dec, [F.col("v").asc()], "c", out_col="cum"
+    )
+    want2 = {
+        (r["v"], r["cum"])
+        for r in dec.withColumn("cum", F.sum("c").over(w)).collect()
+    }
+    assert {(r["v"], r["cum"]) for r in got_df2.collect()} == want2
+    assert isinstance(total2, decimal.Decimal)

@@ -80,9 +80,9 @@ QUERIES = [
     ("streaming_weighted_sample_parity", "streaming E-S top-k fold"),
     ("embedding_covariance_matrix", "partition-partial Gram (one Arrow pass)"),
     ("pca_power_projection", "driver eigenstep + JVM broadcast projection"),
-    ("part_copurchase_pagerank", "3-round power iteration (checkpointed)"),
+    ("part_copurchase_pagerank", "capped-out-degree power iteration (n*64 transitions)"),
     ("streaming_gram_parity", "streaming Gram-moment fold (micro-batch)"),
-    ("copurchase_triangle_rank", "degree-oriented exact triangle join"),
+    ("copurchase_triangle_rank", "mutual-top-64 kNN graph triangles (linear wedges)"),
     ("hll_register_table", "white-box HLL: one partial-max aggregate"),
     ("streaming_hll_parity", "streaming HLL max-fold (micro-batch)"),
     ("selfjoin_size_estimate", "CM inner-product join-size estimate"),
@@ -107,7 +107,7 @@ QUERIES = [
     ("rolling_active_users_7d", "bounded coverage-expansion rolling distinct"),
     ("session_duration_deciles", "per-user sessions + two-pass global deciles"),
     ("event_value_pareto", "two-pass global rank + top-20% share"),
-    ("cosine_pair_histogram", "hash-blocked pairwise cosine (n^2/B)"),
+    ("cosine_pair_histogram", "corpus-derived blocks: n*64/2 cosine pairs"),
     ("heaps_law_fit", "range-bucketed vocab growth + quantized OLS"),
     ("hapax_legomena_rate", "per-source vocab profile (Zipf-bounded)"),
     ("embedding_label_centroid_spread", "label geometry from moments only"),
@@ -115,23 +115,52 @@ QUERIES = [
     ("order_fulfillment_backlog", "two fact reductions + bounded spine"),
     ("key_cardinality_audit", "10-table distinct-key audit (one agg each)"),
     ("streaming_retry_fold_parity", "retried-batch argmax fold (batch_id<n)"),
+    # round-10 additions
+    ("fuzzy_part_name_pairs", "PassJoin segment-blocked edit-distance join"),
 ]
 
 RUNS = 2  # take the best of N to damp container noise
+
+
+def _prior_times() -> dict[str, dict[str, float]]:
+    """Parse the existing SCALING.md table so --only re-measures a
+    subset without discarding every other row's numbers."""
+    times: dict[str, dict[str, float]] = {}
+    path = os.path.join(REPO, "SCALING.md")
+    if not os.path.exists(path):
+        return times
+    for ln in open(path):
+        parts = [p.strip() for p in ln.split("|")]
+        if len(parts) < 8 or not parts[3].endswith("s"):
+            continue
+        try:
+            times[parts[1]] = {
+                sf: float(parts[3 + i].rstrip("s"))
+                for i, sf in enumerate(SFS)
+            }
+        except ValueError:
+            continue
+    return times
 
 
 def main() -> None:
     from asritha_metamorphetl_spark.plans.registry import all_queries
     from asritha_metamorphetl_spark.session import create_session
 
+    only: set[str] | None = None
+    if len(sys.argv) > 2 and sys.argv[1] == "--only":
+        only = set(sys.argv[2].split(","))
+
     spark = create_session(master="local[32]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
-    times: dict[str, dict[str, float]] = {}
+    times = _prior_times() if only else {}
     for sf in SFS:
         sf_dir = f"/root/testdata/sf{sf}"
         for name, _ in QUERIES:
+            if only is not None and name not in only:
+                continue
             best = min(
                 _timed(qs[name], spark, sf_dir) for _ in range(RUNS)
             )
@@ -200,6 +229,31 @@ def main() -> None:
         "absolute per-query numbers carry extra contention; the aggregate",
         "still came in BELOW r7's 198-query total (417.9 s) because the",
         "fixture cache removed repeated table builds.",
+        "",
+        "Audit-query sampling/blocking contracts (VERDICT r9 #6): profile",
+        "and audit queries that are pairwise by nature (fuzzy matching,",
+        "similarity histograms, co-occurrence graphs) NEVER run all-pairs;",
+        "each states ONE of three contracts in its docstring, mirrored",
+        "verbatim in its DuckDB oracle so the hash stays exact:",
+        "(1) EXACT-RECALL BLOCKING — candidate keys provably cover every",
+        "qualifying pair (fuzzy_part_name_pairs: PassJoin 3-segment",
+        "pigeonhole for same-length ED<=2; LSH bands for Jaccard at the",
+        "banded thresholds). The oracle may keep a naive spelling: results",
+        "coincide, so the hash-match PROVES the recall claim.",
+        "(2) SAMPLING — pair work runs on a content-independent hash block",
+        "sample whose expected size is stated (cosine_pair_histogram:",
+        "B = ceil(n/COS_BLOCK_ROWS) blocks derived in-plan from COUNT(*),",
+        "pair work n*COS_BLOCK_ROWS/2, linear). The oracle derives the",
+        "same parameter from the same count.",
+        "(3) TRUNCATION — a top-m-per-key cap with a stated deterministic",
+        "ordering (part_copurchase_pagerank: top-64 out-neighbors by",
+        "weight; copurchase_triangle_rank: MUTUAL top-64, so degree <= 64",
+        "strictly and wedges are linear in nodes). The oracle applies the",
+        "identical row_number cap.",
+        "A docstring may not claim a scale bound the plan does not have;",
+        "tests/test_round10_plans.py gates each of the four round-10",
+        "contract holders (recall property, block-key cardinality, derived",
+        "block count, degree bounds).",
         "",
         "Round-8 float discipline note: every new statistics query",
         "(correlation, OLS, Gini, Theil-Sen, PSI, autocorrelation, ...)",
