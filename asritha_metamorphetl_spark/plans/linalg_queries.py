@@ -200,7 +200,7 @@ def _pr_iter_sql(prev: str, cur: str) -> str:
     oracle=f"""
 WITH edges_all AS (
     SELECT a.l_partkey AS src, b.l_partkey AS dst,
-           CAST(COUNT(*) AS DOUBLE) AS w
+           CAST(COUNT(DISTINCT a.l_orderkey) AS DOUBLE) AS w
     FROM lineitem a
     JOIN lineitem b ON a.l_orderkey = b.l_orderkey
     WHERE a.l_partkey <> b.l_partkey
@@ -265,28 +265,51 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def copurchase_pairs_weighted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unordered co-purchase pairs (u < v) weighted by the number of
+    DISTINCT orders containing both parts. Built by basket-array
+    expansion (groupBy + collect_set + higher-order pair emission) —
+    the Σk² shape that never self-joins the fact table; the oracles
+    keep the self-join + COUNT(DISTINCT orderkey) spelling to stay
+    independent. Shared by both co-purchase graph queries."""
+    li = Catalog(sf_dir).load(spark, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    grouped = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> transform("
+                "slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
+    return pairs.groupBy("u", "v").agg(F.count(F.lit(1)).alias("w"))
+
+
 def capped_copurchase_out_edges(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Weighted co-purchase edges with each node's out-neighbors
     truncated to its top-PR_DEG_CAP by (weight DESC, neighbor ASC) —
     the transition graph ``part_copurchase_pagerank`` iterates over.
-    Gate: tests/test_round10_plans.py asserts max out-degree ≤ cap."""
+    Edge weights = distinct orders containing the pair (the basket
+    expansion of ``copurchase_pairs_weighted`` — one fact aggregate,
+    no self-join). Gate: tests/test_round10_plans.py asserts max
+    out-degree ≤ cap."""
     from pyspark.sql import Window
 
-    li = Catalog(sf_dir).load(spark, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    edges_all = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
+    pairsw = copurchase_pairs_weighted(spark, sf_dir)
+    edges_all = pairsw.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+    ).unionByName(
+        pairsw.select(
+            F.col("v").alias("src"), F.col("u").alias("dst"), "w"
         )
-        .agg(F.count(F.lit(1)).alias("w"))
     )
     wtop = Window.partitionBy("src").orderBy(
         F.col("w").desc(), F.col("dst").asc()
@@ -421,21 +444,7 @@ def mutual_capped_copurchase_edges(
     Gate: tests/test_round10_plans.py asserts the degree bound."""
     from pyspark.sql import Window
 
-    li = Catalog(sf_dir).load(spark, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    grouped = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("ps")
-    )
-    pairs = grouped.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ps, (x, i) -> transform("
-                "slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
-            )
-        ).alias("p")
-    ).select("p.u", "p.v")
-    pairsw = pairs.groupBy("u", "v").agg(F.count(F.lit(1)).alias("w"))
+    pairsw = copurchase_pairs_weighted(spark, sf_dir)
     symw = pairsw.unionByName(
         pairsw.select(
             F.col("v").alias("u"), F.col("u").alias("v"), "w"

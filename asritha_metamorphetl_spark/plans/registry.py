@@ -398,6 +398,7 @@ def _load_all() -> None:
         return
     from asritha_metamorphetl_spark.plans import (  # noqa: F401
         analytics2_queries,
+        analytics3_queries,
         analytics_queries,
         ann_queries,
         behavior_queries,
