@@ -37,22 +37,75 @@ _REGISTRY: dict[str, RegisteredQuery] = {}
 #: must fail tests, not silently demote a query out of the window).
 QUERY_PRIORITY: tuple[str, ...] = (
     # =====================================================================
-    # ROUND-9 DRIVER WINDOW (first 50 = exactly what the correctness
-    # driver checks). Slots 1-4: the four round-8 queries that have
-    # never had a driver CORRECTNESS row (judge-verified green in r8;
-    # VERDICT r8 directive #3). Slots 5-50: every query ADDED this
-    # round — commerce analytics, statistics second wave, behavioral
-    # event analytics, lexical corpus statistics, embedding hygiene,
-    # integrity audits, and the foreachBatch-retry parity — so the
-    # window stays 100% never-driver-checked. Everything below keeps
-    # priority order; older rounds' windows hold their driver-green
-    # rows (zero overlap verified against CORRECTNESS_r01-r08).
+    # ROUND-10 DRIVER WINDOW (first 50 = exactly what the correctness
+    # driver checks). Slots 1-12: the 12 round-9 post-window seeds
+    # (never driver-checked; judge-verified green in r9). Slots 13-35:
+    # the 23 queries ADDED this round (plans/analytics3_queries.py) —
+    # all never driver-checked. Slots 36-50: the 15 OLDEST-checked
+    # queries (round-1 window, 9 rounds stale — VERDICT r9 directives
+    # #3/#7: start re-driver-checking the oldest evidence; includes the
+    # three marts, pricing_summary, sessionization, dedup and kNN
+    # rows). Everything below keeps priority order; zero overlap
+    # between slots 1-35 and CORRECTNESS_r01-r09.
     # =====================================================================
+    "cume_dist_scalable",
+    "weighted_median_price",
+    "order_value_mad",
+    "join_key_skew_audit",
+    "fuzzy_part_name_pairs",
+    "session_type_affinity",
+    "customer_decile_transitions",
+    "price_equiwidth_histogram",
+    "text_number_extraction_profile",
+    "seasonal_adjustment_residuals",
+    "median_ci_binomial",
+    "part_size_price_anova",
+    # --- round-10 additions (never driver-checked) ---
+    "first_touch_attribution",
+    "daily_new_vs_returning",
+    "dwell_time_by_type",
+    "hour_dow_load_heatmap",
+    "interarrival_burstiness",
+    "session_purchase_rate",
+    "user_lifespan_histogram",
+    "event_value_deciles_by_type",
+    "ship_latency_percentiles_by_priority",
+    "supplier_nation_herfindahl",
+    "part_type_price_iqr",
+    "order_line_value_concentration",
+    "nation_month_revenue_anomalies",
+    "customer_order_value_cv",
+    "lineitem_tax_discount_grid",
+    "returns_month_seasonality",
+    "brand_price_dispersion",
+    "embedding_sign_bias_profile",
+    "centroid_distance_bands",
+    "daily_revenue_drawdown",
+    "priority_mix_quarter_psi",
+    "hourly_error_rate_wilson",
+    "streaming_first_touch_parity",
+    # --- oldest-checked re-verification block (round-1 rows) ---
+    "supplier_performance",
+    "product_performance",
+    "customer_sales_report",
+    "pricing_summary",
+    "top3_parts_per_brand",
+    "customers_without_orders",
+    "repeat_customers",
+    "lineitem_rollup",
+    "orders_status_pivot",
+    "running_customer_spend",
+    "event_sessions",
+    "user_journeys",
+    "daily_revenue_spine",
+    "similar_part_names",
+    "minhash_near_dups",
+    # --- end of driver window; previously-checked registry follows ---
+    "knn_cosine_topk",
     "incremental_agg_view",
     "bottomk_quantile_audit",
     "bottomk_merge_parity",
     "minhash_band_tuning",
-    # --- round-9 additions: commerce ---
     "order_value_percentile_bands",
     "yoy_revenue_growth_by_region",
     "running_ytd_revenue_by_nation",
@@ -68,14 +121,12 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "part_brand_share_entropy",
     "order_fulfillment_backlog",
     "supplier_rank_tie_semantics",
-    # --- round-9 additions: statistics ---
     "ks_two_sample_price",
     "spearman_price_qty",
     "kendall_tau_daily",
     "daily_count_dispersion",
     "entropy_categorical_columns",
     "cramers_v_categorical_pairs",
-    # --- round-9 additions: behavior ---
     "rolling_active_users_7d",
     "session_duration_deciles",
     "funnel_conversion_latency",
@@ -85,7 +136,6 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "hourly_load_imbalance",
     "transition_entropy_by_type",
     "session_gap_sensitivity",
-    # --- round-9 additions: lexical ---
     "hapax_legomena_rate",
     "heaps_law_fit",
     "simhash_prefix_buckets",
@@ -93,34 +143,15 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "doc_prefix_dup_groups",
     "token_length_histogram",
     "char_class_profile",
-    # --- round-9 additions: vectors ---
     "embedding_norm_outliers",
     "cosine_pair_histogram",
     "embedding_dim_clip_profile",
     "embedding_label_centroid_spread",
-    # --- round-9 additions: integrity ---
     "null_completeness_profile",
     "key_cardinality_audit",
     "fd_violation_audit",
     "natural_key_dup_audit",
-    # --- round-9 additions: streaming retry contract ---
     "streaming_retry_fold_parity",
-    # --- end of driver window; previously-checked registry follows ---
-    # post-window round-9 additions lead the tail: never driver-checked,
-    # selfcheck-pinned, seeded first for the round-10 window
-    "cume_dist_scalable",
-    "weighted_median_price",
-    "order_value_mad",
-    "join_key_skew_audit",
-    "fuzzy_part_name_pairs",
-    "session_type_affinity",
-    "customer_decile_transitions",
-    "price_equiwidth_histogram",
-    "text_number_extraction_profile",
-    "seasonal_adjustment_residuals",
-    "median_ci_binomial",
-    "part_size_price_anova",
-    # (the round-8 window, all driver-green in CORRECTNESS_r08)
     "clustered_skipping_gain",
     "eval_ngram_contamination",
     "heavy_hitter_tokens",
@@ -229,9 +260,6 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "knn_pq_recall_eval",
     "unimax_source_allocation",
     "token_budget_mix",
-    "supplier_performance",
-    "product_performance",
-    "customer_sales_report",
     "curation_verdict",
     "reconcile_lineitem_composite",
     "cdc_orders_snapshot",
@@ -250,13 +278,11 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "legacy_day_slice",
     "knn_lsh_recall_eval",
     "knn_lsh_topk",
-    "knn_cosine_topk",
     "minhash_recall_eval",
     "label_centering_profile",
     "customer_order_gaps",
     "segment_balance_quartiles",
     "exact_dup_groups",
-    "minhash_near_dups",
     "ngram_jaccard_pairs",
     "simhash_docs",
     "winnow_fingerprint_profile",
@@ -333,29 +359,18 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "media_asset_features",
     "source_mix_weights",
     "view_purchase_asof",
-    "pricing_summary",
     "priority_price_profile",
-    "lineitem_rollup",
     "lineitem_measures_long",
-    "orders_status_pivot",
-    "daily_revenue_spine",
-    "repeat_customers",
-    "running_customer_spend",
     "customers_with_open_orders",
-    "customers_without_orders",
     "open_and_pending_customers",
     "open_minus_fulfilled_customers",
-    "top3_parts_per_brand",
-    "similar_part_names",
     "party_directory",
     "events_hourly",
-    "event_sessions",
     "event_funnel",
     "event_gaps",
     "events_sliding_stats",
     "event_props_stats",
     "props_kv_totals",
-    "user_journeys",
     "user_retention_cohorts",
     "views_before_purchase",
     "salted_hot_user_events",

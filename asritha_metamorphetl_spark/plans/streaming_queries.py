@@ -1140,3 +1140,73 @@ def streaming_retry_fold_parity(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("cents").cast("bigint").alias("total_cents"),
     )
+
+
+@register(
+    "streaming_first_touch_parity",
+    # Batch twin of analytics3_queries.first_touch_attribution — the
+    # streaming fold must land on the identical attribution table.
+    oracle="""
+WITH firsts AS (
+    SELECT user_id, event_type AS first_type
+    FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+),
+conv AS (
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+    FROM events GROUP BY user_id
+)
+SELECT f.first_type,
+       COUNT(*) AS n_users,
+       CAST(SUM(c.converted) AS BIGINT) AS n_converted,
+       ROUND(CAST(SUM(c.converted) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS conv_rate
+FROM firsts f JOIN conv c USING (user_id)
+GROUP BY f.first_type
+""",
+)
+def streaming_first_touch_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-touch attribution as a REAL streaming query: one
+    complete-mode per-user aggregate folds MIN(struct(us, event_id,
+    event_type)) — a mergeable running minimum over the total event
+    order, exactly the state a live attribution pipeline keeps — plus
+    the running conversion flag, in the SAME stateful operator
+    (streaming allows one aggregation; the per-type rollup happens
+    batch-side on the bounded per-user sink table). Must hash-match
+    the batch twin (``first_touch_attribution``'s oracle) — parity
+    proves the fold order-independence that out-of-order micro-batch
+    delivery requires."""
+    stream = Catalog(sf_dir).stream(spark, "events")
+    per_user = stream.groupBy("user_id").agg(
+        F.min(
+            F.struct(
+                F.unix_micros(F.col("ts")).alias("us"),
+                F.col("event_id").alias("event_id"),
+                F.col("event_type").alias("event_type"),
+            )
+        ).alias("first"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    out = _materialize(per_user, mode="complete", state_partitions=8)
+    return out.groupBy(
+        F.col("first.event_type").alias("first_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.round(
+            F.sum("converted").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("conv_rate"),
+    )

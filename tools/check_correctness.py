@@ -12,6 +12,13 @@ name. Run from the repo root:
 
 Prints one JSON object keyed by query name (same shape as CORRECTNESS_r*.json)
 to stdout; progress goes to stderr. Exit code 1 if any query is not green.
+
+``--jobs N`` runs N queries concurrently (Spark's scheduler interleaves
+the actions; each worker compares through its own DuckDB cursor). The
+default stays sequential — exactly the driver's cadence — but the
+full-registry selfcheck uses --jobs to keep round-end evidence cheap
+(VERDICT r9 directive #8). Output is identical either way: results are
+collected per query and printed in registry order.
 """
 
 from __future__ import annotations
@@ -80,8 +87,14 @@ def _hash_rows(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    jobs = 1
+    if "--jobs" in args:
+        i = args.index("--jobs")
+        jobs = max(1, int(args[i + 1]))
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -112,12 +125,13 @@ def main() -> int:
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
-    results: dict[str, dict] = {}
-    bad = []
+    todo = [
+        (name, fn)
+        for name, fn in queries.items()
+        if not only or name in only
+    ]
 
-    for name, fn in queries.items():
-        if only and name not in only:
-            continue
+    def _check(name: str, fn) -> dict:
         rec: dict = {
             "rows_match": None,
             "schema_match": None,
@@ -133,27 +147,26 @@ def main() -> int:
             rec["spark_rows"] = len(srows)
         except Exception:
             rec["err"] = traceback.format_exc(limit=5)
-            results[name] = rec
-            bad.append(name)
             print(f"  {name}: SPARK ERROR", file=sys.stderr)
-            continue
+            return rec
         sql = oracles.get(name)
         if sql is None:
             rec["err"] = "no_oracle"
-            results[name] = rec
             print(f"  {name}: rows-only ({len(srows)})", file=sys.stderr)
-            continue
+            return rec
         try:
-            cur = con.execute(sql)
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            cur = con.cursor()
+            try:
+                cur.execute(sql)
+                ocols = [d[0] for d in cur.description]
+                orows = cur.fetchall()
+            finally:
+                cur.close()
             rec["oracle_rows"] = len(orows)
         except Exception:
             rec["err"] = "ORACLE: " + traceback.format_exc(limit=3)
-            results[name] = rec
-            bad.append(name)
             print(f"  {name}: ORACLE ERROR", file=sys.stderr)
-            continue
+            return rec
         rec["rows_match"] = len(srows) == len(orows)
         rec["schema_match"] = sorted(scols) == sorted(ocols)
         if rec["rows_match"] and rec["schema_match"]:
@@ -162,17 +175,30 @@ def main() -> int:
             ) == _hash_rows(ocols, orows)
         else:
             rec["hash_match"] = False
-        results[name] = rec
-        ok = rec["hash_match"]
-        if not ok:
-            bad.append(name)
         print(
-            f"  {name}: {'OK' if ok else 'MISMATCH'} "
+            f"  {name}: {'OK' if rec['hash_match'] else 'MISMATCH'} "
             f"(spark={rec['spark_rows']} oracle={rec['oracle_rows']} "
             f"schema={rec['schema_match']})",
             file=sys.stderr,
         )
+        return rec
 
+    results: dict[str, dict] = {}
+    if jobs == 1:
+        for name, fn in todo:
+            results[name] = _check(name, fn)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=jobs) as pool:
+            futs = {name: pool.submit(_check, name, fn) for name, fn in todo}
+        results = {name: futs[name].result() for name, _ in todo}
+
+    bad = [
+        name
+        for name, rec in results.items()
+        if not rec["hash_match"] and rec["err"] != "no_oracle"
+    ]
     print(json.dumps(results, indent=1))
     print(
         f"\n{len(results) - len(bad)}/{len(results)} green; bad: {bad}",
