@@ -1456,3 +1456,396 @@ def hourly_error_rate_wilson(
         wl.alias("wilson_low"),
         F.when(wl > F.round(p0, 6), 1).otherwise(0).alias("flagged"),
     )
+
+
+# ---------------------------------------------------------------------
+# allocation / grouped regression / decomposition / survival
+# ---------------------------------------------------------------------
+
+#: Slots handed out by the largest-remainder allocation.
+ALLOC_SLOTS = 10000
+
+#: Years compared by the revenue mix-shift decomposition.
+MIX_YEAR_A = 1996
+MIX_YEAR_B = 1997
+
+#: Right-censoring horizon (days before the corpus max) for the
+#: survival curve: users last seen inside the horizon are censored
+#: (still alive), not churned.
+SURV_CENSOR_DAYS = 7
+
+
+@register(
+    "largest_remainder_allocation",
+    oracle=f"""
+WITH counts AS (
+    SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts),
+based AS (
+    SELECT source, n,
+           CAST((n * {ALLOC_SLOTS}) // (SELECT t FROM tot) AS BIGINT)
+               AS base,
+           CAST(n * {ALLOC_SLOTS}
+                - ((n * {ALLOC_SLOTS}) // (SELECT t FROM tot))
+                  * (SELECT t FROM tot) AS BIGINT) AS rem
+    FROM counts
+),
+leftover AS (
+    SELECT CAST({ALLOC_SLOTS} - SUM(base) AS BIGINT) AS l FROM based
+),
+ranked AS (
+    SELECT source, n, base,
+           ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rk
+    FROM based
+)
+SELECT source, n AS n_docs,
+       CAST(base + CASE WHEN rk <= (SELECT l FROM leftover)
+                        THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM ranked
+""",
+)
+def largest_remainder_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hamilton (largest-remainder) apportionment of a fixed sample
+    budget across sources — the allocator behind "give me exactly
+    {ALLOC_SLOTS} docs, proportional to source size": floor the exact
+    proportional share, then hand the leftover slots to the largest
+    remainders (ties broken by source name — deterministic). The whole
+    computation is INTEGER (n·slots, integer division, exact
+    remainders), so the allocation is reproducible bit-for-bit; the
+    only window runs over the bounded source table. Σ alloc = slots
+    exactly — the property floor- or round-based allocators break."""
+    docs = Catalog(sf_dir).load(spark, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").cast("bigint").alias("t"))
+    based = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        F.floor(
+            (F.col("n") * ALLOC_SLOTS) / F.col("t")
+        ).cast("bigint").alias("base"),
+        (
+            F.col("n") * ALLOC_SLOTS
+            - F.floor((F.col("n") * ALLOC_SLOTS) / F.col("t"))
+            * F.col("t")
+        )
+        .cast("bigint")
+        .alias("rem"),
+    )
+    leftover = based.agg(
+        (F.lit(ALLOC_SLOTS) - F.sum("base")).cast("bigint").alias("l")
+    )
+    wrk = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    ranked = based.withColumn("rk", F.row_number().over(wrk))
+    return ranked.crossJoin(F.broadcast(leftover)).select(
+        "source",
+        F.col("n").alias("n_docs"),
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("l"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    )
+
+
+@register(
+    "brand_size_price_slopes",
+    oracle="""
+WITH pts AS (
+    SELECT p_brand, CAST(p_size AS BIGINT) AS x,
+           CAST(ROUND(p_retailprice * 100) AS BIGINT) AS y
+    FROM part
+),
+stats AS (
+    SELECT p_brand, COUNT(*) AS n,
+           CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+           CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+           CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+           CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+    FROM pts GROUP BY p_brand
+)
+SELECT p_brand, n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+       ROUND((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+           AS intercept,
+       ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+           AS r2
+FROM stats
+WHERE CAST(n AS HUGEINT) * sxx - sx * sx > 0
+  AND CAST(n AS HUGEINT) * syy - sy * sy > 0
+""",
+)
+def brand_size_price_slopes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-brand OLS of retail price (cents) on part size — GROUPED
+    regression from sufficient statistics: one aggregate computes the
+    five exact integer sums per brand, and slope/intercept/r² are
+    final mirrored doubles, so a thousand-group regression costs
+    exactly one map-side-combining shuffle (the grouped extension of
+    ``regr_price_on_qty``'s global contract). Degenerate brands
+    (constant size or constant price) are excluded by EXACT integer
+    determinant tests, never a float epsilon."""
+    part = Catalog(sf_dir).load(spark, "part")
+    x = F.col("p_size").cast("bigint")
+    y = F.round(F.col("p_retailprice") * 100).cast("bigint")
+    d38 = "decimal(38,0)"
+    stats = part.select(
+        "p_brand", x.alias("x"), y.alias("y")
+    ).groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    return (
+        stats.filter(
+            (
+                F.col("n").cast(d38) * F.col("sxx")
+                - F.col("sx") * F.col("sx")
+                > 0
+            )
+            & (
+                F.col("n").cast(d38) * F.col("syy")
+                - F.col("sy") * F.col("sy")
+                > 0
+            )
+        )
+        .select(
+            "p_brand",
+            "n",
+            F.round(cov / varx, 6).alias("slope"),
+            F.round((sy * sxx - sx * sxy) / varx, 6).alias("intercept"),
+            F.round((cov * cov) / (varx * vary), 6).alias("r2"),
+        )
+    )
+
+
+@register(
+    "revenue_mix_shift_decomposition",
+    oracle=f"""
+WITH yearly AS (
+    SELECT n.n_name AS nation,
+           CAST(strftime(o.o_orderdate, '%Y') AS INT) AS yr,
+           COUNT(*) AS n,
+           CAST(SUM({_O_CENTS}) AS HUGEINT) AS s
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE CAST(strftime(o.o_orderdate, '%Y') AS INT)
+          IN ({MIX_YEAR_A}, {MIX_YEAR_B})
+    GROUP BY 1, 2
+),
+wide AS (
+    SELECT nation,
+           MAX(CASE WHEN yr = {MIX_YEAR_A} THEN n END) AS na,
+           MAX(CASE WHEN yr = {MIX_YEAR_A} THEN s END) AS sa,
+           MAX(CASE WHEN yr = {MIX_YEAR_B} THEN n END) AS nb,
+           MAX(CASE WHEN yr = {MIX_YEAR_B} THEN s END) AS sb
+    FROM yearly GROUP BY nation
+    HAVING MAX(CASE WHEN yr = {MIX_YEAR_A} THEN n END) IS NOT NULL
+       AND MAX(CASE WHEN yr = {MIX_YEAR_B} THEN n END) IS NOT NULL
+)
+SELECT nation,
+       CAST(sa AS BIGINT) AS rev_a_cents,
+       CAST(sb AS BIGINT) AS rev_b_cents,
+       CAST(sb - sa AS BIGINT) AS delta_cents,
+       ROUND((CAST(nb AS DOUBLE) - CAST(na AS DOUBLE))
+             * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)), 2)
+           AS volume_effect,
+       ROUND(CAST(sb AS DOUBLE)
+             - CAST(sa AS DOUBLE) * CAST(nb AS DOUBLE)
+               / CAST(na AS DOUBLE), 2) AS price_effect
+FROM wide
+""",
+)
+def revenue_mix_shift_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Laspeyres/Paasche decomposition of the {MIX_YEAR_A}→{MIX_YEAR_B}
+    revenue change per nation: volume effect = Δorders x base-year
+    average value, price effect = the remainder — the exact identity
+    volume + price = Δrevenue that a revenue review decomposes before
+    anyone argues about cause. Year revenues are exact integer cents;
+    both effects are final mirrored doubles (2 dp); nations missing
+    either year drop (stated in both engines). Dimension joins
+    broadcast; one fact aggregate."""
+    cat = Catalog(sf_dir)
+    orders = cat.load(spark, "orders")
+    cust = cat.load(spark, "customer").select("c_custkey", "c_nationkey")
+    nat = cat.load(spark, "nation").select("n_nationkey", "n_name")
+    yr = F.year("o_orderdate")
+    yearly = (
+        orders.filter(yr.isin(MIX_YEAR_A, MIX_YEAR_B))
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), yr.alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100)
+                .cast("decimal(38,0)")
+            ).alias("s"),
+        )
+    )
+    wide = (
+        yearly.groupBy("nation")
+        .agg(
+            F.max(F.when(F.col("yr") == MIX_YEAR_A, F.col("n"))).alias(
+                "na"
+            ),
+            F.max(F.when(F.col("yr") == MIX_YEAR_A, F.col("s"))).alias(
+                "sa"
+            ),
+            F.max(F.when(F.col("yr") == MIX_YEAR_B, F.col("n"))).alias(
+                "nb"
+            ),
+            F.max(F.when(F.col("yr") == MIX_YEAR_B, F.col("s"))).alias(
+                "sb"
+            ),
+        )
+        .filter(F.col("na").isNotNull() & F.col("nb").isNotNull())
+    )
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    sa = F.col("sa").cast("double")
+    sb = F.col("sb").cast("double")
+    return wide.select(
+        "nation",
+        F.col("sa").cast("bigint").alias("rev_a_cents"),
+        F.col("sb").cast("bigint").alias("rev_b_cents"),
+        (F.col("sb") - F.col("sa")).cast("bigint").alias("delta_cents"),
+        F.round((nb - na) * (sa / na), 2).alias("volume_effect"),
+        F.round(sb - sa * nb / na, 2).alias("price_effect"),
+    )
+
+
+@register(
+    "user_survival_curve",
+    oracle=f"""
+WITH bounds AS (
+    SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events
+),
+lifes AS (
+    SELECT user_id,
+           date_diff('day', MIN(CAST(ts AS DATE)),
+                     MAX(CAST(ts AS DATE))) AS t,
+           CASE WHEN MAX(CAST(ts AS DATE))
+                     > (SELECT max_day FROM bounds)
+                       - {SURV_CENSOR_DAYS}
+                THEN 1 ELSE 0 END AS censored
+    FROM events GROUP BY user_id
+),
+counts AS (
+    SELECT t,
+           CAST(SUM(1 - censored) AS BIGINT) AS d,
+           COUNT(*) AS e
+    FROM lifes GROUP BY t
+),
+risk AS (
+    SELECT t, d,
+           SUM(e) OVER (
+               ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS n_at_risk
+    FROM counts
+)
+SELECT CAST(t AS BIGINT) AS t_days, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       d AS n_churned,
+       ROUND(EXP(SUM(LN(1 - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)))
+                 OVER (ORDER BY t ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)), 6) AS survival
+FROM risk
+""",
+)
+def user_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of user lifetimes (first-seen to
+    last-seen, days) with RIGHT CENSORING: users last seen within
+    {SURV_CENSOR_DAYS} days of the corpus end are censored (still
+    alive), not churned — the estimator every retention report should
+    be using instead of naive churn ratios. Per-user lifetimes are one
+    aggregate; deaths/at-risk counts collapse to the bounded lifetime
+    table, where a descending cumulative sum gives n_at_risk and the
+    KM product Π(1 − d/n) is computed as exp(Σ ln ·) over the same
+    bounded spine — both windows run on the day-bounded count table
+    only, and the ln/exp doubles are written identically in both
+    engines."""
+    events = Catalog(sf_dir).load(spark, "events")
+    bounds = events.agg(F.max(F.to_date("ts")).alias("max_day"))
+    lifes = events.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.to_date("ts")), F.min(F.to_date("ts"))
+        ).alias("t"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+    lifes = lifes.crossJoin(F.broadcast(bounds)).select(
+        "t",
+        F.when(
+            F.col("last_day")
+            > F.date_sub(F.col("max_day"), SURV_CENSOR_DAYS),
+            1,
+        )
+        .otherwise(0)
+        .alias("censored"),
+    )
+    counts = lifes.groupBy("t").agg(
+        F.sum(1 - F.col("censored")).cast("bigint").alias("d"),
+        F.count(F.lit(1)).alias("e"),
+    )
+    wrisk = (
+        Window.orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = counts.select(
+        "t", "d", F.sum("e").over(wrisk).alias("n_at_risk")
+    )
+    wsurv = (
+        Window.orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    surv = F.round(
+        F.exp(
+            F.sum(
+                F.log(
+                    1
+                    - F.col("d").cast("double")
+                    / F.col("n_at_risk").cast("double")
+                )
+            ).over(wsurv)
+        ),
+        6,
+    )
+    return risk.select(
+        F.col("t").cast("bigint").alias("t_days"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").alias("n_churned"),
+        surv.alias("survival"),
+    )

@@ -101,6 +101,12 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "similar_part_names",
     "minhash_near_dups",
     # --- end of driver window; previously-checked registry follows ---
+    # post-window round-10 additions: never driver-checked,
+    # selfcheck-pinned, seeded first for the round-11 window
+    "largest_remainder_allocation",
+    "brand_size_price_slopes",
+    "revenue_mix_shift_decomposition",
+    "user_survival_curve",
     "knn_cosine_topk",
     "incremental_agg_view",
     "bottomk_quantile_audit",
