@@ -117,6 +117,12 @@ QUERIES = [
     ("streaming_retry_fold_parity", "retried-batch argmax fold (batch_id<n)"),
     # round-10 additions
     ("fuzzy_part_name_pairs", "PassJoin segment-blocked edit-distance join"),
+    ("first_touch_attribution", "per-user min_by fold + bounded rollup"),
+    ("interarrival_burstiness", "per-user gap moments (exact integer sums)"),
+    ("supplier_nation_herfindahl", "one fact agg + broadcast dims HHI"),
+    ("centroid_distance_bands", "n-scaled integer centroid distances"),
+    ("user_survival_curve", "KM estimator over day-bounded count table"),
+    ("largest_remainder_allocation", "integer Hamilton apportionment"),
 ]
 
 RUNS = 2  # take the best of N to damp container noise
