@@ -336,6 +336,51 @@ BOOT_THRESHOLDS = tuple(int(c * (1 << 48)) for c in _POISSON1_CDF)
 del _acc, _term, _k, _POISSON1_CDF
 
 
+def _small_primes(n: int, start: int) -> tuple[int, ...]:
+    out, x = [], start
+    while len(out) < n:
+        if all(x % p for p in range(2, int(x**0.5) + 1)):
+            out.append(x)
+        x += 2
+    return tuple(out)
+
+
+#: Per-replicate mixing constants for the ONE-md5 bootstrap:
+#: u_b = ((A_b·h + C_b) mod (2^61−1)) mod 2^48 — the MinHash
+#: permutation family applied to the bootstrap (one content hash per
+#: row, B integer multiply-adds, instead of B md5s per row). A_b·h
+#: stays < 2^62 (A_b < 2^13, h < 2^48), so both engines compute it in
+#: exact BIGINT arithmetic; the oracle embeds these tuples literally.
+BOOT_PERM_A = _small_primes(BOOT_B, 769)
+BOOT_PERM_C = tuple((i * i * 7919 + 13) for i in range(BOOT_B))
+
+
+def poisson_bootstrap_counts_mixed(
+    hash_col: Column, b_col: Column
+) -> Column:
+    """Poisson(1) multiplicity of a row in replicate ``b`` from ONE
+    precomputed 48-bit content hash (``shingle_hash(id)``): replicate
+    b's uniform variate is the MinHash-style permutation
+    ((A_b·h + C_b) mod M61) mod 2^48, then the same inverse-CDF integer
+    thresholds as ``poisson_bootstrap_counts``. Same contract (pure
+    integers, engine-replayable, no RNG state) at 1/B the md5 cost —
+    the md5-per-(row, replicate) spelling was the bootstrap query's
+    entire hot path."""
+    from asritha_metamorphetl_spark.functions.hashing import MERSENNE61
+
+    a = F.element_at(
+        F.array(*[F.lit(v) for v in BOOT_PERM_A]), b_col + 1
+    )
+    c0 = F.element_at(
+        F.array(*[F.lit(v) for v in BOOT_PERM_C]), b_col + 1
+    )
+    u = ((a * hash_col + c0) % F.lit(MERSENNE61)) % F.lit(1 << 48)
+    c = F.lit(0)
+    for t in BOOT_THRESHOLDS:
+        c = c + F.when(u >= F.lit(t), 1).otherwise(0)
+    return c
+
+
 def poisson_bootstrap_counts(id_col: Column, b_col: Column) -> Column:
     """Deterministic Poisson(1) resample multiplicity of a row in
     bootstrap replicate ``b``: hash (replicate, id) to 48 bits and

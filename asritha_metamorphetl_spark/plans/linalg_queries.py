@@ -288,7 +288,14 @@ def copurchase_pairs_weighted(
             )
         ).alias("p")
     ).select("p.u", "p.v")
-    return pairs.groupBy("u", "v").agg(F.count(F.lit(1)).alias("w"))
+    # checkpointed: every consumer (degree caps, mutual semi-join,
+    # wedge machinery) re-derives this frame otherwise — the pair
+    # build is the expensive scan and must run ONCE per query
+    return (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=False)
+    )
 
 
 def capped_copurchase_out_edges(
@@ -318,6 +325,9 @@ def capped_copurchase_out_edges(
         edges_all.withColumn("rn", F.row_number().over(wtop))
         .filter(F.col("rn") <= PR_DEG_CAP)
         .drop("rn")
+        # consumed twice inside pagerank (out-weight agg + transition
+        # join) — checkpoint so the cap window runs once
+        .localCheckpoint(eager=False)
     )
 
 
@@ -463,5 +473,9 @@ def mutual_capped_copurchase_edges(
     capped = (
         kept.join(rev, ["u", "v"], "left_semi")
         .filter(F.col("u") < F.col("v"))
+        # triangle_counts scans its edge list three times (degrees,
+        # wedges, closing join) — checkpoint so the mutual-cap semi
+        # join runs once
+        .localCheckpoint(eager=False)
     )
     return alldeg, capped

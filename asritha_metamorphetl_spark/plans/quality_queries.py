@@ -612,11 +612,21 @@ def orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bootstrap_oracle() -> str:
     from asritha_metamorphetl_spark.operators.sampling import (
         BOOT_B,
+        BOOT_PERM_A,
+        BOOT_PERM_C,
         BOOT_THRESHOLDS,
     )
+    from asritha_metamorphetl_spark.functions.hashing import MERSENNE61
     from asritha_metamorphetl_spark.plans.text_queries import _hex48_sql
 
-    u = _hex48_sql("md5('boot' || CAST(b AS VARCHAR) || ':' || id)")
+    h = _hex48_sql("md5(id)")
+    a_list = "[" + ", ".join(str(v) for v in BOOT_PERM_A) + "]"
+    c_list = "[" + ", ".join(str(v) for v in BOOT_PERM_C) + "]"
+    u = (
+        f"((list_extract({a_list}, b + 1) * h"
+        f" + list_extract({c_list}, b + 1))"
+        f" % {MERSENNE61}) % {1 << 48}"
+    )
     c = " + ".join(
         f"CASE WHEN u >= {t} THEN 1 ELSE 0 END" for t in BOOT_THRESHOLDS
     )
@@ -626,8 +636,10 @@ WITH base AS (
            CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
     FROM orders
 ),
+hashed AS (SELECT id, cents, {h} AS h FROM base),
 expanded AS (
-    SELECT id, cents, b, {u} AS u FROM base CROSS JOIN range({BOOT_B}) t(b)
+    SELECT id, cents, b, {u} AS u
+    FROM hashed CROSS JOIN range({BOOT_B}) t(b)
 ),
 cnt AS (SELECT b, cents, ({c}) AS c FROM expanded),
 reps AS (
@@ -652,19 +664,23 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Poisson bootstrap (the large-scale form: per-row Poisson(1)
     multiplicities stand in for with-replacement resampling, exact as
     n → ∞ and independent of knowing n up front). Every row carries
-    {BOOT_B} deterministic integer weights derived from content hashes
-    (``operators/sampling.poisson_bootstrap_counts`` — inverse-CDF over
-    the 48-bit md5 space, pure integer comparisons), so each replicate
-    mean is a weighted aggregate: the scan fans out ×B rows that
-    map-side-combine to B partials per task, and the shuffle carries
-    B rows total. No RNG state, no per-replicate pass, no data
-    resample shuffle — and the whole computation (weights, replicate
-    means, rank-2/rank-31 CI, point estimate) replays exactly in the
-    oracle because money is summed as exact cents and each mean is one
-    correctly-rounded IEEE division."""
+    {BOOT_B} deterministic integer weights derived from ONE content
+    hash (``operators/sampling.poisson_bootstrap_counts_mixed`` —
+    MinHash-style integer permutations of a single 48-bit md5, then
+    inverse-CDF integer comparisons; the previous md5-per-(row,
+    replicate) spelling WAS the query's hot path — measured 9.1 s →
+    see BENCH_FULL), so each replicate mean is a weighted aggregate:
+    the scan fans out ×B rows that map-side-combine to B partials per
+    task, and the shuffle carries B rows total. No RNG state, no
+    per-replicate pass, no data resample shuffle — and the whole
+    computation (hash, permutations, weights, replicate means,
+    rank-2/rank-31 CI, point estimate) replays exactly in the oracle
+    because everything up to the final divisions is exact BIGINT
+    arithmetic."""
+    from asritha_metamorphetl_spark.functions.hashing import shingle_hash
     from asritha_metamorphetl_spark.operators.sampling import (
         BOOT_B,
-        poisson_bootstrap_counts,
+        poisson_bootstrap_counts_mixed,
     )
     from pyspark.sql import Window
 
@@ -672,12 +688,15 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("string").alias("id"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    expanded = orders.select(
-        "id",
+    hashed = orders.select(
+        "id", "cents", shingle_hash(F.col("id")).alias("h")
+    )
+    expanded = hashed.select(
+        "h",
         "cents",
         F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
     )
-    c = poisson_bootstrap_counts(F.col("id"), F.col("b"))
+    c = poisson_bootstrap_counts_mixed(F.col("h"), F.col("b"))
     reps = (
         expanded.select("b", "cents", c.alias("c"))
         .groupBy("b")

@@ -244,3 +244,43 @@ def test_triangle_degree_capped_strictly(spark):
     )
     mx = sym.groupBy("u").count().agg(F.max("count")).collect()[0][0]
     assert mx <= TRI_DEG_CAP, (mx, TRI_DEG_CAP)
+
+
+def test_poisson_bootstrap_mixed_distribution(spark):
+    """The one-md5 bootstrap weights keep the Poisson(1) contract:
+    counts in [0, 7], replicate means near 1, and replicates
+    decorrelated (different permutation constants give different
+    resamples)."""
+    from pyspark.sql import functions as F
+
+    from asritha_metamorphetl_spark.functions.hashing import shingle_hash
+    from asritha_metamorphetl_spark.operators.sampling import (
+        BOOT_B,
+        poisson_bootstrap_counts_mixed,
+    )
+
+    ids = spark.range(0, 20000).select(
+        shingle_hash(F.col("id").cast("string")).alias("h")
+    )
+    expanded = ids.select(
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    ).select(
+        "b", poisson_bootstrap_counts_mixed(F.col("h"), F.col("b")).alias("c")
+    )
+    stats = expanded.groupBy("b").agg(
+        F.min("c").alias("mn"),
+        F.max("c").alias("mx"),
+        F.avg("c").alias("mean"),
+    ).collect()
+    assert len(stats) == BOOT_B
+    for r in stats:
+        assert 0 <= r["mn"] and r["mx"] <= 7
+        assert 0.95 < r["mean"] < 1.05, (r["b"], r["mean"])
+    # decorrelated: replicate 0 and 1 disagree on many rows
+    two = ids.select(
+        poisson_bootstrap_counts_mixed(F.col("h"), F.lit(0)).alias("c0"),
+        poisson_bootstrap_counts_mixed(F.col("h"), F.lit(1)).alias("c1"),
+    )
+    diff = two.filter(F.col("c0") != F.col("c1")).count()
+    assert diff > 5000
