@@ -1849,3 +1849,218 @@ def user_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("n_churned"),
         surv.alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------
+# itemsets / cohort share / two-sample test
+# ---------------------------------------------------------------------
+
+#: Minimum distinct-order support for a reported part triple.
+TRIPLE_MIN_SUP = 2
+
+
+@register(
+    "frequent_triples",
+    oracle=f"""
+WITH t AS (
+    SELECT a.l_partkey AS x, b.l_partkey AS y, c.l_partkey AS z,
+           COUNT(DISTINCT a.l_orderkey) AS support
+    FROM lineitem a
+    JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+    JOIN lineitem c ON a.l_orderkey = c.l_orderkey
+                   AND b.l_partkey < c.l_partkey
+    GROUP BY 1, 2, 3
+)
+SELECT x, y, z, support FROM t WHERE support >= {TRIPLE_MIN_SUP}
+""",
+)
+def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets of the co-purchase baskets — the next rung
+    above ``market_basket_rules``' pairs (a triple that recurs is a
+    bundle, not a coincidence of two overlapping pairs). Triple
+    expansion is ORDER-LOCAL: each sorted basket array emits its
+    C(k,3) combinations JVM-side (k ≤ ~7 lines, so ≤35 structs per
+    order — Σk³ work, linear in orders), then one hash aggregate
+    counts distinct-order support; the oracle keeps the 3-way
+    self-join spelling to stay independent. The all-pairs (and
+    all-triples) product never appears in the plan."""
+    li = Catalog(sf_dir).load(spark, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    grouped = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    triples = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "flatten(transform(slice(ps, i + 2, size(ps)), (y, j) -> "
+                "transform(slice(ps, i + j + 3, size(ps)), z -> "
+                "struct(x AS x, y AS y, z AS z))))))"
+            )
+        ).alias("t")
+    ).select("t.x", "t.y", "t.z")
+    return (
+        triples.groupBy("x", "y", "z")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= TRIPLE_MIN_SUP)
+    )
+
+
+@register(
+    "cold_start_supplier_share",
+    oracle="""
+WITH li AS (
+    SELECT l_suppkey, strftime(l_shipdate, '%Y-%m') AS month,
+           CAST(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                AS HUGEINT) AS r
+    FROM lineitem
+),
+firsts AS (
+    SELECT l_suppkey, MIN(month) AS first_month FROM li GROUP BY 1
+)
+SELECT li.month,
+       COUNT(DISTINCT CASE WHEN li.month = f.first_month
+                           THEN li.l_suppkey END) AS n_new_suppliers,
+       ROUND(CAST(SUM(CASE WHEN li.month = f.first_month THEN li.r
+                           ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(li.r) AS DOUBLE), 6) AS new_supplier_share
+FROM li JOIN firsts f USING (l_suppkey)
+GROUP BY li.month
+""",
+)
+def cold_start_supplier_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """What fraction of each month's revenue flows through suppliers
+    shipping for the FIRST time that month — the supply-side cold-start
+    curve (a healthy marketplace onboards revenue steadily; a spike
+    says a bulk migration landed). Revenue units are exact integers
+    (cents x discount hundredths) summed as decimal(38,0)/HUGEINT; the
+    share is the final mirrored double. The first-month frame is
+    supplier-bounded, joined back by supplier key — two fact-table
+    aggregates total."""
+    li = Catalog(sf_dir).load(spark, "lineitem").select(
+        "l_suppkey",
+        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+        (
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("decimal(38,0)")
+            * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("r"),
+    )
+    firsts = li.groupBy("l_suppkey").agg(
+        F.min("month").alias("first_month")
+    )
+    is_new = F.col("month") == F.col("first_month")
+    return (
+        li.join(firsts, "l_suppkey")
+        .groupBy("month")
+        .agg(
+            F.countDistinct(
+                F.when(is_new, F.col("l_suppkey"))
+            ).alias("n_new_suppliers"),
+            F.round(
+                F.sum(F.when(is_new, F.col("r")).otherwise(0))
+                .cast("double")
+                / F.sum("r").cast("double"),
+                6,
+            ).alias("new_supplier_share"),
+        )
+    )
+
+
+@register(
+    "weekend_order_value_ttest",
+    oracle=f"""
+WITH grouped AS (
+    SELECT CASE WHEN dayname(o_orderdate) IN ('Saturday', 'Sunday')
+                THEN 1 ELSE 0 END AS is_weekend,
+           {_O_CENTS} AS c
+    FROM orders
+),
+stats AS (
+    SELECT is_weekend, COUNT(*) AS n,
+           CAST(SUM(c) AS HUGEINT) AS s,
+           CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ss
+    FROM grouped GROUP BY is_weekend
+),
+wide AS (
+    SELECT MAX(CASE WHEN is_weekend = 0 THEN n END) AS n1,
+           MAX(CASE WHEN is_weekend = 0 THEN s END) AS s1,
+           MAX(CASE WHEN is_weekend = 0 THEN ss END) AS ss1,
+           MAX(CASE WHEN is_weekend = 1 THEN n END) AS n2,
+           MAX(CASE WHEN is_weekend = 1 THEN s END) AS s2,
+           MAX(CASE WHEN is_weekend = 1 THEN ss END) AS ss2
+    FROM stats
+)
+SELECT CAST(n1 AS BIGINT) AS n_weekday, CAST(n2 AS BIGINT) AS n_weekend,
+       ROUND(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE), 4)
+           AS mean_diff_cents,
+       ROUND((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             / SQRT((CAST(ss1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                     - (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                       * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+                    / (CAST(n1 AS DOUBLE) - 1)
+                    + (CAST(ss2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+                       - (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                         * (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+                      / (CAST(n2 AS DOUBLE) - 1)), 4) AS welch_t
+FROM wide
+""",
+)
+def weekend_order_value_ttest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Welch two-sample t statistic for weekday vs weekend order value
+    — the significance test behind every "weekend shoppers spend more"
+    claim. Both groups' moments come from ONE exact-integer aggregate
+    (day names, not engine-specific day numbers, split the groups);
+    the t expression is a single mirrored double rounded to 4 dp.
+    Output is one row — the cheapest query in the registry at any
+    corpus size."""
+    orders = Catalog(sf_dir).load(spark, "orders")
+    c = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    is_weekend = F.when(
+        F.date_format("o_orderdate", "EEEE").isin("Saturday", "Sunday"),
+        1,
+    ).otherwise(0)
+    stats = orders.select(
+        is_weekend.alias("is_weekend"), c.alias("c")
+    ).groupBy("is_weekend").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("ss"),
+    )
+    wide = stats.agg(
+        F.max(F.when(F.col("is_weekend") == 0, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("is_weekend") == 0, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("is_weekend") == 0, F.col("ss"))).alias(
+            "ss1"
+        ),
+        F.max(F.when(F.col("is_weekend") == 1, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("is_weekend") == 1, F.col("s"))).alias("s2"),
+        F.max(F.when(F.col("is_weekend") == 1, F.col("ss"))).alias(
+            "ss2"
+        ),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1").cast("double")
+    m2 = F.col("s2").cast("double") / F.col("n2").cast("double")
+    v1 = (
+        F.col("ss1").cast("double") / F.col("n1").cast("double")
+        - m1 * m1
+    ) / (F.col("n1").cast("double") - 1)
+    v2 = (
+        F.col("ss2").cast("double") / F.col("n2").cast("double")
+        - m2 * m2
+    ) / (F.col("n2").cast("double") - 1)
+    return wide.select(
+        F.col("n1").cast("bigint").alias("n_weekday"),
+        F.col("n2").cast("bigint").alias("n_weekend"),
+        F.round(m1 - m2, 4).alias("mean_diff_cents"),
+        F.round((m1 - m2) / F.sqrt(v1 + v2), 4).alias("welch_t"),
+    )

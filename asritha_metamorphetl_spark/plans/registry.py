@@ -107,6 +107,10 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "brand_size_price_slopes",
     "revenue_mix_shift_decomposition",
     "user_survival_curve",
+    "frequent_triples",
+    "cold_start_supplier_share",
+    "weekend_order_value_ttest",
+    "streaming_new_users_parity",
     "knn_cosine_topk",
     "incremental_agg_view",
     "bottomk_quantile_audit",

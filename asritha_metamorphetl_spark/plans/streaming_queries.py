@@ -1210,3 +1210,38 @@ def streaming_first_touch_parity(
             6,
         ).alias("conv_rate"),
     )
+
+
+@register(
+    "streaming_new_users_parity",
+    # Batch twin of analytics3_queries.daily_new_vs_returning's "new"
+    # column: the streaming min-day fold must land on the same
+    # first-seen-per-day counts.
+    oracle="""
+WITH firsts AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+    FROM events GROUP BY user_id
+)
+SELECT CAST(first_day AS VARCHAR) AS day,
+       COUNT(*) AS n_new_users
+FROM firsts GROUP BY first_day
+""",
+)
+def streaming_new_users_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily NEW-user counts as a streaming query: one complete-mode
+    per-user MIN(day) fold — the running first-seen state a live
+    growth dashboard keeps — with the per-day rollup batch-side over
+    the bounded per-user sink. Must hash-match the batch first-seen
+    oracle; parity proves the min fold absorbs out-of-order
+    micro-batch delivery (a user's later events can arrive first and
+    the fold still lands on the true first day)."""
+    stream = Catalog(sf_dir).stream(spark, "events")
+    per_user = stream.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    out = _materialize(per_user, mode="complete", state_partitions=8)
+    return out.groupBy(
+        F.date_format("first_day", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_new_users"))

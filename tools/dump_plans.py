@@ -280,6 +280,23 @@ HEADLINERS = [
      "dedup, count) — equi-joins and hash aggregates only; the "
      "windowed-count-distinct and theta-join spellings both appear "
      "nowhere"),
+    ("fuzzy_part_name_pairs", "PassJoin segment blocking: candidate "
+     "generation is an equi-join on (length, segment_idx, segment) keys "
+     "— no length-block cartesian; exact-recall contract proven by the "
+     "naive oracle hash-matching"),
+    ("cosine_pair_histogram", "corpus-derived hash blocks: the pair "
+     "join is a hash equi-join on the bucket id (B = ceil(n/64) from "
+     "one bounded count), never a cartesian — pair work linear in n"),
+    ("copurchase_triangle_rank", "mutual-top-64 kNN graph: basket-array "
+     "pair expansion (no fact self-join), checkpointed weighted pairs "
+     "reused by cap window + semi-join + wedge machinery; degree "
+     "strictly bounded so wedges are linear in nodes"),
+    ("first_touch_attribution", "attribution as a mergeable min_by "
+     "fold: no window over the fact table, one per-user aggregate, "
+     "bounded type rollup"),
+    ("user_survival_curve", "Kaplan-Meier on the day-bounded lifetime "
+     "count table: descending cumsum for at-risk, exp(sum(ln)) product "
+     "— both windows over the bounded spine only"),
 ]
 
 
