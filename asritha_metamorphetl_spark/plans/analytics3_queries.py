@@ -627,8 +627,9 @@ def supplier_nation_herfindahl(
     1/n is competitive, near 1 is a single point of failure). Revenue
     units are exact integers (cents x (100−discount) hundredths), the
     squared sums ride decimal(38,0)/HUGEINT, and HHI's one division is
-    a final mirrored double. Dimension joins broadcast; the only fact
-    shuffle is the per-supplier revenue aggregate."""
+    a final mirrored double. Nation broadcasts; the supplier join is
+    AQE-sized (supplier grows with the corpus); the only fact shuffle
+    is the per-supplier revenue aggregate."""
     cat = Catalog(sf_dir)
     li = cat.load(spark, "lineitem")
     rev = li.groupBy("l_suppkey").agg(
@@ -644,7 +645,7 @@ def supplier_nation_herfindahl(
     sup = cat.load(spark, "supplier").select("s_suppkey", "s_nationkey")
     nat = cat.load(spark, "nation").select("n_nationkey", "n_name")
     bynation = rev.join(
-        F.broadcast(sup), rev.l_suppkey == sup.s_suppkey
+        sup, rev.l_suppkey == sup.s_suppkey
     ).join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
     return bynation.groupBy(F.col("n_name").alias("nation")).agg(
         F.count(F.lit(1)).alias("n_suppliers"),
@@ -816,15 +817,15 @@ def nation_month_revenue_anomalies(
     runs monthly. Per-nation moments come from exact integer cent sums
     over the bounded (nation, month) table; z rounds to 4 dp on both
     sides of the threshold (the embedding_norm_outliers contract) so
-    the filter cannot flip between engines. Dimensions broadcast."""
+    the filter cannot flip between engines. Nation broadcasts (25
+    rows); the customer join is left to AQE — customer is a
+    scale-with-corpus dimension, never a forced broadcast."""
     cat = Catalog(sf_dir)
     orders = cat.load(spark, "orders")
     cust = cat.load(spark, "customer").select("c_custkey", "c_nationkey")
     nat = cat.load(spark, "nation").select("n_nationkey", "n_name")
     rev = (
-        orders.join(
-            F.broadcast(cust), orders.o_custkey == cust.c_custkey
-        )
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -1695,8 +1696,8 @@ def revenue_mix_shift_decomposition(
     volume + price = Δrevenue that a revenue review decomposes before
     anyone argues about cause. Year revenues are exact integer cents;
     both effects are final mirrored doubles (2 dp); nations missing
-    either year drop (stated in both engines). Dimension joins
-    broadcast; one fact aggregate."""
+    either year drop (stated in both engines). Nation broadcasts; the
+    customer join is AQE-sized; one fact aggregate."""
     cat = Catalog(sf_dir)
     orders = cat.load(spark, "orders")
     cust = cat.load(spark, "customer").select("c_custkey", "c_nationkey")
@@ -1704,7 +1705,7 @@ def revenue_mix_shift_decomposition(
     yr = F.year("o_orderdate")
     yearly = (
         orders.filter(yr.isin(MIX_YEAR_A, MIX_YEAR_B))
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), yr.alias("yr"))
         .agg(
