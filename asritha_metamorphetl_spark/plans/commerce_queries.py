@@ -137,7 +137,8 @@ def yoy_revenue_growth_by_region(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Year-over-year revenue growth per region: the board-deck query.
-    Dimensions (customer→nation→region) join broadcast; the fact scan
+    Nation/region broadcast (bounded); the customer join is AQE-sized
+    (customer grows with the corpus); the fact scan
     shuffles once into the (region, year) aggregate — O(regions×years)
     rows — and the YoY pairing is a self-join on that bounded frame,
     not a window over facts. First year emits null growth (nothing to
@@ -149,7 +150,7 @@ def yoy_revenue_growth_by_region(
     region = cat.load(spark, "region")
     rev = (
         orders.join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            customer.select("c_custkey", "c_nationkey"),
             orders["o_custkey"] == customer["c_custkey"],
         )
         .join(
@@ -232,7 +233,7 @@ def running_ytd_revenue_by_nation(
     nation = cat.load(spark, "nation")
     monthly = (
         orders.join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            customer.select("c_custkey", "c_nationkey"),
             orders["o_custkey"] == customer["c_custkey"],
         )
         .join(
@@ -609,8 +610,9 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (supplier-side shipped net revenue) and their balance — the
     two-fact reconciliation every finance mart runs. Each fact
     aggregates independently to O(nations) rows; the 25-row nation
-    dimension LEFT-joins both (broadcast), so absent sides read as
-    zero instead of vanishing."""
+    dimension LEFT-joins both (nation broadcast; the customer and
+    supplier key joins are AQE-sized — both grow with the corpus), so
+    absent sides read as zero instead of vanishing."""
     cat = Catalog(sf_dir)
     orders = cat.load(spark, "orders")
     customer = cat.load(spark, "customer")
@@ -619,7 +621,7 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = cat.load(spark, "nation")
     cust_side = (
         orders.join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            customer.select("c_custkey", "c_nationkey"),
             orders["o_custkey"] == customer["c_custkey"],
         )
         .groupBy(F.col("c_nationkey").alias("nk"))
@@ -627,7 +629,7 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp_side = (
         li.join(
-            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            supplier.select("s_suppkey", "s_nationkey"),
             li["l_suppkey"] == supplier["s_suppkey"],
         )
         .groupBy(F.col("s_nationkey").alias("nk"))

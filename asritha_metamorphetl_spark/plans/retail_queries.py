@@ -263,7 +263,7 @@ def rollup_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         orders.join(
-            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+            cust, orders.o_custkey == cust.c_custkey
         )
         .join(
             F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
