@@ -273,29 +273,38 @@ def copurchase_pairs_weighted(
     expansion (groupBy + collect_set + higher-order pair emission) —
     the Σk² shape that never self-joins the fact table; the oracles
     keep the self-join + COUNT(DISTINCT orderkey) spelling to stay
-    independent. Shared by both co-purchase graph queries."""
-    li = Catalog(sf_dir).load(spark, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    grouped = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("ps")
-    )
-    pairs = grouped.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ps, (x, i) -> transform("
-                "slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
-            )
-        ).alias("p")
-    ).select("p.u", "p.v")
-    # checkpointed: every consumer (degree caps, mutual semi-join,
-    # wedge machinery) re-derives this frame otherwise — the pair
-    # build is the expensive scan and must run ONCE per query
-    return (
-        pairs.groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint(eager=False)
-    )
+    independent. Shared by both co-purchase graph queries through the
+    session fixture cache (the MoR pattern): the aggregate is
+    deterministic data-work, so one session builds the parquet once
+    and every consumer — degree caps, mutual semi-join, wedge
+    machinery, the second graph query — reads the materialization
+    instead of re-running the expansion."""
+    import os
+
+    from asritha_metamorphetl_spark.session import cached_fixture
+
+    def build(root: str) -> None:
+        li = Catalog(sf_dir).load(spark, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        grouped = li.groupBy("l_orderkey").agg(
+            F.array_sort(F.collect_set("l_partkey")).alias("ps")
+        )
+        pairs = grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> transform("
+                    "slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        ).select("p.u", "p.v")
+        pairs.groupBy("u", "v").agg(
+            F.count(F.lit(1)).alias("w")
+        ).write.mode("overwrite").parquet(os.path.join(root, "pairs"))
+
+    root = cached_fixture(spark, "copurchase_pairs", sf_dir, build)
+    return spark.read.parquet(os.path.join(root, "pairs"))
 
 
 def capped_copurchase_out_edges(

@@ -13,9 +13,14 @@ broadcast threshold keeps dimension joins shuffle-free, and
 
 from __future__ import annotations
 
+import threading as _threading
 from collections.abc import Sequence
 
 from pyspark.sql import SparkSession
+
+#: Per-fixture-root build locks (see cached_fixture): setdefault on a
+#: dict is atomic under the GIL, so two threads always share one lock.
+_FIXTURE_LOCKS: dict[str, _threading.Lock] = {}
 
 # Defaults chosen for correctness-at-scale, not local benchmarking alone.
 _DEFAULT_CONF: dict[str, str] = {
@@ -161,10 +166,18 @@ def cached_fixture(spark: SparkSession, label: str, sf_dir: str, build) -> str:
     marker = os.path.join(root, "_FIXTURE_READY")
     if os.path.exists(marker):
         return root
-    shutil.rmtree(root, ignore_errors=True)
-    build(root)
-    with open(marker, "w") as fh:
-        fh.write("ok")
+    # Per-root lock: concurrent consumers INSIDE one session (the
+    # parallel correctness sweep) must not rmtree each other's
+    # in-progress build; the second thread re-checks the marker under
+    # the lock and reuses the finished fixture.
+    lock = _FIXTURE_LOCKS.setdefault(root, _threading.Lock())
+    with lock:
+        if os.path.exists(marker):
+            return root
+        shutil.rmtree(root, ignore_errors=True)
+        build(root)
+        with open(marker, "w") as fh:
+            fh.write("ok")
     return root
 
 
