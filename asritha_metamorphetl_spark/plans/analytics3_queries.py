@@ -2072,3 +2072,493 @@ def weekend_order_value_ttest(
         F.round(m1 - m2, 4).alias("mean_diff_cents"),
         F.round((m1 - m2) / F.sqrt(v1 + v2), 4).alias("welch_t"),
     )
+
+
+# ---------------------------------------------------------------------
+# sequential / nonparametric statistics (round-11 seeds, wave 2)
+# ---------------------------------------------------------------------
+
+#: Page-Hinkley alarm threshold, in units of the series stddev.
+PH_LAMBDA_SIGMA = 5.0
+
+#: Benjamini-Hochberg false-discovery rate.
+BH_Q = 0.1
+
+
+@register(
+    "orders_runs_test",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+),
+counts AS (SELECT cents, COUNT(*) AS n FROM daily GROUP BY cents),
+cum AS (
+    SELECT cents,
+           SUM(n) OVER (ORDER BY cents ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS c,
+           SUM(n) OVER () AS total
+    FROM counts
+),
+med AS (SELECT MIN(cents) AS m FROM cum WHERE c * 2 >= total),
+signs AS (
+    SELECT day, CASE WHEN cents > (SELECT m FROM med) THEN 1 ELSE 0 END
+               AS s
+    FROM daily WHERE cents <> (SELECT m FROM med)
+),
+runs AS (
+    SELECT s,
+           CASE WHEN LAG(s) OVER (ORDER BY day ASC) IS NULL
+                     OR LAG(s) OVER (ORDER BY day ASC) <> s
+                THEN 1 ELSE 0 END AS brk
+    FROM signs
+),
+agg AS (
+    SELECT CAST(SUM(s) AS DOUBLE) AS n1,
+           CAST(SUM(1 - s) AS DOUBLE) AS n2,
+           CAST(SUM(brk) AS BIGINT) AS r
+    FROM runs
+)
+SELECT CAST(n1 AS BIGINT) AS n_above, CAST(n2 AS BIGINT) AS n_below,
+       r AS runs,
+       ROUND((CAST(r AS DOUBLE) - (2 * n1 * n2 / (n1 + n2) + 1))
+             / SQRT(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+                    / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))), 4)
+           AS z
+FROM agg
+""",
+)
+def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on daily revenue: are above-median and
+    below-median days randomly interleaved, or does revenue trend/
+    cluster (too FEW runs) or oscillate (too MANY)? Contract (stated,
+    mirrored): days exactly at the median drop, the classic treatment.
+    The exact median comes from a cumulative walk over the day-bounded
+    count table; the run count is one LAG over the bounded day spine;
+    z is the final mirrored double (4 dp). Output is one row."""
+    orders = Catalog(sf_dir).load(spark, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    counts = daily.groupBy("cents").agg(F.count(F.lit(1)).alias("n"))
+    wcum = (
+        Window.orderBy(F.col("cents").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.select(
+        "cents",
+        F.sum("n").over(wcum).alias("c"),
+        F.sum("n").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    med = cum.filter(F.col("c") * 2 >= F.col("total")).agg(
+        F.min("cents").alias("m")
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("cents") != F.col("m"))
+        .select(
+            "day",
+            F.when(F.col("cents") > F.col("m"), 1).otherwise(0).alias(
+                "s"
+            ),
+        )
+    )
+    wday = Window.orderBy(F.col("day").asc())
+    runs = signs.select(
+        "s",
+        F.when(
+            F.lag("s").over(wday).isNull()
+            | (F.lag("s").over(wday) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    agg = runs.agg(
+        F.sum("s").cast("double").alias("n1"),
+        F.sum(1 - F.col("s")).cast("double").alias("n2"),
+        F.sum("brk").cast("bigint").alias("r"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r").cast("double")
+    er = 2 * n1 * n2 / (n1 + n2) + 1
+    vr = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+    )
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n_above"),
+        F.col("n2").cast("bigint").alias("n_below"),
+        F.col("r").alias("runs"),
+        F.round((r - er) / F.sqrt(vr), 4).alias("z"),
+    )
+
+
+@register(
+    "page_hinkley_daily_orders",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS c
+    FROM orders GROUP BY 1
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(c) AS DOUBLE) AS s,
+           CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) AS ss
+    FROM daily
+),
+scored AS (
+    SELECT day, c,
+           SUM(CAST(c AS DOUBLE) - (SELECT s / n FROM stats))
+               OVER (ORDER BY day ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_dev
+    FROM daily
+),
+ph AS (
+    SELECT day, c, cum_dev,
+           cum_dev - MIN(cum_dev) OVER (
+               ORDER BY day ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS ph_t
+    FROM scored
+)
+SELECT CAST(day AS VARCHAR) AS day, c AS n_orders,
+       ROUND(ph_t, 4) AS ph,
+       CASE WHEN ROUND(ph_t, 4)
+                 > {PH_LAMBDA_SIGMA}
+                   * SQRT((SELECT ss / n - (s / n) * (s / n) FROM stats))
+            THEN 1 ELSE 0 END AS alarm
+FROM ph
+""",
+)
+def page_hinkley_daily_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Page-Hinkley upward-shift detection on daily order volume (the
+    offline variant: deviations measured against the full-series mean,
+    stated in both engines): PH_t = cumulative deviation minus its
+    running minimum — the sequential change-point statistic streaming
+    drift monitors keep. Both cumulative windows run over the
+    day-bounded spine only; the alarm threshold is {PH_LAMBDA_SIGMA}σ
+    with σ from exact integer moments, and PH rounds to 4 dp before
+    the comparison so the flag cannot flip between engines."""
+    orders = Catalog(sf_dir).load(spark, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("c").cast("double").alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("double")
+        .alias("ss"),
+    )
+    wcum = (
+        Window.orderBy(F.col("day").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "c",
+        F.sum(F.col("c").cast("double") - F.col("s") / F.col("n"))
+        .over(wcum)
+        .alias("cum_dev"),
+        "n",
+        "s",
+        "ss",
+    )
+    ph = scored.select(
+        "day",
+        "c",
+        (F.col("cum_dev") - F.min("cum_dev").over(wcum)).alias("ph_t"),
+        "n",
+        "s",
+        "ss",
+    )
+    sigma = F.sqrt(
+        F.col("ss") / F.col("n")
+        - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+    )
+    return ph.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("c").alias("n_orders"),
+        F.round("ph_t", 4).alias("ph"),
+        F.when(
+            F.round("ph_t", 4) > PH_LAMBDA_SIGMA * sigma, 1
+        )
+        .otherwise(0)
+        .alias("alarm"),
+    )
+
+
+@register(
+    "weekend_value_mannwhitney",
+    oracle="""
+WITH grouped AS (
+    SELECT CASE WHEN dayname(o_orderdate) IN ('Saturday', 'Sunday')
+                THEN 1 ELSE 0 END AS g,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+    FROM orders
+),
+counts AS (
+    SELECT c,
+           CAST(SUM(1 - g) AS HUGEINT) AS na,
+           CAST(SUM(g) AS HUGEINT) AS nb,
+           COUNT(*) AS n
+    FROM grouped GROUP BY c
+),
+cum AS (
+    SELECT c, na, nb, n,
+           SUM(n) OVER (ORDER BY c ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS k
+    FROM counts
+),
+agg AS (
+    SELECT CAST(SUM(na) AS DOUBLE) AS nna,
+           CAST(SUM(nb) AS DOUBLE) AS nnb,
+           CAST(SUM(na * (2 * CAST(k AS HUGEINT) - n + 1)) AS DOUBLE)
+               AS ra2,
+           CAST(SUM(CAST(n AS HUGEINT) * n * n - n) AS DOUBLE) AS ties
+    FROM cum
+)
+SELECT CAST(nna AS BIGINT) AS n_weekday, CAST(nnb AS BIGINT) AS n_weekend,
+       ROUND(ra2 / 2 - nna * (nna + 1) / 2, 4) AS u_stat,
+       ROUND((ra2 / 2 - nna * (nna + 1) / 2 - nna * nnb / 2)
+             / SQRT(nna * nnb / 12
+                    * ((nna + nnb + 1)
+                       - ties / ((nna + nnb)
+                                 * (nna + nnb - 1)))), 4) AS z
+FROM agg
+""",
+)
+def weekend_value_mannwhitney(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann-Whitney U (tie-corrected, normal approximation) for weekday
+    vs weekend order values — the nonparametric twin of
+    ``weekend_order_value_ttest`` for when nobody believes the value
+    distribution is normal. The rank sum never ranks rows: midranks
+    collapse to the per-cents COUNT TABLE (2·midrank = 2·cum − n + 1,
+    exact integers), walked by the two-pass ``global_cumsum`` — so the
+    statistic costs one aggregate plus the collapsed cumulative walk
+    at any corpus size, and the tie correction Σ(t³−t) falls out of
+    the same table. U and z are final mirrored doubles (4 dp)."""
+    from asritha_metamorphetl_spark.operators.ranks import (
+        global_cumsum_with_total,
+    )
+
+    orders = Catalog(sf_dir).load(spark, "orders")
+    g = F.when(
+        F.date_format("o_orderdate", "EEEE").isin("Saturday", "Sunday"),
+        1,
+    ).otherwise(0)
+    c = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    counts = orders.select(g.alias("g"), c.alias("c")).groupBy(
+        "c"
+    ).agg(
+        F.sum(1 - F.col("g")).cast("decimal(38,0)").alias("na"),
+        F.sum("g").cast("decimal(38,0)").alias("nb"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cum, _total = global_cumsum_with_total(
+        counts, [F.col("c").asc()], "n", out_col="k"
+    )
+    agg = cum.agg(
+        F.sum("na").cast("double").alias("nna"),
+        F.sum("nb").cast("double").alias("nnb"),
+        F.sum(
+            F.col("na")
+            * (
+                2 * F.col("k").cast("decimal(38,0)")
+                - F.col("n")
+                + 1
+            )
+        )
+        .cast("double")
+        .alias("ra2"),
+        F.sum(
+            F.col("n").cast("decimal(38,0)") * F.col("n") * F.col("n")
+            - F.col("n")
+        )
+        .cast("double")
+        .alias("ties"),
+    )
+    nna, nnb = F.col("nna"), F.col("nnb")
+    u = F.col("ra2") / 2 - nna * (nna + 1) / 2
+    var = (
+        nna
+        * nnb
+        / 12
+        * ((nna + nnb + 1) - F.col("ties") / ((nna + nnb) * (nna + nnb - 1)))
+    )
+    return agg.select(
+        nna.cast("bigint").alias("n_weekday"),
+        nnb.cast("bigint").alias("n_weekend"),
+        F.round(u, 4).alias("u_stat"),
+        F.round((u - nna * nnb / 2) / F.sqrt(var), 4).alias("z"),
+    )
+
+
+_NATION_MONTH_Z_SQL = f"""
+rev AS (
+    SELECT n.n_name AS nation, strftime(o.o_orderdate, '%Y-%m') AS month,
+           CAST(SUM({_O_CENTS}) AS HUGEINT) AS cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1, 2
+),
+stats AS (
+    SELECT nation, COUNT(*) AS m,
+           CAST(SUM(cents) AS HUGEINT) AS s,
+           CAST(SUM(cents * cents) AS HUGEINT) AS ss
+    FROM rev GROUP BY nation
+),
+zs AS (
+    SELECT r.nation, r.month,
+           ROUND((CAST(m AS DOUBLE) * CAST(r.cents AS DOUBLE)
+                  - CAST(s AS DOUBLE))
+                 / SQRT(CAST(m AS DOUBLE) * CAST(ss AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 4)
+               AS z
+    FROM rev r JOIN stats t ON t.nation = r.nation
+    WHERE CAST(m AS HUGEINT) * ss - s * s > 0
+)
+"""
+
+
+@register(
+    "bh_adjusted_anomalies",
+    oracle=f"""
+WITH {_NATION_MONTH_Z_SQL},
+ps AS (
+    SELECT nation, month, z,
+           2.0 / (1.0 + EXP(1.702 * ABS(z))) AS p
+    FROM zs
+),
+ranked AS (
+    SELECT nation, month, z, p,
+           ROW_NUMBER() OVER (
+               ORDER BY p ASC, nation ASC, month ASC
+           ) AS rk,
+           COUNT(*) OVER () AS m
+    FROM ps
+),
+kmax AS (
+    SELECT COALESCE(MAX(rk), 0) AS k FROM ranked
+    WHERE p * m <= rk * {BH_Q}
+)
+SELECT nation, month, z, ROUND(p, 6) AS p_approx,
+       CAST(rk AS BIGINT) AS rank,
+       ROUND(rk * {BH_Q} / m, 6) AS bh_threshold,
+       CASE WHEN rk <= (SELECT k FROM kmax) THEN 1 ELSE 0 END
+           AS flagged
+FROM ranked
+WHERE rk <= 20
+""",
+)
+def bh_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over the nation-month revenue
+    z-scores: the naive |z|>2 sweep (``nation_month_revenue_anomalies``)
+    fires ~5% false positives per test, which at nations×months scale
+    is a wall of noise — BH sorts the p-values and keeps the largest
+    prefix whose p(i) ≤ i·q/m (q={BH_Q}), the multiple-testing
+    discipline every anomaly REPORT (as opposed to single test) needs;
+    the report shows the 20 smallest p-values with each one's BH
+    threshold and flag, so "nothing survives correction" is itself a
+    visible, checkable result.
+    Two-sided p-values use the logistic approximation of the normal
+    tail (2/(1+exp(1.702|z|)) — stated, and written identically in
+    both engines over the 4-dp-rounded z, so the ordering and the
+    threshold comparison are deterministic). The rank window runs over
+    the bounded (nation × month) test table only."""
+    cat = Catalog(sf_dir)
+    orders = cat.load(spark, "orders")
+    cust = cat.load(spark, "customer").select("c_custkey", "c_nationkey")
+    nat = cat.load(spark, "nation").select("n_nationkey", "n_name")
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100)
+                .cast("decimal(38,0)")
+            ).alias("cents")
+        )
+    )
+    stats = rev.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("m_n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    z = F.round(
+        (
+            F.col("m_n").cast("double") * F.col("cents").cast("double")
+            - F.col("s").cast("double")
+        )
+        / F.sqrt(
+            F.col("m_n").cast("double") * F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+        ),
+        4,
+    )
+    zs = (
+        rev.join(F.broadcast(stats), "nation")
+        .filter(
+            F.col("m_n").cast("decimal(38,0)") * F.col("ss")
+            - F.col("s") * F.col("s")
+            > 0
+        )
+        .select("nation", "month", z.alias("z"))
+    )
+    p = 2.0 / (1.0 + F.exp(1.702 * F.abs(F.col("z"))))
+    wrank = Window.orderBy(
+        F.col("p").asc(), F.col("nation").asc(), F.col("month").asc()
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = zs.select("nation", "month", "z", p.alias("p")).select(
+        "nation",
+        "month",
+        "z",
+        "p",
+        F.row_number().over(wrank).alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    )
+    kmax = ranked.filter(
+        F.col("p") * F.col("m") <= F.col("rk") * BH_Q
+    ).agg(F.coalesce(F.max("rk"), F.lit(0)).alias("k"))
+    return (
+        ranked.crossJoin(F.broadcast(kmax))
+        .filter(F.col("rk") <= 20)
+        .select(
+            "nation",
+            "month",
+            "z",
+            F.round("p", 6).alias("p_approx"),
+            F.col("rk").cast("bigint").alias("rank"),
+            F.round(F.col("rk") * BH_Q / F.col("m"), 6).alias(
+                "bh_threshold"
+            ),
+            F.when(F.col("rk") <= F.col("k"), 1).otherwise(0).alias(
+                "flagged"
+            ),
+        )
+    )

@@ -111,6 +111,10 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "cold_start_supplier_share",
     "weekend_order_value_ttest",
     "streaming_new_users_parity",
+    "orders_runs_test",
+    "page_hinkley_daily_orders",
+    "weekend_value_mannwhitney",
+    "bh_adjusted_anomalies",
     "knn_cosine_topk",
     "incremental_agg_view",
     "bottomk_quantile_audit",
