@@ -288,9 +288,10 @@ HEADLINERS = [
      "join is a hash equi-join on the bucket id (B = ceil(n/64) from "
      "one bounded count), never a cartesian — pair work linear in n"),
     ("copurchase_triangle_rank", "mutual-top-64 kNN graph: basket-array "
-     "pair expansion (no fact self-join), checkpointed weighted pairs "
-     "reused by cap window + semi-join + wedge machinery; degree "
-     "strictly bounded so wedges are linear in nodes"),
+     "pair expansion (no fact self-join) materialized once per session "
+     "via the fixture cache and reused by cap window + semi-join + "
+     "wedge machinery (and by pagerank); degree strictly bounded so "
+     "wedges are linear in nodes"),
     ("first_touch_attribution", "attribution as a mergeable min_by "
      "fold: no window over the fact table, one per-user aggregate, "
      "bounded type rollup"),
