@@ -347,10 +347,12 @@ def _small_primes(n: int, start: int) -> tuple[int, ...]:
 
 #: Per-replicate mixing constants for the ONE-md5 bootstrap:
 #: u_b = ((A_b·h + C_b) mod (2^61−1)) mod 2^48 — the MinHash
-#: permutation family applied to the bootstrap (one content hash per
-#: row, B integer multiply-adds, instead of B md5s per row). A_b·h
-#: stays < 2^62 (A_b < 2^13, h < 2^48), so both engines compute it in
-#: exact BIGINT arithmetic; the oracle embeds these tuples literally.
+#: multiply-add mixing family applied to the bootstrap (one content
+#: hash per row, B integer multiply-adds, instead of B md5s per row).
+#: A_b·h + C_b stays < 2^61-1 (A_b < 2^13, h < 2^48), so the mod-M61
+#: step in the variate never wraps and both engines compute the whole
+#: thing in exact BIGINT arithmetic; the oracle embeds these tuples
+#: literally.
 BOOT_PERM_A = _small_primes(BOOT_B, 769)
 BOOT_PERM_C = tuple((i * i * 7919 + 13) for i in range(BOOT_B))
 
@@ -360,12 +362,17 @@ def poisson_bootstrap_counts_mixed(
 ) -> Column:
     """Poisson(1) multiplicity of a row in replicate ``b`` from ONE
     precomputed 48-bit content hash (``shingle_hash(id)``): replicate
-    b's uniform variate is the MinHash-style permutation
-    ((A_b·h + C_b) mod M61) mod 2^48, then the same inverse-CDF integer
-    thresholds as ``poisson_bootstrap_counts``. Same contract (pure
-    integers, engine-replayable, no RNG state) at 1/B the md5 cost —
-    the md5-per-(row, replicate) spelling was the bootstrap query's
-    entire hot path."""
+    b's uniform variate is ((A_b·h + C_b) mod M61) mod 2^48, then the
+    same inverse-CDF integer thresholds as
+    ``poisson_bootstrap_counts``. NOTE: at the current constants the
+    mod-M61 step never wraps (A_b < 2^13, h < 2^48 ⇒ A_b·h + C_b <
+    2^61-1), so the effective construction is a multiply-add LCG mod
+    2^48, not a true Mersenne-prime permutation; decorrelation across
+    replicates is empirical (distinct odd multipliers), and growing
+    BOOT_B past ~2^13 primes would silently change the regime. Same
+    contract (pure integers, engine-replayable, no RNG state) at 1/B
+    the md5 cost — the md5-per-(row, replicate) spelling was the
+    bootstrap query's entire hot path."""
     from asritha_metamorphetl_spark.functions.hashing import MERSENNE61
 
     a = F.element_at(

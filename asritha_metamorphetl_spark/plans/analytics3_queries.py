@@ -1521,17 +1521,15 @@ def largest_remainder_allocation(
     docs = Catalog(sf_dir).load(spark, "documents")
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     tot = counts.agg(F.sum("n").cast("bigint").alias("t"))
+    # `div` is Spark's exact integer division (same as the oracle's
+    # `//`); floor(a / b) would route through IEEE double and can
+    # diverge once n*slots or t approach 2^53.
+    base = F.expr(f"(n * {ALLOC_SLOTS}) div t")
     based = counts.crossJoin(F.broadcast(tot)).select(
         "source",
         "n",
-        F.floor(
-            (F.col("n") * ALLOC_SLOTS) / F.col("t")
-        ).cast("bigint").alias("base"),
-        (
-            F.col("n") * ALLOC_SLOTS
-            - F.floor((F.col("n") * ALLOC_SLOTS) / F.col("t"))
-            * F.col("t")
-        )
+        base.cast("bigint").alias("base"),
+        (F.col("n") * ALLOC_SLOTS - base * F.col("t"))
         .cast("bigint")
         .alias("rem"),
     )
@@ -1859,21 +1857,40 @@ def user_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Minimum distinct-order support for a reported part triple.
 TRIPLE_MIN_SUP = 2
 
+#: TRUNCATION contract (SCALING.md): each basket contributes triples
+#: from at most this many distinct parts — the CAP smallest partkeys
+#: (array_sort ascending, then slice; deterministic, order-free). The
+#: per-order struct bound is therefore STRUCTURAL — C(CAP,3) = 2,024 —
+#: not a property of the data generator: a 10k-item mega-basket emits
+#: 2,024 structs, not ~1.7e11. At this catalog k ≤ ~7 < CAP, so the
+#: cap never truncates and support counts are exact.
+TRIPLE_BASKET_CAP = 24
+
 
 @register(
     "frequent_triples",
     oracle=f"""
 WITH di AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+-- TRUNCATION mirror: keep each order's {TRIPLE_BASKET_CAP} smallest
+-- partkeys, matching the plan's slice(array_sort(ps), 1, CAP)
+capped AS (
+    SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_partkey) AS rn
+        FROM di
+    ) WHERE rn <= {TRIPLE_BASKET_CAP}
+),
 t AS (
     SELECT a.l_partkey AS x, b.l_partkey AS y, c.l_partkey AS z,
            COUNT(*) AS support
-    FROM di a
-    JOIN di b ON a.l_orderkey = b.l_orderkey
+    FROM capped a
+    JOIN capped b ON a.l_orderkey = b.l_orderkey
     -- c carries an EQUALITY to both sides: without one the optimizer
     -- may reorder to join b-c first on the partkey inequality alone
     -- (a piecewise-merge range join -- measured 4.1s vs 0.05s at
     -- sf0.01, minutes at sf0.1)
-    JOIN di c ON c.l_orderkey = a.l_orderkey
+    JOIN capped c ON c.l_orderkey = a.l_orderkey
              AND c.l_orderkey = b.l_orderkey
     WHERE a.l_partkey < b.l_partkey AND b.l_partkey < c.l_partkey
     GROUP BY 1, 2, 3
@@ -1885,21 +1902,45 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent 3-itemsets of the co-purchase baskets — the next rung
     above ``market_basket_rules``' pairs (a triple that recurs is a
     bundle, not a coincidence of two overlapping pairs). Triple
-    expansion is ORDER-LOCAL: each sorted basket array emits its
-    C(k,3) combinations JVM-side (k ≤ ~7 lines, so ≤35 structs per
-    order — Σk³ work, linear in orders), then one hash aggregate
-    counts distinct-order support (collect_set dedupes per order, so
-    COUNT(*) over the oracle's per-order DISTINCT pairs is the same
-    number); the oracle keeps the 3-way self-join spelling to stay
-    independent. The all-pairs (and
-    all-triples) product never appears in the plan."""
+    expansion is ORDER-LOCAL and STRUCTURALLY BOUNDED: each basket is
+    sorted and sliced to its TRIPLE_BASKET_CAP smallest partkeys
+    (TRUNCATION contract — deterministic ordering, mirrored in the
+    oracle via ROW_NUMBER ≤ CAP), so every order emits ≤ C(CAP,3) =
+    2,024 structs JVM-side regardless of basket size — Σ min(k,CAP)³
+    work, linear in orders even on real co-purchase data with
+    mega-baskets. One hash aggregate then counts distinct-order
+    support (collect_set dedupes per order, so COUNT(*) over the
+    oracle's per-order DISTINCT pairs is the same number); the oracle
+    keeps the 3-way self-join spelling to stay independent. The
+    all-pairs (and all-triples) product never appears in the plan."""
     li = Catalog(sf_dir).load(spark, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    grouped = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    triples = capped_basket_triples(li)
+    return (
+        triples.groupBy("x", "y", "z")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= TRIPLE_MIN_SUP)
     )
-    triples = grouped.select(
+
+
+def capped_basket_triples(li: DataFrame) -> DataFrame:
+    """Order-local triple expansion with the structural basket cap:
+    group (l_orderkey, l_partkey) into sorted distinct baskets, slice
+    each to its TRIPLE_BASKET_CAP smallest partkeys, and emit the
+    C(min(k, CAP), 3) ascending triples per order JVM-side. Factored
+    out so tests/test_round11_plans.py can drive it with a synthetic
+    mega-basket and prove the per-order struct bound is the cap's
+    C(CAP,3), independent of basket size."""
+    grouped = li.groupBy("l_orderkey").agg(
+        F.slice(
+            F.array_sort(F.collect_set("l_partkey")),
+            1,
+            TRIPLE_BASKET_CAP,
+        ).alias("ps")
+    )
+    return grouped.select(
+        "l_orderkey",
         F.explode(
             F.expr(
                 "flatten(transform(ps, (x, i) -> "
@@ -1907,13 +1948,8 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "transform(slice(ps, i + j + 3, size(ps)), z -> "
                 "struct(x AS x, y AS y, z AS z))))))"
             )
-        ).alias("t")
-    ).select("t.x", "t.y", "t.z")
-    return (
-        triples.groupBy("x", "y", "z")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= TRIPLE_MIN_SUP)
-    )
+        ).alias("t"),
+    ).select("l_orderkey", "t.x", "t.y", "t.z")
 
 
 @register(

@@ -40,7 +40,8 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # ROUND-10 DRIVER WINDOW (first 50 = exactly what the correctness
     # driver checks). Slots 1-12: the 12 round-9 post-window seeds
     # (never driver-checked; judge-verified green in r9). Slots 13-35:
-    # the 23 queries ADDED this round (plans/analytics3_queries.py) —
+    # the 23 queries ADDED this round (22 in plans/analytics3_queries.py
+    # plus streaming_first_touch_parity in plans/streaming_queries.py) —
     # all never driver-checked. Slots 36-50: the 15 OLDEST-checked
     # queries (round-1 window, 9 rounds stale — VERDICT r9 directives
     # #3/#7: start re-driver-checking the oldest evidence; includes the
