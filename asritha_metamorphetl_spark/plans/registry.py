@@ -37,18 +37,75 @@ _REGISTRY: dict[str, RegisteredQuery] = {}
 #: must fail tests, not silently demote a query out of the window).
 QUERY_PRIORITY: tuple[str, ...] = (
     # =====================================================================
-    # ROUND-10 DRIVER WINDOW (first 50 = exactly what the correctness
-    # driver checks). Slots 1-12: the 12 round-9 post-window seeds
-    # (never driver-checked; judge-verified green in r9). Slots 13-35:
-    # the 23 queries ADDED this round (22 in plans/analytics3_queries.py
-    # plus streaming_first_touch_parity in plans/streaming_queries.py) —
-    # all never driver-checked. Slots 36-50: the 15 OLDEST-checked
-    # queries (round-1 window, 9 rounds stale — VERDICT r9 directives
-    # #3/#7: start re-driver-checking the oldest evidence; includes the
-    # three marts, pricing_summary, sessionization, dedup and kNN
-    # rows). Everything below keeps priority order; zero overlap
-    # between slots 1-35 and CORRECTNESS_r01-r09.
+    # ROUND-11 DRIVER WINDOW (first 50 = exactly what the correctness
+    # driver checks). Slots 1-12: the 12 round-10 post-window seeds
+    # (never driver-checked; judge-verified green in r10) with
+    # frequent_triples FIRST - its basket cap became structural this
+    # round (VERDICT r10 top_next). Slots 13-14: cosine_pair_histogram
+    # and minhash_band_tuning (VERDICT r10 #5: last driver-checked r9,
+    # before the block-count rewrite). Slots 15-19: the five streaming
+    # parities REFACTORED this round onto shared fixtures (directive
+    # #4) - changed code must re-enter the window. Slots 20-31: the 12
+    # round-11 additions (plans/analytics4_queries.py). Slots 32-50:
+    # the 19 NEXT-OLDEST driver rows (round-2 window, 9 rounds stale -
+    # directive #2: keep re-checking the oldest evidence; r10 covered
+    # the round-1 block). Everything below keeps priority order.
     # =====================================================================
+    "frequent_triples",
+    "largest_remainder_allocation",
+    "brand_size_price_slopes",
+    "revenue_mix_shift_decomposition",
+    "user_survival_curve",
+    "cold_start_supplier_share",
+    "weekend_order_value_ttest",
+    "streaming_new_users_parity",
+    "orders_runs_test",
+    "page_hinkley_daily_orders",
+    "weekend_value_mannwhitney",
+    "bh_adjusted_anomalies",
+    # --- directive #5 re-checks ---
+    "cosine_pair_histogram",
+    "minhash_band_tuning",
+    # --- refactored streaming parities (shared fixtures) ---
+    "streaming_ingest_dedup_parity",
+    "streaming_countmin_parity",
+    "streaming_weighted_sample_parity",
+    "streaming_semi_additive_parity",
+    "streaming_retry_fold_parity",
+    # --- round-11 additions (never driver-checked) ---
+    "cusum_daily_revenue",
+    "lorenz_curve_points",
+    "price_size_skyline",
+    "open_order_concurrency",
+    "kruskal_wallis_brand_price",
+    "brown_forsythe_price_variance",
+    "jarque_bera_order_values",
+    "hot_key_skew_safe_distinct",
+    "doc_bigram_entropy_scores",
+    "repeat_interval_median_by_segment",
+    "double_ewma_trend",
+    "time_travel_version_diff",
+    # --- next-oldest re-verification block (round-2 rows) ---
+    "doc_repetition_profile",
+    "gopher_quality_flags",
+    "source_mix_weights",
+    "views_before_purchase",
+    "customers_with_open_orders",
+    "open_minus_fulfilled_customers",
+    "open_and_pending_customers",
+    "event_gaps",
+    "events_hourly",
+    "event_props_stats",
+    "priority_price_profile",
+    "props_kv_totals",
+    "party_directory",
+    "events_sliding_stats",
+    "doc_text_stats",
+    "doc_language_counts",
+    "exact_dup_groups",
+    "ngram_jaccard_pairs",
+    "simhash_docs",
+    # --- end of driver window; previously-checked registry follows ---
     "cume_dist_scalable",
     "weighted_median_price",
     "order_value_mad",
@@ -61,7 +118,6 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "seasonal_adjustment_residuals",
     "median_ci_binomial",
     "part_size_price_anova",
-    # --- round-10 additions (never driver-checked) ---
     "first_touch_attribution",
     "daily_new_vs_returning",
     "dwell_time_by_type",
@@ -85,7 +141,6 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "priority_mix_quarter_psi",
     "hourly_error_rate_wilson",
     "streaming_first_touch_parity",
-    # --- oldest-checked re-verification block (round-1 rows) ---
     "supplier_performance",
     "product_performance",
     "customer_sales_report",
@@ -101,26 +156,10 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "daily_revenue_spine",
     "similar_part_names",
     "minhash_near_dups",
-    # --- end of driver window; previously-checked registry follows ---
-    # post-window round-10 additions: never driver-checked,
-    # selfcheck-pinned, seeded first for the round-11 window
-    "largest_remainder_allocation",
-    "brand_size_price_slopes",
-    "revenue_mix_shift_decomposition",
-    "user_survival_curve",
-    "frequent_triples",
-    "cold_start_supplier_share",
-    "weekend_order_value_ttest",
-    "streaming_new_users_parity",
-    "orders_runs_test",
-    "page_hinkley_daily_orders",
-    "weekend_value_mannwhitney",
-    "bh_adjusted_anomalies",
     "knn_cosine_topk",
     "incremental_agg_view",
     "bottomk_quantile_audit",
     "bottomk_merge_parity",
-    "minhash_band_tuning",
     "order_value_percentile_bands",
     "yoy_revenue_growth_by_region",
     "running_ytd_revenue_by_nation",
@@ -159,14 +198,12 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "token_length_histogram",
     "char_class_profile",
     "embedding_norm_outliers",
-    "cosine_pair_histogram",
     "embedding_dim_clip_profile",
     "embedding_label_centroid_spread",
     "null_completeness_profile",
     "key_cardinality_audit",
     "fd_violation_audit",
     "natural_key_dup_audit",
-    "streaming_retry_fold_parity",
     "clustered_skipping_gain",
     "eval_ngram_contamination",
     "heavy_hitter_tokens",
@@ -216,7 +253,6 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "rollup_region_nation_revenue",
     "copurchase_jaccard_parts",
     "orderkey_islands",
-    "streaming_semi_additive_parity",
     "lang_id_confusion",
     "source_overlap_matrix",
     "lonely_late_suppliers",
@@ -251,7 +287,6 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "skipgram_cooccurrence",
     "skipgram_pmi",
     "countmin_estimate_audit",
-    "streaming_countmin_parity",
     "prefix_jaccard_pairs",
     "containment_dup_pairs",
     "token_entropy_scores",
@@ -261,7 +296,6 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "orders_table_profile",
     "merged_event_intervals",
     "quality_score_percentiles",
-    "streaming_weighted_sample_parity",
     "knn_ivfpq_topk",
     "knn_ivfpq_recall_eval",
     "knn_ivfpq_residual_topk",
@@ -297,9 +331,6 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "label_centering_profile",
     "customer_order_gaps",
     "segment_balance_quartiles",
-    "exact_dup_groups",
-    "ngram_jaccard_pairs",
-    "simhash_docs",
     "winnow_fingerprint_profile",
     "winnow_candidate_pairs",
     "dup_clusters",
@@ -313,7 +344,6 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "dup_passage_spans",
     "dup_span_removal_stats",
     "incremental_dedup_pairs",
-    "streaming_ingest_dedup_parity",
     "near_dup_survivors",
     "quality_logit_scores",
     "training_shard_manifest",
@@ -363,31 +393,15 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "packed_training_sequences",
     "packed_sequence_stats",
     "doc_chunks",
-    "doc_repetition_profile",
-    "gopher_quality_flags",
-    "doc_text_stats",
-    "doc_language_counts",
     "doc_length_histogram",
     "quality_deciles",
     "curated_corpus",
     "bpe_token_stats",
     "media_asset_features",
-    "source_mix_weights",
     "view_purchase_asof",
-    "priority_price_profile",
     "lineitem_measures_long",
-    "customers_with_open_orders",
-    "open_and_pending_customers",
-    "open_minus_fulfilled_customers",
-    "party_directory",
-    "events_hourly",
     "event_funnel",
-    "event_gaps",
-    "events_sliding_stats",
-    "event_props_stats",
-    "props_kv_totals",
     "user_retention_cohorts",
-    "views_before_purchase",
     "salted_hot_user_events",
 )
 
@@ -429,6 +443,7 @@ def _load_all() -> None:
     from asritha_metamorphetl_spark.plans import (  # noqa: F401
         analytics2_queries,
         analytics3_queries,
+        analytics4_queries,
         analytics_queries,
         ann_queries,
         behavior_queries,

@@ -429,70 +429,152 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def _esw_weigh(df: DataFrame) -> DataFrame:
+    """Row-local rational weight for the Efraimidis–Spirakis parity —
+    shared between the trilogy fixture and the parity query's docs."""
+    w = (F.lit(1) + F.col("n_chars") % 100) / F.lit(101.0)
+    return df.select("doc_id", w.alias("w"))
+
+
+def _docs_trilogy_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """ONE real micro-batch run shared by the three document-stream
+    parities (ingest dedup / Count-Min / weighted sample — VERDICT r10
+    directive #4: each used to pay its own full stream cycle over the
+    IDENTICAL three delta files, ~13.6 s of the bench tail for ~6 s of
+    distinct data work). The base/delta split, the three landed delta
+    files, and the three seeded states are byte-identical to the former
+    per-query builds; one ``readStream`` with ``maxFilesPerTrigger=1``
+    delivers the same three micro-batches, and the combined
+    ``foreachBatch`` applies each algebra's fold (sets, sums, order
+    statistics) to its OWN state directory — per-batch semantics,
+    retry contracts, and final artifacts are unchanged, so each parity
+    query's oracle hash still certifies its own fold. Cached per
+    (session, sf) via ``cached_fixture``; consumers treat the artifacts
+    as read-only."""
+    import os
+
+    from asritha_metamorphetl_spark.operators.dedup import lsh_banded
+    from asritha_metamorphetl_spark.operators.frequent import countmin_sketch
+    from asritha_metamorphetl_spark.operators.sampling import (
+        hash_bucket,
+        weighted_sample_without_replacement,
+    )
+    from asritha_metamorphetl_spark.plans.catalog_queries import (
+        CMS_DEPTH,
+        CMS_SALT,
+        CMS_WIDTH,
+    )
+    from asritha_metamorphetl_spark.session import cached_fixture
+    from asritha_metamorphetl_spark.streaming.windows import (
+        fold_countmin_batch,
+        fold_incremental_dedup_batch,
+        fold_weighted_sample_batch,
+    )
+
+    def build(root: str) -> None:
+        docs = Catalog(sf_dir).load(spark, "documents")
+        bucket = hash_bucket(F.col("doc_id"), 10)
+        base = docs.filter(bucket <= 7)
+        # three filtered re-scans of the small parquet are cheaper than
+        # one eager materialization of the text payload (measured 4.3 s
+        # vs ~1.5 s at sf0.1)
+        delta = docs.filter(bucket >= 8)
+
+        band_dir = os.path.join(root, "bands")
+        pairs_dir = os.path.join(root, "pairs")
+        sketch_dir = os.path.join(root, "sketch")
+        esw_dir = os.path.join(root, "esw")
+        src = os.path.join(root, "delta")
+
+        # seeds: base band rows + empty pair frame (dedup), base sketch
+        # partial (Count-Min), base top-200 (weighted sample)
+        lsh_banded(base, "text", "doc_id").write.parquet(band_dir)
+        spark.createDataFrame([], "doc_lo long, doc_hi long").write.parquet(
+            pairs_dir
+        )
+        base_toks = base.select(
+            F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        countmin_sketch(
+            base_toks, "tok", depth=CMS_DEPTH, width=CMS_WIDTH, salt=CMS_SALT
+        ).coalesce(1).write.parquet(os.path.join(sketch_dir, "batch_id=-1"))
+        weighted_sample_without_replacement(
+            _esw_weigh(base), "w", "doc_id", 200, salt="esw:"
+        ).coalesce(1).write.parquet(os.path.join(esw_dir, "batch_id=-1"))
+
+        # land the delta ONCE as three single-file batches
+        for i in range(3):
+            delta.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+                os.path.join(src, f"batch{i}")
+            )
+
+        def apply(batch_df: DataFrame, batch_id: int) -> None:
+            # pin the batch once — three folds would each re-read the
+            # source file and re-plan the scan
+            b = batch_df.localCheckpoint(eager=True)
+            fold_incremental_dedup_batch(
+                b, band_dir, pairs_dir, "text", "doc_id"
+            )
+            fold_countmin_batch(
+                b,
+                batch_id,
+                sketch_dir,
+                "text",
+                depth=CMS_DEPTH,
+                width=CMS_WIDTH,
+                salt=CMS_SALT,
+            )
+            fold_weighted_sample_batch(
+                b, batch_id, esw_dir, _esw_weigh, "doc_id", 200, "esw:"
+            )
+
+        stream = (
+            spark.readStream.schema(delta.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/")
+        )
+        # NOTE: shuffle partitions stay at the session's 32 here —
+        # unlike the state-store streams _materialize documents, the
+        # dedup fold joins the batch against the CORPUS-sized band
+        # table every micro-batch, and throttling that join's
+        # parallelism measured ~2x slower at 8 partitions
+        q = (
+            stream.writeStream.foreachBatch(apply)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(_AWAIT_SEC):
+            q.stop()
+            raise TimeoutError("docs trilogy stream did not finish")
+
+    return cached_fixture(spark, "stream_docs_trilogy", sf_dir, build)
+
+
 @register("streaming_ingest_dedup_parity", oracle=_ingest_dedup_oracle())
 def streaming_ingest_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time dedup under a REAL streaming query: the base corpus'
     band rows are seeded as the persisted band artifact, the delta
     documents land as three parquet files, a ``readStream`` with
     ``maxFilesPerTrigger=1`` delivers them as separate micro-batches
-    into ``incremental_dedup_stream`` (each batch pairs against
+    into the incremental-dedup fold (each batch pairs against
     base + everything ingested before it, appends its pairs, grows the
     band table), and the ACCUMULATED pair set is compared against the
     all-at-once batch oracle. Because pairs are orientation-normalized,
     the accumulated set is identical whatever order the batches arrive
     in — the property the at-least-once ``foreachBatch`` contract
     needs. This puts the streaming ingest-dedup path itself (not just
-    the batch join math) under a CORRECTNESS row."""
+    the batch join math) under a CORRECTNESS row. The micro-batch run
+    is the shared ``_docs_trilogy_fixture`` (one stream, three fold
+    algebras, each into its own state — the dedup fold and its
+    artifacts are identical to a standalone run)."""
     import os
-    import shutil
 
-    from asritha_metamorphetl_spark.operators.dedup import lsh_banded
     from asritha_metamorphetl_spark.operators.sampling import hash_bucket
-    from asritha_metamorphetl_spark.streaming.windows import (
-        incremental_dedup_stream,
-    )
 
     docs = Catalog(sf_dir).load(spark, "documents")
-    bucket = hash_bucket(F.col("doc_id"), 10)
-    base = docs.filter(bucket <= 7)
-    # three filtered re-scans of the small parquet are cheaper than one
-    # eager materialization of the text payload (measured 4.3 s vs
-    # ~1.5 s at sf0.1)
-    delta = docs.filter(bucket >= 8)
-
-    root = scratch_dir(spark, "stream_dedup", sf_dir)
-    shutil.rmtree(root, ignore_errors=True)
-    band_dir = os.path.join(root, "bands")
-    pairs_dir = os.path.join(root, "pairs")
-    src = os.path.join(root, "delta")
-
-    # seed the persisted artifacts: base band rows + an empty pair frame
-    lsh_banded(base, "text", "doc_id").write.parquet(band_dir)
-    spark.createDataFrame([], "doc_lo long, doc_hi long").write.parquet(
-        pairs_dir
-    )
-    # land the delta as three single-file batches
-    for i in range(3):
-        delta.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
-            os.path.join(src, f"batch{i}")
-        )
-
-    stream = (
-        spark.readStream.schema(delta.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{src}/*/")
-    )
-    q = (
-        incremental_dedup_stream(stream, band_dir, pairs_dir, "text", "doc_id")
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(_AWAIT_SEC):
-        q.stop()
-        raise TimeoutError("ingest dedup stream did not finish")
-
-    pairs = spark.read.parquet(pairs_dir).distinct()
+    root = _docs_trilogy_fixture(spark, sf_dir)
+    pairs = spark.read.parquet(os.path.join(root, "pairs")).distinct()
     flags = docs.select(
         "doc_id", (hash_bucket(F.col("doc_id"), 10) >= 8).alias("is_new")
     )
@@ -548,64 +630,15 @@ def streaming_countmin_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``groupBy(row, cell).sum``. The sketch's LINEARITY is the property
     under the hash: cell-wise sums commute, so the accumulated sketch
     is bit-identical whatever the batch boundaries — the batch oracle
-    sketches all documents in one pass."""
+    sketches all documents in one pass. The micro-batch run is the
+    shared ``_docs_trilogy_fixture`` (one stream, three fold algebras,
+    each into its own state — the Count-Min fold and its partials are
+    identical to a standalone run)."""
     import os
-    import shutil
 
-    from asritha_metamorphetl_spark.operators.frequent import countmin_sketch
-    from asritha_metamorphetl_spark.operators.sampling import hash_bucket
-    from asritha_metamorphetl_spark.plans.catalog_queries import (
-        CMS_DEPTH,
-        CMS_SALT,
-        CMS_WIDTH,
-    )
-    from asritha_metamorphetl_spark.streaming.windows import countmin_stream
-
-    docs = Catalog(sf_dir).load(spark, "documents")
-    bucket = hash_bucket(F.col("doc_id"), 10)
-    base = docs.filter(bucket <= 7)
-    delta = docs.filter(bucket >= 8)
-
-    root = scratch_dir(spark, "stream_cms", sf_dir)
-    shutil.rmtree(root, ignore_errors=True)
-    sketch_dir = os.path.join(root, "sketch")
-    src = os.path.join(root, "delta")
-
-    base_toks = base.select(
-        F.explode(F.split(F.col("text"), " ")).alias("tok")
-    )
-    countmin_sketch(
-        base_toks, "tok", depth=CMS_DEPTH, width=CMS_WIDTH, salt=CMS_SALT
-    ).coalesce(1).write.parquet(os.path.join(sketch_dir, "batch_id=-1"))
-    for i in range(3):
-        delta.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
-            os.path.join(src, f"batch{i}")
-        )
-
-    stream = (
-        spark.readStream.schema(delta.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{src}/*/")
-    )
-    q = (
-        countmin_stream(
-            stream,
-            sketch_dir,
-            "text",
-            depth=CMS_DEPTH,
-            width=CMS_WIDTH,
-            salt=CMS_SALT,
-        )
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(_AWAIT_SEC):
-        q.stop()
-        raise TimeoutError("countmin stream did not finish")
-
+    root = _docs_trilogy_fixture(spark, sf_dir)
     return (
-        spark.read.parquet(sketch_dir)
+        spark.read.parquet(os.path.join(root, "sketch"))
         .groupBy("row", "cell")
         .agg(F.sum("n").alias("n"))
         .select(F.col("row").alias("cms_row"), "cell", "n")
@@ -647,58 +680,14 @@ def streaming_weighted_sample_parity(
     streaming trilogy (sets: ingest dedup; sums: Count-Min; order
     statistics: this). The oracle draws the same sample from all
     documents at once. Weights are a row-local rational of n_chars so
-    every engine reproduces them exactly."""
+    every engine reproduces them exactly. The micro-batch run is the
+    shared ``_docs_trilogy_fixture`` (one stream, three fold algebras,
+    each into its own state — the top-k fold and its per-batch states
+    are identical to a standalone run)."""
     import os
-    import shutil
 
-    from asritha_metamorphetl_spark.operators.sampling import (
-        hash_bucket,
-        weighted_sample_without_replacement,
-    )
-    from asritha_metamorphetl_spark.streaming.windows import (
-        weighted_topk_stream,
-    )
-
-    docs = Catalog(sf_dir).load(spark, "documents")
-    bucket = hash_bucket(F.col("doc_id"), 10)
-    base = docs.filter(bucket <= 7)
-    delta = docs.filter(bucket >= 8)
-
-    def weigh(df: DataFrame) -> DataFrame:
-        w = (F.lit(1) + F.col("n_chars") % 100) / F.lit(101.0)
-        return df.select("doc_id", w.alias("w"))
-
-    root = scratch_dir(spark, "stream_esw", sf_dir)
-    shutil.rmtree(root, ignore_errors=True)
-    state_dir = os.path.join(root, "state")
-    src = os.path.join(root, "delta")
-
-    weighted_sample_without_replacement(
-        weigh(base), "w", "doc_id", 200, salt="esw:"
-    ).coalesce(1).write.parquet(os.path.join(state_dir, "batch_id=-1"))
-    for i in range(3):
-        delta.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
-            os.path.join(src, f"batch{i}")
-        )
-
-    stream = (
-        spark.readStream.schema(delta.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{src}/*/")
-    )
-    q = (
-        weighted_topk_stream(
-            stream, state_dir, weigh, "doc_id", 200, salt="esw:"
-        )
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(_AWAIT_SEC):
-        q.stop()
-        raise TimeoutError("weighted sample stream did not finish")
-
-    state = spark.read.parquet(state_dir)
+    root = _docs_trilogy_fixture(spark, sf_dir)
+    state = spark.read.parquet(os.path.join(root, "esw"))
     latest = state.agg(F.max("batch_id")).collect()[0][0]
     return (
         state.filter(F.col("batch_id") == latest)
@@ -979,6 +968,110 @@ def _semi_additive_oracle() -> str:
     return SEMI_ADDITIVE_ORACLE
 
 
+def _events_lastvalue_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Shared build for the two last-value fold parities over events
+    (VERDICT r10 directive #4): ONE pinned scan of the encoded events
+    feeds both the semi-additive micro-batch stream (state under
+    ``semiadd/``) and the retry-contract direct folds (state under
+    ``retry/``). Each fold sequence — seeds, batch boundaries, the
+    re-delivered batch, the duplicated batch_id — is exactly the former
+    per-query build; only the source scan and the md5 bucket column are
+    computed once instead of twice (the md5-per-row-per-filter cost the
+    hll parity already documents). Cached per (session, sf); consumers
+    treat the state directories as read-only."""
+    import os
+
+    from asritha_metamorphetl_spark.operators.sampling import hash_bucket
+    from asritha_metamorphetl_spark.session import cached_fixture
+    from asritha_metamorphetl_spark.streaming.windows import (
+        fold_last_value_batch,
+        last_value_fold_stream,
+    )
+
+    def build(root: str) -> None:
+        ev = Catalog(sf_dir).load(spark, "events")
+        enc = ev.select(
+            "user_id",
+            "event_type",
+            (F.year("ts") * 100 + F.month("ts")).alias("ym"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            "ts",
+            "event_id",
+            hash_bucket(F.col("event_id"), 10).alias("_b"),
+        ).localCheckpoint(eager=True)
+
+        # --- semi-additive micro-batch stream (keys: user_id, ym) ---
+        sa = enc.select("user_id", "ym", "cents", "ts", "event_id", "_b")
+        base = sa.filter(F.col("_b") <= 7).drop("_b")
+        delta = sa.filter(F.col("_b") >= 8).drop("_b")
+        sa_state = os.path.join(root, "semiadd")
+        src = os.path.join(root, "delta")
+
+        w = Window.partitionBy("user_id", "ym").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        base.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") == 1
+        ).drop("_rn").coalesce(1).write.parquet(
+            os.path.join(sa_state, "batch_id=-1")
+        )
+        d0 = delta.filter(F.col("event_id") % 2 == 0)
+        d1 = delta.filter(F.col("event_id") % 2 == 1)
+        d0.coalesce(1).write.parquet(os.path.join(src, "b0"))
+        d1.coalesce(1).write.parquet(os.path.join(src, "b1"))
+        d0.coalesce(1).write.parquet(os.path.join(src, "b2"))  # re-delivery
+
+        stream = (
+            spark.readStream.schema(delta.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/")
+        )
+        q = (
+            last_value_fold_stream(
+                stream, sa_state, ["user_id", "ym"], ["ts", "event_id"]
+            )
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(_AWAIT_SEC):
+            q.stop()
+            raise TimeoutError("semi-additive fold stream did not finish")
+
+        # --- retry-contract direct folds (key: user_id) ---
+        rf = enc.select(
+            "user_id", "event_type", "cents", "ts", "event_id", "_b"
+        )
+        seed = rf.filter(F.col("_b") <= 5).drop("_b")
+        b0 = rf.filter((F.col("_b") == 6) | (F.col("_b") == 7)).drop("_b")
+        b1 = rf.filter(F.col("_b") >= 8).drop("_b")
+        rf_state = os.path.join(root, "retry")
+
+        wu = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        seed.withColumn("_rn", F.row_number().over(wu)).filter(
+            F.col("_rn") == 1
+        ).drop("_rn").coalesce(1).write.parquet(
+            os.path.join(rf_state, "batch_id=-1")
+        )
+        key_cols = ["user_id"]
+        order_cols = ["ts", "event_id"]
+        fold_last_value_batch(b0, 0, rf_state, key_cols, order_cols)
+        # the retry: same frame, same batch_id, state already present
+        fold_last_value_batch(b0, 0, rf_state, key_cols, order_cols)
+        fold_last_value_batch(b1, 1, rf_state, key_cols, order_cols)
+
+    return cached_fixture(spark, "stream_lastvalue_pair", sf_dir, build)
+
+
+def _latest_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The newest published fold state: rows with the max batch_id."""
+    state = spark.read.parquet(state_dir)
+    latest_id = state.agg(F.max("batch_id")).collect()[0][0]
+    return state.filter(F.col("batch_id") == latest_id)
+
+
 @register("streaming_semi_additive_parity", oracle=_semi_additive_oracle())
 def streaming_semi_additive_parity(
     spark: SparkSession, sf_dir: str
@@ -994,66 +1087,14 @@ def streaming_semi_additive_parity(
     fold must absorb. This is the fourth merge algebra in the
     streaming family (sets: ingest dedup; sums: Count-Min; order
     statistics: weighted sample; argmax: this). The final state rolls
-    up to per-month totals against the split-agnostic batch oracle."""
+    up to per-month totals against the split-agnostic batch oracle.
+    The build is the shared ``_events_lastvalue_fixture`` (one pinned
+    events scan feeds this stream and the retry-fold companion; the
+    fold sequence itself is unchanged)."""
     import os
-    import shutil
 
-    from asritha_metamorphetl_spark.operators.sampling import hash_bucket
-    from asritha_metamorphetl_spark.streaming.windows import (
-        last_value_fold_stream,
-    )
-
-    ev = Catalog(sf_dir).load(spark, "events")
-    enc = ev.select(
-        "user_id",
-        (F.year("ts") * 100 + F.month("ts")).alias("ym"),
-        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
-        "ts",
-        "event_id",
-    )
-    bucket = hash_bucket(F.col("event_id"), 10)
-    base = enc.filter(bucket <= 7)
-    delta = enc.filter(bucket >= 8)
-
-    root = scratch_dir(spark, "stream_semiadd", sf_dir)
-    shutil.rmtree(root, ignore_errors=True)
-    state_dir = os.path.join(root, "state")
-    src = os.path.join(root, "delta")
-
-    w = Window.partitionBy("user_id", "ym").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    base.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") == 1
-    ).drop("_rn").coalesce(1).write.parquet(
-        os.path.join(state_dir, "batch_id=-1")
-    )
-    d0 = delta.filter(F.col("event_id") % 2 == 0).localCheckpoint()
-    d1 = delta.filter(F.col("event_id") % 2 == 1)
-    d0.coalesce(1).write.parquet(os.path.join(src, "b0"))
-    d1.coalesce(1).write.parquet(os.path.join(src, "b1"))
-    d0.coalesce(1).write.parquet(os.path.join(src, "b2"))  # re-delivery
-
-    stream = (
-        spark.readStream.schema(enc.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{src}/*/")
-    )
-    q = (
-        last_value_fold_stream(
-            stream, state_dir, ["user_id", "ym"], ["ts", "event_id"]
-        )
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(_AWAIT_SEC):
-        q.stop()
-        raise TimeoutError("semi-additive fold stream did not finish")
-
-    state = spark.read.parquet(state_dir)
-    latest_id = state.agg(F.max("batch_id")).collect()[0][0]
-    latest = state.filter(F.col("batch_id") == latest_id)
+    root = _events_lastvalue_fixture(spark, sf_dir)
+    latest = _latest_state(spark, os.path.join(root, "semiadd"))
     return latest.groupBy("ym").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("cents").cast("bigint").alias("total_last_cents"),
@@ -1090,52 +1131,13 @@ def streaming_retry_fold_parity(
     and the final state's per-type rollup hash-matches the one-shot
     SQL over ALL events. Companion to ``streaming_semi_additive_parity``
     (which proves duplicate ROWS are absorbed; this proves duplicate
-    BATCHES are)."""
+    BATCHES are). The build is the shared ``_events_lastvalue_fixture``
+    (one pinned events scan feeds both; the duplicated-batch_id fold
+    sequence itself is unchanged)."""
     import os
-    import shutil
 
-    from asritha_metamorphetl_spark.operators.sampling import hash_bucket
-    from asritha_metamorphetl_spark.streaming.windows import (
-        fold_last_value_batch,
-    )
-
-    ev = Catalog(sf_dir).load(spark, "events")
-    enc = ev.select(
-        "user_id",
-        "event_type",
-        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
-        "ts",
-        "event_id",
-    )
-    bucket = hash_bucket(F.col("event_id"), 10)
-    seed = enc.filter(bucket <= 5)
-    b0 = enc.filter((bucket == 6) | (bucket == 7)).localCheckpoint(
-        eager=False
-    )
-    b1 = enc.filter(bucket >= 8)
-
-    root = scratch_dir(spark, "stream_retry_fold", sf_dir)
-    shutil.rmtree(root, ignore_errors=True)
-    state_dir = os.path.join(root, "state")
-
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    seed.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") == 1
-    ).drop("_rn").coalesce(1).write.parquet(
-        os.path.join(state_dir, "batch_id=-1")
-    )
-    key_cols = ["user_id"]
-    order_cols = ["ts", "event_id"]
-    fold_last_value_batch(b0, 0, state_dir, key_cols, order_cols)
-    # the retry: same frame, same batch_id, state already present
-    fold_last_value_batch(b0, 0, state_dir, key_cols, order_cols)
-    fold_last_value_batch(b1, 1, state_dir, key_cols, order_cols)
-
-    state = spark.read.parquet(state_dir)
-    latest_id = state.agg(F.max("batch_id")).collect()[0][0]
-    latest = state.filter(F.col("batch_id") == latest_id)
+    root = _events_lastvalue_fixture(spark, sf_dir)
+    latest = _latest_state(spark, os.path.join(root, "retry"))
     return latest.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("cents").cast("bigint").alias("total_cents"),

@@ -352,42 +352,55 @@ def incremental_dedup_stream(
     Returns the DataStreamWriter — caller adds checkpoint/trigger and
     ``.start()``.
     """
-    from asritha_metamorphetl_spark.operators.dedup import lsh_banded
-
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        # pin: the batch bands feed BOTH the pair join and the append —
-        # without this the shingle/signature pipeline runs twice
-        batch_b = lsh_banded(batch_df, text_col, id_col).localCheckpoint(
-            eager=True
+        fold_incremental_dedup_batch(
+            batch_df, band_dir, pairs_dir, text_col, id_col
         )
-        existing = spark.read.parquet(band_dir)
-        left = (
-            existing.withColumn("is_new", F.lit(False))
-            .unionByName(batch_b.withColumn("is_new", F.lit(True)))
-            .alias("l")
-        )
-        right = batch_b.alias("r")
-        pairs = (
-            left.join(right, "band_key")
-            .filter(F.col("l.doc_id") != F.col("r.doc_id"))
-            # existing rows pair with every colliding batch row; batch-
-            # internal rows only pair forward so each appears once
-            .filter(
-                ~F.col("l.is_new") | (F.col("l.doc_id") < F.col("r.doc_id"))
-            )
-            .select(
-                F.least(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_lo"),
-                F.greatest(F.col("l.doc_id"), F.col("r.doc_id")).alias(
-                    "doc_hi"
-                ),
-            )
-            .distinct()
-        )
-        pairs.write.mode("append").parquet(pairs_dir)
-        batch_b.write.mode("append").parquet(band_dir)
 
     return docs.writeStream.foreachBatch(apply_batch)
+
+
+def fold_incremental_dedup_batch(
+    batch_df: DataFrame,
+    band_dir: str,
+    pairs_dir: str,
+    text_col: str,
+    id_col: str,
+) -> None:
+    """One ingest-dedup fold step (the ``incremental_dedup_stream``
+    foreachBatch body, factored out so a combined parity run can apply
+    several fold algebras to the same micro-batch): band the batch,
+    pair it against everything persisted so far, append pairs and the
+    batch's own band rows."""
+    from asritha_metamorphetl_spark.operators.dedup import lsh_banded
+
+    spark = batch_df.sparkSession
+    # pin: the batch bands feed BOTH the pair join and the append —
+    # without this the shingle/signature pipeline runs twice
+    batch_b = lsh_banded(batch_df, text_col, id_col).localCheckpoint(
+        eager=True
+    )
+    existing = spark.read.parquet(band_dir)
+    left = (
+        existing.withColumn("is_new", F.lit(False))
+        .unionByName(batch_b.withColumn("is_new", F.lit(True)))
+        .alias("l")
+    )
+    right = batch_b.alias("r")
+    pairs = (
+        left.join(right, "band_key")
+        .filter(F.col("l.doc_id") != F.col("r.doc_id"))
+        # existing rows pair with every colliding batch row; batch-
+        # internal rows only pair forward so each appears once
+        .filter(~F.col("l.is_new") | (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(
+            F.least(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_lo"),
+            F.greatest(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_hi"),
+        )
+        .distinct()
+    )
+    pairs.write.mode("append").parquet(pairs_dir)
+    batch_b.write.mode("append").parquet(band_dir)
 
 
 def countmin_stream(
@@ -418,21 +431,37 @@ def countmin_stream(
     Returns the DataStreamWriter — caller adds checkpoint/trigger and
     ``.start()``.
     """
-    from asritha_metamorphetl_spark.operators.frequent import countmin_sketch
-
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        toks = batch_df.select(
-            F.explode(F.split(F.col(text_col), " ")).alias("tok")
-        )
-        part = countmin_sketch(
-            toks, "tok", depth=depth, width=width, salt=salt
-        )
-        # <= depth*width rows — one file per partial, not one per task
-        part.coalesce(1).write.mode("overwrite").parquet(
-            f"{sketch_dir}/batch_id={batch_id}"
+        fold_countmin_batch(
+            batch_df, batch_id, sketch_dir, text_col, depth, width, salt
         )
 
     return docs.writeStream.foreachBatch(apply_batch)
+
+
+def fold_countmin_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    sketch_dir: str,
+    text_col: str,
+    depth: int,
+    width: int,
+    salt: str,
+) -> None:
+    """One Count-Min fold step (the ``countmin_stream`` foreachBatch
+    body, factored out for the combined parity run): sketch the batch's
+    tokens and publish the partial by overwriting its own batch_id
+    subdirectory."""
+    from asritha_metamorphetl_spark.operators.frequent import countmin_sketch
+
+    toks = batch_df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    part = countmin_sketch(toks, "tok", depth=depth, width=width, salt=salt)
+    # <= depth*width rows — one file per partial, not one per task
+    part.coalesce(1).write.mode("overwrite").parquet(
+        f"{sketch_dir}/batch_id={batch_id}"
+    )
 
 
 def weighted_topk_stream(
