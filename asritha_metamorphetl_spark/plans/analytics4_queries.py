@@ -65,8 +65,8 @@ s AS (
     FROM c
 )
 SELECT day,
-       CAST(c - lo AS DECIMAL(38,0)) AS s_pos,
-       CAST(hi - c AS DECIMAL(38,0)) AS s_neg
+       CAST(c - lo AS BIGINT) AS s_pos,
+       CAST(hi - c AS BIGINT) AS s_neg
 FROM s
 """,
 )
@@ -79,9 +79,12 @@ def cusum_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     where C is the plain cumulative sum of d. A sustained upward shift
     makes S⁺ climb; the recursion max(0, S+d) never appears, so three
     window passes over the BOUNDED calendar-day table (≈2.4k rows at
-    any scale factor) replace an unparallelizable scan. All integer
-    (decimal(38,0)/HUGEINT — n·r reaches ~2.4e19 at 100 TB, past
-    int64); no floats anywhere in the output."""
+    any scale factor) replace an unparallelizable scan. INTERNAL
+    arithmetic is decimal(38,0)/HUGEINT (n·r reaches ~2.4e19 at
+    100 TB, past int64); the reported spans cast to bigint — if a
+    catalog's deviation spans themselves exceed ~9e18, shift the unit
+    to dollars before the scale-up (a stated rescale, not an
+    algorithm change). No floats anywhere in the output."""
     orders = Catalog(sf_dir).load(spark, "orders")
     daily = orders.groupBy(
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
@@ -106,8 +109,8 @@ def cusum_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return c.select(
         "day",
-        (F.col("c") - F.min("c").over(w)).cast("decimal(38,0)").alias("s_pos"),
-        (F.max("c").over(w) - F.col("c")).cast("decimal(38,0)").alias("s_neg"),
+        (F.col("c") - F.min("c").over(w)).cast("bigint").alias("s_pos"),
+        (F.max("c").over(w) - F.col("c")).cast("bigint").alias("s_neg"),
     )
 
 
