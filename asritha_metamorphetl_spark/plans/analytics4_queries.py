@@ -21,7 +21,11 @@ two-pass ``operators/ranks`` machinery; transcendentals are
 
 Reference scope: the reference's analytics stop at mart aggregates
 (``Raptor/Raptor.py`` pipelines); these are warehouse-profiling and
-robust-statistics queries run on the same engine.
+robust-statistics queries run on the same engine. The round-12
+seed block at the end (two-way ANOVA, QQ points, Weibull shape, Hill
+tail index, cold streaks, lift matrix, cluster power law, simhash
+cross-calibration) is post-window: never driver-checked this round,
+selfcheck-pinned, first in line for the next window.
 """
 
 from __future__ import annotations
@@ -997,4 +1001,785 @@ def time_travel_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(
             F.lag("n_live").over(w) - F.col("n_live"), F.lit(0)
         ).cast("bigint").alias("n_deleted_vs_prev"),
+    )
+
+
+# =====================================================================
+# Round-12 seeds (post-window: never driver-checked this round,
+# selfcheck-pinned, first in line for the next window)
+# =====================================================================
+
+
+#: p_size 1..50 → 5 size bands of 10.
+ANOVA2_BAND = 10
+
+
+@register(
+    "two_way_anova_price",
+    oracle=f"""
+WITH px AS (
+    SELECT p_brand AS a, (p_size - 1) // {ANOVA2_BAND} AS b,
+           CAST({_P_CENTS} AS HUGEINT) AS c
+    FROM part
+),
+cells AS (
+    SELECT a, b, CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(c) AS DOUBLE) AS s
+    FROM px GROUP BY 1, 2
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(c) AS DOUBLE) AS s,
+           CAST(SUM(c * c) AS DOUBLE) AS q,
+           CAST(COUNT(DISTINCT a) AS DOUBLE) AS ka,
+           CAST(COUNT(DISTINCT b) AS DOUBLE) AS kb
+    FROM px
+),
+parts AS (
+    SELECT
+        (SELECT SUM(s * s / n) FROM cells) AS cell_ss,
+        (SELECT SUM(s * s / n)
+         FROM (SELECT a, SUM(n) AS n, SUM(s) AS s FROM cells GROUP BY a))
+            AS a_ss,
+        (SELECT SUM(s * s / n)
+         FROM (SELECT b, SUM(n) AS n, SUM(s) AS s FROM cells GROUP BY b))
+            AS b_ss,
+        (SELECT COUNT(*) FROM cells) AS n_cells
+)
+SELECT CAST(t.n AS BIGINT) AS n,
+       CAST(p.n_cells AS BIGINT) AS n_cells,
+       ROUND(((p.a_ss - t.s * t.s / t.n) / (t.ka - 1))
+             / ((t.q - p.cell_ss) / (t.n - p.n_cells)), 6) AS f_brand,
+       ROUND(((p.b_ss - t.s * t.s / t.n) / (t.kb - 1))
+             / ((t.q - p.cell_ss) / (t.n - p.n_cells)), 6) AS f_size_band,
+       ROUND((((p.cell_ss - t.s * t.s / t.n)
+               - (p.a_ss - t.s * t.s / t.n)
+               - (p.b_ss - t.s * t.s / t.n))
+              / ((t.ka - 1) * (t.kb - 1)))
+             / ((t.q - p.cell_ss) / (t.n - p.n_cells)), 6)
+           AS f_interaction
+FROM tot t, parts p
+""",
+)
+def two_way_anova_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way ANOVA of retail price on brand × size band — does the
+    brand premium DEPEND on the size class (the interaction a one-way
+    ANOVA cannot see)? The hierarchical cells decomposition:
+    SS_cells = Σ S_ab²/n_ab − S²/N, marginal SS_A/SS_B from the cell
+    rollups, SS_AB = SS_cells − SS_A − SS_B, SS_within = SS_total −
+    SS_cells. One fact-table aggregate produces the (brand, band) cell
+    sums — everything after runs on the ≤ (brands × bands) bounded
+    table; power sums are exact HUGEINT/decimal and the F ratios are
+    the final mirrored doubles."""
+    px = Catalog(sf_dir).load(spark, "part").select(
+        F.col("p_brand").alias("a"),
+        F.expr(f"(p_size - 1) div {ANOVA2_BAND}").alias("b"),
+        F.round(F.col("p_retailprice") * 100)
+        .cast("decimal(38,0)")
+        .alias("c"),
+    )
+    cells = px.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("c").cast("double").alias("s"),
+    )
+    tot = px.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("c").cast("double").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("q"),
+        F.countDistinct("a").cast("double").alias("ka"),
+        F.countDistinct("b").cast("double").alias("kb"),
+    )
+    cell_ss = cells.agg(
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("cell_ss"),
+        F.count(F.lit(1)).cast("double").alias("n_cells"),
+    )
+    a_ss = (
+        cells.groupBy("a")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        .agg(F.sum(F.col("s") * F.col("s") / F.col("n")).alias("a_ss"))
+    )
+    b_ss = (
+        cells.groupBy("b")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        .agg(F.sum(F.col("s") * F.col("s") / F.col("n")).alias("b_ss"))
+    )
+    j = (
+        tot.crossJoin(F.broadcast(cell_ss))
+        .crossJoin(F.broadcast(a_ss))
+        .crossJoin(F.broadcast(b_ss))
+    )
+    corr = F.col("s") * F.col("s") / F.col("n")
+    ssw = F.col("q") - F.col("cell_ss")
+    dfw = F.col("n") - F.col("n_cells")
+    return j.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_cells").cast("bigint").alias("n_cells"),
+        F.round(
+            ((F.col("a_ss") - corr) / (F.col("ka") - 1)) / (ssw / dfw), 6
+        ).alias("f_brand"),
+        F.round(
+            ((F.col("b_ss") - corr) / (F.col("kb") - 1)) / (ssw / dfw), 6
+        ).alias("f_size_band"),
+        F.round(
+            (
+                (
+                    (F.col("cell_ss") - corr)
+                    - (F.col("a_ss") - corr)
+                    - (F.col("b_ss") - corr)
+                )
+                / ((F.col("ka") - 1) * (F.col("kb") - 1))
+            )
+            / (ssw / dfw),
+            6,
+        ).alias("f_interaction"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Empirical QQ points: weekend vs weekday event values
+# ---------------------------------------------------------------------
+
+
+@register(
+    "weekend_event_value_qq",
+    oracle="""
+WITH ev AS (
+    SELECT CASE WHEN dayname(ts) IN ('Saturday', 'Sunday')
+                THEN 1 ELSE 0 END AS wk,
+           CAST(ROUND(value * 100) AS BIGINT) AS c
+    FROM events
+),
+cnt AS (SELECT wk, c, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+cum AS (
+    SELECT wk, c, cnt,
+           SUM(cnt) OVER (PARTITION BY wk ORDER BY c) AS cum,
+           SUM(cnt) OVER (PARTITION BY wk) AS n
+    FROM cnt
+),
+ps AS (SELECT unnest(range(5, 100, 5)) AS p),
+qs AS (
+    SELECT p.p, cum.wk,
+           MIN(CASE WHEN 100 * cum.cum >= p.p * cum.n THEN cum.c END) AS q
+    FROM cum CROSS JOIN ps p
+    GROUP BY 1, 2
+)
+SELECT p AS pctile,
+       MAX(CASE WHEN wk = 1 THEN q END) AS weekend_cents,
+       MAX(CASE WHEN wk = 0 THEN q END) AS weekday_cents
+FROM qs GROUP BY p
+""",
+)
+def weekend_event_value_qq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical quantile–quantile points of event value, weekend vs
+    weekday — the distribution-level companion to the location
+    (Mann–Whitney) and shape (KS) tests: if the two populations differ
+    only by scale, the 19 ventile pairs fall on a line; a kink
+    localizes WHERE they diverge. Quantiles are EXACT type-1 order
+    statistics off the bounded (group, value-cents) count table (the
+    value domain caps the table, not row count): the cumulative walk
+    is one per-group window over that bounded table, and each ventile
+    is min{{c : 100·cum ≥ p·n}} — pure integer comparisons, no
+    percentile_approx, no floats anywhere."""
+    ev = Catalog(sf_dir).load(spark, "events").select(
+        F.when(
+            F.date_format("ts", "E").isin("Sat", "Sun"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("wk"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    cnt = ev.groupBy("wk", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    wk = Window.partitionBy("wk").orderBy("c")
+    cum = cnt.select(
+        "wk",
+        "c",
+        F.sum("cnt").over(wk).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("wk")).alias("n"),
+    )
+    ps = spark.range(1, 20).select((F.col("id") * 5).alias("p"))
+    qs = (
+        cum.crossJoin(F.broadcast(ps))
+        .groupBy("p", "wk")
+        .agg(
+            F.min(
+                F.when(
+                    100 * F.col("cum") >= F.col("p") * F.col("n"),
+                    F.col("c"),
+                )
+            ).alias("q")
+        )
+    )
+    return qs.groupBy(F.col("p").alias("pctile")).agg(
+        F.max(F.when(F.col("wk") == 1, F.col("q"))).alias("weekend_cents"),
+        F.max(F.when(F.col("wk") == 0, F.col("q"))).alias("weekday_cents"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Weibull shape of interarrival times from a geometric survival grid
+# ---------------------------------------------------------------------
+
+#: Survival grid: gap thresholds 2^0 .. 2^(WEIB_POINTS-1) seconds.
+WEIB_POINTS = 25
+
+
+@register(
+    "weibull_interarrival_shape",
+    oracle=f"""
+WITH gaps AS (
+    SELECT CAST(EXTRACT(EPOCH FROM ts) AS BIGINT)
+           - LAG(CAST(EXTRACT(EPOCH FROM ts) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS g
+    FROM events
+),
+g2 AS (SELECT g FROM gaps WHERE g IS NOT NULL AND g > 0),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g2),
+surv AS (
+    SELECT gs.j,
+           (SELECT COUNT(*) FROM g2
+            WHERE g > CAST(POW(2, gs.j) AS BIGINT)) AS n_gt
+    FROM generate_series(0, {WEIB_POINTS - 1}) gs(j)
+),
+pts AS (
+    SELECT CAST(ROUND(LN(POW(2.0, j)) * 1000000) AS BIGINT) AS xi,
+           CAST(ROUND(LN(-LN(CAST(n_gt AS DOUBLE) / t.n)) * 1000000)
+                AS BIGINT) AS yi
+    FROM surv, tot t
+    WHERE n_gt > 0 AND n_gt < t.n AND j > 0
+),
+sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(xi) AS sx, SUM(yi) AS sy,
+           SUM(xi * yi) AS sxy, SUM(xi * xi) AS sx2
+    FROM pts
+)
+SELECT (SELECT n FROM tot) AS n_gaps,
+       k AS n_points,
+       ROUND((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(k AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
+           AS weibull_shape
+FROM sums
+""",
+)
+def weibull_interarrival_shape(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weibull shape parameter of user interarrival times — the
+    burstiness law behind the coefficient-of-variation summary
+    (``interarrival_burstiness``): shape < 1 means bursty/clustered
+    arrivals, 1 is memoryless Poisson, > 1 regular. Fit via the
+    Weibull plot identity ln(−ln S(g)) = k·ln g − k·ln λ, evaluated on
+    a GEOMETRIC survival grid (gap > 2^j seconds, j = 1..{WEIB_POINTS - 1}):
+    the survival counts are {WEIB_POINTS} conditional integer sums in
+    ONE pass over the per-user lag gaps — no distinct-gap table, whose
+    cardinality would grow with data volume — and the OLS runs over
+    ≤ {WEIB_POINTS} points with every transcendental 1e-6-quantized to
+    an exact integer before summation (the ``zipf_token_slope``
+    discipline). Grid points with S = 0 or 1 drop in both engines."""
+    ev = Catalog(sf_dir).load(spark, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            (
+                F.unix_timestamp("ts")
+                - F.lag(F.unix_timestamp("ts")).over(wu)
+            ).alias("g")
+        )
+        .filter(F.col("g").isNotNull() & (F.col("g") > 0))
+    )
+    agg = gaps.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum((F.col("g") > 2**j).cast("long")).alias(f"gt{j}")
+            for j in range(WEIB_POINTS)
+        ],
+    )
+    surv = agg.select(
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), F.col(f"gt{j}").alias("n_gt")
+                    )
+                    for j in range(WEIB_POINTS)
+                ]
+            )
+        ).alias("s"),
+    ).select("n", "s.j", "s.n_gt")
+    import math
+
+    pts = surv.filter(
+        (F.col("n_gt") > 0) & (F.col("n_gt") < F.col("n")) & (F.col("j") > 0)
+    ).select(
+        "n",
+        F.round(
+            F.lit(math.log(2.0)) * F.col("j") * 1000000
+        )
+        .cast("bigint")
+        .alias("xi"),
+        F.round(
+            F.log(-F.log(F.col("n_gt").cast("double") / F.col("n")))
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("yi"),
+    )
+    k = F.count(F.lit(1)).cast("bigint")
+    return pts.groupBy("n").agg(
+        k.alias("n_points"),
+        F.round(
+            (
+                k.cast("double") * F.sum(F.col("xi") * F.col("yi")).cast("double")
+                - F.sum("xi").cast("double") * F.sum("yi").cast("double")
+            )
+            / (
+                k.cast("double") * F.sum(F.col("xi") * F.col("xi")).cast("double")
+                - F.sum("xi").cast("double") * F.sum("xi").cast("double")
+            ),
+            4,
+        ).alias("weibull_shape"),
+    ).select(F.col("n").alias("n_gaps"), "n_points", "weibull_shape")
+
+
+# ---------------------------------------------------------------------
+# Hill estimator of the order-value tail index
+# ---------------------------------------------------------------------
+
+#: Number of upper order statistics the Hill estimator uses.
+HILL_K = 500
+
+
+@register(
+    "hill_tail_index",
+    oracle=f"""
+WITH top AS (
+    SELECT {_O_CENTS} AS c
+    FROM orders
+    ORDER BY {_O_CENTS} DESC, o_orderkey ASC
+    LIMIT {HILL_K}
+),
+q AS (
+    SELECT CAST(ROUND(LN(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS lnq,
+           c
+    FROM top
+),
+s AS (
+    SELECT SUM(lnq) AS sln, MIN(lnq) AS lnk, MIN(c) AS xk,
+           COUNT(*) AS k
+    FROM q
+)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(xk AS BIGINT) AS xk_cents,
+       ROUND(CAST((k - 1) AS DOUBLE) * 1000000.0
+             / CAST(sln - k * lnk AS DOUBLE), 6) AS hill_alpha
+FROM s
+""",
+)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the order-value TAIL INDEX α — how heavy the
+    revenue tail is (α ≤ 2 means infinite variance: mean-based
+    forecasts are meaningless; the Pareto-share and drawdown queries
+    assume a finite tail, this measures it). α̂ = (k−1) / Σ(ln x_i −
+    ln x_k) over the k = {HILL_K} largest values; the top set is an
+    ``orderBy().limit()`` that compiles to TakeOrderedAndProject
+    (per-partition top-k, driver merge of 32×{HILL_K} rows — never a
+    global sort), ties broken by order key so the set is
+    deterministic. Each ln is 1e-6-quantized to an exact integer
+    before the sum (zipf discipline); the estimator is one mirrored
+    double at the end."""
+    orders = Catalog(sf_dir).load(spark, "orders")
+    top = (
+        orders.select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+            "o_orderkey",
+        )
+        .orderBy(F.col("c").desc(), F.col("o_orderkey").asc())
+        .limit(HILL_K)
+    )
+    q = top.select(
+        F.round(F.log(F.col("c").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("lnq"),
+        "c",
+    )
+    s = q.agg(
+        F.sum("lnq").alias("sln"),
+        F.min("lnq").alias("lnk"),
+        F.min("c").alias("xk"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    return s.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("xk").cast("bigint").alias("xk_cents"),
+        F.round(
+            (F.col("k") - 1).cast("double")
+            * 1000000.0
+            / (F.col("sln") - F.col("k") * F.col("lnk")).cast("double"),
+            6,
+        ).alias("hill_alpha"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Longest below-median streaks (islands over the bounded daily table)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "below_median_streaks",
+    oracle="""
+WITH daily AS (
+    SELECT o_orderpriority AS pri, strftime(o_orderdate, '%Y-%m-%d') AS day,
+           COUNT(*) AS cnt
+    FROM orders GROUP BY 1, 2
+),
+cc AS (SELECT pri, cnt, COUNT(*) AS ndays FROM daily GROUP BY 1, 2),
+cum AS (
+    SELECT pri, cnt, ndays,
+           SUM(ndays) OVER (PARTITION BY pri ORDER BY cnt) AS cum,
+           SUM(ndays) OVER (PARTITION BY pri) AS nj
+    FROM cc
+),
+med AS (
+    SELECT pri,
+           MIN(CASE WHEN 2 * cum >= nj THEN cnt END)
+           + MIN(CASE WHEN 2 * cum >= nj + 2 THEN cnt END) AS m2
+    FROM cum GROUP BY 1
+),
+flagged AS (
+    SELECT d.pri, d.day,
+           CASE WHEN 2 * d.cnt < m.m2 THEN 1 ELSE 0 END AS below,
+           ROW_NUMBER() OVER (PARTITION BY d.pri ORDER BY d.day) AS rn
+    FROM daily d JOIN med m ON d.pri = m.pri
+),
+isl AS (
+    SELECT pri, below, rn,
+           rn - ROW_NUMBER() OVER (PARTITION BY pri, below ORDER BY rn)
+               AS grp
+    FROM flagged
+),
+streaks AS (
+    SELECT pri, COUNT(*) AS len
+    FROM isl WHERE below = 1 GROUP BY pri, grp
+)
+SELECT m.pri AS o_orderpriority,
+       m.m2 / 2.0 AS median_daily,
+       COALESCE(MAX(s.len), 0) AS longest_streak,
+       COUNT(s.len) AS n_streaks
+FROM med m LEFT JOIN streaks s ON m.pri = s.pri
+GROUP BY 1, 2
+""",
+)
+def below_median_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive below-median days per order priority —
+    the cold-streak detector (a demand series can keep a healthy median
+    while silently developing multi-week slumps; streak length is the
+    signal dispersion summaries miss). Everything runs on the BOUNDED
+    per-(priority, day) table: the per-priority median of daily counts
+    comes from the count-of-counts cumulative walk (doubled median, so
+    /2.0 is exact), below-days are grouped into runs with the
+    gaps-and-islands rn-difference trick, and the report is one bounded
+    aggregate. Streaks are over the PRESENT day sequence (rank-
+    consecutive); no window ever touches fact rows."""
+    orders = Catalog(sf_dir).load(spark, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    cc = daily.groupBy("pri", "cnt").agg(F.count(F.lit(1)).alias("ndays"))
+    wp = Window.partitionBy("pri").orderBy("cnt")
+    cum = cc.select(
+        "pri",
+        "cnt",
+        F.sum("ndays").over(wp).alias("cum"),
+        F.sum("ndays").over(Window.partitionBy("pri")).alias("nj"),
+    )
+    med = cum.groupBy("pri").agg(
+        (
+            F.min(F.when(2 * F.col("cum") >= F.col("nj"), F.col("cnt")))
+            + F.min(F.when(2 * F.col("cum") >= F.col("nj") + 2, F.col("cnt")))
+        ).alias("m2")
+    )
+    wd = Window.partitionBy("pri").orderBy("day")
+    flagged = daily.join(F.broadcast(med), "pri").select(
+        "pri",
+        "day",
+        F.when(2 * F.col("cnt") < F.col("m2"), 1).otherwise(0).alias("below"),
+        F.row_number().over(wd).alias("rn"),
+    )
+    wi = Window.partitionBy("pri", "below").orderBy("rn")
+    isl = flagged.withColumn(
+        "grp", F.col("rn") - F.row_number().over(wi)
+    )
+    streaks = (
+        isl.filter(F.col("below") == 1)
+        .groupBy("pri", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return (
+        med.join(streaks, "pri", "left")
+        .groupBy(
+            F.col("pri").alias("o_orderpriority"),
+            (F.col("m2") / 2.0).alias("median_daily"),
+        )
+        .agg(
+            F.coalesce(F.max("len"), F.lit(0)).alias("longest_streak"),
+            F.count("len").alias("n_streaks"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# Event-type co-occurrence lift (bounded type-pair matrix)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "event_type_lift_matrix",
+    oracle="""
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+tc AS (SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY 1),
+pairs AS (
+    SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS n_both
+    FROM ut a JOIN ut b ON a.user_id = b.user_id
+    WHERE a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT p.t1, p.t2, p.n_both,
+       ROUND(CAST(p.n_both AS DOUBLE) * n.n_users
+             / (CAST(ta.n_t AS DOUBLE) * tb.n_t), 6) AS lift
+FROM pairs p
+JOIN tc ta ON ta.event_type = p.t1
+JOIN tc tb ON tb.event_type = p.t2
+CROSS JOIN n
+""",
+)
+def event_type_lift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence LIFT between event types at the user level — does
+    a user who ever does X also do Y more than independence predicts
+    (lift > 1) or do the behaviors repel (< 1)? The matrix is bounded
+    by the TYPE vocabulary, not data volume: one distinct-pair
+    aggregate collapses the fact table onto (user, type) — ≤ |types|
+    rows per user — the self-join fans out at most C(|types|, 2) pairs
+    per user, and marginals broadcast. Exact integer counts; lift is
+    the final mirrored double."""
+    ev = Catalog(sf_dir).load(spark, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n = ut.agg(F.countDistinct("user_id").alias("n_users"))
+    tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pairs = (
+        a.join(b, F.col("a.user_id") == F.col("b.user_id"))
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("t1"),
+            F.col("b.event_type").alias("t2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ta = tc.select(F.col("event_type").alias("t1"), F.col("n_t").alias("na"))
+    tb = tc.select(F.col("event_type").alias("t2"), F.col("n_t").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ta), "t1")
+        .join(F.broadcast(tb), "t2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "t1",
+            "t2",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n_users")
+                / (F.col("na").cast("double") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# Power-law fit of near-dup cluster sizes
+# ---------------------------------------------------------------------
+
+
+def _cluster_powerlaw_oracle() -> str:
+    from asritha_metamorphetl_spark.plans.text_queries import (
+        MINHASH_PAIRS_ORACLE,
+    )
+
+    return f"""
+WITH RECURSIVE pairs AS ({MINHASH_PAIRS_ORACLE}),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+assign AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+           FROM reach GROUP BY src),
+sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM assign GROUP BY 1),
+freq AS (SELECT sz, COUNT(*) AS nf FROM sizes GROUP BY 1),
+pts AS (
+    SELECT CAST(ROUND(LN(CAST(sz AS DOUBLE)) * 1000000) AS BIGINT) AS xi,
+           CAST(ROUND(LN(CAST(nf AS DOUBLE)) * 1000000) AS BIGINT) AS yi
+    FROM freq
+),
+sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(xi) AS sx, SUM(yi) AS sy,
+           SUM(xi * yi) AS sxy, SUM(xi * xi) AS sx2
+    FROM pts
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sizes) AS n_clusters,
+       (SELECT CAST(MAX(sz) AS BIGINT) FROM sizes) AS max_cluster,
+       k AS n_sizes,
+       ROUND((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(k AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
+           AS powerlaw_slope
+FROM sums
+"""
+
+
+@register("dedup_cluster_size_powerlaw", oracle=_cluster_powerlaw_oracle())
+def dedup_cluster_size_powerlaw(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Power-law fit of the near-dup CLUSTER SIZE distribution — the
+    number dedup capacity planning runs on: cluster sizes of web-scale
+    corpora follow a heavy-tailed law, and the slope says whether
+    removal savings come from many small clusters (steep) or a few
+    giant ones (shallow — and a giant component is also the classic
+    LSH-threshold-too-low symptom this query flags before a full
+    dedup pass). Reuses the minhash-LSH pair machinery and the
+    min-label connected components (``dup_clusters``); the fit is the
+    ``zipf_token_slope`` discipline — OLS of ln(count) on ln(size)
+    over the BOUNDED size-frequency table, every ln 1e-6-quantized to
+    exact integers before summation."""
+    from asritha_metamorphetl_spark.operators import dedup as D
+    from asritha_metamorphetl_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "text", "doc_id")
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+    freq = sizes.groupBy("sz").agg(F.count(F.lit(1)).alias("nf"))
+    pts = freq.select(
+        F.round(F.log(F.col("sz").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("xi"),
+        F.round(F.log(F.col("nf").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("yi"),
+    )
+    k = F.count(F.lit(1)).cast("bigint")
+    fit = pts.agg(
+        k.alias("n_sizes"),
+        F.round(
+            (
+                k.cast("double")
+                * F.sum(F.col("xi") * F.col("yi")).cast("double")
+                - F.sum("xi").cast("double") * F.sum("yi").cast("double")
+            )
+            / (
+                k.cast("double")
+                * F.sum(F.col("xi") * F.col("xi")).cast("double")
+                - F.sum("xi").cast("double") * F.sum("xi").cast("double")
+            ),
+            4,
+        ).alias("powerlaw_slope"),
+    )
+    meta = sizes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.max("sz").cast("bigint").alias("max_cluster"),
+    )
+    return meta.crossJoin(F.broadcast(fit)).select(
+        "n_clusters", "max_cluster", "n_sizes", "powerlaw_slope"
+    )
+
+
+# ---------------------------------------------------------------------
+# SimHash Hamming histogram over the MinHash candidate pairs
+# ---------------------------------------------------------------------
+
+
+def _simhash_hamming_oracle() -> str:
+    from asritha_metamorphetl_spark.plans.text_queries import (
+        MINHASH_PAIRS_ORACLE,
+        _tok16_sql,
+    )
+
+    return f"""
+WITH pairs AS ({MINHASH_PAIRS_ORACLE}),
+toks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+    FROM documents
+),
+hashed AS (
+    SELECT doc_id, list_transform(t, tok -> {_tok16_sql()}) AS vals
+    FROM toks
+),
+bits AS (
+    SELECT doc_id, j,
+        CASE WHEN list_sum(list_transform(vals,
+                 v -> CAST(FLOOR(v / power(2, 15 - j)) AS BIGINT)
+                      % 2 * 2 - 1)) > 0
+             THEN CAST(power(2, 15 - j) AS BIGINT) ELSE 0 END AS v
+    FROM hashed, generate_series(0, 15) gs(j)
+),
+sh AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS simhash
+       FROM bits GROUP BY doc_id)
+SELECT bit_count(xor(a.simhash, b.simhash)) AS hamming,
+       COUNT(*) AS n_pairs
+FROM pairs p
+JOIN sh a ON a.doc_id = p.doc_a
+JOIN sh b ON b.doc_id = p.doc_b
+GROUP BY 1
+"""
+
+
+@register("simhash_hamming_of_candidates", oracle=_simhash_hamming_oracle())
+def simhash_hamming_of_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-calibration of the repo's two near-dup fingerprints: the
+    SimHash Hamming-distance histogram over exactly the MinHash-LSH
+    CANDIDATE pairs. If the two signals agree, candidates concentrate
+    at low Hamming distance and a cheap simhash pre-filter can prune
+    the verification stage; a flat histogram means the fingerprints
+    disagree and pruning would cost recall. Pair generation is the
+    banded LSH join (the EXACT-RECALL BLOCKING contract — never
+    all-pairs); each side then broadcast-joins its 16-bit simhash and
+    the Hamming distance is one JVM-side bit_count(xor) per pair, a
+    ≤17-row histogram out."""
+    from asritha_metamorphetl_spark.operators import dedup as D
+
+    docs = Catalog(sf_dir).load(spark, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "text", "doc_id")
+    sh = D.simhash_keys(docs, "text", "doc_id")
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b")
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .groupBy(
+            F.bit_count(
+                F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+            ).alias("hamming")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
     )

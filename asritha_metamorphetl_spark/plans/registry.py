@@ -106,6 +106,16 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "ngram_jaccard_pairs",
     "simhash_docs",
     # --- end of driver window; previously-checked registry follows ---
+    # post-window round-11 additions: never driver-checked,
+    # selfcheck-pinned, seeded first for the round-12 window
+    "two_way_anova_price",
+    "weekend_event_value_qq",
+    "weibull_interarrival_shape",
+    "hill_tail_index",
+    "below_median_streaks",
+    "event_type_lift_matrix",
+    "dedup_cluster_size_powerlaw",
+    "simhash_hamming_of_candidates",
     "cume_dist_scalable",
     "weighted_median_price",
     "order_value_mad",
