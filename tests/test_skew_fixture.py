@@ -80,6 +80,7 @@ def test_skew_sweep_all_green(skew_dir):
         timeout=600,
     )
     out = json.loads(proc.stdout)
+    out.pop("__meta__", None)
     assert set(out) == set(SWEEP)
     bad = {
         k: v

@@ -28,6 +28,7 @@ import json
 import math
 import os
 import sys
+import time
 import traceback
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -87,6 +88,7 @@ def _hash_rows(cols, rows):
 
 
 def main() -> int:
+    t_start = time.time()
     args = sys.argv[1:]
     jobs = 1
     if "--jobs" in args:
@@ -199,9 +201,19 @@ def main() -> int:
         for name, rec in results.items()
         if not rec["hash_match"] and rec["err"] != "no_oracle"
     ]
+    # Timing metadata (VERDICT r10 #7): keep the sweep's cost visible in
+    # the evidence file itself as the registry grows. "__meta__" cannot
+    # collide with query names (they are python identifiers).
+    results["__meta__"] = {
+        "sf_dir": sf_dir,
+        "jobs": jobs,
+        "n_queries": len(todo),
+        "n_green": len(todo) - len(bad),
+        "wall_seconds": round(time.time() - t_start, 1),
+    }
     print(json.dumps(results, indent=1))
     print(
-        f"\n{len(results) - len(bad)}/{len(results)} green; bad: {bad}",
+        f"\n{len(todo) - len(bad)}/{len(todo)} green; bad: {bad}",
         file=sys.stderr,
     )
     return 1 if bad else 0
