@@ -281,3 +281,31 @@ def test_global_cumsum_nonintegral_sum_types(spark):
     }
     assert {(r["v"], r["cum"]) for r in got_df2.collect()} == want2
     assert isinstance(total2, decimal.Decimal)
+
+
+def test_global_cumsums_multi_measure(spark):
+    """The k-measure one-pass cumsum agrees with k independent
+    single-measure passes AND with a plain sorted prefix sum — and the
+    lit(1) measure doubles as an exact global row number."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from asritha_metamorphetl_spark.operators.ranks import global_cumsums
+
+    rng = random.Random(17)
+    rows = [(i, rng.randrange(1, 1000)) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["k", "v"]).withColumn(
+        "one", F.lit(1).cast("bigint")
+    )
+    order_by = [F.col("v").asc(), F.col("k").asc()]
+    out, totals = global_cumsums(df, order_by, [("v", "cum"), ("one", "rn")])
+    got = {r.k: (r.cum, r.rn) for r in out.collect()}
+    assert totals["rn"] == len(rows)
+    assert totals["cum"] == sum(v for _, v in rows)
+    run = 0
+    for pos, (k, v) in enumerate(
+        sorted(rows, key=lambda r: (r[1], r[0])), start=1
+    ):
+        run += v
+        assert got[k] == (run, pos), (k, got[k], (run, pos))
