@@ -123,6 +123,30 @@ QUERIES = [
     ("centroid_distance_bands", "n-scaled integer centroid distances"),
     ("user_survival_curve", "KM estimator over day-bounded count table"),
     ("largest_remainder_allocation", "integer Hamilton apportionment"),
+    # round-11 additions
+    ("frequent_triples", "capped basket triple expansion (<=C(24,3)/order)"),
+    ("cusum_daily_revenue", "reflected-cumsum CUSUM (calendar-bounded)"),
+    ("lorenz_curve_points", "one-pass multi-measure global cumsum"),
+    ("price_size_skyline", "bounded-domain cummax skyline"),
+    ("open_order_concurrency", "sweep-line interval concurrency (2 deltas/row)"),
+    ("kruskal_wallis_brand_price", "doubled-rank KW off bounded count tables"),
+    ("brown_forsythe_price_variance", "exact-median robust variance ANOVA"),
+    ("jarque_bera_order_values", "four exact power sums, one scan"),
+    ("hot_key_skew_safe_distinct", "two-phase distinct under 30% key skew"),
+    ("doc_bigram_entropy_scores", "char-bigram entropy (O(chars) explode)"),
+    ("repeat_interval_median_by_segment", "per-key lag + bounded gap medians"),
+    ("double_ewma_trend", "Brown double EWMA (two integer weight sets)"),
+    ("time_travel_version_diff", "per-version MoR time-travel scans"),
+    ("two_way_anova_price", "cells-decomposition two-way ANOVA"),
+    ("weekend_event_value_qq", "exact type-1 ventiles off count tables"),
+    ("weibull_interarrival_shape", "geometric survival grid + quantized OLS"),
+    ("hill_tail_index", "TakeOrdered top-500 + quantized-ln Hill"),
+    ("below_median_streaks", "islands over the bounded daily table"),
+    ("event_type_lift_matrix", "type-vocabulary-bounded lift matrix"),
+    ("dedup_cluster_size_powerlaw", "components size-frequency OLS (cached pairs)"),
+    ("simhash_hamming_of_candidates", "simhash/minhash cross-calibration"),
+    ("streaming_ingest_dedup_parity", "shared-trilogy stream fixture (dedup fold)"),
+    ("streaming_semi_additive_parity", "shared events fixture (argmax fold)"),
 ]
 
 RUNS = 2  # take the best of N to damp container noise
