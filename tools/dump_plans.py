@@ -298,6 +298,30 @@ HEADLINERS = [
     ("user_survival_curve", "Kaplan-Meier on the day-bounded lifetime "
      "count table: descending cumsum for at-risk, exp(sum(ln)) product "
      "— both windows over the bounded spine only"),
+    # round-11 additions
+    ("price_size_skyline", "distributed skyline: one hash aggregate "
+     "collapses parts onto the bounded (price, size) domain, per-price "
+     "argmax, then ONE cummax window over the per-price table — the "
+     "quadratic dominance anti-join never appears"),
+    ("lorenz_curve_points", "one-pass multi-measure global cumsum: a "
+     "single repartitionByRange + pinned per-partition windows compute "
+     "BOTH the running revenue and the global position (cumsum of a "
+     "ones column), offsets broadcast — two measures, one shuffle, no "
+     "SinglePartition stage"),
+    ("hot_key_skew_safe_distinct", "two-phase distinct under 30% key "
+     "skew: phase 1 hash-aggregates on (key, part) so the hot key "
+     "spreads across its value domain, phase 2 counts survivors per "
+     "key — both stages keep map-side partials; the heavy-hitter "
+     "filter broadcasts a 1-row total"),
+    ("open_order_concurrency", "interval concurrency via sweep-line: "
+     "each order emits two (day, ±1) deltas, one hash aggregate folds "
+     "them per day, and the cumsum window runs over the bounded "
+     "calendar table — no day×order range join, the fact side is "
+     "touched once"),
+    ("frequent_triples", "capped basket triple expansion: "
+     "slice(array_sort(collect_set), 1, 24) inside the aggregate bounds "
+     "Generate at C(24,3) structs per order structurally; support "
+     "counting is one hash aggregate with map-side partials"),
 ]
 
 
