@@ -1227,8 +1227,12 @@ WEIB_POINTS = 25
     "weibull_interarrival_shape",
     oracle=f"""
 WITH gaps AS (
-    SELECT CAST(EXTRACT(EPOCH FROM ts) AS BIGINT)
-           - LAG(CAST(EXTRACT(EPOCH FROM ts) AS BIGINT)) OVER (
+    -- FLOOR matters: Spark's unix_timestamp truncates fractional
+    -- seconds while a bare DuckDB CAST(double AS BIGINT) rounds —
+    -- the ±1 s disagreement flipped survival-grid thresholds at
+    -- sf0.1 (caught by the round-11 cross-scale sweep)
+    SELECT CAST(FLOOR(EXTRACT(EPOCH FROM ts)) AS BIGINT)
+           - LAG(CAST(FLOOR(EXTRACT(EPOCH FROM ts)) AS BIGINT)) OVER (
                  PARTITION BY user_id ORDER BY ts, event_id) AS g
     FROM events
 ),
