@@ -21,8 +21,13 @@ SRC_SF = "/root/testdata/sf0.01"
 
 #: The skew-sensitive machinery swept over the fixture: per-key windows
 #: (sessionization, journeys), the explicitly salted join, per-customer
-#: running windows, and the range-partitioned global rank/cumsum family
-#: (cume_dist, percentile bands, top-decile share, weighted median).
+#: running windows, the range-partitioned global rank/cumsum family
+#: (cume_dist, percentile bands, top-decile share, weighted median),
+#: and the basket expansions against the MEGA-BASKET (one order with
+#: 100+ distinct parts — frequent_triples' oracle carries the same
+#: ROW_NUMBER<=24 cap, so its hash-match proves the TRUNCATION
+#: contract end-to-end on data where the cap BINDS: 12 reported
+#: triples capped vs 38 uncapped on this fixture).
 SWEEP = (
     "event_sessions",
     "user_journeys",
@@ -33,6 +38,10 @@ SWEEP = (
     "top_decile_revenue_share",
     "weighted_median_price",
     "customer_rfm_segments",
+    "frequent_triples",
+    "market_basket_rules",
+    "hot_key_skew_safe_distinct",
+    "copurchase_jaccard_parts",
 )
 
 
@@ -64,6 +73,18 @@ def test_fixture_is_actually_skewed(skew_dir):
     assert ev >= 0.15, ev
     assert hc >= 0.15, hc
     assert tie >= 0.15, tie
+    # the mega-basket must exceed the triples cap, or the truncation
+    # sweep proves nothing
+    from asritha_metamorphetl_spark.plans.analytics3_queries import (
+        TRIPLE_BASKET_CAP,
+    )
+
+    mega = con.sql(
+        "SELECT COUNT(DISTINCT l_partkey) "
+        f"FROM read_parquet('{skew_dir}/lineitem.parquet') "
+        "WHERE l_orderkey = 7"
+    ).fetchone()[0]
+    assert mega > 2 * TRIPLE_BASKET_CAP, (mega, TRIPLE_BASKET_CAP)
 
 
 def test_skew_sweep_all_green(skew_dir):

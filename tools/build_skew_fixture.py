@@ -13,6 +13,12 @@ tools/check_correctness.py — the driver's own cadence):
   running-spend / RFM machinery) and an OVERLAPPING ~20% get one
   identical o_totalprice — a tie plateau that lands a third of the
   range-partitioned global-rank input on one boundary value.
+- lineitem: every ~599th order's lines collapse onto l_orderkey=7 —
+  ONE MEGA-BASKET holding hundreds-to-thousands of distinct parts
+  (far past frequent_triples' TRIPLE_BASKET_CAP=24), so the basket
+  expansions face exactly the blow-up the TRUNCATION contract exists
+  for, and the capped query's oracle hash-match PROVES the cap binds
+  identically in both engines.
 - all other tables copy through verbatim (oracle views need the full
   catalog).
 
@@ -41,6 +47,10 @@ TABLES = (
 HOT_MOD = 5
 #: The tie plateau's constant order value.
 TIE_PRICE = 11111.11
+#: Every BASKET_MOD-th order's lines collapse onto one mega-basket.
+BASKET_MOD = 599
+#: The mega-basket's order key.
+MEGA_ORDER = 7
 
 
 def build(src: str, out: str) -> str:
@@ -63,6 +73,12 @@ def build(src: str, out: str) -> str:
                      THEN CAST(1 AS BIGINT) ELSE o_custkey END AS o_custkey,
                 CASE WHEN o_orderkey % {HOT_MOD} = 2
                      THEN {TIE_PRICE} ELSE o_totalprice END AS o_totalprice)
+            FROM read_parquet('{{src}}')""",
+        "lineitem": f"""
+            SELECT * REPLACE (
+                CASE WHEN l_orderkey % {BASKET_MOD} = 0
+                     THEN CAST({MEGA_ORDER} AS BIGINT)
+                     ELSE l_orderkey END AS l_orderkey)
             FROM read_parquet('{{src}}')""",
     }
     for t in TABLES:
