@@ -276,6 +276,24 @@ def global_cumsums(
     totals_df = ranged.groupBy("__pid").agg(
         *[F.sum(src).alias(f"__s_{out}") for src, out in sum_cols]
     )
+    # Integral-only is a RUNTIME contract, not a docstring note: the
+    # offset fold below coerces with int(), which silently truncates a
+    # decimal/double partition total (int(Decimal('1.5')) == 1) — the
+    # exact bug class global_cumsum_with_total's typed offsets fix.
+    # Callers with fractional measures must use the single-measure
+    # helper (or pre-scale to integer cents, as every current caller
+    # does).
+    from pyspark.sql.types import IntegerType, LongType
+
+    for field in totals_df.schema.fields:
+        if field.name.startswith("__s_") and not isinstance(
+            field.dataType, (LongType, IntegerType)
+        ):
+            raise TypeError(
+                f"global_cumsums requires integral sum columns; "
+                f"{field.name[4:]!r} aggregates to {field.dataType.simpleString()} "
+                f"(use global_cumsum_with_total for decimal/double measures)"
+            )
     totals = {r["__pid"]: r for r in totals_df.collect()}
     offsets_rows = []
     running = {out: 0 for _, out in sum_cols}

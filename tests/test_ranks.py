@@ -309,3 +309,25 @@ def test_global_cumsums_multi_measure(spark):
     ):
         run += v
         assert got[k] == (run, pos), (k, got[k], (run, pos))
+
+
+def test_global_cumsums_rejects_fractional_measures(spark):
+    """The multi-measure cumsum's offset fold coerces partition totals
+    with int(); a decimal/double measure would silently truncate
+    (int(Decimal('1.5')) == 1), so the integral-only contract must be a
+    runtime TypeError, not a docstring note (r11 ADVICE)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from asritha_metamorphetl_spark.operators.ranks import global_cumsums
+
+    df = spark.createDataFrame(
+        [(1, 1.5), (2, 2.5)], ["k", "v"]
+    ).withColumn("one", F.lit(1).cast("bigint"))
+    with pytest.raises(TypeError, match="integral"):
+        global_cumsums(
+            df, [F.col("k").asc()], [("v", "cum"), ("one", "rn")]
+        )
+    dec = df.withColumn("v", F.col("v").cast("decimal(10,2)"))
+    with pytest.raises(TypeError, match="integral"):
+        global_cumsums(dec, [F.col("k").asc()], [("v", "cum")])

@@ -10,9 +10,10 @@ tools/check_correctness.py — the driver's own cadence):
   per-key windows (sessionization, journeys) and join fan-outs become a
   single hot partition.
 - orders:  ~20% of rows remapped to o_custkey=1 (hot customer for the
-  running-spend / RFM machinery) and an OVERLAPPING ~20% get one
-  identical o_totalprice — a tie plateau that lands a third of the
-  range-partitioned global-rank input on one boundary value.
+  running-spend / RFM machinery) and a DISJOINT ~20% (a different
+  modulo class: o_orderkey%5==2 vs %5==0 for the hot customer) get one
+  identical o_totalprice — a tie plateau that lands about a fifth of
+  the range-partitioned global-rank input on one boundary value.
 - lineitem: every ~599th order's lines collapse onto l_orderkey=7 —
   ONE MEGA-BASKET holding hundreds-to-thousands of distinct parts
   (far past frequent_triples' TRIPLE_BASKET_CAP=24), so the basket

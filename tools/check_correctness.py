@@ -13,6 +13,13 @@ name. Run from the repo root:
 Prints one JSON object keyed by query name (same shape as CORRECTNESS_r*.json)
 to stdout; progress goes to stderr. Exit code 1 if any query is not green.
 
+OUTPUT-SHAPE CONTRACT: besides the per-query records, the object carries ONE
+non-query key, ``__meta__`` (sweep timing/size — VERDICT r10 #7). Query names
+are python identifiers, so dunder keys can never collide; every consumer that
+iterates the records must skip keys starting with ``__`` (repo audit: the only
+in-repo reader, tests/test_skew_fixture.py, pops it; external readers of the
+committed SELFCHECK_r*.json files inherit the same rule).
+
 ``--jobs N`` runs N queries concurrently (Spark's scheduler interleaves
 the actions; each worker compares through its own DuckDB cursor). The
 default stays sequential — exactly the driver's cadence — but the
