@@ -73,13 +73,22 @@ def exact_duplicates(
     )
 
 
-def lsh_banded(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def lsh_banded(
+    df: DataFrame, text_col: str, id_col: str, spread: bool = True
+) -> DataFrame:
     """(doc_id, band_key) LSH band rows: shingle → MinHash signature →
     exploded band keys. The shared front half of every MinHash dedup
     variant (self-join, incremental, cross-split). At 100 TB this frame
     is what you PERSIST for the base corpus — bucketed by band_key — so
-    incremental batches only compute signatures for the delta."""
-    shingled = _spread(df).select(
+    incremental batches only compute signatures for the delta.
+
+    ``spread=False`` skips the under-parallelization repartition: right
+    for streaming MICRO-BATCH callers (the ingest-dedup fold), where the
+    batch is small by contract, its parallelism is the source's concern,
+    and the repartition shuffle + per-core task overhead would dominate
+    the actual hashing. Band-row CONTENT is identical either way."""
+    staged = _spread(df) if spread else df
+    shingled = staged.select(
         F.col(id_col).alias("doc_id"), H.word_shingles(F.col(text_col)).alias("sh")
     ).filter(F.size("sh") > 0)
     # Stage the md5 hashes as their own column so the 12 signature mins

@@ -22,6 +22,16 @@ from pyspark.sql import SparkSession
 #: dict is atomic under the GIL, so two threads always share one lock.
 _FIXTURE_LOCKS: dict[str, _threading.Lock] = {}
 
+#: Build-cost attribution (VERDICT r11 directive #5): shared-fixture
+#: builds land on whichever consumer happens to run first, which makes
+#: per-query bench numbers lie (streaming_ingest_dedup_parity carried
+#: the whole trilogy build in r11). ``cached_fixture`` records every
+#: build here — ``{"<label>@<sf_tag>": {"seconds": s, "charged_to": q}}``
+#: — and bench.py sets ``CURRENT_CONSUMER`` around each timed query and
+#: emits the map in BENCH_FULL.json, so tail reads are self-explanatory.
+FIXTURE_BUILD_LOG: dict[str, dict] = {}
+CURRENT_CONSUMER: str | None = None
+
 # Defaults chosen for correctness-at-scale, not local benchmarking alone.
 _DEFAULT_CONF: dict[str, str] = {
     # Runtime re-planning: coalesce tiny shuffle partitions, split skewed ones.
@@ -175,7 +185,15 @@ def cached_fixture(spark: SparkSession, label: str, sf_dir: str, build) -> str:
         if os.path.exists(marker):
             return root
         shutil.rmtree(root, ignore_errors=True)
+        import time as _time
+
+        t0 = _time.perf_counter()
         build(root)
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        FIXTURE_BUILD_LOG[f"{label}@{tag}"] = {
+            "seconds": round(_time.perf_counter() - t0, 3),
+            "charged_to": CURRENT_CONSUMER,
+        }
         with open(marker, "w") as fh:
             fh.write("ok")
     return root

@@ -376,10 +376,14 @@ def fold_incremental_dedup_batch(
 
     spark = batch_df.sparkSession
     # pin: the batch bands feed BOTH the pair join and the append —
-    # without this the shingle/signature pipeline runs twice
-    batch_b = lsh_banded(batch_df, text_col, id_col).localCheckpoint(
-        eager=True
-    )
+    # without this the shingle/signature pipeline runs twice.
+    # spread=False: a micro-batch is small by the streaming-ingest
+    # contract, so the under-parallelization repartition inside
+    # lsh_banded would cost a shuffle + one task per core per batch for
+    # sub-millisecond hashing work.
+    batch_b = lsh_banded(
+        batch_df, text_col, id_col, spread=False
+    ).localCheckpoint(eager=True)
     existing = spark.read.parquet(band_dir)
     left = (
         existing.withColumn("is_new", F.lit(False))
@@ -388,7 +392,13 @@ def fold_incremental_dedup_batch(
     )
     right = batch_b.alias("r")
     pairs = (
-        left.join(right, "band_key")
+        # Broadcast the BATCH side: a streaming ingest batch is small by
+        # definition while the persisted band table is corpus-sized, so
+        # shuffling both sides on band_key (the default sort-merge plan)
+        # pays a corpus-sized shuffle per micro-batch; broadcasting the
+        # batch's bands makes per-batch cost one streamed scan of the
+        # band table with no shuffle at all.
+        left.join(F.broadcast(right), "band_key")
         .filter(F.col("l.doc_id") != F.col("r.doc_id"))
         # existing rows pair with every colliding batch row; batch-
         # internal rows only pair forward so each appears once
@@ -399,8 +409,15 @@ def fold_incremental_dedup_batch(
         )
         .distinct()
     )
-    pairs.write.mode("append").parquet(pairs_dir)
-    batch_b.write.mode("append").parquet(band_dir)
+    # coalesce(1): the signature pipeline runs wide (operators/dedup.py
+    # _spread repartitions to defaultParallelism before hashing), so an
+    # uncoalesced append lands one near-empty file PER CORE PER BATCH
+    # and every later batch's band read pays the listing; coalescing the
+    # already-checkpointed batch_b merges partitions without recomputing
+    # the pipeline. A batch's bands/pairs are small by the streaming-
+    # ingest contract — one file each is the right layout.
+    pairs.coalesce(1).write.mode("append").parquet(pairs_dir)
+    batch_b.coalesce(1).write.mode("append").parquet(band_dir)
 
 
 def countmin_stream(

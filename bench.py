@@ -65,10 +65,16 @@ def main() -> None:
     # second run would add minutes of wall-clock for little signal).
     retry_under_sec = 2.0
 
+    from asritha_metamorphetl_spark import session as session_mod
+
     timings: dict[str, float] = {}
     failed: list[str] = []
     total = 0.0
     for name, fn in all_queries().items():
+        # Attribute shared-fixture builds to the query that triggered
+        # them (VERDICT r11 #5): cached_fixture records build seconds
+        # against this name in FIXTURE_BUILD_LOG, emitted below.
+        session_mod.CURRENT_CONSUMER = name
         # Warm-up at tiny SF: same plan structure → whole-stage-codegen
         # compile + JIT happen outside the timed region, so the number
         # reflects steady-state engine throughput.
@@ -106,6 +112,15 @@ def main() -> None:
         # keep queries independent: no cached frames leaking across runs
         spark.catalog.clearCache()
 
+    session_mod.CURRENT_CONSUMER = None
+    # Only the timed-SF builds matter for reading the bench tail; the
+    # warmup-SF builds are noise (cheap, and charged to the same query).
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    fixture_builds = {
+        label: rec
+        for label, rec in session_mod.FIXTURE_BUILD_LOG.items()
+        if label.endswith(f"@{tag}")
+    }
     spark.stop()
     # The JSON line is the contract: sole and FINAL stdout line, written
     # to the dup of the original stdout (everything else was redirected
@@ -127,6 +142,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "failed": failed,
+                "fixture_builds": fixture_builds,
                 "sf": sf_val,
             },
             fh,
@@ -205,6 +221,10 @@ def main() -> None:
             "queries": {q: timings[q] for q in headline if q in timings},
             "n_queries": len(timings),
             "n_failed": len(failed),
+            # Shared-fixture build costs land on whichever consumer runs
+            # first; this map says which query carries which build so
+            # per-query numbers stop lying (VERDICT r11 #5).
+            "fixture_builds": fixture_builds,
             "sf": sf_val,
         },
         separators=(",", ":"),
