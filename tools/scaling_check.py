@@ -341,6 +341,29 @@ def main() -> None:
         "tie handling (tie-break keys in every order_by) absorbs the",
         "plateau.",
         "",
+        "Hostile text/time sweeps (VERDICT r11 #6, round 12): two more",
+        "adversarial catalogs beside the skew fixture, both swept",
+        "UNCHANGED-oracle hash-green at sf0.01 AND sf0.1",
+        "(tests/test_hostile_fixtures.py pins the sf0.01 sweeps).",
+        "HOSTILE TEXT (tools/build_hostile_text_fixture.py): NULL /",
+        "empty / whitespace-only documents, Cyrillic-confusable",
+        "rewrites, and a 200-char shared boilerplate prefix on ~6% of",
+        "docs — 14 dedup/text-quality queries green (sf0.1 sweep 60.1 s),",
+        "proving both engines agree on null/empty split semantics,",
+        "multi-byte shingles, and that the all-empty class folds into",
+        "ONE exact-dup group instead of exploding a band join. HOSTILE",
+        "TIME (tools/build_hostile_time_fixture.py): odd event_ids",
+        "shifted back 7 days — the streaming last-value fixtures'",
+        "event_id%2 batch split then delivers an almost entirely OLDER",
+        "second micro-batch, so every odd row is a late arrival across a",
+        "batch boundary — plus a 20% midnight tie plateau (6,291 tied",
+        "rows at sf0.1; zero gaps of exactly the 1800 s session",
+        "threshold, preserving the session-parity invariant) — 14",
+        "ordered-window/streaming-fold queries green (sf0.1 sweep",
+        "68.7 s), proving the argmax/min folds are arrival-order",
+        "independent and every (ts)-ordered window really exercises its",
+        "event_id tiebreak.",
+        "",
         "incremental_dedup_pairs attribution note (VERDICT r11 #4): the",
         "apparent 1.57 s (r10) -> 2.6-3.0 s (r11) regression is CONTAINER",
         "DRIFT, not code. Evidence (round 12): (1) the query's dependency",
