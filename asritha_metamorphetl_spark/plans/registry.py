@@ -471,6 +471,7 @@ def _load_all() -> None:
         profile_queries,
         quality_queries,
         retail_queries,
+        round12_queries,
         sketch_queries,
         stats_queries,
         streaming_queries,

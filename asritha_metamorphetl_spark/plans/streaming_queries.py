@@ -1415,6 +1415,319 @@ def streaming_first_touch_parity(
 
 
 @register(
+    "streaming_sliding_parity",
+    # Each event lands in window/slide = 4 overlapping windows; the
+    # oracle replays the assignment arithmetic with integer microseconds
+    # (window start = 900s-grid floor minus k slides, k = 0..3).
+    oracle="""
+WITH slid AS (
+    SELECT e.event_type, e.value,
+           (CAST(FLOOR(epoch_us(e.ts) / 900000000) AS BIGINT) - k.k)
+               * 900000000 AS ws_us
+    FROM events e, (VALUES (0), (1), (2), (3)) k(k)
+    WHERE epoch_us(e.ts)
+          - ((CAST(FLOOR(epoch_us(e.ts) / 900000000) AS BIGINT) - k.k)
+             * 900000000) < 3600000000
+)
+SELECT strftime(to_timestamp(ws_us / 1000000), '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(MIN(value) AS DOUBLE) AS min_value,
+       CAST(MAX(value) AS DOUBLE) AS max_value
+FROM slid
+GROUP BY 1, 2
+""",
+)
+def streaming_sliding_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window aggregation as a REAL streaming query
+    (streaming/windows.sliding_event_stats: 1-hour windows sliding
+    every 15 minutes), hash-compared to a batch oracle that replays the
+    overlap assignment arithmetic exactly — each event must appear in
+    precisely window/slide = 4 windows on the 15-minute grid. Pins the
+    one windowed-aggregation shape the parity family lacked (tumbling:
+    streaming_hourly_events; session: streaming_sessions_parity;
+    sliding: this). min/max over raw doubles are order-safe (no
+    summation), so the hash needs no quantization."""
+    from asritha_metamorphetl_spark.streaming.windows import (
+        sliding_event_stats,
+    )
+
+    stream = Catalog(sf_dir).stream(spark, "events")
+    slid = sliding_event_stats(stream)
+    out = _materialize(slid, mode="complete", state_partitions=8)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n_events",
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )
+
+
+@register(
+    "streaming_static_enrich_parity",
+    oracle="""
+SELECT e.event_type,
+       COALESCE(c.c_mktsegment, '<unmatched>') AS segment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+)
+def streaming_static_enrich_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-STATIC join under a REAL streaming query: the events
+    stream enriches against the batch customer dimension
+    (streaming/windows.stream_static_enrich — broadcast, re-read per
+    micro-batch) and rolls up per (event_type, segment), hash-compared
+    to the plain batch LEFT JOIN. The stream-static join is the one
+    join shape every live mart uses (fact stream × dimension table) and
+    was previously pytest-only; the left side keeps unmatched users as
+    an explicit '<unmatched>' group so silent inner-join downgrades
+    fail the hash."""
+    from asritha_metamorphetl_spark.streaming.windows import (
+        stream_static_enrich,
+    )
+
+    dim = Catalog(sf_dir).load(spark, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    stream = Catalog(sf_dir).stream(spark, "events")
+    enriched = stream_static_enrich(stream, dim, on="user_id", how="left")
+    agg = enriched.groupBy(
+        "event_type",
+        F.coalesce(F.col("segment"), F.lit("<unmatched>")).alias("segment"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum(F.col("value"), "total_value"),
+    )
+    return _materialize(agg, mode="complete", state_partitions=8)
+
+
+@register(
+    "streaming_late_batch_fold_parity",
+    # Split-agnostic oracle: per-user argmax by (ts, event_id) over ALL
+    # events, rolled up by the day of that latest event.
+    oracle="""
+WITH latest AS (
+    SELECT user_id, ts,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+)
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       COUNT(*) AS n_users,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM latest WHERE rn = 1
+GROUP BY 1
+""",
+)
+def streaming_late_batch_fold_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The last-value fold under STRICTLY INVERTED arrival order: the
+    events are split into time TERCILES (boundaries derived from the
+    data's microsecond range, mirrored nowhere — the oracle is
+    split-agnostic) and folded NEWEST FIRST from an empty seed, so
+    every row of batches 1 and 2 is a late arrival relative to state
+    already folded. The hostile-time fixture sweeps a statistical
+    version of this (odd ids shifted 7 days); this query pins the
+    EXTREME case — arrival order exactly anti-chronological — on the
+    standard catalog under a driver hash. The argmax fold must let
+    event time, never arrival time, win (fold_last_value_batch; same
+    machinery as streaming_semi_additive_parity/retry_fold)."""
+    import os
+
+    from asritha_metamorphetl_spark.session import cached_fixture
+    from asritha_metamorphetl_spark.streaming.windows import (
+        fold_last_value_batch,
+    )
+
+    def build(root: str) -> None:
+        ev = Catalog(sf_dir).load(spark, "events").select(
+            "user_id",
+            "ts",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            "event_id",
+            F.unix_micros("ts").alias("_us"),
+        ).localCheckpoint(eager=True)
+        lo, hi = ev.agg(F.min("_us"), F.max("_us")).collect()[0]
+        t1 = lo + (hi - lo) // 3
+        t2 = lo + 2 * (hi - lo) // 3
+        state = os.path.join(root, "state")
+        # empty seed: the fold starts from nothing and the FIRST batch
+        # it sees is the NEWEST data
+        spark.createDataFrame(
+            [], "user_id bigint, ts timestamp, cents bigint, event_id bigint"
+        ).coalesce(1).write.parquet(os.path.join(state, "batch_id=-1"))
+        batches = (
+            ev.filter(F.col("_us") >= t2),       # newest first
+            ev.filter((F.col("_us") >= t1) & (F.col("_us") < t2)),
+            ev.filter(F.col("_us") < t1),        # oldest last
+        )
+        for i, b in enumerate(batches):
+            fold_last_value_batch(
+                b.drop("_us"), i, state, ["user_id"], ["ts", "event_id"]
+            )
+
+    root = cached_fixture(spark, "stream_latebatch", sf_dir, build)
+    latest = _latest_state(spark, os.path.join(root, "state"))
+    return latest.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+
+
+#: Watermark delay of the drop-parity stream, in days.
+WMDROP_DELAY_DAYS = 15
+_WM_DAY_US = 86_400_000_000
+
+
+def _wmdrop_oracle() -> str:
+    d = _WM_DAY_US
+    delay = WMDROP_DELAY_DAYS * d
+    return f"""
+WITH cls AS (
+    SELECT event_type, event_id, epoch_us(ts) AS us,
+           (SELECT epoch_us(MIN(ts)) FROM events) + {10 * d} AS c1,
+           (SELECT epoch_us(MIN(ts)) FROM events) + {20 * d} AS c2
+    FROM events
+), wm AS (
+    -- late-event filter watermark: Spark applies the PREVIOUS trigger's
+    -- watermark to late rows, so when the old batch (b2) arrives the
+    -- filter holds the watermark b1 ran with = ms-floored max event
+    -- time of b0 (mid, even event_ids) minus the delay. Eviction /
+    -- emission use the CURRENT watermark; after the final batch that is
+    -- ms-floored max over ALL events minus the delay.
+    SELECT CAST(FLOOR(MAX(CASE WHEN us >= c1 AND us < c2
+                               AND event_id % 2 = 0
+                          THEN us END) / 1000.0) * 1000 AS BIGINT)
+               - {delay} AS wm_late,
+           CAST(FLOOR(MAX(us) / 1000.0) * 1000 AS BIGINT)
+               - {delay} AS wm_final
+    FROM cls
+), kept AS (
+    SELECT event_type,
+           CAST(FLOOR(us / 3600000000) AS BIGINT) * 3600000000 AS ws_us
+    FROM cls
+    WHERE NOT (us < c1
+               AND CAST(FLOOR(us / 3600000000) AS BIGINT) * 3600000000
+                   + 3600000000 <= (SELECT wm_late FROM wm))
+)
+SELECT strftime(to_timestamp(ws_us / 1000000), '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM kept
+WHERE ws_us + 3600000000 <= (SELECT wm_final FROM wm)
+GROUP BY 1, 2
+"""
+
+
+@register("streaming_watermark_drop_parity", oracle=_wmdrop_oracle())
+def streaming_watermark_drop_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The availableNow-plus-append WATERMARK CONTRACT made exact — the
+    footgun the module docstring warns about, pinned under a driver
+    hash instead of prose. Four micro-batches arrive in a deliberately
+    hostile order (mid-period evens, mid-period odds, the OLDEST ten
+    days, the newest ten days; file mtimes pin the order), an hourly
+    append-mode aggregation runs with a {15}-day watermark, and the
+    emitted table must match an oracle that encodes BOTH documented
+    rules:
+
+    - LATE-ROW DROP: rows are dropped when their window end has been
+      passed by the PREVIOUS trigger's watermark (Spark lags the
+      late-event filter one trigger behind eviction — measured: the old
+      batch loses exactly the windows ending before
+      ms_floor(max ts of batch 0) − delay; 563 rows at sf0.01, visible
+      as numRowsDroppedByWatermark).
+    - EMISSION: append mode emits only windows whose end the FINAL
+      watermark (ms-floored global max − delay) has passed; newer
+      windows stay in state forever on a bounded run and must NOT
+      appear.
+
+    A Spark release that changed late-filter lag, eviction timing, or
+    the ms flooring of event-time stats breaks this hash. Boundary
+    ties cannot blur the contract on this catalog: window ends are
+    exact hours while both watermarks carry odd microseconds."""
+    import os
+
+    from asritha_metamorphetl_spark.session import cached_fixture
+
+    def build(root: str) -> None:
+        ev = Catalog(sf_dir).load(spark, "events")
+        us = F.unix_micros("ts")
+        lo = ev.agg(F.min(us)).collect()[0][0]
+        c1 = lo + 10 * _WM_DAY_US
+        c2 = lo + 20 * _WM_DAY_US
+        src = os.path.join(root, "src")
+        batches = (
+            ev.filter((us >= c1) & (us < c2) & (F.col("event_id") % 2 == 0)),
+            ev.filter((us >= c1) & (us < c2) & (F.col("event_id") % 2 == 1)),
+            ev.filter(us < c1),   # late arrivals, two triggers behind
+            ev.filter(us >= c2),  # the newest data closes the run
+        )
+        for i, b in enumerate(batches):
+            d = os.path.join(src, f"b{i}")
+            b.coalesce(1).write.parquet(d)
+            # FileStreamSource orders by modification time: pin it so
+            # maxFilesPerTrigger=1 delivers exactly this batch order
+            for f in os.listdir(d):
+                os.utime(os.path.join(d, f), (1000 * (i + 1),) * 2)
+            os.utime(d, (1000 * (i + 1),) * 2)
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/")
+        )
+        agg = (
+            stream.withWatermark("ts", f"{WMDROP_DELAY_DAYS} days")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", os.path.join(root, "result"))
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(_AWAIT_SEC):
+            q.stop()
+            raise TimeoutError("watermark drop stream did not finish")
+
+    root = cached_fixture(spark, "stream_wmdrop", sf_dir, build)
+    out = spark.read.parquet(os.path.join(root, "result"))
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n_events",
+    )
+
+
+@register(
     "streaming_new_users_parity",
     # Batch twin of analytics3_queries.daily_new_vs_returning's "new"
     # column: the streaming min-day fold must land on the same
