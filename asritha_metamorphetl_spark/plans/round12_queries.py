@@ -50,11 +50,11 @@ WITH ranked AS (
            ROW_NUMBER() OVER (
                ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC,
                         o_orderkey ASC) AS rn,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
                ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC,
                         o_orderkey ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS cum_cents
+               AS BIGINT) AS cum_cents
     FROM orders
 )
 SELECT o_orderkey, rn, cum_cents
