@@ -628,11 +628,12 @@ def _docs_trilogy_fixture(spark: SparkSession, sf_dir: str) -> str:
 def _parity_suite(spark: SparkSession, sf_dir: str, family: str) -> str:
     """Prewarm EVERY file-fold streaming-parity fixture CONCURRENTLY and
     return the requested family's root (VERDICT r11 directive #1: the
-    six fixture families — docs trilogy, events last-value pair, gram
-    moments, HLL registers, MoR deletes, bucketed CDC — are independent
-    streams over different tables whose builds ran strictly
-    sequentially, so the bench paid sum(families) ≈ 42 s where
-    max(family) suffices; local[32] has headroom for six concurrent
+    fixture families — docs trilogy, events last-value pair, gram
+    moments, HLL registers, MoR deletes, bucketed CDC, plus round 12's
+    inverted-arrival folds and the watermark-drop stream — are
+    independent jobs over different tables whose builds ran strictly
+    sequentially, so the bench paid sum(families) where max(family)
+    suffices; local[32] has headroom for the concurrent
     AvailableNow micro-batch runs). Each family keeps its own
     ``cached_fixture`` label, checkpoint, and UNCHANGED fold sequence —
     concurrency only overlaps wall-clock across families, it cannot
@@ -653,6 +654,8 @@ def _parity_suite(spark: SparkSession, sf_dir: str, family: str) -> str:
         "hll": _hll_state_fixture,
         "mor": _mor_stream_fixture,
         "cdc": _cdc_stream_fixture,
+        "latebatch": _latebatch_state_fixture,
+        "wmdrop": _wmdrop_state_fixture,
     }
     # Micro-batch folds move KB-to-MB frames; at the session's 32
     # shuffle partitions every tiny distinct/agg/topk inside a fold
@@ -1544,7 +1547,24 @@ def streaming_late_batch_fold_parity(
     EXTREME case — arrival order exactly anti-chronological — on the
     standard catalog under a driver hash. The argmax fold must let
     event time, never arrival time, win (fold_last_value_batch; same
-    machinery as streaming_semi_additive_parity/retry_fold)."""
+    machinery as streaming_semi_additive_parity/retry_fold). The build
+    runs as a family of the concurrent parity suite."""
+    import os
+
+    root = _parity_suite(spark, sf_dir, "latebatch")
+    latest = _latest_state(spark, os.path.join(root, "state"))
+    return latest.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+
+
+def _latebatch_state_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Empty-seed, newest-first tercile folds for the inverted-arrival
+    parity, session-cached as a suite family (read-only state under
+    ``<root>/state``)."""
     import os
 
     from asritha_metamorphetl_spark.session import cached_fixture
@@ -1579,14 +1599,7 @@ def streaming_late_batch_fold_parity(
                 b.drop("_us"), i, state, ["user_id"], ["ts", "event_id"]
             )
 
-    root = cached_fixture(spark, "stream_latebatch", sf_dir, build)
-    latest = _latest_state(spark, os.path.join(root, "state"))
-    return latest.groupBy(
-        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
-    ).agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.sum("cents").cast("bigint").alias("total_cents"),
-    )
+    return cached_fixture(spark, "stream_latebatch", sf_dir, build)
 
 
 #: Watermark delay of the drop-parity stream, in days.
@@ -1662,7 +1675,26 @@ def streaming_watermark_drop_parity(
     A Spark release that changed late-filter lag, eviction timing, or
     the ms flooring of event-time stats breaks this hash. Boundary
     ties cannot blur the contract on this catalog: window ends are
-    exact hours while both watermarks carry odd microseconds."""
+    exact hours while both watermarks carry odd microseconds. The
+    stream run is ``_wmdrop_state_fixture`` inside the concurrent
+    parity suite."""
+    import os
+
+    root = _parity_suite(spark, sf_dir, "wmdrop")
+    out = spark.read.parquet(os.path.join(root, "result"))
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n_events",
+    )
+
+
+def _wmdrop_state_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Hostile-order four-batch watermark stream for the drop parity,
+    session-cached as a suite family; the append-mode emissions land
+    as parquet under ``<root>/result``."""
     import os
 
     from asritha_metamorphetl_spark.session import cached_fixture
@@ -1716,15 +1748,7 @@ def streaming_watermark_drop_parity(
             q.stop()
             raise TimeoutError("watermark drop stream did not finish")
 
-    root = cached_fixture(spark, "stream_wmdrop", sf_dir, build)
-    out = spark.read.parquet(os.path.join(root, "result"))
-    return out.select(
-        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
-            "window_start"
-        ),
-        "event_type",
-        "n_events",
-    )
+    return cached_fixture(spark, "stream_wmdrop", sf_dir, build)
 
 
 @register(
