@@ -57,6 +57,16 @@ _DEFAULT_CONF: dict[str, str] = {
     # type); sources.files.Catalog converts them to micros timestamps.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.shuffle.partitions": "32",
+    # Local-mode driver heap. Spark's 1g default is sized for a thin
+    # cluster driver, but in local mode the "driver" JVM IS the
+    # executor: 32 task threads, every shuffle/aggregation buffer, the
+    # block manager's localCheckpoint blocks, and all streaming state
+    # live in that one heap — a full 365-query bench run OOM'd it
+    # (java.lang.OutOfMemoryError mid-shuffle, GCLocker retry warnings)
+    # on a 128 GiB box that was 99% idle. Takes effect only at JVM
+    # launch, i.e. the first session a process builds; on a real
+    # cluster the deploy conf overrides it like any other key here.
+    "spark.driver.memory": "12g",
     # Quiet the local UI; irrelevant on a real cluster deploy.
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",

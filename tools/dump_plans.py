@@ -322,6 +322,14 @@ HEADLINERS = [
      "slice(array_sort(collect_set), 1, 24) inside the aggregate bounds "
      "Generate at C(24,3) structs per order structurally; support "
      "counting is one hash aggregate with map-side partials"),
+    ("systematic_sample_global_rank", "every-k-th global audit sample: "
+     "ONE range exchange + per-partition windows + a broadcast "
+     "O(partitions) offset join carry BOTH the exact row number and "
+     "the running revenue — no single-partition ROW_NUMBER anywhere"),
+    ("cube_margins_audit", "CUBE as one Expand (4 grouping sets) into "
+     "a single partial/final hash aggregate — margins cost one "
+     "map-side pass, not four scans; GROUPING() flags are plain "
+     "projections off the expand's gid"),
 ]
 
 
