@@ -147,6 +147,16 @@ QUERIES = [
     ("simhash_hamming_of_candidates", "simhash/minhash cross-calibration"),
     ("streaming_ingest_dedup_parity", "shared-trilogy stream fixture (dedup fold)"),
     ("streaming_semi_additive_parity", "shared events fixture (argmax fold)"),
+    ("systematic_sample_global_rank", "every-k-th audit sample (2-pass multi cumsum)"),
+    ("cube_margins_audit", "CUBE margins via one Expand + GROUPING flags"),
+    ("price_mad_robust_scale", "nested exact medians over distinct-value frames"),
+    ("null_safe_join_audit", "null-safe <=> join with derived null keys"),
+    ("regex_token_profile", "stated-subset regex tokenizer rollup"),
+    ("first_last_nonnull_window_audit", "IGNORE NULLS first/last spans"),
+    ("streaming_sliding_parity", "sliding windows as a real stream"),
+    ("streaming_static_enrich_parity", "stream-static broadcast join parity"),
+    ("streaming_late_batch_fold_parity", "anti-chronological fold (suite fixture)"),
+    ("streaming_watermark_drop_parity", "watermark drop/emission contract stream"),
 ]
 
 RUNS = 2  # take the best of N to damp container noise
