@@ -75,6 +75,15 @@ TIME_SWEEP = (
     "user_journeys",
     "funnel_conversion_latency",
     "session_gap_sensitivity",
+    # round-12 additions: the shifted/tied timestamps feed the
+    # anti-chronological fold's terciles, the watermark stream's
+    # data-derived cutoffs (its drop boundary moves a week and the tie
+    # plateau sits at midnights — window ends stay exact hours so the
+    # drop/emission inequalities still never tie), and the sliding
+    # windows' 4-overlap assignment
+    "streaming_late_batch_fold_parity",
+    "streaming_watermark_drop_parity",
+    "streaming_sliding_parity",
 )
 
 

@@ -42,6 +42,17 @@ SWEEP = (
     "market_basket_rules",
     "hot_key_skew_safe_distinct",
     "copurchase_jaccard_parts",
+    # round-12 additions: the tie plateau lands a fifth of the global
+    # rank input on one value, so the every-k-th sample's (cents,
+    # o_orderkey) tiebreak and both nested medians must stay exact; the
+    # hot customer concentrates one o_custkey's window frame; the CUBE
+    # margins and null-safe pair arithmetic must absorb the remapped
+    # key mass unchanged
+    "systematic_sample_global_rank",
+    "price_mad_robust_scale",
+    "first_last_nonnull_window_audit",
+    "cube_margins_audit",
+    "null_safe_join_audit",
 )
 
 

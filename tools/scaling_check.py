@@ -328,11 +328,14 @@ def main() -> None:
         "ONE customer, a ~20% tie plateau on o_totalprice (one value",
         "owning a fifth of the global-rank input), and every ~599th",
         "order's lineitem rows collapsed onto ONE MEGA-BASKET (102",
-        "distinct parts at sf0.01 — 4x the triples cap). Thirteen",
+        "distinct parts at sf0.01 — 4x the triples cap). EIGHTEEN",
         "registered queries + their UNCHANGED oracles run hash-green on",
         "it through tools/check_correctness.py at BOTH sf0.01 and sf0.1",
         "(tests/test_skew_fixture.py pins the sf0.01 sweep in the",
-        "suite; the sf0.1 sweep of all thirteen ran green in 44.2 s,",
+        "suite; round 12 extended the original thirteen with the",
+        "every-k-th global-rank sample, nested-median MAD, IGNORE NULLS",
+        "spans, CUBE margins, and the null-safe join — 18/18 at sf0.1",
+        "in 54.4 s; the r11 thirteen ran green in 44.2 s,",
         "mega-basket 1,009 distinct parts): sessionization, journeys, salted",
         "join, running spend, cume_dist, percentile bands, top-decile",
         "share, weighted median, RFM, and the basket expansions —",
@@ -368,11 +371,15 @@ def main() -> None:
         "second micro-batch, so every odd row is a late arrival across a",
         "batch boundary — plus a 20% midnight tie plateau (6,291 tied",
         "rows at sf0.1; zero gaps of exactly the 1800 s session",
-        "threshold, preserving the session-parity invariant) — 14",
-        "ordered-window/streaming-fold queries green (sf0.1 sweep",
-        "68.7 s), proving the argmax/min folds are arrival-order",
-        "independent and every (ts)-ordered window really exercises its",
-        "event_id tiebreak.",
+        "threshold, preserving the session-parity invariant) — 17",
+        "ordered-window/streaming-fold queries green at both SFs (the",
+        "original 14 in a 68.7 s sf0.1 sweep; extended to 17 with the",
+        "round-12 anti-chronological fold, watermark-drop, and sliding",
+        "parities — 17/17 in 49.6 s at sf0.1), proving the argmax/min",
+        "folds are arrival-order independent, the watermark",
+        "drop/emission boundaries survive a week-shifted time origin,",
+        "and every (ts)-ordered window really exercises its event_id",
+        "tiebreak.",
         "",
         "incremental_dedup_pairs attribution note (VERDICT r11 #4): the",
         "apparent 1.57 s (r10) -> 2.6-3.0 s (r11) regression is CONTAINER",
