@@ -53,6 +53,11 @@ TEXT_SWEEP = (
     "doc_bigram_entropy_scores",
     "token_length_histogram",
     "streaming_ingest_dedup_parity",
+    # round-12 addition: NULL text must flow through regexp_extract_all
+    # without dropping or zero-filling rows differently per engine, and
+    # the Cyrillic-confusable class falls OUT of '[A-Za-z]+' in both
+    # dialects identically
+    "regex_token_profile",
 )
 
 #: Ordered-window and streaming-fold machinery swept over the
