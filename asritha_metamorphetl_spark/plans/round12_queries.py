@@ -236,29 +236,42 @@ def price_mad_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline as the weighted-median family, here pinned through TWO
     composed passes where an off-by-one in either median shifts the
     other). Lower median (not interpolated) keeps both engines on
-    integer arithmetic."""
+    integer arithmetic. The row count ``n`` rides along INSIDE the
+    first median pass (an unbounded-frame sum over the same sorted
+    distinct-value window — same exchange, same sort, no extra job),
+    so the whole query is exactly two actions over orders, not three
+    (VERDICT r12 finding #1: the standalone ``orders.count()`` was one
+    avoidable full scan at 100 TB)."""
     orders = Catalog(sf_dir).load(spark, "orders").select(
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c")
     )
-    n = orders.count()
 
     def lower_median(df: DataFrame, col: str):
+        """(lower median, total row count) in ONE action: both windows
+        share the ordering, so Catalyst evaluates them in a single
+        window stage over the distinct-value frame."""
         counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
-        w = Window.orderBy(F.col(col).asc()).rowsBetween(
+        w_cum = Window.orderBy(F.col(col).asc()).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
-        # the window runs over the DISTINCT-value frame (bounded);
-        # cum*2 >= n picks the lower median without float division
-        staged = counts.withColumn("cum", F.sum("cnt").over(w))
-        return (
-            staged.filter(F.col("cum") * 2 >= F.lit(n))
-            .agg(F.min(col))
-            .collect()[0][0]
+        w_all = Window.orderBy(F.col(col).asc()).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
         )
+        # the windows run over the DISTINCT-value frame (bounded);
+        # cum*2 >= n picks the lower median without float division
+        staged = counts.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+            "n", F.sum("cnt").over(w_all)
+        )
+        row = (
+            staged.filter(F.col("cum") * 2 >= F.col("n"))
+            .agg(F.min(col).alias("m"), F.max("n").alias("n"))
+            .collect()[0]
+        )
+        return row["m"], row["n"]
 
-    med = lower_median(orders, "c")
+    med, n = lower_median(orders, "c")
     devs = orders.select((F.abs(F.col("c") - F.lit(med))).alias("d"))
-    mad = lower_median(devs, "d")
+    mad, _ = lower_median(devs, "d")
     return spark.createDataFrame(
         [(int(n), int(med), int(mad))],
         "n bigint, median_cents bigint, mad_cents bigint",
