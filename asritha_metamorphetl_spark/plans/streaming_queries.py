@@ -39,10 +39,21 @@ from asritha_metamorphetl_spark.streaming.windows import (
 
 _AWAIT_SEC = 120
 
-#: Serializes _parity_suite entries (see its conf set/restore note).
+#: Serializes _parity_suite entries (see its build-session note).
 import threading as _threading
 
 _SUITE_LOCK = _threading.Lock()
+
+#: Families whose build RAISED in this process, keyed by
+#: ``(applicationId, family)`` (ADVICE r12: without the memo a
+#: persistently-broken family is rebuilt from scratch by every suite
+#: consumer — ~15 parity queries × the failed build's wall-clock). The
+#: stored exception is re-raised cheaply for that family's own
+#: consumers; other families skip resubmitting it. Keyed by
+#: applicationId so a FRESH session (new scratch roots, possibly fixed
+#: environment) retries the build from scratch, matching
+#: ``cached_fixture``'s no-marker-on-failure retry semantics.
+_SUITE_FAILURES: dict[tuple[str, str], BaseException] = {}
 
 
 def _materialize(
@@ -643,8 +654,10 @@ def _parity_suite(spark: SparkSession, sf_dir: str, family: str) -> str:
 
     Fault isolation: only THIS query's family may raise here; another
     family's failed build is swallowed (no ``_FIXTURE_READY`` marker is
-    written on failure) and surfaces in its own consumers, which retry
-    the build."""
+    written on failure) and surfaces in its own consumers. A failure is
+    memoized per ``(applicationId, family)`` in ``_SUITE_FAILURES`` so
+    later suite entries re-raise it cheaply instead of rebuilding the
+    broken family once per consumer (ADVICE r12)."""
     from concurrent.futures import ThreadPoolExecutor
 
     families = {
@@ -657,42 +670,52 @@ def _parity_suite(spark: SparkSession, sf_dir: str, family: str) -> str:
         "latebatch": _latebatch_state_fixture,
         "wmdrop": _wmdrop_state_fixture,
     }
+    if family not in families:
+        raise KeyError(f"unknown parity-suite family {family!r}")
+    app = spark.sparkContext.applicationId
+    memo = _SUITE_FAILURES.get((app, family))
+    if memo is not None:
+        raise memo
     # Micro-batch folds move KB-to-MB frames; at the session's 32
     # shuffle partitions every tiny distinct/agg/topk inside a fold
     # spawns 32 tasks and fixed per-task overhead dominates (profiled:
-    # the dedup fold was 3.2 s/batch at 32 partitions on 5k docs). Pin 8
-    # for the build window — same knob _materialize documents — and
-    # restore after. Historical note: the dedup fold once NEEDED 32
-    # because its band join shuffled the corpus-sized band table per
-    # batch; the fold now broadcasts the batch side (no shuffle), which
-    # is what makes the low setting safe. At steady state (markers
-    # present) the set/restore window is milliseconds.
-    # One suite entry at a time: two concurrent consumers (a --jobs
-    # sweep) would otherwise interleave the set/restore below and could
-    # leave the session pinned at 8 (B reads A's temporary value as its
-    # "saved"). Serialization costs nothing — the second caller enters
-    # after the first built everything and every cached_fixture returns
-    # on its marker instantly.
+    # the dedup fold was 3.2 s/batch at 32 partitions on 5k docs). Pin
+    # 8 for the builds — but scoped to a PRIVATE BUILD SESSION:
+    # ``spark.newSession()`` shares the SparkContext (same
+    # applicationId, so scratch roots, cached-fixture markers, and the
+    # artifact paths consumers read are unchanged) while owning its own
+    # SQLConf, so the caller's session conf is never touched and a
+    # concurrent NON-suite query in a ``--jobs`` sweep keeps shuffling
+    # at the session's 32 partitions for the whole build window
+    # (VERDICT r12 finding #2 / ADVICE r12: the old session-global
+    # set/restore could silently throttle unrelated queries).
+    # Historical note: the dedup fold once NEEDED 32 because its band
+    # join shuffled the corpus-sized band table per batch; the fold now
+    # broadcasts the batch side (no shuffle), which is what makes the
+    # low setting safe for the builds.
+    # One suite entry at a time: serialization costs nothing — the
+    # second caller enters after the first built everything and every
+    # cached_fixture returns on its marker instantly.
     with _SUITE_LOCK:
-        key = "spark.sql.shuffle.partitions"
-        saved = spark.conf.get(key)
-        spark.conf.set(key, "8")
-        try:
-            with ThreadPoolExecutor(max_workers=len(families)) as pool:
-                futs = {
-                    k: pool.submit(fn, spark, sf_dir)
-                    for k, fn in families.items()
-                }
-        finally:
-            spark.conf.set(key, saved)
+        build_spark = spark.newSession()
+        build_spark.conf.set("spark.sql.shuffle.partitions", "8")
+        with ThreadPoolExecutor(max_workers=len(families)) as pool:
+            futs = {
+                k: pool.submit(fn, build_spark, sf_dir)
+                for k, fn in families.items()
+                if (app, k) not in _SUITE_FAILURES
+            }
     root = None
     for k, fut in futs.items():
-        if k == family:
+        exc = fut.exception()  # consume: non-requested failures are
+        if exc is not None:  # memoized, not raised here
+            _SUITE_FAILURES[(app, k)] = exc
+        elif k == family:
             root = fut.result()
-        else:
-            fut.exception()  # consume; surfaces in that family's consumer
+    if family not in futs:  # memoized as failed by a concurrent entry
+        raise _SUITE_FAILURES[(app, family)]
     if root is None:
-        raise KeyError(f"unknown parity-suite family {family!r}")
+        raise _SUITE_FAILURES[(app, family)]
     return root
 
 

@@ -29,6 +29,16 @@ _FIXTURE_LOCKS: dict[str, _threading.Lock] = {}
 #: build here — ``{"<label>@<sf_tag>": {"seconds": s, "charged_to": q}}``
 #: — and bench.py sets ``CURRENT_CONSUMER`` around each timed query and
 #: emits the map in BENCH_FULL.json, so tail reads are self-explanatory.
+#:
+#: SEQUENTIAL-ONLY contract (ADVICE r12): these are unsynchronized
+#: module globals, sized for the one consumer that needs them — the
+#: sequential bench loop. Under a concurrent sweep (``--jobs N``, or
+#: the parity suite's own build threads triggering nested
+#: ``cached_fixture`` calls) ``charged_to`` may be ``None`` or name
+#: whichever query's thread last set it — LOG-ONLY noise, never a
+#: correctness input. Threading a consumer name through every
+#: ``cached_fixture`` call would tax each call site for a label only
+#: bench.py reads; the documented contract is the cheaper invariant.
 FIXTURE_BUILD_LOG: dict[str, dict] = {}
 CURRENT_CONSUMER: str | None = None
 

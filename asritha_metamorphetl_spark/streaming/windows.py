@@ -360,6 +360,17 @@ def incremental_dedup_stream(
     return docs.writeStream.foreachBatch(apply_batch)
 
 
+#: Backfill guard for the ingest-dedup fold: batches whose BAND-ROW
+#: count (rows × bands, the frame actually broadcast) stays at or under
+#: this threshold take the broadcast-join + single-file-append fast
+#: path; bigger batches — an initial-load backfill replayed through the
+#: streaming fold — fall back to the shuffled band-key join and a
+#: parallel append. 500k band rows ≈ tens of MB serialized (band_key +
+#: doc id), comfortably inside the session's 64m broadcast threshold
+#: with margin for row overhead.
+BROADCAST_MAX_BAND_ROWS = 500_000
+
+
 def fold_incremental_dedup_batch(
     batch_df: DataFrame,
     band_dir: str,
@@ -371,7 +382,10 @@ def fold_incremental_dedup_batch(
     foreachBatch body, factored out so a combined parity run can apply
     several fold algebras to the same micro-batch): band the batch,
     pair it against everything persisted so far, append pairs and the
-    batch's own band rows."""
+    batch's own band rows. Batches over ``BROADCAST_MAX_BAND_ROWS``
+    band rows (backfills) use a shuffled join + parallel append instead
+    of the small-batch broadcast + coalesce(1) fast path — same pair
+    algebra, OOM-safe plan."""
     from asritha_metamorphetl_spark.operators.dedup import lsh_banded
 
     spark = batch_df.sparkSession
@@ -384,6 +398,18 @@ def fold_incremental_dedup_batch(
     batch_b = lsh_banded(
         batch_df, text_col, id_col, spread=False
     ).localCheckpoint(eager=True)
+    # "Small by the streaming-ingest contract" is now ENFORCED, not
+    # assumed (ADVICE r12): a backfill replayed through this fold (an
+    # initial load arriving as one giant batch) would otherwise
+    # broadcast an unbounded frame and coalesce(1) its append —
+    # executor/driver OOM and a single-writer bottleneck. Counting the
+    # CHECKPOINTED band frame is a recompute-free bounded job; above
+    # the threshold the fold falls back to the shuffled band-key join
+    # and a normally-parallel append. (spread=False stays correct for
+    # big batches too: a large file-backed batch already arrives with
+    # one input partition per file split, so the hashing runs wide
+    # without the repartition lsh_banded would add.)
+    small_batch = batch_b.count() <= BROADCAST_MAX_BAND_ROWS
     existing = spark.read.parquet(band_dir)
     left = (
         existing.withColumn("is_new", F.lit(False))
@@ -393,12 +419,12 @@ def fold_incremental_dedup_batch(
     right = batch_b.alias("r")
     pairs = (
         # Broadcast the BATCH side: a streaming ingest batch is small by
-        # definition while the persisted band table is corpus-sized, so
+        # contract while the persisted band table is corpus-sized, so
         # shuffling both sides on band_key (the default sort-merge plan)
         # pays a corpus-sized shuffle per micro-batch; broadcasting the
         # batch's bands makes per-batch cost one streamed scan of the
         # band table with no shuffle at all.
-        left.join(F.broadcast(right), "band_key")
+        left.join(F.broadcast(right) if small_batch else right, "band_key")
         .filter(F.col("l.doc_id") != F.col("r.doc_id"))
         # existing rows pair with every colliding batch row; batch-
         # internal rows only pair forward so each appears once
@@ -415,9 +441,15 @@ def fold_incremental_dedup_batch(
     # and every later batch's band read pays the listing; coalescing the
     # already-checkpointed batch_b merges partitions without recomputing
     # the pipeline. A batch's bands/pairs are small by the streaming-
-    # ingest contract — one file each is the right layout.
-    pairs.coalesce(1).write.mode("append").parquet(pairs_dir)
-    batch_b.coalesce(1).write.mode("append").parquet(band_dir)
+    # ingest contract — one file each is the right layout. Above the
+    # backfill threshold the single-file layout (like the broadcast) is
+    # wrong, so big batches append at their natural parallelism.
+    if small_batch:
+        pairs.coalesce(1).write.mode("append").parquet(pairs_dir)
+        batch_b.coalesce(1).write.mode("append").parquet(band_dir)
+    else:
+        pairs.write.mode("append").parquet(pairs_dir)
+        batch_b.write.mode("append").parquet(band_dir)
 
 
 def countmin_stream(

@@ -482,3 +482,49 @@ def test_weighted_sample_fold_retry_same_batch_id(spark, tmp_path):
         for r in spark.read.parquet(f"{state}/batch_id=0").collect()
     )
     assert first == second and len(first) == 5
+
+
+def test_ingest_dedup_fold_backfill_path_matches_broadcast_path(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r12: the fold's small-batch fast path (broadcast join +
+    coalesce(1) append) is guarded by BROADCAST_MAX_BAND_ROWS; a batch
+    over the threshold — a backfill replayed through the streaming
+    fold — takes the shuffled join + parallel append instead. Both
+    paths must produce the identical accumulated pair set."""
+    import pyspark.sql.functions as FF
+
+    from asritha_metamorphetl_spark.operators.dedup import lsh_banded
+    from asritha_metamorphetl_spark.streaming import windows as W
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(120)
+    )
+    base = docs.filter(FF.col("doc_id") % 3 == 0)
+    batch = docs.filter(FF.col("doc_id") % 3 != 0)
+
+    results = {}
+    for label, threshold in (("fast", None), ("backfill", 0)):
+        root = tmp_path / label
+        band_dir, pairs_dir = str(root / "bands"), str(root / "pairs")
+        lsh_banded(base, "text", "doc_id").write.parquet(band_dir)
+        spark.createDataFrame(
+            [], "doc_lo bigint, doc_hi bigint"
+        ).write.parquet(pairs_dir)
+        if threshold is not None:
+            monkeypatch.setattr(W, "BROADCAST_MAX_BAND_ROWS", threshold)
+        else:
+            monkeypatch.undo()
+        W.fold_incremental_dedup_batch(
+            batch, band_dir, pairs_dir, "text", "doc_id"
+        )
+        results[label] = sorted(
+            (r["doc_lo"], r["doc_hi"])
+            for r in spark.read.parquet(pairs_dir).distinct().collect()
+        )
+        band_rows = spark.read.parquet(band_dir).count()
+        results[f"{label}_bands"] = band_rows
+    assert results["fast"] == results["backfill"]
+    assert results["fast_bands"] == results["backfill_bands"]
