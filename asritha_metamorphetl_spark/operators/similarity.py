@@ -46,6 +46,42 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def finite_vectors(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """FINITE-VECTOR gate (VERDICT r12 directive #6): keep only rows
+    whose vector has exclusively finite components AND strictly
+    positive norm. Cosine of a zero vector is 0/0, a single NaN
+    component contaminates every dot product the row touches, and Inf
+    turns residual/centering math into NaN factories (Inf − Inf) —
+    degenerate vectors are ingest rot, not queryable content, so the
+    similarity/clustering families EXCLUDE them at the scan, mirrored
+    verbatim in each oracle via ``finite_vec_where`` (the two must
+    never drift). On a clean catalog the gate passes every row, so
+    plans and hashes are unchanged; the filter is row-local (scan
+    stage, no shuffle) and costs one O(dim) fold per row. Subnormally
+    TINY vectors pass on purpose: their norm is positive and double
+    math preserves direction, so excluding them would over-filter."""
+    v = F.col(col)
+    has_nonfinite = F.exists(
+        v,
+        lambda x: F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+    )
+    return df.filter((~has_nonfinite) & (dot(_to_double(v), _to_double(v)) > 0))
+
+
+def finite_vec_where(col: str = "embedding") -> str:
+    """The DuckDB mirror of ``finite_vectors`` — a WHERE-clause body
+    (no leading WHERE). Kept beside the engine gate so the pair cannot
+    drift: finite components AND positive squared norm, both computed
+    in double."""
+    return (
+        f"list_aggregate(list_transform({col}, "
+        "x -> CASE WHEN isfinite(CAST(x AS DOUBLE)) THEN 0 ELSE 1 END), "
+        "'sum') = 0 "
+        f"AND list_dot_product({col}::DOUBLE[], {col}::DOUBLE[]) > 0"
+    )
+
+
 _COSINE_UDF_CACHE = None
 
 
@@ -306,7 +342,7 @@ def _cell_assign_udf(C_norm, n_out: int, n_coarse: int = 0, w_coarse: int = 2):
             return pd.Series([], dtype="object")
         C = _resolve_mat(C_norm)
         X = np.vstack(vs.to_numpy()).astype(np.float64)
-        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), _NORM_FLOOR)
         if n_coarse > 0:
             order, starts = _resolve_mat(group_info)
             reps = C[:n_coarse]
@@ -357,8 +393,18 @@ def _cell_assign_udf(C_norm, n_out: int, n_coarse: int = 0, w_coarse: int = 2):
     return cells
 
 
+#: Zero-division floor for row normalization: the smallest NORMAL
+#: float64, not 1e-12 — a 1e-12 floor silently crushed subnormally
+#: TINY (but directionally valid) vectors to ~zero similarity, which
+#: the double-math oracle does not do (hostile-embedding fixture,
+#: class vec_id%29==5: norms ~1e-19 < the old floor). Zero vectors
+#: never reach the kernels (finite_vectors gates them out), so the
+#: floor only guards a hypothetical ungated caller against 0/0.
+_NORM_FLOOR = float(np.finfo(np.float64).tiny)
+
+
 def _normalize_rows(M: np.ndarray) -> np.ndarray:
-    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), _NORM_FLOOR)
 
 
 def _cell_sim_udf(
@@ -392,7 +438,7 @@ def _cell_sim_udf(
                                  "csim": pd.array([], dtype="float64")})
         C = _resolve_mat(C_norm)
         X = np.vstack(vs.to_numpy()).astype(np.float64)
-        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), _NORM_FLOOR)
         if n_coarse > 0:
             order, starts = _resolve_mat(group_info)
             reps = C[:n_coarse]

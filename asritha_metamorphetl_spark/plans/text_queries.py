@@ -12,7 +12,12 @@ from pyspark.sql import functions as F
 
 from asritha_metamorphetl_spark.functions import text as T
 from asritha_metamorphetl_spark.operators import dedup as D
-from asritha_metamorphetl_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk
+from asritha_metamorphetl_spark.operators.similarity import (
+    brute_force_topk,
+    finite_vec_where,
+    finite_vectors,
+    lsh_bucketed_topk,
+)
 from asritha_metamorphetl_spark.plans.registry import register
 from asritha_metamorphetl_spark.sources.files import Catalog
 
@@ -305,9 +310,13 @@ KNN_QUERIES = 5  # vec_id < 5 are the query vectors
 @register(
     "knn_cosine_topk",
     oracle=f"""
-WITH q AS (
+WITH fin AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE {finite_vec_where("embedding")}
+),
+q AS (
     SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-    FROM embeddings WHERE vec_id < {KNN_QUERIES}
+    FROM fin WHERE vec_id < {KNN_QUERIES}
 ),
 scored AS (
     SELECT q.query_id, e.vec_id AS neighbor_id,
@@ -315,7 +324,7 @@ scored AS (
               / (sqrt(list_dot_product(q.qv, q.qv))
                  * sqrt(list_dot_product(e.embedding::DOUBLE[],
                                          e.embedding::DOUBLE[]))), 4) AS score
-    FROM embeddings e CROSS JOIN q
+    FROM fin e CROSS JOIN q
     WHERE e.vec_id != q.query_id
 )
 SELECT query_id, neighbor_id, score, rnk
@@ -328,7 +337,13 @@ WHERE rnk <= {KNN_K}
 """,
 )
 def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = Catalog(sf_dir).load(spark, "embeddings")
+    """Brute-force cosine top-k under the FINITE-VECTOR gate
+    (operators/similarity.finite_vectors): zero-norm and NaN/Inf
+    vectors are excluded on BOTH sides before scoring — on a clean
+    catalog the gate passes everything, on a hostile one both engines
+    exclude the identical rows (tools/build_hostile_embedding_fixture
+    sweep)."""
+    emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
     return brute_force_topk(emb, queries, "vec_id", "embedding", k=KNN_K)
 
@@ -407,6 +422,7 @@ def _knn_lsh_oracle(probe_flips: int = 0) -> str:
     return f"""
 WITH vecs AS (
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    WHERE {finite_vec_where("embedding")}
 ),
 bucketed AS (
     SELECT vec_id, v,
@@ -447,7 +463,7 @@ def knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs the exact path is continuously checked by the registered
     ``knn_lsh_recall_eval`` query and asserted in tests/test_llm_ops.py
     (sf0.001)."""
-    emb = Catalog(sf_dir).load(spark, "embeddings")
+    emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
     return lsh_bucketed_topk(
         emb,
@@ -463,9 +479,13 @@ def knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KNN_EXACT_SQL = f"""
-WITH q AS (
+WITH fin AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE {finite_vec_where("embedding")}
+),
+q AS (
     SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-    FROM embeddings WHERE vec_id < {KNN_QUERIES}
+    FROM fin WHERE vec_id < {KNN_QUERIES}
 ),
 scored AS (
     SELECT q.query_id, e.vec_id AS neighbor_id,
@@ -473,7 +493,7 @@ scored AS (
               / (sqrt(list_dot_product(q.qv, q.qv))
                  * sqrt(list_dot_product(e.embedding::DOUBLE[],
                                          e.embedding::DOUBLE[]))), 4) AS score
-    FROM embeddings e CROSS JOIN q
+    FROM fin e CROSS JOIN q
     WHERE e.vec_id != q.query_id
 )
 SELECT query_id, neighbor_id
@@ -520,7 +540,7 @@ def knn_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant — the oracle emits TRUE unconditionally, so a Spark-side
     quality regression hash-mismatches instead of matching an equally
     degraded oracle."""
-    emb = Catalog(sf_dir).load(spark, "embeddings")
+    emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
     truth = (
         brute_force_topk(emb, queries, "vec_id", "embedding", k=KNN_K)
@@ -683,9 +703,10 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_near_dups",
-    oracle="""
+    oracle=f"""
 WITH v AS (
     SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    WHERE {finite_vec_where("embedding")}
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_cosine_similarity(a.v, b.v), 4) AS score
@@ -696,8 +717,9 @@ WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.45
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked on label so pair
     generation is bounded per block (the all-pairs scale trap never
-    materializes); exact cosine on every in-block candidate."""
-    emb = Catalog(sf_dir).load(spark, "embeddings")
+    materializes); exact cosine on every in-block candidate. Inputs
+    run through the FINITE-VECTOR gate (similarity.finite_vectors)."""
+    emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     return D.embedding_near_dup_pairs(
         emb, "vec_id", "embedding", block_col="label", threshold=0.45
     )
@@ -951,6 +973,7 @@ cent{i + 1} AS (
     return f"""
 WITH vecs AS (
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    WHERE {finite_vec_where("embedding")}
 ),
 {cte_sql},
 sims AS (
@@ -1005,7 +1028,7 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm_ops.py (≥0.8 on the fixture)."""
     from asritha_metamorphetl_spark.operators.similarity import ivf_topk
 
-    emb = Catalog(sf_dir).load(spark, "embeddings")
+    emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
     return ivf_topk(
         emb,
@@ -1053,7 +1076,7 @@ def knn_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     unconditionally). Fixture recall 0.84 at these knobs."""
     from asritha_metamorphetl_spark.operators.similarity import ivf_topk
 
-    emb = Catalog(sf_dir).load(spark, "embeddings")
+    emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
     truth = (
         brute_force_topk(emb, queries, "vec_id", "embedding", k=KNN_K)
@@ -1127,6 +1150,7 @@ SEMDEDUP_NLIST = 64
     oracle=f"""
 WITH vecs AS (
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    WHERE {finite_vec_where("embedding")}
 ),
 cent AS (
     SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cell, v AS cv
@@ -1173,7 +1197,7 @@ def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere (operators/similarity.semdedup)."""
     from asritha_metamorphetl_spark.operators.similarity import semdedup
 
-    emb = Catalog(sf_dir).load(spark, "embeddings")
+    emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     return semdedup(
         emb, "vec_id", "embedding", nlist=SEMDEDUP_NLIST, threshold=SEMDEDUP_TAU
     )
@@ -1185,6 +1209,7 @@ def _semdedup_asg_sql(nlist: int) -> str:
     return f"""
 vecs AS (
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    WHERE {finite_vec_where("embedding")}
 ),
 cent AS (
     SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cell, v AS cv
@@ -1277,7 +1302,7 @@ def semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         semdedup,
     )
 
-    emb = Catalog(sf_dir).load(spark, "embeddings")
+    emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     sem = semdedup(
         emb, "vec_id", "embedding", nlist=SEMDEDUP_NLIST,
         threshold=SEMDEDUP_TAU,
@@ -1441,7 +1466,7 @@ def ivf_twolevel_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import numpy as np
 
-    emb = Catalog(sf_dir).load(spark, "embeddings")
+    emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     cent_rows = (
         emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
         .orderBy("cid")
@@ -1516,16 +1541,20 @@ def corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_cluster_sizes",
-    oracle="""
-WITH centroids AS (
+    oracle=f"""
+WITH fin AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE {finite_vec_where("embedding")}
+),
+centroids AS (
     SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-    FROM embeddings ORDER BY vec_id LIMIT 8
+    FROM fin ORDER BY vec_id LIMIT 8
 ),
 scored AS (
     SELECT e.vec_id, c.cid,
            ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6)
                AS sim
-    FROM embeddings e CROSS JOIN centroids c
+    FROM fin e CROSS JOIN centroids c
 ),
 assigned AS (
     SELECT vec_id, cid,
@@ -1545,7 +1574,7 @@ def embedding_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 rows — broadcast; assignment is row-local; one small rollup."""
     from asritha_metamorphetl_spark.operators.similarity import _to_double, cosine
 
-    emb = Catalog(sf_dir).load(spark, "embeddings")
+    emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     cent = (
         emb.orderBy("vec_id")
         .limit(8)
@@ -1569,16 +1598,20 @@ def embedding_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "kmeans_step_centroids",
-    oracle="""
-WITH centroids AS (
+    oracle=f"""
+WITH fin AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE {finite_vec_where("embedding")}
+),
+centroids AS (
     SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-    FROM embeddings ORDER BY vec_id LIMIT 8
+    FROM fin ORDER BY vec_id LIMIT 8
 ),
 scored AS (
     SELECT e.vec_id, c.cid,
            ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6)
                AS sim
-    FROM embeddings e CROSS JOIN centroids c
+    FROM fin e CROSS JOIN centroids c
 ),
 assigned AS (
     SELECT vec_id, cid,
@@ -1588,7 +1621,7 @@ assigned AS (
 ),
 members AS (
     SELECT a.cid, e.embedding::DOUBLE[] AS ev
-    FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
+    FROM assigned a JOIN fin e ON e.vec_id = a.vec_id
     WHERE a.rn = 1
 ),
 exploded AS (
@@ -1617,7 +1650,7 @@ def kmeans_step_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare is insensitive to summation order."""
     from asritha_metamorphetl_spark.operators.similarity import _to_double, cosine
 
-    emb = Catalog(sf_dir).load(spark, "embeddings")
+    emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     cent = (
         emb.orderBy("vec_id")
         .limit(8)

@@ -24,6 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from asritha_metamorphetl_spark.operators.similarity import (
+    finite_vec_where,
+    finite_vectors,
+)
 from asritha_metamorphetl_spark.plans.registry import register
 from asritha_metamorphetl_spark.sources.files import Catalog
 
@@ -67,6 +71,7 @@ _DIMS_SQL = f"""
                AS q
     FROM embeddings
     CROSS JOIN (SELECT unnest(generate_series(1, {DIMS})) AS i) u
+    WHERE {finite_vec_where("embedding")}
 """
 
 
@@ -104,7 +109,7 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     squares (one JVM ``aggregate`` per row — no explode, no Python);
     corpus moments are a 1-row broadcast; z is rounded to 4 dp on both
     sides of the threshold so the filter cannot flip between engines."""
-    emb = Catalog(sf_dir).load(spark, "embeddings")
+    emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     norms = emb.select(
         "vec_id", _norm2(_qarr()).alias("norm2_q")
     )
@@ -153,6 +158,7 @@ nblocks AS (
     SELECT GREATEST(1, CAST(CEIL(CAST(COUNT(*) AS DOUBLE)
                                  / {COS_BLOCK_ROWS}) AS BIGINT)) AS nb
     FROM embeddings
+    WHERE {finite_vec_where("embedding")}
 ),
 norms AS (
     SELECT vec_id, {_cos_bucket_sql('vec_id')} AS bucket,
@@ -206,7 +212,7 @@ def cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from asritha_metamorphetl_spark.operators.sampling import hash_bucket
 
-    emb = Catalog(sf_dir).load(spark, "embeddings")
+    emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     n_vecs = emb.count()  # bounded driver action: one scalar
     n_blocks = max(1, math.ceil(n_vecs / COS_BLOCK_ROWS))
     vecs = emb.select(
@@ -267,6 +273,7 @@ WITH vals AS (
                 AS BIGINT) AS q3
     FROM embeddings
     CROSS JOIN (SELECT unnest(generate_series(1, {DIMS})) AS i) u
+    WHERE {finite_vec_where("embedding")}
 ),
 counts AS (
     SELECT dim, q3, COUNT(*) AS c FROM vals GROUP BY dim, q3
@@ -297,7 +304,7 @@ def embedding_dim_clip_profile(
     cumulative windows walk bounded partitions — unlike a 1e-6 grid,
     where near-unique values would make each dim's partition O(corpus).
     Percentiles are exact order statistics of the quantized values."""
-    emb = Catalog(sf_dir).load(spark, "embeddings")
+    emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     vals = emb.select(
         F.posexplode(
             F.transform(
@@ -346,6 +353,7 @@ WITH dims AS (
                 AS BIGINT) AS q
     FROM embeddings
     CROSS JOIN (SELECT unnest(generate_series(1, {DIMS})) AS i) u
+    WHERE {finite_vec_where("embedding")}
 ),
 per_ld AS (
     SELECT label, dim, COUNT(*) AS n,
@@ -393,7 +401,7 @@ def embedding_label_centroid_spread(
     quantized to 1e-6 before the 64-term sum, so partition order never
     perturbs the hash. No pairwise distances anywhere — this is the
     O(n) spelling of a question people answer with O(n²) samples."""
-    emb = Catalog(sf_dir).load(spark, "embeddings")
+    emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     dims = emb.select(
         "label",
         F.posexplode(_qarr()).alias("pos", "q"),

@@ -15,10 +15,18 @@ driver-faithful harness (tools/check_correctness.py):
   midnight tie plateau that forces every (ts)-ordered window and argmax
   fold through its event_id tiebreak.
 
+- hostile EMBEDDINGS (tools/build_hostile_embedding_fixture.py,
+  round 13 / VERDICT r12 directive #6): zero vectors, two corpus-sized
+  exact-duplicate clusters, NaN / ±Inf components, and subnormally
+  tiny vectors — swept through the FINITE-VECTOR-gated ANN + SemDeDup
+  + kmeans + recall-eval families plus the NaN-robust audits, against
+  unchanged oracles.
+
 A hash mismatch here means the two engines disagree on null/empty
-split semantics, multi-byte strings, tiebreak determinism, or
-arrival-order independence — exactly the divergences that otherwise
-first surface at cluster scale."""
+split semantics, multi-byte strings, tiebreak determinism,
+arrival-order independence, or IEEE-754 edge semantics (0/0 cosine,
+NaN ordering, Inf arithmetic) — exactly the divergences that
+otherwise first surface at cluster scale."""
 
 from __future__ import annotations
 
@@ -92,6 +100,44 @@ TIME_SWEEP = (
 )
 
 
+#: Vector machinery swept over the hostile-embedding catalog: the
+#: FINITE-VECTOR-gated similarity/clustering families (gate mirrored
+#: verbatim in every oracle via similarity.finite_vec_where), the
+#: families whose math is NaN-safe without a gate (L2 distances never
+#: divide by a norm; BQ/JL/PCA/kfold/sampling are
+#: moment- or hash-driven), and the two round-13 audits DESIGNED for
+#: degenerate vectors (census + IEEE total-order contracts).
+EMBEDDING_SWEEP = (
+    # gated families (operators/similarity.finite_vectors)
+    "knn_cosine_topk",
+    "knn_lsh_topk",
+    "knn_lsh_recall_eval",
+    "embedding_near_dups",
+    "knn_ivf_topk",
+    "knn_ivf_recall_eval",
+    "semdedup_survivors",
+    "semdedup_recall_eval",
+    "ivf_twolevel_agreement",
+    "kmeans_step_centroids",
+    "embedding_cluster_sizes",
+    "embedding_norm_outliers",
+    "cosine_pair_histogram",
+    "embedding_dim_clip_profile",
+    "embedding_label_centroid_spread",
+    # naturally hostile-safe (no normalization in the scored space)
+    "knn_l2_topk",
+    "knn_bq_topk",
+    "knn_jl_topk",
+    "pca_power_projection",
+    "stratified_kfold_assignment",
+    "stratified_label_sample",
+    "embedding_sign_bias_profile",
+    # round-13 audits designed for degenerate vectors
+    "embedding_degenerate_audit",
+    "nan_total_order_audit",
+)
+
+
 @pytest.fixture(scope="session")
 def hostile_text_dir(tmp_path_factory) -> str:
     sys.path.insert(0, REPO)
@@ -108,6 +154,59 @@ def hostile_time_dir(tmp_path_factory) -> str:
 
     out = str(tmp_path_factory.mktemp("hostile_time") / "sf0.01")
     return build(SRC_SF, out)
+
+
+@pytest.fixture(scope="session")
+def hostile_embedding_dir(tmp_path_factory) -> str:
+    sys.path.insert(0, REPO)
+    from tools.build_hostile_embedding_fixture import build
+
+    out = str(tmp_path_factory.mktemp("hostile_embedding") / "sf0.01")
+    return build(SRC_SF, out)
+
+
+def test_embedding_fixture_is_actually_hostile(hostile_embedding_dir):
+    """The corpus must really carry every degenerate class — zero,
+    duplicate-cluster, NaN, ±Inf, tiny — or the sweep proves nothing."""
+    import duckdb
+
+    con = duckdb.connect()
+    e = f"read_parquet('{hostile_embedding_dir}/embeddings.parquet')"
+    (n_zero, n_nan, n_pos, n_neg, n_tiny, n_e0, n_e1, total) = con.sql(
+        f"""SELECT
+            COUNT(*) FILTER (list_dot_product(embedding::DOUBLE[],
+                             embedding::DOUBLE[]) = 0),
+            COUNT(*) FILTER (isnan(embedding[1])),
+            COUNT(*) FILTER (embedding[1] = 'Infinity'::FLOAT),
+            COUNT(*) FILTER (embedding[1] = '-Infinity'::FLOAT),
+            COUNT(*) FILTER (vec_id % 29 = 5),
+            COUNT(*) FILTER (embedding[1] = 1.0 AND embedding[2] = 0.0
+                             AND vec_id % 29 = 1),
+            COUNT(*) FILTER (embedding[2] = 1.0 AND vec_id % 29 = 6),
+            COUNT(*)
+        FROM {e}"""
+    ).fetchone()
+    assert min(n_zero, n_nan, n_pos, n_neg, n_tiny) >= total // 40
+    # the two constant classes form corpus-sized exact-dup clusters
+    assert n_e0 > 5 and n_e1 > 5
+    # tiny vectors are FINITE and nonzero (they must PASS the gate)
+    n_tiny_pass = con.sql(
+        f"""SELECT COUNT(*) FROM {e} WHERE vec_id % 29 = 5
+            AND list_aggregate(list_transform(embedding,
+                x -> CASE WHEN isfinite(CAST(x AS DOUBLE)) THEN 0
+                     ELSE 1 END), 'sum') = 0
+            AND list_dot_product(embedding::DOUBLE[],
+                                 embedding::DOUBLE[]) > 0"""
+    ).fetchone()[0]
+    assert n_tiny_pass == n_tiny
+
+
+def test_hostile_embedding_sweep_all_green(hostile_embedding_dir):
+    """Every gated similarity/clustering query, every naturally
+    NaN-safe vector query, and both round-13 degenerate audits must be
+    rows+schema+hash green against UNCHANGED oracles on the hostile
+    vector catalog."""
+    _run_sweep(hostile_embedding_dir, EMBEDDING_SWEEP)
 
 
 def test_text_fixture_is_actually_hostile(hostile_text_dir):

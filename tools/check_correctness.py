@@ -57,11 +57,17 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if math.isinf(v):  # int(inf) raises; render the sign portably
+            return "Inf" if v > 0 else "-Inf"
         if v == int(v) and abs(v) < 1e15:
             return repr(float(v))
         return repr(round(v, 9))
     if isinstance(v, decimal.Decimal):
         f = float(v)
+        if math.isnan(f):
+            return "NaN"
+        if math.isinf(f):
+            return "Inf" if f > 0 else "-Inf"
         if f == int(f) and abs(f) < 1e15:
             return repr(float(f))
         return repr(round(f, 9))
