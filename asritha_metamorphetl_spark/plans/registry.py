@@ -37,21 +37,73 @@ _REGISTRY: dict[str, RegisteredQuery] = {}
 #: must fail tests, not silently demote a query out of the window).
 QUERY_PRIORITY: tuple[str, ...] = (
     # =====================================================================
-    # ROUND-12 DRIVER WINDOW (first 50 = exactly what the correctness
-    # driver checks). Slots 1-8: the eight round-12 seeds (r11
-    # post-window, never driver-checked; judge-verified green in r11).
-    # Slots 9-18: the ten round-12 additions (plans/round12_queries.py
-    # + four new streaming parities incl. the watermark-drop contract).
-    # Slots 19-29: the eleven streaming parities whose orchestration
-    # changed this round (concurrent _parity_suite fixtures, broadcast
-    # batch-side dedup fold, interval joins at state_partitions=2) -
-    # changed code must re-enter the window. Slots 30-50: the 21
-    # STALEST driver rows by last-checked round (r1: dq_violations ...
-    # top5_orders; r2: bpe/media/asof; r3-r4 blocks) - computed from
-    # the committed CORRECTNESS_r*.json history, so the rotation
-    # provably re-checks the oldest evidence (VERDICT r11 #2).
-    # Everything below keeps priority order.
+    # ROUND-13 DRIVER WINDOW (first 50 = exactly what the correctness
+    # driver checks). Slots 1-5: the five round-13 contract queries
+    # (plans/round13_queries.py - degenerate-vector census, IEEE NaN
+    # total-order, pmod-on-negatives, explode_outer preservation,
+    # interpolated quartiles). Slot 6: price_mad_robust_scale (3->2
+    # scans, VERDICT r12 finding #1). Slots 7-21: the fifteen
+    # similarity/clustering queries that gained the FINITE-VECTOR gate
+    # (operators/similarity.finite_vectors mirrored in their oracles;
+    # VERDICT r12 directive #6) - changed code must re-enter the
+    # window. Slots 22-32: the eleven _parity_suite consumers whose
+    # orchestration changed (private build session + failure memo +
+    # guarded dedup-fold broadcast; VERDICT r12 directive #5). Slots
+    # 33-50: the eighteen STALEST driver rows (all last checked round
+    # 5) computed from the committed CORRECTNESS_r*.json history
+    # (VERDICT r12 directive #2; the remaining 16 r5-stale rows lead
+    # the r14 rotation). Everything below keeps priority order.
     # =====================================================================
+    "embedding_degenerate_audit",
+    "nan_total_order_audit",
+    "pmod_negative_keys_audit",
+    "explode_outer_empty_audit",
+    "interpolated_quartiles_audit",
+    "price_mad_robust_scale",
+    "knn_cosine_topk",
+    "knn_lsh_topk",
+    "knn_lsh_recall_eval",
+    "embedding_near_dups",
+    "knn_ivf_topk",
+    "knn_ivf_recall_eval",
+    "semdedup_survivors",
+    "semdedup_recall_eval",
+    "ivf_twolevel_agreement",
+    "kmeans_step_centroids",
+    "embedding_cluster_sizes",
+    "embedding_norm_outliers",
+    "cosine_pair_histogram",
+    "embedding_dim_clip_profile",
+    "embedding_label_centroid_spread",
+    "streaming_ingest_dedup_parity",
+    "streaming_countmin_parity",
+    "streaming_weighted_sample_parity",
+    "streaming_gram_parity",
+    "streaming_hll_parity",
+    "streaming_mor_delete_parity",
+    "streaming_semi_additive_parity",
+    "streaming_retry_fold_parity",
+    "streaming_bucketed_cdc_parity",
+    "streaming_late_batch_fold_parity",
+    "streaming_watermark_drop_parity",
+    "approx_distinct_audit",
+    "bigram_lm_scores",
+    "cdc_orders_snapshot",
+    "cdc_resumable_state",
+    "corpus_splits",
+    "cross_split_contamination",
+    "customer_order_gaps",
+    "dup_clusters",
+    "embedding_int8_profile",
+    "embedding_label_stats",
+    "incremental_revenue_state",
+    "label_centering_profile",
+    "legacy_day_slice",
+    "minhash_recall_eval",
+    "pii_scrub_profile",
+    "quantile_sketch_audit",
+    "reconcile_lineitem_composite",
+    "scd2_order_history",
     "two_way_anova_price",
     "weekend_event_value_qq",
     "weibull_interarrival_shape",
@@ -60,25 +112,13 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "event_type_lift_matrix",
     "dedup_cluster_size_powerlaw",
     "simhash_hamming_of_candidates",
-    "streaming_watermark_drop_parity",
     "streaming_sliding_parity",
     "streaming_static_enrich_parity",
-    "streaming_late_batch_fold_parity",
     "systematic_sample_global_rank",
     "null_safe_join_audit",
     "cube_margins_audit",
-    "price_mad_robust_scale",
     "regex_token_profile",
     "first_last_nonnull_window_audit",
-    "streaming_ingest_dedup_parity",
-    "streaming_countmin_parity",
-    "streaming_weighted_sample_parity",
-    "streaming_semi_additive_parity",
-    "streaming_retry_fold_parity",
-    "streaming_gram_parity",
-    "streaming_hll_parity",
-    "streaming_mor_delete_parity",
-    "streaming_bucketed_cdc_parity",
     "streaming_interval_join_parity",
     "streaming_outer_join_parity",
     "dq_violations",
@@ -102,7 +142,6 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "doc_chunks",
     "packed_sequence_stats",
     "packed_training_sequences",
-    # --- end of driver window; previously-checked registry follows ---
     "frequent_triples",
     "largest_remainder_allocation",
     "brand_size_price_slopes",
@@ -115,7 +154,6 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "page_hinkley_daily_orders",
     "weekend_value_mannwhitney",
     "bh_adjusted_anomalies",
-    "cosine_pair_histogram",
     "minhash_band_tuning",
     "cusum_daily_revenue",
     "lorenz_curve_points",
@@ -198,7 +236,6 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "daily_revenue_spine",
     "similar_part_names",
     "minhash_near_dups",
-    "knn_cosine_topk",
     "incremental_agg_view",
     "bottomk_quantile_audit",
     "bottomk_merge_parity",
@@ -239,9 +276,6 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "doc_prefix_dup_groups",
     "token_length_histogram",
     "char_class_profile",
-    "embedding_norm_outliers",
-    "embedding_dim_clip_profile",
-    "embedding_label_centroid_spread",
     "null_completeness_profile",
     "key_cardinality_audit",
     "fd_violation_audit",
@@ -340,41 +374,19 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "knn_ivfpq_residual_topk",
     "knn_ivfpq_residual_recall_eval",
     "hybrid_search_rrf",
-    "ivf_twolevel_agreement",
     "bm25_search",
-    "semdedup_recall_eval",
-    "semdedup_survivors",
     "knn_pq_topk",
     "knn_pq_recall_eval",
     "unimax_source_allocation",
     "token_budget_mix",
     "curation_verdict",
-    "reconcile_lineitem_composite",
-    "cdc_orders_snapshot",
-    "cdc_resumable_state",
     "snapshot_time_travel",
-    "bigram_lm_scores",
-    "incremental_revenue_state",
     "zorder_layout_profile",
     "zorder3_layout_profile",
-    "approx_distinct_audit",
-    "quantile_sketch_audit",
-    "scd2_order_history",
     "scd2_pointintime_totals",
-    "legacy_day_slice",
-    "knn_lsh_recall_eval",
-    "knn_lsh_topk",
-    "minhash_recall_eval",
-    "label_centering_profile",
-    "customer_order_gaps",
     "segment_balance_quartiles",
     "winnow_fingerprint_profile",
     "winnow_candidate_pairs",
-    "dup_clusters",
-    "embedding_near_dups",
-    "embedding_label_stats",
-    "knn_ivf_topk",
-    "knn_ivf_recall_eval",
     "knn_l2_topk",
     "pq_code_histogram",
     "hard_negative_mining",
@@ -409,12 +421,6 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "streaming_distinct_pairs",
     "streaming_hourly_events",
     "streaming_type_totals",
-    "embedding_cluster_sizes",
-    "kmeans_step_centroids",
-    "embedding_int8_profile",
-    "corpus_splits",
-    "cross_split_contamination",
-    "pii_scrub_profile",
     "stratified_label_sample",
     "source_quota_sample",
     "temperature_mix_sample",
@@ -422,6 +428,18 @@ QUERY_PRIORITY: tuple[str, ...] = (
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a query (and its DuckDB oracle SQL) under ``name``.
+
+    CONTRACT — partition-count invariance (ADVICE r12): a registered
+    query's RESULT must not depend on ``spark.sql.shuffle.partitions``
+    or any other parallelism knob. The driver, the bench loop, a
+    ``--jobs`` sweep, and a 1000-executor deploy all run the same
+    queries at different parallelism; anything order- or
+    partition-sensitive (top-k, samples, ranks) must pin a total
+    tiebreak or derive from data values only (the discipline
+    SCALING.md's SAMPLING/TRUNCATION contracts document per query).
+    """
+
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
@@ -477,6 +495,7 @@ def _load_all() -> None:
         quality_queries,
         retail_queries,
         round12_queries,
+        round13_queries,
         sketch_queries,
         stats_queries,
         streaming_queries,
