@@ -157,6 +157,12 @@ QUERIES = [
     ("streaming_static_enrich_parity", "stream-static broadcast join parity"),
     ("streaming_late_batch_fold_parity", "anti-chronological fold (suite fixture)"),
     ("streaming_watermark_drop_parity", "watermark drop/emission contract stream"),
+    # round-13 additions
+    ("embedding_degenerate_audit", "NaN-safe degenerate-vector census"),
+    ("nan_total_order_audit", "IEEE NaN grouping/comparison/ordering pins"),
+    ("pmod_negative_keys_audit", "truncated % vs pmod on negative keys"),
+    ("explode_outer_empty_audit", "explode_outer row preservation rollup"),
+    ("interpolated_quartiles_audit", "percentile vs quantile_cont blend"),
 ]
 
 RUNS = 2  # take the best of N to damp container noise
@@ -244,6 +250,18 @@ def main() -> None:
         "(r11) -> ~29-30 s (three r12 runs; one 63 s container-weather",
         "outlier excluded). BENCH_FULL.json's fixture_builds map records",
         "which query carried which build.",
+        "Round-13 (VERDICT r12 #5 + ADVICE): the build-window partition",
+        "pin now lives in a PRIVATE build session (spark.newSession() —",
+        "same SparkContext/applicationId, own SQLConf), so a concurrent",
+        "non-suite query in a --jobs sweep keeps the session's 32",
+        "partitions (pinned by tests/test_parity_suite.py's mid-build",
+        "probe); a failed family build is memoized per applicationId and",
+        "re-raised cheaply instead of rebuilt once per consumer; and the",
+        "dedup fold's batch-side broadcast + coalesce(1) append are now",
+        "GUARDED by BROADCAST_MAX_BAND_ROWS (500k band rows) — a backfill",
+        "replayed through the streaming fold falls back to the shuffled",
+        "band-key join and a parallel append (path equivalence pinned by",
+        "tests/test_streaming.py).",
         "The data-side work scales out with executors like the batch twins;",
         "no state-store profiling is warranted at this scale. The bucketed",
         "CDC fold is likewise dominated by its three commit cycles (manifest",
@@ -392,6 +410,36 @@ def main() -> None:
         "zero diff after expr-id normalization). The 1.57 s r10 number was",
         "a faster container day; the streaming/windows.py fold refactor",
         "suspected in the r11 verdict is exonerated by (3).",
+        "",
+        "FINITE-VECTOR gate (round 13, VERDICT r12 #6): the similarity /",
+        "clustering families (cosine/LSH/IVF kNN + recall evals, SemDeDup,",
+        "kmeans step, near-dups, cosine histogram, the dim/label/norm",
+        "profiles) EXCLUDE degenerate vectors — any NaN/Inf component, or",
+        "zero norm — at the scan (operators/similarity.finite_vectors),",
+        "mirrored verbatim in every gated oracle (finite_vec_where):",
+        "cosine of a zero vector is 0/0 and one NaN component poisons",
+        "every dot product it touches. On a clean catalog the gate passes",
+        "all rows (hashes unchanged — re-verified); the excluded residue",
+        "is QUANTIFIED, not silent, by embedding_degenerate_audit. The",
+        "gate is row-local (one O(dim) fold inside the scan stage, no",
+        "shuffle). Subnormally tiny vectors pass on purpose — and the",
+        "hostile-embedding sweep (tools/build_hostile_embedding_fixture,",
+        "24 queries green) caught a REAL kernel bug there: the Arrow",
+        "kernels' 1e-12 norm clamp crushed tiny-but-valid vectors to",
+        "~zero similarity where the double-math oracle did not; the",
+        "clamp floor is now the smallest normal float64",
+        "(similarity._NORM_FLOOR), preserving only the 0/0 guard.",
+        "",
+        "Intended-scale note for null_safe_join_audit (ADVICE r12): the",
+        "audit's null class is QUADRATIC BY CONSTRUCTION — ~1% of each",
+        "join half carries a NULL key and <=> matches null-to-null, so",
+        "the null group cross-joins (~56M pairs at sf1, ~5.6B at sf10).",
+        "That is the semantics being pinned, not an accident: the query",
+        "is a CONTRACT AUDIT for <=> vs IS NOT DISTINCT FROM, sized for",
+        "the correctness harness's SFs (<= sf0.1; intended max ~sf1).",
+        "Production null-safe joins coalesce nulls to salted sentinels",
+        "exactly because of this blow-up — the docstring says so and",
+        "this row documents the audit's intended ceiling.",
         "",
         "Round-8 float discipline note: every new statistics query",
         "(correlation, OLS, Gini, Theil-Sen, PSI, autocorrelation, ...)",
