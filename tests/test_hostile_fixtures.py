@@ -128,6 +128,7 @@ EMBEDDING_SWEEP = (
     "knn_l2_topk",
     "knn_bq_topk",
     "knn_jl_topk",
+    "knn_jl_recall_eval",
     "pca_power_projection",
     "stratified_kfold_assignment",
     "stratified_label_sample",
