@@ -66,6 +66,11 @@ TEXT_SWEEP = (
     # the Cyrillic-confusable class falls OUT of '[A-Za-z]+' in both
     # dialects identically
     "regex_token_profile",
+    # round-13 addition: NULL-text documents produce a NULL token
+    # array, the exact row explode_outer must PRESERVE (and the padded
+    # unnest oracle must mirror) — the hostile corpus makes the
+    # empty/NULL classes corpus-sized instead of incidental
+    "explode_outer_empty_audit",
 )
 
 #: Ordered-window and streaming-fold machinery swept over the

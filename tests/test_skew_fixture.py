@@ -53,6 +53,17 @@ SWEEP = (
     "first_last_nonnull_window_audit",
     "cube_margins_audit",
     "null_safe_join_audit",
+    # round-13 additions: the constant-price plateau (o_orderkey%5==2)
+    # parks a fifth of the cents distribution on ONE value, so the
+    # interpolated quartiles' (n-1)·q index lands inside tie runs and
+    # the blend must stay engine-exact; the remapped hot keys feed the
+    # %/pmod bucket census; the remaining three are the IEEE/lateral
+    # contracts, which must be data-shape-independent by design
+    "pmod_negative_keys_audit",
+    "interpolated_quartiles_audit",
+    "explode_outer_empty_audit",
+    "nan_total_order_audit",
+    "embedding_degenerate_audit",
 )
 
 
