@@ -424,7 +424,7 @@ def main() -> None:
         "gate is row-local (one O(dim) fold inside the scan stage, no",
         "shuffle). Subnormally tiny vectors pass on purpose — and the",
         "hostile-embedding sweep (tools/build_hostile_embedding_fixture,",
-        "24 queries green) caught a REAL kernel bug there: the Arrow",
+        "25 queries green) caught a REAL kernel bug there: the Arrow",
         "kernels' 1e-12 norm clamp crushed tiny-but-valid vectors to",
         "~zero similarity where the double-math oracle did not; the",
         "clamp floor is now the smallest normal float64",
