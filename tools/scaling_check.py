@@ -295,6 +295,15 @@ def main() -> None:
         "reference_at_large_nlist and ivf_twolevel_agreement stayed",
         "hash-green.",
         "",
+        "Round-13 mover audit: only two shared-query lines moved >1.8x vs",
+        "the r12 driver run. streaming_ingest_dedup_parity 0.39 -> 10.6 s",
+        "is the window rotation moving the ONE shared-suite build onto the",
+        "new first parity consumer (r12 charged it to watermark_drop at",
+        "8.7 s; fixture_builds itemizes it). doc_repetition_profile",
+        "3.9 -> 8.0 s is cold-codegen noise, not code: three isolated",
+        "re-runs at sf0.1 measure 10.6 (cold) / 4.4 / 3.9 s on an",
+        "unchanged dependency chain — the warm value reproduces r12's.",
+        "",
         "Bench-noise note (VERDICT r5 #8): the r5 `product_performance` +21%",
         "round-over-round wobble does NOT reproduce — two back-to-back r6",
         "bench runs at sf0.1 measured 2.67 s / 2.48 s (r4: 2.42, r5: 2.93)",
