@@ -184,3 +184,49 @@ def test_price_mad_runs_exactly_two_actions(spark, monkeypatch):
     monkeypatch.setattr(DataFrame, "count", spy_count)
     price_mad_robust_scale(spark, SF)
     assert calls == {"collect": 2, "count": 0}, calls
+
+
+def test_build_session_shares_scratch_roots(spark):
+    """The parity suite's private build session works BECAUSE
+    spark.newSession() shares the SparkContext: same applicationId,
+    so cached-fixture roots and markers resolve identically for the
+    builder and every consumer. Pin that assumption — if it broke,
+    suite consumers would rebuild fixtures the build session already
+    wrote."""
+    from asritha_metamorphetl_spark.session import scratch_dir
+
+    other = spark.newSession()
+    assert other is not spark
+    assert (
+        scratch_dir(spark, "probe", "/x/sf9.7")
+        == scratch_dir(other, "probe", "/x/sf9.7")
+    )
+    # and the conf isolation the suite relies on
+    other.conf.set("spark.sql.shuffle.partitions", "3")
+    assert spark.conf.get("spark.sql.shuffle.partitions") != "3"
+
+
+def test_finite_vectors_drops_null_vector_rows(spark):
+    """A NULL embedding (ingest rot the fixture doesn't stage) must be
+    dropped by the gate on BOTH sides: Spark's exists() over NULL is
+    NULL → filter drops; the oracle's list_transform(NULL) is NULL →
+    WHERE drops. Neither engine may pass it into a kernel."""
+    import duckdb
+
+    from asritha_metamorphetl_spark.operators.similarity import (
+        finite_vec_where,
+        finite_vectors,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None)],
+        "vec_id bigint, embedding array<double>",
+    )
+    assert [r.vec_id for r in finite_vectors(df).collect()] == [1]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v (vec_id BIGINT, embedding DOUBLE[])")
+    con.execute("INSERT INTO v VALUES (1, [1.0, 2.0]), (2, NULL)")
+    kept = con.execute(
+        f"SELECT vec_id FROM v WHERE {finite_vec_where('embedding')}"
+    ).fetchall()
+    assert [r[0] for r in kept] == [1]
