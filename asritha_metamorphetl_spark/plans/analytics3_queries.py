@@ -22,6 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from asritha_metamorphetl_spark.operators.similarity import (
+    finite_vec_where,
+    finite_vectors,
+)
 from asritha_metamorphetl_spark.plans.registry import register
 from asritha_metamorphetl_spark.sources.files import Catalog
 
@@ -1098,12 +1102,17 @@ def brand_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMB_Q = 1000000
 _EMB_DIMS = 64
 
+#: Quantized (vec_id, dim, q) expansion for centroid_distance_bands —
+#: FINITE-VECTOR-gated: ROUND(NaN/Inf)::BIGINT is an ANSI crash, and a
+#: centroid averaged over Inf is meaningless (Spark side mirrors with
+#: operators/similarity.finite_vectors).
 _A3_DIMS_SQL = f"""
     SELECT vec_id, label, u.i AS dim,
            CAST(ROUND(CAST(embedding[u.i] AS DOUBLE) * {_EMB_Q}) AS BIGINT)
                AS q
     FROM embeddings
     CROSS JOIN (SELECT unnest(generate_series(1, {_EMB_DIMS})) AS i) u
+    WHERE {finite_vec_where("embedding")}
 """
 
 
@@ -1195,8 +1204,8 @@ def centroid_distance_bands(
     double is the final sqrt/n/grid band expression, rounded to 6 dp
     before banding in both engines. Per-label per-dim sums are a
     labels×dims-bounded table broadcast back onto one posexplode
-    scan."""
-    emb = Catalog(sf_dir).load(spark, "embeddings")
+    scan. FINITE-VECTOR-gated (see _A3_DIMS_SQL; oracle mirrors)."""
+    emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     dims = emb.select(
         "vec_id",
         "label",

@@ -20,6 +20,8 @@ from pyspark.sql import functions as F
 
 from asritha_metamorphetl_spark.operators.similarity import (
     brute_force_l2_topk,
+    finite_vec_where,
+    finite_vectors,
     pq_adc_topk,
 )
 from asritha_metamorphetl_spark.plans.registry import register
@@ -51,6 +53,18 @@ def pq_shortlist(n_vectors: int) -> int:
     return max(PQ_SHORTLIST_MIN, math.ceil(PQ_SHORTLIST_FRAC * n_vectors))
 
 
+#: FINITE-VECTOR gate for the quantizing ANN families (the r12-#6
+#: discipline extended to every query whose codebook / centering /
+#: integer-quantization math a NaN, Inf, or zero vector would poison —
+#: under ANSI a NaN reaching a BIGINT cast is a crash, and a recall
+#: floor measured over degenerate vectors is meaningless). Mirrored
+#: verbatim in each gated oracle; pass-through on a clean catalog.
+#: knn_l2_topk / knn_bq_topk / knn_jl_* stay UNGATED on purpose: their
+#: ungated hostile behavior is already cross-engine identical
+#: (tests/test_hostile_fixtures.py EMBEDDING_SWEEP pins both lists).
+_VEC_GATE = f"\n    WHERE {finite_vec_where('embedding')}"
+
+
 _PQ_SHORTLIST_SQL = (
     f"(SELECT GREATEST({PQ_SHORTLIST_MIN}, "
     f"CAST(CEIL({PQ_SHORTLIST_FRAC} * COUNT(*)) AS BIGINT)) FROM vecs)"
@@ -73,7 +87,8 @@ def _sub_d2(vec_expr: str, book_alias: str, sub_expr: str) -> str:
 def _pq_books_ctes(refine_iters: int) -> tuple[str, str]:
     """CTE chain training the codebooks; returns (sql, final_books_name)."""
     parts = [
-        "vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+        f"{_VEC_GATE})",
         f"subs AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS sub)",
         f"""seeds AS (
     SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS code, v
@@ -166,8 +181,13 @@ SELECT query_id, neighbor_id, dist, rnk FROM (
 """
 
 
-_KNN_EXACT_L2_SQL = f"""
-WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+def _knn_exact_l2_sql(vec_where: str = "") -> str:
+    """Exact squared-L2 top-k; ``vec_where`` optionally injects the
+    FINITE-VECTOR gate (recall-eval truths use the gated form so the
+    floor is measured over queryable content only; knn_l2_topk itself
+    stays ungated — its hostile behavior is cross-engine identical)."""
+    return f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings{vec_where}),
 qs AS (SELECT vec_id AS query_id, v AS qv FROM vecs
        WHERE vec_id < {KNN_QUERIES}),
 scored AS (
@@ -183,6 +203,10 @@ SELECT query_id, neighbor_id, dist, rnk FROM (
     FROM scored
 ) WHERE rnk <= {KNN_K}
 """
+
+
+_KNN_EXACT_L2_SQL = _knn_exact_l2_sql()
+_KNN_EXACT_L2_GATED_SQL = _knn_exact_l2_sql(_VEC_GATE)
 
 
 @register("knn_l2_topk", oracle=_KNN_EXACT_L2_SQL)
@@ -201,8 +225,10 @@ def knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (O(m·ncodes·subdim) driver state), encode is one Arrow matmul-free
     batch op in the scan stage against broadcast codebooks, ADC scoring
     is m JVM array lookups per candidate — the full-precision vectors
-    are only touched again for the shortlist re-rank."""
-    emb = Catalog(sf_dir).load(spark, "embeddings")
+    are only touched again for the shortlist re-rank. Inputs pass the
+    FINITE-VECTOR gate (a NaN/Inf component would poison codebook
+    means; the oracle mirrors the gate in its vecs CTE)."""
+    emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
     return pq_adc_topk(
         emb,
@@ -221,7 +247,7 @@ def knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "knn_pq_recall_eval",
     oracle=f"""
 WITH approx AS ({_pq_topk_oracle()}),
-truth AS ({_KNN_EXACT_L2_SQL}),
+truth AS ({_KNN_EXACT_L2_GATED_SQL}),
 hits AS (
     SELECT t.query_id, t.neighbor_id
     FROM truth t JOIN approx a
@@ -244,8 +270,9 @@ def knn_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines executed once, met in one full-outer join. The oracle
     emits TRUE for recall_ok unconditionally, so a Spark-side recall
     drop below the floor goes red in CORRECTNESS instead of matching an
-    equally degraded oracle."""
-    emb = Catalog(sf_dir).load(spark, "embeddings")
+    equally degraded oracle. Both pipelines read FINITE-VECTOR-gated
+    input — a recall floor over degenerate vectors measures nothing."""
+    emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
     truth = (
         brute_force_l2_topk(emb, queries, "vec_id", "embedding", k=KNN_K)
@@ -299,7 +326,7 @@ def knn_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hard_negative_mining",
     oracle=f"""
 WITH vecs AS (
-    SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+    SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings{_VEC_GATE}
 ),
 qs AS (SELECT vec_id AS query_id, v AS qv, label AS q_label FROM vecs
        WHERE vec_id < {KNN_QUERIES}),
@@ -322,10 +349,12 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-training data prep: each query vector's top-k most
     similar DIFFERENT-label corpus vectors (the near-misses that define
     a metric-learning margin; operators/similarity.py:hard_negatives).
-    The label inequality filters before any dot product is paid."""
+    The label inequality filters before any dot product is paid.
+    FINITE-VECTOR-gated: a NaN near-miss is noise, not a hard negative,
+    and cosine of a zero vector is 0/0 (oracle mirrors the gate)."""
     from asritha_metamorphetl_spark.operators.similarity import hard_negatives
 
-    emb = Catalog(sf_dir).load(spark, "embeddings")
+    emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
     return hard_negatives(
         emb, queries, "vec_id", "embedding", "label", k=KNN_K
@@ -356,7 +385,9 @@ def pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the registered PQ configuration. A skewed histogram means
     dead codewords (wasted code space, coarser quantization where the
     mass is) — the health check you run before trusting ADC recall at
-    scale. Map-side encode + one bounded m·ncodes-row aggregate."""
+    scale. Map-side encode + one bounded m·ncodes-row aggregate.
+    FINITE-VECTOR-gated like every quantizing consumer: a NaN component
+    would make the subspace argmin undefined (oracle mirrors)."""
     from asritha_metamorphetl_spark.operators.similarity import (
         _pq_assign_udf,
         _to_double,
@@ -364,7 +395,7 @@ def pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_train_codebooks,
     )
 
-    emb = Catalog(sf_dir).load(spark, "embeddings")
+    emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     B = pq_train_codebooks(
         emb, "embedding", "vec_id", m=PQ_M, ncodes=PQ_NCODES,
         refine_iters=PQ_REFINE,
@@ -552,10 +583,12 @@ def knn_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered halves (operators/similarity.py: ivf_topk's centroid
     machinery + pq_adc_topk's codebooks); the oracle replays the ENTIRE
     chain — seeding, one cosine Lloyd iteration, routing, PQ training,
-    encode, inner-product/norm LUTs, shortlist, re-rank — in SQL."""
+    encode, inner-product/norm LUTs, shortlist, re-rank — in SQL.
+    FINITE-VECTOR-gated (both the IVF routing cosine and the PQ
+    codebook means are NaN-poisonable; oracle mirrors the gate)."""
     from asritha_metamorphetl_spark.operators.similarity import ivfpq_topk
 
-    emb = Catalog(sf_dir).load(spark, "embeddings")
+    emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
     return ivfpq_topk(
         emb,
@@ -573,9 +606,9 @@ def knn_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_exact_cos_sql(n_queries: int) -> str:
+def _knn_exact_cos_sql(n_queries: int, vec_where: str = "") -> str:
     return f"""
-WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings{vec_where}),
 qs AS (SELECT vec_id AS query_id, v AS qv FROM vecs
        WHERE vec_id < {n_queries}),
 scored AS (
@@ -594,31 +627,16 @@ SELECT query_id, neighbor_id, score, rnk FROM (
 """
 
 
-_KNN_EXACT_COS_SQL = f"""
-WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-qs AS (SELECT vec_id AS query_id, v AS qv FROM vecs
-       WHERE vec_id < {KNN_QUERIES}),
-scored AS (
-    SELECT q.query_id, c.vec_id AS neighbor_id,
-           ROUND(list_dot_product(q.qv, c.v)
-                 / (sqrt(list_dot_product(q.qv, q.qv))
-                    * sqrt(list_dot_product(c.v, c.v))), 4) AS score
-    FROM vecs c CROSS JOIN qs q
-    WHERE c.vec_id != q.query_id
-)
-SELECT query_id, neighbor_id, score, rnk FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-        ORDER BY score DESC, neighbor_id ASC) AS rnk
-    FROM scored
-) WHERE rnk <= {KNN_K}
-"""
+#: Gated exact-cosine truth for the IVF-PQ recall evals (the floor is
+#: measured over queryable content; cosine of a zero vector is 0/0).
+_KNN_EXACT_COS_GATED_SQL = _knn_exact_cos_sql(KNN_QUERIES, _VEC_GATE)
 
 
 @register(
     "knn_ivfpq_recall_eval",
     oracle=f"""
 WITH approx AS ({_ivfpq_topk_oracle()}),
-truth AS ({_KNN_EXACT_COS_SQL}),
+truth AS ({_KNN_EXACT_COS_GATED_SQL}),
 hits AS (
     SELECT t.query_id, t.neighbor_id
     FROM truth t JOIN approx a
@@ -641,13 +659,14 @@ def knn_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle emits TRUE unconditionally, so a composed-recall drop below
     the 0.8 floor goes red in CORRECTNESS instead of matching an
     equally degraded oracle. Measured: 0.94/0.90/0.98 at
-    sf0.001/0.01/0.1 (shortlist scales with the candidate count)."""
+    sf0.001/0.01/0.1 (shortlist scales with the candidate count).
+    Both pipelines read FINITE-VECTOR-gated input (oracle mirrors)."""
     from asritha_metamorphetl_spark.operators.similarity import (
         brute_force_topk,
         ivfpq_topk,
     )
 
-    emb = Catalog(sf_dir).load(spark, "embeddings")
+    emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
     truth = (
         brute_force_topk(emb, queries, "vec_id", "embedding", k=KNN_K)
@@ -796,7 +815,7 @@ RRF_KK = 60
     "hybrid_search_rrf",
     oracle=f"""
 WITH bm AS ({_BM25_ORACLE}),
-dn AS ({_knn_exact_cos_sql(HYBRID_N_QUERIES)}),
+dn AS ({_knn_exact_cos_sql(HYBRID_N_QUERIES, _VEC_GATE)}),
 fused AS (
     SELECT COALESCE(b.query_id, d.query_id) AS query_id,
            COALESCE(b.doc_id, d.doc_id) AS doc_id,
@@ -824,7 +843,10 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     hybrid. Both input lists are the REGISTERED, individually-verified
     rankers (bm25_search, knn_cosine_topk's operator); the fusion
     itself moves only O(queries·k·2) rows. The oracle composes the two
-    verified SQL fragments under the same formula."""
+    verified SQL fragments under the same formula. The dense side is
+    FINITE-VECTOR-gated (cosine of a zero vector is 0/0; a NaN dense
+    rank would poison the fused ordering) — the BM25 side reads the
+    full corpus untouched."""
     from asritha_metamorphetl_spark.operators.retrieval import (
         bm25_topk,
         rrf_fuse,
@@ -834,7 +856,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = Catalog(sf_dir).load(spark, "documents")
-    emb = Catalog(sf_dir).load(spark, "embeddings")
+    emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     bm = bm25_topk(
         docs,
         "text",
@@ -914,7 +936,7 @@ def _ivfpq_residual_oracle() -> str:
     cent_sql, cent = _ivf_cent_ctes(IVFPQ_NLIST, IVFPQ_IVF_REFINE)
     rbooks_sql, rbooks = _pq_books_ctes_src("rvecs", PQ_REFINE, "r")
     return f"""
-WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings{_VEC_GATE}),
 {cent_sql},
 fsims AS (
     SELECT e.vec_id, c.cell,
@@ -1023,12 +1045,14 @@ def knn_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw-vector PQ — measured at shortlist=50/sf0.1: 0.70 vs 0.60. The
     oracle replays centroid training, routing, RESIDUAL computation,
     residual codebook training, encode, the three lookup tables, and
-    both rankings in SQL."""
+    both rankings in SQL. FINITE-VECTOR-gated: Inf − centroid is an
+    Inf residual and Inf − Inf inside the decomposition is a NaN
+    factory (oracle mirrors the gate)."""
     from asritha_metamorphetl_spark.operators.similarity import (
         ivfpq_residual_topk,
     )
 
-    emb = Catalog(sf_dir).load(spark, "embeddings")
+    emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
     return ivfpq_residual_topk(
         emb,
@@ -1050,7 +1074,7 @@ def knn_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "knn_ivfpq_residual_recall_eval",
     oracle=f"""
 WITH approx AS ({_ivfpq_residual_oracle()}),
-truth AS ({_KNN_EXACT_COS_SQL}),
+truth AS ({_KNN_EXACT_COS_GATED_SQL}),
 hits AS (
     SELECT t.query_id, t.neighbor_id
     FROM truth t JOIN approx a
@@ -1072,13 +1096,14 @@ def knn_ivfpq_residual_recall_eval(
 ) -> DataFrame:
     """Residual IVF-PQ recall against the exact cosine top-k, same
     one-pass shape and hard 0.8 floor as the other ANN recall evals
-    (oracle emits TRUE unconditionally — a Spark-side drop goes red)."""
+    (oracle emits TRUE unconditionally — a Spark-side drop goes red).
+    Both pipelines read FINITE-VECTOR-gated input (oracle mirrors)."""
     from asritha_metamorphetl_spark.operators.similarity import (
         brute_force_topk,
         ivfpq_residual_topk,
     )
 
-    emb = Catalog(sf_dir).load(spark, "embeddings")
+    emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
     truth = (
         brute_force_topk(emb, queries, "vec_id", "embedding", k=KNN_K)
@@ -1140,7 +1165,7 @@ BQ_DECIMALS = 6
 _BQ_WORDS = (EMB_DIM + 31) // 32
 
 
-def _bq_topk_oracle() -> str:
+def _bq_topk_oracle(vec_where: str = "") -> str:
     word_cols = ",\n           ".join(
         f"CAST(SUM(CASE WHEN b AND i > {32 * w} AND i <= {32 * (w + 1)}"
         f" THEN (CAST(1 AS BIGINT) << CAST(i - {32 * w + 1} AS INT))"
@@ -1151,7 +1176,7 @@ def _bq_topk_oracle() -> str:
         f"bit_count(xor(q.w{w}, c.w{w}))" for w in range(_BQ_WORDS)
     )
     return f"""
-WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings{vec_where}),
 dims AS (
     SELECT vec_id, i, v[i] AS x
     FROM vecs, UNNEST(range(1, {EMB_DIM + 1})) AS t(i)
@@ -1223,8 +1248,8 @@ def knn_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "knn_bq_recall_eval",
     oracle=f"""
-WITH approx AS ({_bq_topk_oracle()}),
-truth AS ({_KNN_EXACT_L2_SQL}),
+WITH approx AS ({_bq_topk_oracle(_VEC_GATE)}),
+truth AS ({_KNN_EXACT_L2_GATED_SQL}),
 hits AS (
     SELECT t.query_id, t.neighbor_id
     FROM truth t JOIN approx a
@@ -1245,12 +1270,17 @@ def knn_bq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BQ quality telemetry against exact L2, same contract as the
     LSH/IVF/PQ recall evals: the oracle hard-codes recall_ok TRUE, the
     engine computes recall >= 0.8 — a recall regression goes red in
-    CORRECTNESS instead of silently degrading."""
+    CORRECTNESS instead of silently degrading. Both pipelines read
+    FINITE-VECTOR-gated input: NaN rows score NaN Hamming words and
+    drag the measured floor below 0.8 on hostile corpora while
+    knn_bq_topk itself stays (deliberately) ungated — both engines
+    agree on the ungated ranking, but a floor over degenerate vectors
+    is meaningless (oracle mirrors the gate on both sides)."""
     from asritha_metamorphetl_spark.operators.similarity import (
         bq_hamming_topk,
     )
 
-    emb = Catalog(sf_dir).load(spark, "embeddings")
+    emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
     truth = (
         brute_force_l2_topk(emb, queries, "vec_id", "embedding", k=KNN_K)

@@ -43,6 +43,10 @@ from asritha_metamorphetl_spark.operators.linalg import (
     gram_moments,
     project_embeddings,
 )
+from asritha_metamorphetl_spark.operators.similarity import (
+    finite_vec_where,
+    finite_vectors,
+)
 from asritha_metamorphetl_spark.plans.registry import register
 from asritha_metamorphetl_spark.plans.text_queries import EMB_DIM
 from asritha_metamorphetl_spark.sources.files import Catalog
@@ -67,16 +71,24 @@ PCA_TOPN = 20
 # Shared SQL fragment: one row per (vec_id, 1-based dim index, value),
 # vectors cast to double first. Two unnests in one SELECT expand in
 # lockstep (zip semantics) — the same idiom as the kmeans oracle.
-_FLAT_SQL = """
+# ``vec_where`` optionally injects the FINITE-VECTOR gate (the
+# covariance query uses it — one NaN row turns its whole row/column of
+# the matrix to NaN; pca_power_projection stays ungated on purpose,
+# its pivot/direction decisions are hostile-stable cross-engine per
+# the EMBEDDING_SWEEP).
+def _flat_sql(vec_where: str = "") -> str:
+    return f"""
     SELECT vec_id,
            unnest(embedding::DOUBLE[]) AS v,
            unnest(generate_series(1, len(embedding))) AS i
-    FROM embeddings
+    FROM embeddings{vec_where}
 """
 
-_COV_CORE_SQL = f"""
-flat AS ({_FLAT_SQL}),
-cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+
+def _cov_core_sql(vec_where: str = "") -> str:
+    return f"""
+flat AS ({_flat_sql(vec_where)}),
+cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings{vec_where}),
 mean AS (SELECT i, SUM(v) / (SELECT n FROM cnt) AS m FROM flat GROUP BY i),
 cov AS (
     SELECT a.i AS i, b.i AS j,
@@ -91,10 +103,14 @@ cov AS (
 """
 
 
+_COV_CORE_SQL = _cov_core_sql()
+_LA_VEC_GATE = f"\n    WHERE {finite_vec_where('embedding')}"
+
+
 @register(
     "embedding_covariance_matrix",
     oracle=f"""
-WITH {_COV_CORE_SQL}
+WITH {_cov_core_sql(_LA_VEC_GATE)}
 SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j, c AS cov
 FROM cov
 """,
@@ -105,8 +121,11 @@ def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas partial-Gram pass over the corpus (O(partitions·d²)
     emitted rows, d×d float64 state per task), one hash agg, then joins
     over the bounded d²-row moment frame only. The corpus is scanned
-    exactly once; nothing row-proportional ever shuffles."""
-    emb = Catalog(sf_dir).load(spark, "embeddings")
+    exactly once; nothing row-proportional ever shuffles.
+    FINITE-VECTOR-gated: a single NaN/Inf vector turns its entire
+    row AND column of the matrix to NaN — d² poisoned cells from one
+    bad ingest row (oracle mirrors the gate)."""
+    emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     return covariance_matrix(emb, "embedding", EMB_DIM, decimals=LA_DECIMALS)
 
 

@@ -523,9 +523,19 @@ def curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified SQL fragments under one WITH RECURSIVE.
 
     Scale: the union of the stages' own shapes — nothing new joins at
-    row-pair granularity; the four verdict joins are id-keyed."""
+    row-pair granularity; the four verdict joins are id-keyed.
+
+    The semantic stage reads FINITE-VECTOR-gated embeddings — the
+    oracle's ``_semdedup_asg_sql`` fragment has carried the gate since
+    the standalone ``semdedup_survivors`` gained it, and a document
+    whose vector is degenerate simply passes the semantic stage (LEFT
+    join → sem_kept TRUE), exactly like a document with no embedding
+    at all."""
     from asritha_metamorphetl_spark.functions.text import fingerprint
-    from asritha_metamorphetl_spark.operators.similarity import semdedup
+    from asritha_metamorphetl_spark.operators.similarity import (
+        finite_vectors,
+        semdedup,
+    )
     from asritha_metamorphetl_spark.plans.pipeline_queries import (
         near_dup_survivors,
     )
@@ -535,7 +545,7 @@ def curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = Catalog(sf_dir).load(spark, "documents")
-    emb = Catalog(sf_dir).load(spark, "embeddings")
+    emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
 
     w = Window.partitionBy("fp")
     exact = docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).select(

@@ -12,6 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from asritha_metamorphetl_spark.operators.similarity import (
+    finite_vec_where,
+    finite_vectors,
+)
 from asritha_metamorphetl_spark.plans.registry import register
 from asritha_metamorphetl_spark.sources.files import Catalog
 
@@ -204,6 +208,7 @@ WITH vals AS (
                AS q
     FROM embeddings
     CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) u
+    WHERE {finite_vec_where("embedding")}
 )
 SELECT dim, COUNT(*) AS n,
        MIN(q) AS min_q, MAX(q) AS max_q,
@@ -221,8 +226,10 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     so every aggregate is an exact integer regardless of partition
     order — the same discipline the covariance operator uses. One
     posexplode scan, O(dims) output; at 100 TB this shape map-side
-    combines to dims×partials."""
-    emb = Catalog(sf_dir).load(spark, "embeddings")
+    combines to dims×partials. FINITE-VECTOR-gated: ROUND(NaN/Inf)
+    cast to BIGINT is an ANSI crash, and a drift monitor averaged over
+    Inf is noise (oracle mirrors the gate)."""
+    emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     vals = emb.select(
         F.posexplode("embedding").alias("pos", "v")
     ).select(

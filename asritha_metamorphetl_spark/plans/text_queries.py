@@ -659,13 +659,14 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_label_stats",
-    oracle="""
+    oracle=f"""
 WITH norms AS (
     SELECT label,
            CAST(ROUND(sqrt(list_dot_product(embedding::DOUBLE[],
                                             embedding::DOUBLE[])), 4)
                 AS DECIMAL(18,4)) AS norm
     FROM embeddings
+    WHERE {finite_vec_where("embedding")}
 )
 SELECT label,
        COUNT(*) AS n_vectors,
@@ -678,10 +679,12 @@ GROUP BY label
 )
 def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector-norm stats: norms rounded then decimal-quantized
-    before SUM so the aggregate is partition-order-independent."""
+    before SUM so the aggregate is partition-order-independent.
+    FINITE-VECTOR-gated: one NaN norm poisons its label's total and a
+    decimal cast of NaN is an ANSI crash (oracle mirrors the gate)."""
     from asritha_metamorphetl_spark.operators.similarity import _to_double, l2_norm
 
-    emb = Catalog(sf_dir).load(spark, "embeddings")
+    emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     norms = emb.select(
         "label",
         F.round(l2_norm(_to_double(F.col("embedding"))), 4)
@@ -1692,9 +1695,10 @@ def kmeans_step_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_int8_profile",
-    oracle="""
+    oracle=f"""
 WITH base AS (
     SELECT vec_id, embedding::DOUBLE[] AS ev, label FROM embeddings
+    WHERE {finite_vec_where("embedding")}
 ),
 scaled AS (
     SELECT vec_id, label, ev,
@@ -1730,10 +1734,13 @@ def embedding_int8_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     a position-weighted checksum proving the quantized stream
     byte-identical across engines. Quantization uses floor (engine-exact
     on identical IEEE doubles) — never round, whose half-way ties differ
-    between engines. Row-local until one bounded per-vector aggregate."""
+    between engines. Row-local until one bounded per-vector aggregate.
+    FINITE-VECTOR-gated: FLOOR(NaN/Inf) cast to BIGINT is an ANSI
+    CAST_OVERFLOW crash — degenerate vectors never reach the quantizer
+    (oracle mirrors the gate)."""
     from asritha_metamorphetl_spark.operators.similarity import _to_double
 
-    emb = Catalog(sf_dir).load(spark, "embeddings")
+    emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     ev = _to_double(F.col("embedding"))
     mx = F.array_max(F.transform(ev, F.abs))
     staged = emb.select("vec_id", "label", ev.alias("ev"), mx.alias("mx"))
@@ -1911,9 +1918,10 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "label_centering_profile",
-    oracle="""
+    oracle=f"""
 WITH base AS (
     SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings
+    WHERE {finite_vec_where("embedding")}
 ),
 expl AS (
     SELECT vec_id, label, unnest(ev) AS v,
@@ -1947,11 +1955,16 @@ def label_centering_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean and DuckDB's sequential AVG differ in the last ulps, and a
     float SUM over 1e5 such terms can land on opposite sides of a
     decimal-rounding boundary. Integer sums of quantized deviations are
-    order-independent and compare exactly."""
+    order-independent and compare exactly.
+
+    FINITE-VECTOR-gated: one NaN/Inf component shifts its label's
+    per-dimension mean to NaN and every deviation with it, and
+    FLOOR(NaN) into int64 is nonsense — centering is only defined over
+    finite vectors (oracle mirrors the gate)."""
     import numpy as np
     import pandas as pd
 
-    emb = Catalog(sf_dir).load(spark, "embeddings")
+    emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
 
     def center(pdf: pd.DataFrame) -> pd.DataFrame:
         mat = np.array(pdf["ev"].tolist(), dtype=np.float64)
