@@ -46,13 +46,30 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # similarity/clustering queries that gained the FINITE-VECTOR gate
     # (operators/similarity.finite_vectors mirrored in their oracles;
     # VERDICT r12 directive #6) - changed code must re-enter the
-    # window. Slots 22-32: the eleven _parity_suite consumers whose
-    # orchestration changed (private build session + failure memo +
-    # guarded dedup-fold broadcast; VERDICT r12 directive #5). Slots
-    # 33-50: the eighteen STALEST driver rows (all last checked round
-    # 5) computed from the committed CORRECTNESS_r*.json history
-    # (VERDICT r12 directive #2; the remaining 16 r5-stale rows lead
-    # the r14 rotation). Everything below keeps priority order.
+    # window. Slots 22-27: six representatives of the eleven
+    # _parity_suite consumers whose shared orchestration changed
+    # (private build session + failure memo + guarded dedup-fold
+    # broadcast; VERDICT r12 directive #5) - the six cover each
+    # changed mechanism (the dedup fold's broadcast guard, the
+    # build-heavy wmdrop family, MoR interplay, the late-batch fold,
+    # sketch state, bucketed CDC); the five displaced siblings' query
+    # bodies and oracles are UNCHANGED since their green r12 driver
+    # rows and every one stays in the committed full-registry
+    # selfchecks at both SFs. Slots 28-44: the SEVENTEEN additional
+    # embedding consumers that gained the FINITE-VECTOR gate this
+    # round (PQ/IVF-PQ/residual/BQ-recall/hard-negative/histogram,
+    # the int8/dim/centering/covariance/label-stats profiles,
+    # centroid bands, hybrid RRF's dense side, curation_verdict's
+    # semantic stage - the hostile-embedding fixture showed each
+    # crashing or floor-breaking ungated) - changed code must
+    # re-enter the window, and three of them (embedding_int8_profile,
+    # embedding_label_stats, label_centering_profile) are themselves
+    # r5-stale rows, so the slots do double duty. Slots 45-50: six of
+    # the STALEST driver rows (last checked round 5). The slot budget
+    # is explicit: 44 changed-code slots left six for stale rotation
+    # this round; every r5-stale row NOT in the window has a green
+    # driver-faithful recheck committed in STALE_RECHECK_r13.json and
+    # leads the r14 rotation.
     # =====================================================================
     "embedding_degenerate_audit",
     "nan_total_order_audit",
@@ -76,28 +93,47 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "embedding_dim_clip_profile",
     "embedding_label_centroid_spread",
     "streaming_ingest_dedup_parity",
-    "streaming_countmin_parity",
-    "streaming_weighted_sample_parity",
-    "streaming_gram_parity",
-    "streaming_hll_parity",
-    "streaming_mor_delete_parity",
-    "streaming_semi_additive_parity",
-    "streaming_retry_fold_parity",
-    "streaming_bucketed_cdc_parity",
-    "streaming_late_batch_fold_parity",
     "streaming_watermark_drop_parity",
+    "streaming_mor_delete_parity",
+    "streaming_late_batch_fold_parity",
+    "streaming_hll_parity",
+    "streaming_bucketed_cdc_parity",
+    "knn_pq_topk",
+    "knn_pq_recall_eval",
+    "knn_ivfpq_topk",
+    "knn_ivfpq_recall_eval",
+    "knn_ivfpq_residual_topk",
+    "knn_ivfpq_residual_recall_eval",
+    "knn_bq_recall_eval",
+    "hard_negative_mining",
+    "pq_code_histogram",
+    "hybrid_search_rrf",
+    "embedding_covariance_matrix",
+    "embedding_label_stats",
+    "embedding_int8_profile",
+    "embedding_dim_profile",
+    "label_centering_profile",
+    "centroid_distance_bands",
+    "curation_verdict",
     "approx_distinct_audit",
     "bigram_lm_scores",
     "cdc_orders_snapshot",
     "cdc_resumable_state",
     "corpus_splits",
     "cross_split_contamination",
+    # ---- below the driver window (slot 51+) -------------------------
+    # The five parity consumers displaced by the slot budget (bodies +
+    # oracles unchanged since their r12 driver rows) and the r5-stale
+    # rows displaced by the seventeen new gated queries (all covered
+    # by STALE_RECHECK_r13.json; they lead the r14 rotation).
+    "streaming_countmin_parity",
+    "streaming_weighted_sample_parity",
+    "streaming_gram_parity",
+    "streaming_semi_additive_parity",
+    "streaming_retry_fold_parity",
     "customer_order_gaps",
     "dup_clusters",
-    "embedding_int8_profile",
-    "embedding_label_stats",
     "incremental_revenue_state",
-    "label_centering_profile",
     "legacy_day_slice",
     "minhash_recall_eval",
     "pii_scrub_profile",
@@ -216,7 +252,6 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "returns_month_seasonality",
     "brand_price_dispersion",
     "embedding_sign_bias_profile",
-    "centroid_distance_bands",
     "daily_revenue_drawdown",
     "priority_mix_quarter_psi",
     "hourly_error_rate_wilson",
@@ -315,7 +350,6 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "equidepth_chars_histogram",
     "cube_returnflag_status",
     "loo_source_influence",
-    "embedding_dim_profile",
     "event_transition_matrix",
     "stratified_kfold_assignment",
     "mor_shuffled_delete_scan",
@@ -342,10 +376,8 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "mor_delete_scan",
     "mor_compaction_profile",
     "knn_bq_topk",
-    "knn_bq_recall_eval",
     "hll_set_algebra_audit",
     "order_volume_anomalies",
-    "embedding_covariance_matrix",
     "pca_power_projection",
     "part_copurchase_pagerank",
     "copurchase_triangle_rank",
@@ -369,17 +401,9 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "orders_table_profile",
     "merged_event_intervals",
     "quality_score_percentiles",
-    "knn_ivfpq_topk",
-    "knn_ivfpq_recall_eval",
-    "knn_ivfpq_residual_topk",
-    "knn_ivfpq_residual_recall_eval",
-    "hybrid_search_rrf",
     "bm25_search",
-    "knn_pq_topk",
-    "knn_pq_recall_eval",
     "unimax_source_allocation",
     "token_budget_mix",
-    "curation_verdict",
     "snapshot_time_travel",
     "zorder_layout_profile",
     "zorder3_layout_profile",
@@ -388,8 +412,6 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "winnow_fingerprint_profile",
     "winnow_candidate_pairs",
     "knn_l2_topk",
-    "pq_code_histogram",
-    "hard_negative_mining",
     "dup_passage_spans",
     "dup_span_removal_stats",
     "incremental_dedup_pairs",
