@@ -129,6 +129,27 @@ EMBEDDING_SWEEP = (
     "cosine_pair_histogram",
     "embedding_dim_clip_profile",
     "embedding_label_centroid_spread",
+    # gated after this sweep first caught them crashing (NaN -> BIGINT
+    # under ANSI) or floor-breaking ungated: the quantizing ANN
+    # families, the profile/centering/covariance family, hybrid RRF's
+    # dense side, and curation_verdict's semantic stage
+    "knn_pq_topk",
+    "knn_pq_recall_eval",
+    "knn_ivfpq_topk",
+    "knn_ivfpq_recall_eval",
+    "knn_ivfpq_residual_topk",
+    "knn_ivfpq_residual_recall_eval",
+    "knn_bq_recall_eval",
+    "hard_negative_mining",
+    "pq_code_histogram",
+    "hybrid_search_rrf",
+    "embedding_covariance_matrix",
+    "embedding_label_stats",
+    "embedding_int8_profile",
+    "embedding_dim_profile",
+    "label_centering_profile",
+    "centroid_distance_bands",
+    "curation_verdict",
     # naturally hostile-safe (no normalization in the scored space)
     "knn_l2_topk",
     "knn_bq_topk",

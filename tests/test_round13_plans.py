@@ -36,6 +36,27 @@ GATED_QUERIES = (
     "cosine_pair_histogram",
     "embedding_dim_clip_profile",
     "embedding_label_centroid_spread",
+    # the seventeen consumers gated after the hostile-embedding sweep
+    # showed them crashing (NaN -> BIGINT under ANSI) or floor-breaking
+    # ungated; curation_verdict's oracle carries the gate through the
+    # shared _semdedup_asg_sql fragment.
+    "knn_pq_topk",
+    "knn_pq_recall_eval",
+    "knn_ivfpq_topk",
+    "knn_ivfpq_recall_eval",
+    "knn_ivfpq_residual_topk",
+    "knn_ivfpq_residual_recall_eval",
+    "knn_bq_recall_eval",
+    "hard_negative_mining",
+    "pq_code_histogram",
+    "hybrid_search_rrf",
+    "embedding_covariance_matrix",
+    "embedding_label_stats",
+    "embedding_int8_profile",
+    "embedding_dim_profile",
+    "label_centering_profile",
+    "centroid_distance_bands",
+    "curation_verdict",
 )
 
 
