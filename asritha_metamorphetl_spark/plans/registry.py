@@ -46,30 +46,32 @@ QUERY_PRIORITY: tuple[str, ...] = (
     # similarity/clustering queries that gained the FINITE-VECTOR gate
     # (operators/similarity.finite_vectors mirrored in their oracles;
     # VERDICT r12 directive #6) - changed code must re-enter the
-    # window. Slots 22-27: six representatives of the eleven
-    # _parity_suite consumers whose shared orchestration changed
-    # (private build session + failure memo + guarded dedup-fold
-    # broadcast; VERDICT r12 directive #5) - the six cover each
-    # changed mechanism (the dedup fold's broadcast guard, the
-    # build-heavy wmdrop family, MoR interplay, the late-batch fold,
-    # sketch state, bucketed CDC); the five displaced siblings' query
-    # bodies and oracles are UNCHANGED since their green r12 driver
-    # rows and every one stays in the committed full-registry
-    # selfchecks at both SFs. Slots 28-44: the SEVENTEEN additional
-    # embedding consumers that gained the FINITE-VECTOR gate this
-    # round (PQ/IVF-PQ/residual/BQ-recall/hard-negative/histogram,
-    # the int8/dim/centering/covariance/label-stats profiles,
-    # centroid bands, hybrid RRF's dense side, curation_verdict's
-    # semantic stage - the hostile-embedding fixture showed each
-    # crashing or floor-breaking ungated) - changed code must
-    # re-enter the window, and three of them (embedding_int8_profile,
+    # window. Slots 22-28: seven _parity_suite consumers - six
+    # representatives of the shared-orchestration change (private
+    # build session + failure memo + guarded dedup-fold broadcast;
+    # VERDICT r12 directive #5), covering each changed mechanism (the
+    # dedup fold's broadcast guard, the build-heavy wmdrop family,
+    # MoR interplay, the late-batch fold, sketch state, bucketed
+    # CDC), plus streaming_gram_parity whose own body/oracle changed
+    # (it gained the FINITE-VECTOR gate with its batch covariance
+    # twin). The four displaced siblings' query bodies and oracles
+    # are UNCHANGED since their green r12 driver rows and every one
+    # stays in the committed full-registry selfchecks at both SFs.
+    # Slots 29-45: the SEVENTEEN additional embedding consumers that
+    # gained the FINITE-VECTOR gate this round
+    # (PQ/IVF-PQ/residual/BQ-recall/hard-negative/histogram, the
+    # int8/dim/centering/covariance/label-stats profiles, centroid
+    # bands, hybrid RRF's dense side, curation_verdict's semantic
+    # stage - the hostile-embedding fixture showed each crashing or
+    # floor-breaking ungated) - changed code must re-enter the
+    # window, and three of them (embedding_int8_profile,
     # embedding_label_stats, label_centering_profile) are themselves
-    # r5-stale rows, so the slots do double duty. Slots 45-50: six of
-    # the STALEST driver rows (last checked round 5). The slot budget
-    # is explicit: 44 changed-code slots left six for stale rotation
-    # this round; every r5-stale row NOT in the window has a green
-    # driver-faithful recheck committed in STALE_RECHECK_r13.json and
-    # leads the r14 rotation.
+    # r5-stale rows, so the slots do double duty. Slots 46-50: five
+    # of the STALEST driver rows (last checked round 5). The slot
+    # budget is explicit: 45 changed-code slots left five for stale
+    # rotation this round; every r5-stale row NOT in the window has a
+    # green driver-faithful recheck committed in
+    # STALE_RECHECK_r13.json and leads the r14 rotation.
     # =====================================================================
     "embedding_degenerate_audit",
     "nan_total_order_audit",
@@ -98,6 +100,7 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "streaming_late_batch_fold_parity",
     "streaming_hll_parity",
     "streaming_bucketed_cdc_parity",
+    "streaming_gram_parity",
     "knn_pq_topk",
     "knn_pq_recall_eval",
     "knn_ivfpq_topk",
@@ -120,17 +123,16 @@ QUERY_PRIORITY: tuple[str, ...] = (
     "cdc_orders_snapshot",
     "cdc_resumable_state",
     "corpus_splits",
-    "cross_split_contamination",
     # ---- below the driver window (slot 51+) -------------------------
-    # The five parity consumers displaced by the slot budget (bodies +
+    # The four parity consumers displaced by the slot budget (bodies +
     # oracles unchanged since their r12 driver rows) and the r5-stale
     # rows displaced by the seventeen new gated queries (all covered
     # by STALE_RECHECK_r13.json; they lead the r14 rotation).
     "streaming_countmin_parity",
     "streaming_weighted_sample_parity",
-    "streaming_gram_parity",
     "streaming_semi_additive_parity",
     "streaming_retry_fold_parity",
+    "cross_split_contamination",
     "customer_order_gaps",
     "dup_clusters",
     "incremental_revenue_state",

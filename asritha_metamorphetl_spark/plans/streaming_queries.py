@@ -868,13 +868,17 @@ def streaming_weighted_sample_parity(
 def _gram_parity_oracle() -> str:
     # the batch twin's oracle verbatim: full-corpus covariance — the
     # parity claim is that the streamed fold lands on the identical
-    # rounded matrix whatever the batch boundaries
+    # rounded matrix whatever the batch boundaries. FINITE-VECTOR-gated
+    # exactly like the batch twin (embedding_covariance_matrix): one
+    # NaN/Inf vector poisons its whole row+column of moments, and the
+    # numpy partial-Gram fold and DuckDB's SUM disagree on NaN cells.
     from asritha_metamorphetl_spark.plans.linalg_queries import (
-        _COV_CORE_SQL,
+        _LA_VEC_GATE,
+        _cov_core_sql,
     )
 
     return f"""
-WITH {_COV_CORE_SQL}
+WITH {_cov_core_sql(_LA_VEC_GATE)}
 SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j, c AS cov
 FROM cov
 """
@@ -897,7 +901,12 @@ def _gram_state_fixture(spark: SparkSession, sf_dir: str) -> str:
     )
 
     def build(root: str) -> None:
-        emb = Catalog(sf_dir).load(spark, "embeddings")
+        from asritha_metamorphetl_spark.operators.similarity import (
+            finite_vectors,
+        )
+
+        # gated like the batch covariance twin (oracle mirrors)
+        emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
         bucket = hash_bucket(F.col("vec_id"), 10)
         base = emb.filter(bucket <= 7)
         delta = emb.filter(bucket >= 8)
@@ -947,7 +956,10 @@ def streaming_gram_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets (ingest dedup), sums (Count-Min), and order statistics
     (weighted sample): dense matrices. The micro-batch run is
     ``_gram_state_fixture`` inside the concurrent parity suite
-    (``_parity_suite``); the fold sequence itself is unchanged."""
+    (``_parity_suite``); the fold sequence itself is unchanged. Inputs
+    are FINITE-VECTOR-gated exactly like the batch covariance twin —
+    moment LINEARITY only holds over finite summands (NaN + x loses
+    the information a mergeable fold must preserve)."""
     import os
 
     from asritha_metamorphetl_spark.operators.linalg import (

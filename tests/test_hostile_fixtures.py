@@ -150,6 +150,7 @@ EMBEDDING_SWEEP = (
     "label_centering_profile",
     "centroid_distance_bands",
     "curation_verdict",
+    "streaming_gram_parity",
     # naturally hostile-safe (no normalization in the scored space)
     "knn_l2_topk",
     "knn_bq_topk",

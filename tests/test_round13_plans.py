@@ -57,6 +57,7 @@ GATED_QUERIES = (
     "label_centering_profile",
     "centroid_distance_bands",
     "curation_verdict",
+    "streaming_gram_parity",
 )
 
 
