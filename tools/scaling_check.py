@@ -439,6 +439,29 @@ def main() -> None:
         "clamp floor is now the smallest normal float64",
         "(similarity._NORM_FLOOR), preserving only the 0/0 guard.",
         "",
+        "FINITE-VECTOR gate, second wave (round 13 continued): running",
+        "the remaining ungated embedding consumers through the hostile",
+        "fixture showed every quantizing / centering / recall query",
+        "either CRASHING under ANSI (NaN/Inf reaching FLOOR/ROUND ->",
+        "BIGINT: the int8/dim/centering profiles, centroid bands, the",
+        "PQ encode) or silently diverging from its oracle (covariance",
+        "rows/columns of NaN; BQ/PQ/IVF-PQ recall floors dragged below",
+        "0.8 by degenerate rows; curation_verdict's Spark sem stage",
+        "reading ungated input against an already-gated oracle; the",
+        "streamed gram fold disagreeing with DuckDB on NaN cells). All",
+        "EIGHTEEN now carry the gate (PQ / IVF-PQ / residual / BQ-recall",
+        "/ JL stays ungated, hard negatives, code histogram, hybrid",
+        "RRF's dense side, int8 / dim / centering / covariance /",
+        "label-stats profiles, centroid bands, curation_verdict,",
+        "streaming_gram_parity), mirrored verbatim in each oracle; the",
+        "sweep is 43 queries green at both SFs. Deliberately ungated",
+        "and byte-identical: knn_l2_topk, knn_bq_topk, knn_jl_*,",
+        "pca_power_projection — their ungated hostile behavior is",
+        "already cross-engine identical, so gating them would discard",
+        "telemetry for no correctness gain. At 100 TB the gate is the",
+        "difference between one bad ingest row killing a stage (ANSI",
+        "cast crash) and a quantified, audited exclusion.",
+        "",
         "Intended-scale note for null_safe_join_audit (ADVICE r12): the",
         "audit's null class is QUADRATIC BY CONSTRUCTION — ~1% of each",
         "join half carries a NULL key and <=> matches null-to-null, so",
