@@ -60,6 +60,22 @@ GATED_QUERIES = (
     "streaming_gram_parity",
 )
 
+#: Queries that must stay UNGATED: their hostile behavior is already
+#: cross-engine identical (EMBEDDING_SWEEP proves it every run), so
+#: gating them would discard telemetry for no correctness gain — and a
+#: gate sneaking into one side only would hash-diverge. This is the
+#: anti-drift pin in the OTHER direction.
+UNGATED_QUERIES = (
+    "knn_l2_topk",
+    "knn_bq_topk",
+    "knn_jl_topk",
+    "knn_jl_recall_eval",
+    "pca_power_projection",
+    "embedding_sign_bias_profile",
+    "stratified_kfold_assignment",
+    "stratified_label_sample",
+)
+
 
 @pytest.fixture()
 def degenerate_vectors(spark):
@@ -144,6 +160,19 @@ def test_every_gated_oracle_embeds_the_gate_verbatim():
         n for n in GATED_QUERIES if gate not in oracles[n]
     ]
     assert not missing, missing
+
+
+def test_deliberately_ungated_oracles_stay_ungated():
+    """The UNGATED list is a decision, not an omission: these oracles
+    must NOT contain the rendered gate (a one-sided gating edit would
+    silently shrink their corpus and hash-diverge on hostile data)."""
+    from asritha_metamorphetl_spark.operators.similarity import finite_vec_where
+    from asritha_metamorphetl_spark.plans.registry import all_oracles
+
+    gate = finite_vec_where("embedding")
+    oracles = all_oracles()
+    leaked = [n for n in UNGATED_QUERIES if gate in oracles[n]]
+    assert not leaked, leaked
 
 
 def test_gate_is_scan_stage_filter_no_extra_exchange(spark):
