@@ -73,12 +73,25 @@ def finite_vec_where(col: str = "embedding") -> str:
     """The DuckDB mirror of ``finite_vectors`` — a WHERE-clause body
     (no leading WHERE). Kept beside the engine gate so the pair cannot
     drift: finite components AND positive squared norm, both computed
-    in double."""
+    in double.
+
+    The norm conjunct is a null-safe element-wise x*x sum rather than
+    ``list_dot_product`` — SQL AND does not short-circuit, and DuckDB's
+    list_dot_product RAISES on a list containing NULL, so the old form
+    crashed every gated oracle on a null-component vector that the
+    engine gate merely drops (found by the gate-triple hypothesis fuzz
+    in tests/test_round13_plans.py). A NULL component makes the
+    isfinite CASE fall to its ELSE 1 branch, so the first conjunct
+    already excludes the row; the x*x transform keeps the second
+    conjunct evaluable (SUM skips NULL terms) instead of fatal. On
+    finite non-null data the two forms are arithmetically identical
+    (terms are nonnegative, so summation order cannot flip > 0)."""
     return (
         f"list_aggregate(list_transform({col}, "
         "x -> CASE WHEN isfinite(CAST(x AS DOUBLE)) THEN 0 ELSE 1 END), "
         "'sum') = 0 "
-        f"AND list_dot_product({col}::DOUBLE[], {col}::DOUBLE[]) > 0"
+        f"AND COALESCE(list_aggregate(list_transform({col}::DOUBLE[], "
+        "x -> x * x), 'sum'), 0) > 0"
     )
 
 

@@ -281,3 +281,109 @@ def test_finite_vectors_drops_null_vector_rows(spark):
         f"SELECT vec_id FROM v WHERE {finite_vec_where('embedding')}"
     ).fetchall()
     assert [r[0] for r in kept] == [1]
+
+
+# ---------------------------------------------------------------------------
+# Property fuzz: the gate triple (Spark / DuckDB / reference) must agree
+# on ARBITRARY vectors, not just the fixture's seven curated classes.
+# ---------------------------------------------------------------------------
+
+_EDGE_FLOATS = (
+    float("nan"),
+    float("inf"),
+    float("-inf"),
+    0.0,
+    -0.0,
+    5e-324,  # smallest subnormal
+    2.2250738585072014e-308,  # smallest normal
+    1e-200,  # squares underflow to 0 exactly
+    1e200,  # squares overflow to inf
+    1.0,
+    -1.0,
+    None,  # null COMPONENT (not a null vector)
+)
+
+
+def _ref_keep(vec) -> bool:
+    """Pure-python reference of the gate: finite components only AND a
+    strictly positive squared norm (sum in double; terms are nonneg so
+    order cannot flip the > 0 decision). A null component fails —
+    Spark's exists() predicate goes NULL and the filter drops, DuckDB's
+    CASE isfinite(NULL) falls to the ELSE 1 branch."""
+    import math
+
+    if any(x is None for x in vec):
+        return False
+    if not all(math.isfinite(x) for x in vec):
+        return False
+    s = 0.0
+    for x in vec:
+        s += x * x
+    return s > 0
+
+
+def _duck_lit(x) -> str:
+    import math
+
+    if x is None:
+        return "NULL"
+    if math.isnan(x):
+        return "'NaN'::DOUBLE"
+    if math.isinf(x):
+        return f"'{'-' if x < 0 else ''}Infinity'::DOUBLE"
+    return repr(x)  # shortest round-trip repr; strtod recovers the bits
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_vec = st.lists(
+    st.one_of(
+        st.sampled_from(_EDGE_FLOATS),
+        st.floats(allow_nan=True, allow_infinity=True, width=64),
+    ),
+    min_size=0,  # the empty vector must be excluded by both engines
+    max_size=6,
+)
+
+
+@given(vecs=st.lists(_vec, min_size=1, max_size=10))
+@settings(
+    max_examples=8,  # each example runs one Spark job — keep it tight
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_gate_triple_agreement_fuzz(spark, vecs):
+    """finite_vectors (engine), finite_vec_where (oracle), and the
+    python reference keep EXACTLY the same vec_ids for arbitrary
+    vectors drawn from the full IEEE-754 edge pool."""
+    import duckdb
+
+    from asritha_metamorphetl_spark.operators.similarity import (
+        finite_vec_where,
+        finite_vectors,
+    )
+
+    rows = [(i, list(v)) for i, v in enumerate(vecs)]
+    want = sorted(i for i, v in rows if _ref_keep(v))
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    spark_kept = sorted(r.vec_id for r in finite_vectors(df).collect())
+    assert spark_kept == want, (spark_kept, want, rows)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v (vec_id BIGINT, embedding DOUBLE[])")
+    values = ", ".join(
+        f"({i}, [{', '.join(_duck_lit(x) for x in v)}])" for i, v in rows
+    )
+    con.execute(f"INSERT INTO v VALUES {values}")
+    duck_kept = sorted(
+        r[0]
+        for r in con.execute(
+            f"SELECT vec_id FROM v WHERE {finite_vec_where('embedding')}"
+        ).fetchall()
+    )
+    assert duck_kept == want, (duck_kept, want, rows)
