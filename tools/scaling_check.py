@@ -462,6 +462,20 @@ def main() -> None:
         "difference between one bad ingest row killing a stage (ANSI",
         "cast crash) and a quantified, audited exclusion.",
         "",
+        "Gate-triple fuzz (round 13, post-sweep): a hypothesis property",
+        "test drives ARBITRARY IEEE-754 vectors (NaN/±Inf/±0/subnormal/",
+        "overflow-square/null-component/empty) through the engine gate,",
+        "the oracle mirror, and a pure-python reference, asserting the",
+        "kept sets identical. It caught a real oracle hazard the seven",
+        "curated fixture classes missed: SQL AND does not short-circuit",
+        "and DuckDB's list_dot_product RAISES on a NULL-containing list,",
+        "so a null-component vector crashed every gated ORACLE where the",
+        "engine gate merely drops the row. The mirror's norm conjunct is",
+        "now a null-safe element-wise x*x sum — identical arithmetic on",
+        "finite data (nonnegative terms, order cannot flip > 0),",
+        "evaluable instead of fatal on nulls. Selfchecks at both SFs and",
+        "the 43-query hostile sweep re-ran green on the fixed mirror.",
+        "",
         "Intended-scale note for null_safe_join_audit (ADVICE r12): the",
         "audit's null class is QUADRATIC BY CONSTRUCTION — ~1% of each",
         "join half carries a NULL key and <=> matches null-to-null, so",
