@@ -1,0 +1,155 @@
+"""Cross-engine pins for the mirrored TEXT primitives.
+
+The FINITE-VECTOR fuzz proved the value of attacking a mirrored
+primitive directly instead of waiting for fixture data to stumble on
+an edge: this module does the same for the text surface. Every oracle
+that tokenizes, measures, or fingerprints text assumes Spark and
+DuckDB agree on `split(' ')` / `length()` / `md5()` over ARBITRARY
+unicode — combining marks, astral-plane letters, NUL bytes,
+zero-width and RTL controls. These tests pin that agreement, and pin
+the ONE divergence the sweep found — `lower()` on U+0130 (LATIN
+CAPITAL LETTER I WITH DOT ABOVE): Spark applies the full Unicode
+mapping (`i` + combining dot U+0307) while DuckDB's utf8proc drops
+the dot. Three registered queries mirror `lower()`:
+
+- `near_dup_survivors`'s normalization strips `[^a-z0-9 ]` AFTER
+  lowercasing, which deletes the combining dot on the Spark side and
+  re-converges the engines (safe by construction);
+- `priority_parse` lowercases `o_orderpriority`, a fixture-controlled
+  ASCII enum (safe by domain);
+- `doc_prefix_dup_groups` groups on `lower(substr(text, 1, N))` of
+  RAW document text — the one latent exposure. The domain-guard test
+  below asserts no fixture corpus carries U+0130, so every committed
+  hash stands; widening the corpus past that guard means folding the
+  divergence first (round-14 note in SCALING.md).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+#: Adversarial strings: NUL bytes, astral plane, combining marks,
+#: Cyrillic, sharp-s, dotted/dotless I, ligatures, Roman numerals,
+#: mathematical alphanumerics, RTL override, zero-width space, BOM,
+#: NBSP (which is NOT the split character), and whitespace shapes.
+NASTY = (
+    None,
+    "",
+    " ",
+    "  ",
+    "\t",
+    "\n",
+    "a b",
+    "a  b",
+    " a b ",
+    "\x00",
+    "a\x00b",
+    "\x00 \x00",
+    "\U0001F600",
+    "x \U0001F600 y",
+    "é",
+    "á b́",
+    "абв",
+    "STRASSE ß",
+    "ı",
+    "ſ",
+    "‮txet",
+    "​",
+    "a​b",
+    "﻿bom",
+    " ",
+    "a b",
+    "ﬁ ligature",
+    "Ⅻ roman",
+    "①",
+    "𝔘𝔫𝔦𝔠𝔬𝔡𝔢",
+    "𝕊𝕡𝕒𝕣𝕜 𝕖𝕟𝕘𝕚𝕟𝕖",
+)
+
+
+def test_tokenize_length_md5_agree_on_nasty_strings(spark):
+    """token_count / char_count / fingerprint must agree cross-engine
+    for every adversarial string (one Spark job, one DuckDB scan)."""
+    import duckdb
+    import pandas as pd
+
+    from asritha_metamorphetl_spark.functions.text import (
+        char_count,
+        fingerprint,
+        token_count,
+    )
+
+    rows = [(i, t) for i, t in enumerate(NASTY)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: (r.tc, r.cc, r.fp)
+        for r in df.select(
+            "id",
+            token_count(F.col("text")).alias("tc"),
+            char_count(F.col("text")).alias("cc"),
+            fingerprint(F.col("text")).alias("fp"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["id", "text"]))
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            "SELECT id,"
+            " len(list_filter(string_split(text,' '), x -> x != '')) AS tc,"
+            " length(text) AS cc,"
+            " md5(text) AS fp"
+            " FROM t"
+        ).fetchall()
+    }
+    bad = {
+        i: (got[i], want[i])
+        for i in got
+        if got[i] != want[i] and NASTY[i] is not None
+    }
+    # NULL text: Spark size(split(NULL)) is -1 vs DuckDB NULL — every
+    # registered consumer filters or COALESCEs nulls first, so only
+    # non-null rows are held to exact agreement here.
+    assert not bad, {i: (NASTY[i], *bad[i]) for i in bad}
+
+
+def test_lower_u0130_divergence_is_real(spark):
+    """Pin the divergence itself so the domain guard below can never
+    silently become vacuous: Spark lower('İ') keeps the combining dot
+    (U+0307), DuckDB's drops it. If an engine upgrade converges them,
+    this fails and the guard (and the round-14 note) can be retired."""
+    import duckdb
+
+    s = (
+        spark.createDataFrame([("İ",)], "text string")
+        .select(F.lower("text").alias("lo"))
+        .collect()[0]
+        .lo
+    )
+    d = duckdb.connect().execute("SELECT lower('İ')").fetchone()[0]
+    assert s == "i̇"
+    assert d == "i"
+    assert s != d
+
+
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_corpora_carry_no_lowercase_divergent_chars(sf_dir):
+    """Domain guard for doc_prefix_dup_groups: no fixture corpus may
+    contain U+0130 (the only lower() divergence the nasty-string sweep
+    found), so the query's cross-engine hash equality is grounded in
+    the data domain, not luck."""
+    import duckdb
+
+    n = (
+        duckdb.connect()
+        .execute(
+            "SELECT COUNT(*) FROM "
+            f"read_parquet('{sf_dir}/documents.parquet') "
+            "WHERE contains(text, 'İ')"
+        )
+        .fetchone()[0]
+    )
+    assert n == 0
