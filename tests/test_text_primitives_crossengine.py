@@ -153,3 +153,52 @@ def test_corpora_carry_no_lowercase_divergent_chars(sf_dir):
         .fetchone()[0]
     )
     assert n == 0
+
+
+def test_date_format_mirrors_agree_on_edge_dates(spark):
+    """The date_format <-> strftime mirror pairs used across the
+    oracles ('yyyy-MM-dd'/'%Y-%m-%d', 'yyyy-MM', 'yyyy', 'EEEE'/
+    dayname) agree on edge dates: year 1, a two-digit year (zero
+    padding), the Gregorian cutover gap (both engines are proleptic),
+    leap days incl. the 2000 century exception, and year 9999."""
+    import datetime
+
+    import duckdb
+    import pandas as pd
+
+    dates = [
+        datetime.date(1, 1, 1),
+        datetime.date(32, 7, 15),
+        datetime.date(999, 12, 31),
+        datetime.date(1000, 1, 1),
+        datetime.date(1582, 10, 4),
+        datetime.date(1582, 10, 15),
+        datetime.date(1899, 12, 31),
+        datetime.date(1970, 1, 1),
+        datetime.date(1996, 2, 29),
+        datetime.date(2000, 2, 29),
+        datetime.date(9999, 12, 31),
+    ]
+    rows = [(i, d) for i, d in enumerate(dates)]
+    df = spark.createDataFrame(rows, "id long, d date")
+    got = {
+        r.id: (r.ymd, r.ym, r.y, r.dow)
+        for r in df.select(
+            "id",
+            F.date_format("d", "yyyy-MM-dd").alias("ymd"),
+            F.date_format("d", "yyyy-MM").alias("ym"),
+            F.date_format("d", "yyyy").alias("y"),
+            F.date_format("d", "EEEE").alias("dow"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["id", "d"]))
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(
+            "SELECT id, strftime(d,'%Y-%m-%d'), strftime(d,'%Y-%m'),"
+            " strftime(d,'%Y'), dayname(d) FROM t"
+        ).fetchall()
+    }
+    bad = {dates[i]: (got[i], want[i]) for i in got if got[i] != want[i]}
+    assert not bad, bad
