@@ -202,3 +202,46 @@ def test_date_format_mirrors_agree_on_edge_dates(spark):
     }
     bad = {dates[i]: (got[i], want[i]) for i in got if got[i] != want[i]}
     assert not bad, bad
+
+
+def test_round_scale_n_divergence_is_real(spark):
+    """ROUND(x, n > 0) on doubles is cross-engine DIVERGENT on a thin
+    set of inputs: Spark rounds the SHORTEST DECIMAL REPR half-up
+    (BigDecimal.valueOf), DuckDB rounds the x*10^n double PRODUCT — so
+    1.005 / 1.015 / 1.025 (binary values just below their repr, with
+    product error also below) split the engines, while 2.675 / 0.045
+    (product error above) agree. Scale-0 quantization to an integer
+    grid — ROUND(x*100), the repo's cents/1e-6 discipline — is the
+    tie-safe form: exact binary .5 doubles exist there and both
+    engines round them away from zero identically (second half of
+    this test). The 370-query selfchecks green at both SFs are the
+    empirical proof no fixture value currently lands in the divergent
+    set; new oracles should keep final mirrored doubles on integer
+    grids (SCALING.md note)."""
+    import duckdb
+
+    con = duckdb.connect()
+
+    diverge = [1.005, 1.015, 1.025]
+    rows = [(i, v) for i, v in enumerate(diverge)]
+    df = spark.createDataFrame(rows, "id long, x double")
+    s = {r.id: r.r2 for r in df.select("id", F.round("x", 2).alias("r2")).collect()}
+    for i, v in enumerate(diverge):
+        d = con.execute(f"SELECT ROUND({v!r}::DOUBLE, 2)").fetchone()[0]
+        assert s[i] != d, (v, s[i], d)  # pin: the divergence exists
+
+    # tie-safe form: scale-0 round after integer scaling agrees even
+    # on EXACT binary ties (k + 0.5 is dyadic) and away-from-zero
+    # negatives
+    ties = [0.5, 1.5, 2.5, -0.5, -1.5, -2.5, 100.5, -100.5]
+    rows = [(i, v) for i, v in enumerate(ties)]
+    df = spark.createDataFrame(rows, "id long, x double")
+    s0 = {
+        r.id: r.c
+        for r in df.select(
+            "id", F.round(F.col("x")).cast("long").alias("c")
+        ).collect()
+    }
+    for i, v in enumerate(ties):
+        d = con.execute(f"SELECT CAST(ROUND({v!r}::DOUBLE) AS BIGINT)").fetchone()[0]
+        assert s0[i] == d, (v, s0[i], d)
