@@ -245,3 +245,68 @@ def test_round_scale_n_divergence_is_real(spark):
     for i, v in enumerate(ties):
         d = con.execute(f"SELECT CAST(ROUND({v!r}::DOUBLE) AS BIGINT)").fetchone()[0]
         assert s0[i] == d, (v, s0[i], d)
+
+
+def test_epoch_seconds_mirror_divergence_zones(spark):
+    """The FLOOR-epoch discipline (round 11) makes unix_timestamp and
+    FLOOR(epoch()) agree on the fixtures' domain, but the primitive
+    sweep found its two residual divergence zones, pinned here so they
+    stay KNOWN rather than rediscovered:
+
+    - PRE-EPOCH fractional timestamps: Spark's unix_timestamp
+      truncates toward zero (1969-12-31 23:59:59.999999 -> 0) while
+      FLOOR(epoch()) floors (-1). Every fixture timestamp is >= 1990,
+      so no registered oracle crosses this.
+    - FAR-FUTURE timestamps: DuckDB's epoch() returns DOUBLE, and at
+      year 9999 (epoch ~2.5e11) the microsecond fraction exceeds
+      double's 2^52 integer grid — 253402300799.999999 rounds to
+      ...800.0 before FLOOR. Double epochs carry microseconds exactly
+      only while |epoch| < ~2^52/1e6 (~year 2112).
+
+    Also pins the agreement on the fixtures' actual domain: in-range
+    post-epoch timestamps with and without fractional seconds."""
+    import datetime
+
+    import duckdb
+
+    cases = [
+        (datetime.datetime(1969, 12, 31, 23, 59, 59, 999999), 0, -1),
+        (datetime.datetime(9999, 12, 31, 23, 59, 59, 999999),
+         253402300799, 253402300800),
+    ]
+    rows = [(i, t) for i, (t, _, _) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    s = {
+        r.id: r.ep
+        for r in df.select(
+            "id", F.unix_timestamp("ts").cast("long").alias("ep")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, (t, want_s, want_d) in enumerate(cases):
+        d = con.execute(
+            f"SELECT CAST(FLOOR(epoch(TIMESTAMP '{t}')) AS BIGINT)"
+        ).fetchone()[0]
+        assert s[i] == want_s, (t, s[i])
+        assert d == want_d, (t, d)
+        assert s[i] != d
+
+    domain = [
+        datetime.datetime(1992, 1, 1, 0, 0, 0),
+        datetime.datetime(1995, 6, 15, 23, 59, 59, 500000),
+        datetime.datetime(1998, 12, 31, 12, 34, 56, 999999),
+        datetime.datetime(2038, 1, 19, 3, 14, 8),
+    ]
+    rows = [(i, t) for i, t in enumerate(domain)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    s = {
+        r.id: r.ep
+        for r in df.select(
+            "id", F.unix_timestamp("ts").cast("long").alias("ep")
+        ).collect()
+    }
+    for i, t in enumerate(domain):
+        d = con.execute(
+            f"SELECT CAST(FLOOR(epoch(TIMESTAMP '{t}')) AS BIGINT)"
+        ).fetchone()[0]
+        assert s[i] == d, (t, s[i], d)
