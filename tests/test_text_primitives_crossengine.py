@@ -310,3 +310,24 @@ def test_epoch_seconds_mirror_divergence_zones(spark):
             f"SELECT CAST(FLOOR(epoch(TIMESTAMP '{t}')) AS BIGINT)"
         ).fetchone()[0]
         assert s[i] == d, (t, s[i], d)
+
+
+def test_ascii_returns_full_codepoints_in_all_three_spellings(spark):
+    """The winnow-hash premise (functions/text.py WINNOW_B note): Spark
+    ascii(), DuckDB ascii(), and Python ord() all return the FULL
+    Unicode codepoint — including astral-plane characters, where a
+    UTF-16-based engine could leak a surrogate (0xD800-0xDFFF) and
+    silently fork every polynomial gram hash on emoji-bearing text."""
+    import duckdb
+
+    chars = ["a", "é", "а", "☃", "\U0001F600", "\U0001F680", "\U00010000"]
+    rows = [(i, c) for i, c in enumerate(chars)]
+    df = spark.createDataFrame(rows, "id long, c string")
+    got = {
+        r.id: r.code
+        for r in df.select("id", F.ascii("c").alias("code")).collect()
+    }
+    con = duckdb.connect()
+    for i, c in enumerate(chars):
+        d = con.execute("SELECT ascii(?)", [c]).fetchone()[0]
+        assert got[i] == d == ord(c), (c, got[i], d, ord(c))
