@@ -1655,24 +1655,13 @@ FROM sums
 
 def _minhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MinHash-LSH candidate pairs as a session-cached parquet
-    fixture — ``dedup_cluster_size_powerlaw`` and
-    ``simhash_hamming_of_candidates`` both start from the identical
-    banded join, so one session (bench, selfcheck) pays the
-    shingle→signature→band pipeline once. Content is deterministic
-    (content hashes, no RNG); consumers treat it as read-only."""
-    import os
+    fixture (plans/fixtures.py since round 13 — same label, same
+    content; this alias keeps the historical call sites readable).
+    Content is deterministic (content hashes, no RNG); consumers treat
+    it as read-only."""
+    from asritha_metamorphetl_spark.plans.fixtures import minhash_pairs
 
-    from asritha_metamorphetl_spark.operators import dedup as D
-    from asritha_metamorphetl_spark.session import cached_fixture
-
-    def build(root: str) -> None:
-        docs = Catalog(sf_dir).load(spark, "documents")
-        D.minhash_lsh_pairs(docs, "text", "doc_id").write.parquet(
-            os.path.join(root, "pairs")
-        )
-
-    root = cached_fixture(spark, "minhash_pairs", sf_dir, build)
-    return spark.read.parquet(os.path.join(root, "pairs"))
+    return minhash_pairs(spark, sf_dir)
 
 
 @register("dedup_cluster_size_powerlaw", oracle=_cluster_powerlaw_oracle())
@@ -1690,12 +1679,11 @@ def dedup_cluster_size_powerlaw(
     ``zipf_token_slope`` discipline — OLS of ln(count) on ln(size)
     over the BOUNDED size-frequency table, every ln 1e-6-quantized to
     exact integers before summation."""
-    from asritha_metamorphetl_spark.operators.graph import (
-        connected_components,
+    from asritha_metamorphetl_spark.plans.fixtures import (
+        minhash_cluster_labels,
     )
 
-    pairs = _minhash_pairs_cached(spark, sf_dir)
-    labels = connected_components(pairs, "doc_a", "doc_b")
+    labels = minhash_cluster_labels(spark, sf_dir)
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
     freq = sizes.groupBy("sz").agg(F.count(F.lit(1)).alias("nf"))
     pts = freq.select(

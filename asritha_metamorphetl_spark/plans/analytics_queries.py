@@ -230,10 +230,14 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The final top-N is a single bounded TakeOrdered (rank by rounded
     lift with full key tiebreaks, so the cut is deterministic)."""
+    from asritha_metamorphetl_spark.plans.linalg_queries import (
+        copurchase_pairs_weighted,
+    )
+
     li = Catalog(sf_dir).load(spark, "lineitem")
-    # op feeds THREE consumers (baskets, item counts, order total); a
-    # lazy localCheckpoint shares one scan+distinct instead of paying
-    # the corpus scan three times — the bm25 single-scan lesson.
+    # op feeds TWO consumers (item counts, order total); a lazy
+    # localCheckpoint shares one scan+distinct instead of paying the
+    # corpus scan twice — the bm25 single-scan lesson.
     op = (
         li.select(
             F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
@@ -241,18 +245,16 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    baskets = op.groupBy("o").agg(
-        F.array_sort(F.collect_set("p")).alias("parts")
-    )
-    pair_expr = F.expr(
-        "flatten(transform(parts, (x, i) ->"
-        " transform(slice(parts, i + 2, size(parts)),"
-        " y -> struct(x AS pa, y AS pb))))"
-    )
+    # the per-pair distinct-order count IS the shared co-purchase
+    # materialization (same basket-local expansion this query used to
+    # run inline); only the support filter onward is query-specific
     pairs = (
-        baskets.select(F.explode(pair_expr).alias("pr"))
-        .groupBy(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("n_ab"))
+        copurchase_pairs_weighted(spark, sf_dir)
+        .select(
+            F.col("u").alias("pa"),
+            F.col("v").alias("pb"),
+            F.col("w").alias("n_ab"),
+        )
         .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
     )
     items = op.groupBy(F.col("p")).agg(F.count(F.lit(1)).alias("n"))

@@ -228,6 +228,8 @@ def knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are only touched again for the shortlist re-rank. Inputs pass the
     FINITE-VECTOR gate (a NaN/Inf component would poison codebook
     means; the oracle mirrors the gate in its vecs CTE)."""
+    from asritha_metamorphetl_spark.plans.fixtures import embedding_count
+
     emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
     return pq_adc_topk(
@@ -239,7 +241,7 @@ def knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=PQ_M,
         ncodes=PQ_NCODES,
         refine_iters=PQ_REFINE,
-        shortlist=pq_shortlist(emb.count()),
+        shortlist=pq_shortlist(embedding_count(spark, sf_dir)),
     )
 
 
@@ -272,10 +274,15 @@ def knn_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop below the floor goes red in CORRECTNESS instead of matching an
     equally degraded oracle. Both pipelines read FINITE-VECTOR-gated
     input — a recall floor over degenerate vectors measures nothing."""
+    from asritha_metamorphetl_spark.plans.fixtures import (
+        embedding_count,
+        l2_truth_topk_gated,
+    )
+
     emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
     truth = (
-        brute_force_l2_topk(emb, queries, "vec_id", "embedding", k=KNN_K)
+        l2_truth_topk_gated(spark, sf_dir)
         .select("query_id", "neighbor_id")
         .withColumn("in_t", F.lit(1))
     )
@@ -289,7 +296,7 @@ def knn_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             m=PQ_M,
             ncodes=PQ_NCODES,
             refine_iters=PQ_REFINE,
-            shortlist=pq_shortlist(emb.count()),
+            shortlist=pq_shortlist(embedding_count(spark, sf_dir)),
         )
         .select("query_id", "neighbor_id")
         .withColumn("in_a", F.lit(1))
@@ -587,6 +594,7 @@ def knn_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FINITE-VECTOR-gated (both the IVF routing cosine and the PQ
     codebook means are NaN-poisonable; oracle mirrors the gate)."""
     from asritha_metamorphetl_spark.operators.similarity import ivfpq_topk
+    from asritha_metamorphetl_spark.plans.fixtures import embedding_count
 
     emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
@@ -602,7 +610,7 @@ def knn_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=PQ_M,
         ncodes=PQ_NCODES,
         pq_refine_iters=PQ_REFINE,
-        shortlist=ivfpq_shortlist(emb.count()),
+        shortlist=ivfpq_shortlist(embedding_count(spark, sf_dir)),
     )
 
 
@@ -662,14 +670,17 @@ def knn_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.001/0.01/0.1 (shortlist scales with the candidate count).
     Both pipelines read FINITE-VECTOR-gated input (oracle mirrors)."""
     from asritha_metamorphetl_spark.operators.similarity import (
-        brute_force_topk,
         ivfpq_topk,
+    )
+    from asritha_metamorphetl_spark.plans.fixtures import (
+        cosine_truth_topk,
+        embedding_count,
     )
 
     emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
     truth = (
-        brute_force_topk(emb, queries, "vec_id", "embedding", k=KNN_K)
+        cosine_truth_topk(spark, sf_dir)
         .select("query_id", "neighbor_id")
         .withColumn("in_t", F.lit(1))
     )
@@ -686,7 +697,7 @@ def knn_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             m=PQ_M,
             ncodes=PQ_NCODES,
             pq_refine_iters=PQ_REFINE,
-            shortlist=ivfpq_shortlist(emb.count()),
+            shortlist=ivfpq_shortlist(embedding_count(spark, sf_dir)),
         )
         .select("query_id", "neighbor_id")
         .withColumn("in_a", F.lit(1))
@@ -1051,6 +1062,7 @@ def knn_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asritha_metamorphetl_spark.operators.similarity import (
         ivfpq_residual_topk,
     )
+    from asritha_metamorphetl_spark.plans.fixtures import embedding_count
 
     emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
@@ -1066,7 +1078,7 @@ def knn_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=PQ_M,
         ncodes=PQ_NCODES,
         pq_refine_iters=PQ_REFINE,
-        shortlist=ivfpq_shortlist(emb.count()),
+        shortlist=ivfpq_shortlist(embedding_count(spark, sf_dir)),
     )
 
 
@@ -1099,14 +1111,17 @@ def knn_ivfpq_residual_recall_eval(
     (oracle emits TRUE unconditionally — a Spark-side drop goes red).
     Both pipelines read FINITE-VECTOR-gated input (oracle mirrors)."""
     from asritha_metamorphetl_spark.operators.similarity import (
-        brute_force_topk,
         ivfpq_residual_topk,
+    )
+    from asritha_metamorphetl_spark.plans.fixtures import (
+        cosine_truth_topk,
+        embedding_count,
     )
 
     emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
     truth = (
-        brute_force_topk(emb, queries, "vec_id", "embedding", k=KNN_K)
+        cosine_truth_topk(spark, sf_dir)
         .select("query_id", "neighbor_id")
         .withColumn("in_t", F.lit(1))
     )
@@ -1123,7 +1138,7 @@ def knn_ivfpq_residual_recall_eval(
             m=PQ_M,
             ncodes=PQ_NCODES,
             pq_refine_iters=PQ_REFINE,
-            shortlist=ivfpq_shortlist(emb.count()),
+            shortlist=ivfpq_shortlist(embedding_count(spark, sf_dir)),
         )
         .select("query_id", "neighbor_id")
         .withColumn("in_a", F.lit(1))
@@ -1231,6 +1246,8 @@ def knn_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         bq_hamming_topk,
     )
 
+    from asritha_metamorphetl_spark.plans.fixtures import embedding_count
+
     emb = Catalog(sf_dir).load(spark, "embeddings")
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
     return bq_hamming_topk(
@@ -1240,7 +1257,7 @@ def knn_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         k=KNN_K,
         dim=EMB_DIM,
-        shortlist=pq_shortlist(emb.count()),
+        shortlist=pq_shortlist(embedding_count(spark, sf_dir, gated=False)),
         decimals=BQ_DECIMALS,
     )
 
@@ -1280,10 +1297,15 @@ def knn_bq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         bq_hamming_topk,
     )
 
+    from asritha_metamorphetl_spark.plans.fixtures import (
+        embedding_count,
+        l2_truth_topk_gated,
+    )
+
     emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
     truth = (
-        brute_force_l2_topk(emb, queries, "vec_id", "embedding", k=KNN_K)
+        l2_truth_topk_gated(spark, sf_dir)
         .select("query_id", "neighbor_id")
         .withColumn("in_t", F.lit(1))
     )
@@ -1295,7 +1317,7 @@ def knn_bq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
             k=KNN_K,
             dim=EMB_DIM,
-            shortlist=pq_shortlist(emb.count()),
+            shortlist=pq_shortlist(embedding_count(spark, sf_dir)),
             decimals=BQ_DECIMALS,
         )
         .select("query_id", "neighbor_id")

@@ -861,17 +861,32 @@ def clustered_skipping_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asritha_metamorphetl_spark.session import cached_fixture
 
     def build(root: str) -> None:
+        # The 14 per-period commits and the scattered layout are
+        # independent jobs over disjoint slices; commit_many overlaps
+        # the writes + stats scans (guide §2.6) while publishing the
+        # same sequential manifest chain the old per-period commit()
+        # loop produced, and the scattered table builds concurrently
+        # on its own thread.
+        from concurrent.futures import ThreadPoolExecutor
+
         clus = SnapshotTable(spark, f"{root}/clustered")
-        for p in range(CLUSTER_GAIN_PERIODS):
-            clus.commit(
-                orders.filter(halfyear == p).repartition(1),
+        scat = SnapshotTable(spark, f"{root}/scattered")
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_clus = pool.submit(
+                clus.commit_many,
+                [
+                    orders.filter(halfyear == p).repartition(1)
+                    for p in range(CLUSTER_GAIN_PERIODS)
+                ],
                 stats_cols=["o_orderdate"],
             )
-        scat = SnapshotTable(spark, f"{root}/scattered")
-        scat.commit(
-            orders.repartition(CLUSTER_GAIN_PERIODS, "o_orderkey"),
-            stats_cols=["o_orderdate"],
-        )
+            fut_scat = pool.submit(
+                scat.commit,
+                orders.repartition(CLUSTER_GAIN_PERIODS, "o_orderkey"),
+                stats_cols=["o_orderdate"],
+            )
+            fut_clus.result()
+            fut_scat.result()
 
     # both layouts are read-only after the build: one build per session
     root = cached_fixture(spark, "cluster_gain", sf_dir, build)

@@ -615,16 +615,16 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs one pair materialization regardless of how many thresholds
     are probed. Pairs are Zipf-bounded by the rare-shingle blocking
     (max_doc_freq=100), never all-pairs."""
-    from asritha_metamorphetl_spark.operators import dedup as D
+    from asritha_metamorphetl_spark.plans.fixtures import (
+        ngram_jaccard_scored,
+    )
 
-    docs = Catalog(sf_dir).load(spark, "documents")
-    pairs = (
-        D.ngram_jaccard_pairs(
-            docs, "text", "doc_id", threshold=min(DEDUP_SWEEP_TAUS),
-            max_doc_freq=100,
-        )
-        .select("doc_a", "doc_b", "jaccard")
-        .localCheckpoint(eager=False)  # two consumers below
+    # shared session materialization: the fixture is built at exactly
+    # min(DEDUP_SWEEP_TAUS) (= the loosest tau in the sweep), so this
+    # IS the inline pipeline's output; the parquet read replaces the
+    # old localCheckpoint for the two consumers below
+    pairs = ngram_jaccard_scored(spark, sf_dir).select(
+        "doc_a", "doc_b", "jaccard"
     )
     taus = spark.createDataFrame(
         [(t,) for t in DEDUP_SWEEP_TAUS], "tau double"

@@ -303,27 +303,76 @@ def copurchase_pairs_weighted(
     from asritha_metamorphetl_spark.session import cached_fixture
 
     def build(root: str) -> None:
-        li = Catalog(sf_dir).load(spark, "lineitem").select(
-            "l_orderkey", "l_partkey"
-        )
-        grouped = li.groupBy("l_orderkey").agg(
-            F.array_sort(F.collect_set("l_partkey")).alias("ps")
-        )
-        pairs = grouped.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) -> transform("
-                    "slice(ps, i + 2, size(ps)), "
-                    "y -> struct(x AS u, y AS v))))"
-                )
-            ).alias("p")
-        ).select("p.u", "p.v")
-        pairs.groupBy("u", "v").agg(
-            F.count(F.lit(1)).alias("w")
-        ).write.mode("overwrite").parquet(os.path.join(root, "pairs"))
+        copurchase_pairs_frame(spark, sf_dir).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(root, "pairs"))
 
     root = cached_fixture(spark, "copurchase_pairs", sf_dir, build)
     return spark.read.parquet(os.path.join(root, "pairs"))
+
+
+def copurchase_pairs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-materialized (u < v, distinct-order weight) pair pipeline
+    behind ``copurchase_pairs_weighted`` — exposed so the basket-local
+    /no-self-join plan contract stays testable now that consumers read
+    the materialized parquet (tests/test_round7b_ops.py gates THIS
+    frame's plan)."""
+    li = Catalog(sf_dir).load(spark, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    grouped = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> transform("
+                "slice(ps, i + 2, size(ps)), "
+                "y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
+    return pairs.groupBy("u", "v").agg(F.count(F.lit(1)).alias("w"))
+
+
+def capped_copurchase_sym_edges(
+    spark: SparkSession, sf_dir: str, cap: int
+) -> DataFrame:
+    """Symmetrized weighted co-purchase edges truncated to each node's
+    top-``cap`` out-neighbors by (weight DESC, neighbor ASC), as a
+    session-cached materialization keyed by cap: PR_DEG_CAP and
+    TRI_DEG_CAP are both 64, so the PageRank transition front end and
+    the triangle graph's mutual filter read ONE materialization
+    instead of each re-running the symmetrize + rank window over the
+    pair table (round-13: two window passes → one; a cap change just
+    keys a second fixture, never silently shares)."""
+    import os
+
+    from pyspark.sql import Window
+
+    from asritha_metamorphetl_spark.session import cached_fixture
+
+    def build(root: str) -> None:
+        pairsw = copurchase_pairs_weighted(spark, sf_dir)
+        edges_all = pairsw.select(
+            F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+        ).unionByName(
+            pairsw.select(
+                F.col("v").alias("src"), F.col("u").alias("dst"), "w"
+            )
+        )
+        wtop = Window.partitionBy("src").orderBy(
+            F.col("w").desc(), F.col("dst").asc()
+        )
+        (
+            edges_all.withColumn("rn", F.row_number().over(wtop))
+            .filter(F.col("rn") <= cap)
+            .drop("rn")
+            .write.parquet(os.path.join(root, "edges"))
+        )
+
+    root = cached_fixture(spark, f"copurchase_capped{cap}", sf_dir, build)
+    return spark.read.parquet(os.path.join(root, "edges"))
 
 
 def capped_copurchase_out_edges(
@@ -334,29 +383,11 @@ def capped_copurchase_out_edges(
     the transition graph ``part_copurchase_pagerank`` iterates over.
     Edge weights = distinct orders containing the pair (the basket
     expansion of ``copurchase_pairs_weighted`` — one fact aggregate,
-    no self-join). Gate: tests/test_round10_plans.py asserts max
+    no self-join). Served from the shared capped-edge materialization
+    (the parquet read replaces the old localCheckpoint for pagerank's
+    two consumers). Gate: tests/test_round10_plans.py asserts max
     out-degree ≤ cap."""
-    from pyspark.sql import Window
-
-    pairsw = copurchase_pairs_weighted(spark, sf_dir)
-    edges_all = pairsw.select(
-        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
-    ).unionByName(
-        pairsw.select(
-            F.col("v").alias("src"), F.col("u").alias("dst"), "w"
-        )
-    )
-    wtop = Window.partitionBy("src").orderBy(
-        F.col("w").desc(), F.col("dst").asc()
-    )
-    return (
-        edges_all.withColumn("rn", F.row_number().over(wtop))
-        .filter(F.col("rn") <= PR_DEG_CAP)
-        .drop("rn")
-        # consumed twice inside pagerank (out-weight agg + transition
-        # join) — checkpoint so the cap window runs once
-        .localCheckpoint(eager=False)
-    )
+    return capped_copurchase_sym_edges(spark, sf_dir, PR_DEG_CAP)
 
 
 #: Triangle report depth.
@@ -480,22 +511,12 @@ def mutual_capped_copurchase_edges(
     top-TRI_DEG_CAP neighbors AND u is in v's (weight DESC, neighbor
     ASC) — so every surviving node has degree ≤ TRI_DEG_CAP strictly.
     Gate: tests/test_round10_plans.py asserts the degree bound."""
-    from pyspark.sql import Window
-
     pairsw = copurchase_pairs_weighted(spark, sf_dir)
-    symw = pairsw.unionByName(
-        pairsw.select(
-            F.col("v").alias("u"), F.col("u").alias("v"), "w"
-        )
-    )
-    alldeg = symw.select("u").distinct()
-    wtop = Window.partitionBy("u").orderBy(
-        F.col("w").desc(), F.col("v").asc()
-    )
-    kept = (
-        symw.withColumn("rn", F.row_number().over(wtop))
-        .filter(F.col("rn") <= TRI_DEG_CAP)
-        .select("u", "v")
+    alldeg = pairsw.select("u").unionByName(
+        pairsw.select(F.col("v").alias("u"))
+    ).distinct()
+    kept = capped_copurchase_sym_edges(spark, sf_dir, TRI_DEG_CAP).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
     )
     rev = kept.select(F.col("v").alias("u"), F.col("u").alias("v"))
     capped = (

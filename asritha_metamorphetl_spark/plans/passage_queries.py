@@ -532,20 +532,11 @@ def curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     join → sem_kept TRUE), exactly like a document with no embedding
     at all."""
     from asritha_metamorphetl_spark.functions.text import fingerprint
-    from asritha_metamorphetl_spark.operators.similarity import (
-        finite_vectors,
-        semdedup,
-    )
     from asritha_metamorphetl_spark.plans.pipeline_queries import (
         near_dup_survivors,
     )
-    from asritha_metamorphetl_spark.plans.text_queries import (
-        SEMDEDUP_NLIST,
-        SEMDEDUP_TAU,
-    )
 
     docs = Catalog(sf_dir).load(spark, "documents")
-    emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
 
     w = Window.partitionBy("fp")
     exact = docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).select(
@@ -555,9 +546,13 @@ def curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     near = near_dup_survivors(spark, sf_dir).select(
         "doc_id", F.col("kept").alias("near_kept")
     )
-    sem = semdedup(
-        emb, "vec_id", "embedding", nlist=SEMDEDUP_NLIST, threshold=SEMDEDUP_TAU
-    ).select(F.col("vec_id").alias("doc_id"), F.col("kept").alias("sem_raw"))
+    from asritha_metamorphetl_spark.plans.fixtures import (
+        semdedup_assignment,
+    )
+
+    sem = semdedup_assignment(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.col("kept").alias("sem_raw")
+    )
     qual = quality_logit_scores(spark, sf_dir).select(
         "doc_id", F.col("kept").alias("quality_kept")
     )

@@ -124,9 +124,12 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair→cluster closure (operators/graph.py): min-label propagation,
     one shuffle join per round, lineage truncated per round. Cluster id =
     minimum doc_id of the component (the canonical keeper in
-    keep-one-per-cluster dedup)."""
-    docs = Catalog(sf_dir).load(spark, "documents")
-    pairs = D.minhash_lsh_pairs(docs, "text", "doc_id")
+    keep-one-per-cluster dedup). The closure itself is this query's
+    operator demo and stays inline; the pair FRONT END reads the shared
+    session materialization (plans/fixtures.py)."""
+    from asritha_metamorphetl_spark.plans.fixtures import minhash_pairs
+
+    pairs = minhash_pairs(spark, sf_dir)
     labels = connected_components(pairs, "doc_a", "doc_b")
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
@@ -229,7 +232,9 @@ def cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
-    pairs = D.minhash_lsh_pairs(docs, "text", "doc_id")
+    from asritha_metamorphetl_spark.plans.fixtures import minhash_pairs
+
+    pairs = minhash_pairs(spark, sf_dir)
     return (
         pairs.join(
             splits.select(
@@ -299,8 +304,10 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MinHash-LSH candidate set (banded, never all-pairs); the two
     source lookups are broadcastable narrow projections of documents,
     and the unordered (x, y) key makes the matrix triangular."""
+    from asritha_metamorphetl_spark.plans.fixtures import minhash_pairs
+
     docs = Catalog(sf_dir).load(spark, "documents")
-    pairs = D.minhash_lsh_pairs(docs, "text", "doc_id")
+    pairs = minhash_pairs(spark, sf_dir)
     src = docs.select("doc_id", "source")
     a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
     b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
@@ -345,9 +352,12 @@ def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     in no cluster pass through kept — one left join over the corpus, so
     the output covers EVERY document with a keep/drop verdict, which is
     what a curation job actually consumes downstream."""
+    from asritha_metamorphetl_spark.plans.fixtures import (
+        minhash_cluster_labels,
+    )
+
     docs = Catalog(sf_dir).load(spark, "documents")
-    pairs = D.minhash_lsh_pairs(docs, "text", "doc_id")
-    labels = connected_components(pairs, "doc_a", "doc_b").select(
+    labels = minhash_cluster_labels(spark, sf_dir).select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
     return docs.select("doc_id").join(labels, "doc_id", "left").select(
@@ -409,9 +419,12 @@ def near_dup_best_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_logit_scores,
     )
 
+    from asritha_metamorphetl_spark.plans.fixtures import (
+        minhash_cluster_labels,
+    )
+
     docs = Catalog(sf_dir).load(spark, "documents")
-    pairs = D.minhash_lsh_pairs(docs, "text", "doc_id")
-    labels = connected_components(pairs, "doc_a", "doc_b").select(
+    labels = minhash_cluster_labels(spark, sf_dir).select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
     qual = quality_logit_scores(spark, sf_dir).select("doc_id", "score")
@@ -664,9 +677,14 @@ def leakage_free_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-quadratic; no window spans the corpus."""
     from asritha_metamorphetl_spark.functions.hashing import shingle_hash
 
+    from asritha_metamorphetl_spark.plans.fixtures import (
+        minhash_cluster_labels,
+        minhash_pairs,
+    )
+
     docs = Catalog(sf_dir).load(spark, "documents")
-    pairs = D.minhash_lsh_pairs(docs, "text", "doc_id")
-    labels = connected_components(pairs, "doc_a", "doc_b").select(
+    pairs = minhash_pairs(spark, sf_dir)
+    labels = minhash_cluster_labels(spark, sf_dir).select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
     assigned = (
@@ -752,9 +770,10 @@ def quality_vs_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_logit_scores,
     )
 
-    docs = Catalog(sf_dir).load(spark, "documents")
+    from asritha_metamorphetl_spark.plans.fixtures import minhash_pairs
+
     scored = quality_logit_scores(spark, sf_dir).select("doc_id", "score")
-    pairs = D.minhash_lsh_pairs(docs, "text", "doc_id")
+    pairs = minhash_pairs(spark, sf_dir)
     dup_ids = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))

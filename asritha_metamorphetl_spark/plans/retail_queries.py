@@ -334,22 +334,27 @@ def copurchase_jaccard_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (itself O(orders × basket²) at corpus scale) is never
     funnelled through one partition; only the {COPURCHASE_TOP}-row
     survivor frame sees a window. Plan-gated in test_round9_plans."""
+    from asritha_metamorphetl_spark.plans.linalg_queries import (
+        copurchase_pairs_weighted,
+    )
+
     li = Catalog(sf_dir).load(spark, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
     sizes = op.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("n_orders")
     )
-    a = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
-    )
-    b = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
-    )
+    # the (u < v, distinct-order count) pair table IS the shared
+    # co-purchase materialization (basket-local expansion — identical
+    # counts to the order-key self-join, proven by the oracle which
+    # keeps the self-join spelling); only the support filter and the
+    # Jaccard scoring are this query's own
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        copurchase_pairs_weighted(spark, sf_dir)
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            F.col("w").alias("n_common"),
+        )
         .filter(F.col("n_common") >= COPURCHASE_MIN_SUPPORT)
     )
     sa = sizes.select(

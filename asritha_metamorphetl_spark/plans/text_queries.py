@@ -540,10 +540,12 @@ def knn_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant — the oracle emits TRUE unconditionally, so a Spark-side
     quality regression hash-mismatches instead of matching an equally
     degraded oracle."""
+    from asritha_metamorphetl_spark.plans.fixtures import cosine_truth_topk
+
     emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
     truth = (
-        brute_force_topk(emb, queries, "vec_id", "embedding", k=KNN_K)
+        cosine_truth_topk(spark, sf_dir)
         .select("query_id", "neighbor_id")
         .withColumn("in_t", F.lit(1))
     )
@@ -1079,10 +1081,12 @@ def knn_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     unconditionally). Fixture recall 0.84 at these knobs."""
     from asritha_metamorphetl_spark.operators.similarity import ivf_topk
 
+    from asritha_metamorphetl_spark.plans.fixtures import cosine_truth_topk
+
     emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
     truth = (
-        brute_force_topk(emb, queries, "vec_id", "embedding", k=KNN_K)
+        cosine_truth_topk(spark, sf_dir)
         .select("query_id", "neighbor_id")
         .withColumn("in_t", F.lit(1))
     )
@@ -1302,14 +1306,14 @@ def semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-pinned values catch any drift at all."""
     from asritha_metamorphetl_spark.operators.similarity import (
         all_pairs_near,
-        semdedup,
+    )
+
+    from asritha_metamorphetl_spark.plans.fixtures import (
+        semdedup_assignment,
     )
 
     emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
-    sem = semdedup(
-        emb, "vec_id", "embedding", nlist=SEMDEDUP_NLIST,
-        threshold=SEMDEDUP_TAU,
-    ).localCheckpoint(eager=False)
+    sem = semdedup_assignment(spark, sf_dir)
     # exhaustive ground truth via the broadcast-matrix scan — one
     # (batch × N) matmul per Arrow batch, only the ≥ τ tail leaves
     # Python (30 s → ~2 s at sf0.1 vs pairing all N² vectors through
@@ -1872,17 +1876,17 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded-LSH guarantee made continuously checkable — a
     signature/banding regression shows up as a dropped recall row, not a
     silent quality drift."""
-    docs = Catalog(sf_dir).load(spark, "documents")
+    from asritha_metamorphetl_spark.plans.fixtures import (
+        minhash_pairs,
+        ngram_jaccard_scored,
+    )
+
     truth = (
-        D.ngram_jaccard_pairs(
-            docs, "text", "doc_id", threshold=0.5, max_doc_freq=100
-        )
+        ngram_jaccard_scored(spark, sf_dir)
         .select("doc_a", "doc_b")
         .withColumn("in_t", F.lit(1))
     )
-    cand = D.minhash_lsh_pairs(docs, "text", "doc_id").withColumn(
-        "in_c", F.lit(1)
-    )
+    cand = minhash_pairs(spark, sf_dir).withColumn("in_c", F.lit(1))
     both = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
     counts = both.agg(
         F.sum("in_t").cast("bigint").alias("n_truth"),
@@ -2243,14 +2247,14 @@ def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = hashed.select(
         "doc_id", *H.minhash_signature(F.col("hv"))
     ).localCheckpoint(eager=False)  # one materialization, 5 configs
-    exact = (
-        D.ngram_jaccard_pairs(
-            docs, "text", "doc_id", threshold=BAND_TUNE_TAU,
-            max_doc_freq=100,
-        )
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)  # 5 semi-joins + 1 count
+    from asritha_metamorphetl_spark.plans.fixtures import (
+        ngram_jaccard_scored,
     )
+
+    # shared session materialization (BAND_TUNE_TAU == the fixture's
+    # loosest tau, so this IS the inline pipeline's output); reading
+    # parquet replaces the old localCheckpoint for the 5 semi-joins
+    exact = ngram_jaccard_scored(spark, sf_dir).select("doc_a", "doc_b")
     n_exact = exact.agg(F.count(F.lit(1)).alias("nx"))
     out = None
     for bands, rows in BAND_CONFIGS:

@@ -230,3 +230,48 @@ def test_skipping_scheduling_reads_only_surviving_files(spark, tmp_path):
     assert len(df.inputFiles()) == 1
     full = t.read()
     assert len(full.inputFiles()) == 4
+
+
+def test_commit_many_matches_sequential_commits(spark, tmp_path):
+    """commit_many publishes the exact manifest chain N sequential
+    commit() calls would: same version numbers, same per-version
+    content, same zone-map skipping behaviour (round-13: the data
+    writes + stats scans overlap on a thread pool; only wall-clock may
+    differ)."""
+    seq = SnapshotTable(spark, str(tmp_path / "seq"))
+    par = SnapshotTable(spark, str(tmp_path / "par"))
+    batches = [_zoned(spark, lo, lo + 100) for lo in (0, 100, 200, 300)]
+    for b in batches:
+        seq.commit(b, stats_cols=["k"])
+    versions = par.commit_many(batches, stats_cols=["k"])
+    assert versions == seq.versions() == [1, 2, 3, 4]
+    for v in versions:
+        assert sorted(r.k for r in par.read(version=v).collect()) == sorted(
+            r.k for r in seq.read(version=v).collect()
+        )
+    # zone maps must prune identically
+    _, rep_seq = seq.read_skipping([("k", 120, 180)])
+    _, rep_par = par.read_skipping([("k", 120, 180)])
+    assert rep_par == rep_seq == {
+        "files_total": 4, "files_read": 1, "files_skipped": 3,
+    }
+
+
+def test_commit_many_appends_after_existing_commits(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(_zoned(spark, 0, 100), stats_cols=["k"])
+    versions = t.commit_many(
+        [_zoned(spark, 100, 200), _zoned(spark, 200, 300)],
+        stats_cols=["k"],
+    )
+    assert versions == [2, 3]
+    assert t.read().count() == 300
+    # carried-forward stats from the pre-existing commit still prune
+    _, rep = t.read_skipping([("k", 10, 20)])
+    assert rep == {"files_total": 3, "files_read": 1, "files_skipped": 2}
+
+
+def test_commit_many_empty_list_is_noop(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    assert t.commit_many([]) == []
+    assert t.versions() == []

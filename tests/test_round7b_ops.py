@@ -176,15 +176,27 @@ def test_grouping_sets_levels_reconcile(spark):
 
 def test_basket_pairs_are_order_local_no_self_join(spark):
     """Pair generation must be the local HOF expansion (one Generate
-    over the aggregated basket), never an op-times-op self-join — the
-    plan reads lineitem ONCE (shared via localCheckpoint) and contains
-    no cartesian stage."""
+    over the aggregated basket), never an op-times-op self-join. Since
+    round 13 the pair table is the shared co-purchase materialization
+    (plans/fixtures rationale), so the basket-local contract is gated
+    on the BUILD pipeline (``copurchase_pairs_frame``) and the query
+    itself is gated against cartesian stages and re-derivation (its
+    plan must read the pair parquet, not re-expand baskets)."""
+    from asritha_metamorphetl_spark.plans.linalg_queries import (
+        copurchase_pairs_frame,
+    )
     from asritha_metamorphetl_spark.plans.registry import all_queries
+
+    build_plan = _plan(copurchase_pairs_frame(spark, SF_CORRECT))
+    assert "CartesianProduct" not in build_plan
+    assert build_plan.count("FileScan") <= 1
+    assert "Generate explode" in build_plan
 
     plan = _plan(all_queries()["market_basket_rules"](spark, SF_CORRECT))
     assert "CartesianProduct" not in plan
-    assert plan.count("FileScan") <= 1  # localCheckpoint shares the scan
-    assert "Generate explode" in plan
+    # pair front end comes from the materialized fixture: the query's
+    # own plan re-runs NO basket expansion
+    assert "Generate explode" not in plan
 
 
 def test_basket_rules_semantics(spark):
