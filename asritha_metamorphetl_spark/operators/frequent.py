@@ -119,6 +119,7 @@ def countmin_sketch(
     depth: int = 3,
     width: int = 1024,
     salt: str = "cms:",
+    weight: str | None = None,
 ) -> DataFrame:
     """Count-Min sketch (Cormode & Muthukrishnan 2005) of a token
     stream as a DataFrame: ``(row, cell, n)`` with ``depth * width``
@@ -135,17 +136,41 @@ def countmin_sketch(
     (≤ e/width · N with prob 1 − e^−depth per query). Deterministic:
     the hash functions are salted content hashes, so the same corpus
     yields the same sketch on any engine.
+
+    ``weight`` (round 13): name of a bigint column carrying each row's
+    multiplicity. A cell's count becomes ``sum(weight)`` instead of
+    ``count(*)`` — EXACTLY the sketch of the expanded multiset, because
+    every occurrence of a key lands in the same depth cells (the hash
+    is a function of the key alone). Callers that already hold a
+    (key, count) aggregate hash each DISTINCT key once instead of
+    paying ``depth`` md5 digests per raw occurrence — at 100 TB that
+    moves the hash work from O(rows) to O(distinct keys); the integer
+    cell sums are identical either way (pinned by
+    tests/test_round7_ops.py::test_countmin_weighted_equals_expanded).
     """
-    return (
-        _cms_cells(tokens, col, depth, width, salt)
-        .select(F.posexplode(F.array(*[f"_c{i}" for i in range(depth)])).alias("row", "cell"))
-        .groupBy("row", "cell")
-        .agg(F.count(F.lit(1)).alias("n"))
+    cells = _cms_cells(
+        tokens, col, depth, width, salt, keep=[weight] if weight else []
+    )
+    ex = cells.select(
+        *([F.col(weight)] if weight else []),
+        F.posexplode(F.array(*[f"_c{i}" for i in range(depth)])).alias(
+            "row", "cell"
+        ),
+    )
+    if weight is None:
+        return ex.groupBy("row", "cell").agg(F.count(F.lit(1)).alias("n"))
+    return ex.groupBy("row", "cell").agg(
+        F.sum(weight).cast("bigint").alias("n")
     )
 
 
 def _cms_cells(
-    df: DataFrame, col: str, depth: int, width: int, salt: str
+    df: DataFrame,
+    col: str,
+    depth: int,
+    width: int,
+    salt: str,
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """Per-row CMS cell columns ``_c0.._c{depth-1}``, computed in two
     STAGED projections (md5 digests, then nibble arithmetic) so the
@@ -158,8 +183,10 @@ def _cms_cells(
     vs 4.6 s for this staged + posexplode(array<bigint>) shape."""
     from asritha_metamorphetl_spark.functions.hashing import _hex48
 
+    passthrough = [F.col(c) for c in (keep or [])]
     staged = df.select(
         F.col(col),
+        *passthrough,
         *[
             F.md5(F.concat(F.lit(f"{salt}{i}:"), F.col(col))).alias(f"_d{i}")
             for i in range(depth)
@@ -167,6 +194,7 @@ def _cms_cells(
     )
     return staged.select(
         F.col(col),
+        *passthrough,
         *[
             (_hex48(F.col(f"_d{i}")) % width).alias(f"_c{i}")
             for i in range(depth)

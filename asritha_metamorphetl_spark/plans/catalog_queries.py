@@ -1159,21 +1159,31 @@ def countmin_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = Catalog(sf_dir).load(spark, "documents")
-    # the sketch build and the exact top-50 counts each tokenize the
-    # corpus; measured at sf0.1, materializing the 14M-row token frame
-    # costs the same as the second scan (6.0 vs 5.6-6.7 s, inside the
-    # noise band) — keep the simpler two-scan plan
     toks = docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
-    sketch = countmin_sketch(
-        toks, "tok", depth=CMS_DEPTH, width=CMS_WIDTH, salt=CMS_SALT
-    )
-    top = (
+    # ONE tokenization + count shuffle feeds both halves (round 13):
+    # the sketch is built over the DISTINCT-token count frame with
+    # per-key weights — identical cells (a token's occurrences all
+    # hash to the same depth cells) with O(vocabulary) md5 work
+    # instead of depth digests per raw token, and the exact top-50
+    # reads the same checkpointed frame instead of re-tokenizing the
+    # corpus.
+    tc = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("exact_n"))
-        .orderBy(F.col("exact_n").desc(), F.col("tok"))
-        .limit(CMS_AUDIT_TOPK)
+        .localCheckpoint(eager=False)
+    )
+    sketch = countmin_sketch(
+        tc,
+        "tok",
+        depth=CMS_DEPTH,
+        width=CMS_WIDTH,
+        salt=CMS_SALT,
+        weight="exact_n",
+    )
+    top = tc.orderBy(F.col("exact_n").desc(), F.col("tok")).limit(
+        CMS_AUDIT_TOPK
     )
     est = countmin_estimate(
         top.select("tok"),

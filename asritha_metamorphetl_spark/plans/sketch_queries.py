@@ -345,20 +345,31 @@ def selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(sf_dir).load(spark, "lineitem").select(
         F.col("l_partkey").cast("string").alias("k")
     )
-    width = _cms_width(li.count())
-    sk = countmin_sketch(li, "k", depth=CMS_DEPTH, width=width, salt=CMS_SALT)
+    # ONE pass over the fact table: the per-key count frame feeds the
+    # width sizing, the weighted sketch, AND the exact audit (round 13
+    # — the sketch used to hash depth md5s per RAW ROW; every
+    # occurrence of a key lands in the same cells, so hashing each
+    # DISTINCT key once and weighting by its count yields the
+    # identical sketch with O(distinct) hash work, and the count()
+    # that sized the width stops being its own corpus scan: it is the
+    # localCheckpoint-materializing sum over the key frame).
+    kc = (
+        li.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    width = _cms_width(kc.agg(F.sum("c")).collect()[0][0])
+    sk = countmin_sketch(
+        kc, "k", depth=CMS_DEPTH, width=width, salt=CMS_SALT, weight="c"
+    )
     est = (
         sk.groupBy("row")
         .agg(F.sum(F.col("n") * F.col("n")).alias("est"))
         .agg(F.min("est").alias("cms_estimate"))
     )
-    exact = (
-        li.groupBy("k")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(
-            F.sum(F.col("c") * F.col("c")).alias("exact_size"),
-            F.sum("c").alias("n_rows"),
-        )
+    exact = kc.agg(
+        F.sum(F.col("c") * F.col("c")).alias("exact_size"),
+        F.sum("c").alias("n_rows"),
     )
     slack = F.floor(
         F.lit(3) * F.col("n_rows") * F.col("n_rows") / F.lit(width)

@@ -1059,3 +1059,32 @@ class TestPoissonBootstrap:
         assert row["ci_lo"] <= row["point_mean"] <= row["ci_hi"]
         spread = (row["ci_hi"] - row["ci_lo"]) / row["point_mean"]
         assert 0 < spread < 0.1  # tight at n~15k, but nonzero
+
+
+def test_countmin_weighted_equals_expanded(spark):
+    """Round-13 contract: building the sketch over a (key, count)
+    aggregate with ``weight=`` yields EXACTLY the sketch of the
+    expanded multiset — every occurrence of a key hashes to the same
+    depth cells, so sum(weight) per cell == count(*) per cell."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from asritha_metamorphetl_spark.operators.frequent import (
+        countmin_sketch,
+    )
+
+    raw = spark.createDataFrame(
+        [Row(tok=t) for t in ["a"] * 5 + ["b"] * 3 + ["c"] * 2 + ["d"]]
+    )
+    grouped = raw.groupBy("tok").agg(F.count(F.lit(1)).alias("w"))
+    expanded = {
+        (r["row"], r["cell"], r["n"])
+        for r in countmin_sketch(raw, "tok", depth=3, width=64).collect()
+    }
+    weighted = {
+        (r["row"], r["cell"], r["n"])
+        for r in countmin_sketch(
+            grouped, "tok", depth=3, width=64, weight="w"
+        ).collect()
+    }
+    assert weighted == expanded
