@@ -1948,17 +1948,37 @@ def capped_basket_triples(li: DataFrame) -> DataFrame:
             TRIPLE_BASKET_CAP,
         ).alias("ps")
     )
-    return grouped.select(
+    # Chained Generates, not nested flatten(transform(...)): HOF
+    # lambdas are CodegenFallback — every emitted struct evaluates
+    # interpreted — while explode/posexplode Generate nodes pipeline
+    # inside whole-stage codegen (round 13; same fix as the pair
+    # expansion in linalg_queries). Indices: posexplode is 0-based,
+    # slice 1-based — y ranges over elements after x (start i + 2),
+    # z over elements after y (original 0-based index of y is
+    # i + 1 + j, so z starts at i + j + 3). Same ascending triples,
+    # same C(min(k, CAP), 3) per-order bound.
+    e1 = grouped.select(
+        "l_orderkey", "ps", F.posexplode("ps").alias("i", "x")
+    )
+    e2 = e1.select(
         "l_orderkey",
+        "ps",
+        "i",
+        "x",
+        F.posexplode(
+            F.slice("ps", F.col("i") + 2, F.size("ps"))
+        ).alias("j", "y"),
+    )
+    return e2.select(
+        "l_orderkey",
+        "x",
+        "y",
         F.explode(
-            F.expr(
-                "flatten(transform(ps, (x, i) -> "
-                "flatten(transform(slice(ps, i + 2, size(ps)), (y, j) -> "
-                "transform(slice(ps, i + j + 3, size(ps)), z -> "
-                "struct(x AS x, y AS y, z AS z))))))"
+            F.slice(
+                "ps", F.col("i") + F.col("j") + 3, F.size("ps")
             )
-        ).alias("t"),
-    ).select("l_orderkey", "t.x", "t.y", "t.z")
+        ).alias("z"),
+    )
 
 
 @register(

@@ -323,15 +323,20 @@ def copurchase_pairs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
-    pairs = grouped.select(
+    # Chained Generates, not flatten(transform(...)): higher-order
+    # lambdas are CodegenFallback (every element evaluates interpreted)
+    # while explode/posexplode pipeline inside whole-stage codegen —
+    # the same pair set, emitted by two codegen'd Generate nodes
+    # (round 13: the HOF spelling measured ~2.4x slower on this build).
+    # posexplode's pos is 0-based; slice() is 1-based, so the elements
+    # after u start at pos + 2.
+    e1 = grouped.select("ps", F.posexplode("ps").alias("i", "u"))
+    pairs = e1.select(
+        "u",
         F.explode(
-            F.expr(
-                "flatten(transform(ps, (x, i) -> transform("
-                "slice(ps, i + 2, size(ps)), "
-                "y -> struct(x AS u, y AS v))))"
-            )
-        ).alias("p")
-    ).select("p.u", "p.v")
+            F.slice("ps", F.col("i") + 2, F.size("ps"))
+        ).alias("v"),
+    )
     return pairs.groupBy("u", "v").agg(F.count(F.lit(1)).alias("w"))
 
 

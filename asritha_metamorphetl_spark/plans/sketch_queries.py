@@ -240,10 +240,17 @@ def hll_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(sf_dir).load(spark, "lineitem").select(
         "l_returnflag", "l_orderkey"
     )
-    regs = hll_registers(li, "l_orderkey", ("l_returnflag",))
+    # ONE scan + one distinct shuffle feed both halves (round 13): the
+    # exact side's countDistinct already dedupes (flag, orderkey), and
+    # HLL registers are a function of the distinct key set (MAX is
+    # idempotent — duplicates can't change a bucket's max rank), so the
+    # sketch hashes each DISTINCT key once off the same checkpointed
+    # frame instead of paying its own corpus scan with md5 per raw row.
+    dk = li.distinct().localCheckpoint(eager=False)
+    regs = hll_registers(dk, "l_orderkey", ("l_returnflag",))
     est = hll_estimate(regs, ("l_returnflag",))
-    exact = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("exact_orders")
+    exact = dk.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("exact_orders")
     )
     joined = est.join(exact, "l_returnflag")
     rel_err = F.round(
