@@ -124,7 +124,10 @@ def _global_row_number_with_total(
     # localCheckpoint (not persist): same materialization guarantee, but
     # the blocks are released when the plan is garbage-collected instead
     # of occupying executor storage for the session's lifetime.
-    ranged = ranged.localCheckpoint(eager=True)
+    ranged = ranged.localCheckpoint(eager=False)  # lazy pin: the first
+    # action (the totals/sizes pass) materializes the checkpoint and
+    # fixes the sampled boundaries; eager=True bought the same pin at
+    # the cost of one extra full-frame job per call (round 13)
 
     sizes = {
         r["__pid"]: r["cnt"]
@@ -195,7 +198,10 @@ def global_cumsum_with_total(
     # Pin the sampled range boundaries so the totals pass and the
     # running-sum pass see one consistent partitioning (same rationale
     # as global_row_number).
-    ranged = ranged.localCheckpoint(eager=True)
+    ranged = ranged.localCheckpoint(eager=False)  # lazy pin: the first
+    # action (the totals/sizes pass) materializes the checkpoint and
+    # fixes the sampled boundaries; eager=True bought the same pin at
+    # the cost of one extra full-frame job per call (round 13)
     totals_df = ranged.groupBy("__pid").agg(F.sum(sum_col).alias("s"))
     # The offset frame's type must follow F.sum(sum_col)'s result type
     # (long for integrals, decimal(38,x) for decimals, double for
@@ -272,7 +278,10 @@ def global_cumsums(
     ranged = df.repartitionByRange(int(parts), *order_by).withColumn(
         "__pid", F.spark_partition_id()
     )
-    ranged = ranged.localCheckpoint(eager=True)
+    ranged = ranged.localCheckpoint(eager=False)  # lazy pin: the first
+    # action (the totals/sizes pass) materializes the checkpoint and
+    # fixes the sampled boundaries; eager=True bought the same pin at
+    # the cost of one extra full-frame job per call (round 13)
     totals_df = ranged.groupBy("__pid").agg(
         *[F.sum(src).alias(f"__s_{out}") for src, out in sum_cols]
     )
@@ -518,7 +527,10 @@ def grouped_row_number(
     # source in token_budget_mix at sf0.1). The former tiny-input skip
     # traded that soundness hole for ~1 s of fixed local cost — wrong
     # trade.
-    ranged = ranged.localCheckpoint(eager=True)
+    ranged = ranged.localCheckpoint(eager=False)  # lazy pin: the first
+    # action (the totals/sizes pass) materializes the checkpoint and
+    # fixes the sampled boundaries; eager=True bought the same pin at
+    # the cost of one extra full-frame job per call (round 13)
 
     # Fail fast on unbounded group keys: take() streams results and stops
     # at the cap, so the driver never materializes an unbounded offset

@@ -828,8 +828,9 @@ def bottomk_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (its only collect is O(partitions)). The audit emits each
     estimate's exact CDF position, whose distance from q is the
     measured sketch error."""
+    from pyspark.sql import Window
+
     from asritha_metamorphetl_spark.operators.ranks import (
-        global_cumsum,
         global_cumsum_with_total,
     )
     from asritha_metamorphetl_spark.operators.sampling import (
@@ -845,11 +846,21 @@ def bottomk_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         enc.withColumn("w", F.lit(1.0)), "w", "id", BK_K, salt=BK_SALT
     ).select("cents")
 
-    scum = global_cumsum(
-        sample.groupBy("cents").agg(F.count(F.lit(1)).alias("c")),
-        [F.col("cents").asc()],
-        "c",
-        out_col="cum",
+    # The SAMPLE side is bounded by construction (≤ BK_K rows), so its
+    # running count is a plain window over the collapsed per-value
+    # frame — the two-pass machinery's repartitionByRange + checkpoint
+    # + offset collect is pure fixed overhead at k rows (round 13; the
+    # single-partition stage sits above the groupBy aggregate, the
+    # exact shape the registry-wide plan gate allows for bounded
+    # frames). The FULL-data side below keeps the scale-safe two-pass
+    # walk: its distinct-value domain is ~O(rows).
+    w_sample = Window.orderBy(F.col("cents").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    scum = (
+        sample.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("cum", F.sum("c").over(w_sample))
     )
     fcum, n_total = global_cumsum_with_total(
         enc.groupBy("cents").agg(F.count(F.lit(1)).alias("c")),
