@@ -874,7 +874,9 @@ def spearman_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rank maps join back by value (equi-joins), and Pearson over the
     doubled ranks uses decimal(38,0)/HUGEINT sums — rank products
     reach 4n² per row and overflow int64 at corpus scale."""
-    from asritha_metamorphetl_spark.operators.ranks import global_cumsum
+    from asritha_metamorphetl_spark.operators.ranks import (
+        check_partition_bound,
+    )
     from pyspark.sql import Window
 
     li = Catalog(sf_dir).load(spark, "lineitem")
@@ -884,7 +886,45 @@ def spearman_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents"
         ),
     )
-    qc = enc.groupBy("qty").agg(F.count(F.lit(1)).alias("c"))
+    # ONE fact aggregate (round 13): the distinct (qty, cents) pair
+    # frame with multiplicities carries everything — both rank maps AND
+    # the Pearson sums over ranks (Σ f(row) = Σ cnt·f(pair) exactly,
+    # integer weights). The old spelling scanned lineitem twice and
+    # re-attached the near-unique price rank with a corpus-sized
+    # equi-join (2 extra Exchanges); here the cents rank is computed
+    # IN PLACE on the range-partitioned pair frame — per-partition
+    # range-frame cumulative + O(partitions) driver offsets, the same
+    # two-pass discipline as global_cumsum (equal cents never span
+    # range partitions, so the per-value total is partition-local).
+    pairs = enc.groupBy("qty", "cents").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    parts = check_partition_bound(
+        spark.conf.get("spark.sql.shuffle.partitions", "200"),
+        "spearman_price_qty",
+    )
+    ranged = (
+        pairs.repartitionByRange(int(parts), F.col("cents").asc())
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    totals = {
+        r["__pid"]: r["s"] or 0
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum("cnt").alias("s"))
+        .collect()
+    }
+    offsets, running = [], 0
+    for pid in sorted(totals):
+        offsets.append((pid, running))
+        running += totals[pid]
+    offset_df = spark.createDataFrame(
+        offsets, "__pid int, __offset long"
+    )
+    # qty ranks off the SAME pinned frame (bounded domain ~50 values —
+    # plain window above the collapsed aggregate, the gate-allowed
+    # bounded-frame shape)
+    qc = ranged.groupBy("qty").agg(F.sum("cnt").alias("c"))
     wq = Window.orderBy(F.col("qty").asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -892,26 +932,37 @@ def spearman_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qty",
         (2 * F.sum("c").over(wq) - F.col("c") + 1).alias("rq2"),
     )
-    pc = enc.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
-    pcum = global_cumsum(pc, [F.col("cents").asc()], "c", out_col="cum")
-    pr = pcum.select(
-        "cents", (2 * F.col("cum") - F.col("c") + 1).alias("rp2")
+    # inclusive cumulative count at CENTS granularity: the range frame
+    # (≤ current cents) includes all ties; the per-cents total is the
+    # (__pid, cents) window — partition-local by the range invariant
+    w_cum = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col("cents").asc())
+        .rangeBetween(Window.unboundedPreceding, 0)
     )
-    ranked = (
-        enc.join(F.broadcast(qr), "qty")
-        .join(pr, "cents")
+    w_val = Window.partitionBy("__pid", "cents")
+    scored = (
+        ranged.join(F.broadcast(offset_df), "__pid")
+        .join(F.broadcast(qr), "qty")
         .select(
+            F.col("cnt").cast("decimal(38,0)").alias("w"),
             F.col("rq2").cast("decimal(38,0)").alias("x"),
-            F.col("rp2").cast("decimal(38,0)").alias("y"),
+            (
+                2 * (F.col("__offset") + F.sum("cnt").over(w_cum))
+                - F.sum("cnt").over(w_val)
+                + 1
+            )
+            .cast("decimal(38,0)")
+            .alias("y"),
         )
     )
-    sums = ranked.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sx2"),
-        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    sums = scored.agg(
+        F.sum("w").cast("bigint").alias("n"),
+        F.sum(F.col("w") * F.col("x")).alias("sx"),
+        F.sum(F.col("w") * F.col("y")).alias("sy"),
+        F.sum(F.col("w") * F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("w") * F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("w") * F.col("y") * F.col("y")).alias("sy2"),
     )
     n = F.col("n").cast("double")
     sx = F.col("sx").cast("double")
