@@ -235,13 +235,18 @@ def pagerank(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
     )
     outw = e.groupBy("src").agg(F.sum("w").alias("tw"))
+    # LAZY pins (round 13, the ranks.py lesson): the hash partitioning
+    # is deterministic, so the checkpoint only needs to materialize by
+    # the time an iteration consumes it — nodes pins on the count()
+    # below, trans on the first action that touches an iteration, and
+    # neither pays a dedicated full-frame materialization job.
     trans = (
         e.join(outw, "src")
         .select("src", "dst", (F.col("w") / F.col("tw")).alias("p"))
         .repartition("src")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    nodes = outw.select(F.col("src").alias("node")).localCheckpoint(eager=True)
+    nodes = outw.select(F.col("src").alias("node")).localCheckpoint(eager=False)
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))

@@ -534,6 +534,35 @@ def lloyd_refine(
     return C_raw
 
 
+def ivf_train_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nlist: int,
+    refine_iters: int = 0,
+) -> np.ndarray:
+    """Train the IVF centroid matrix and return it RAW (unnormalized):
+    deterministic lowest-id seeding + ``refine_iters`` distributed Lloyd
+    iterations (``lloyd_refine``). This is the bounded O(nlist·dim)
+    driver-state index artifact that ``ivf_topk`` / ``ivfpq_topk`` /
+    ``ivfpq_residual_topk`` accept pretrained — in production the index
+    is trained once per corpus snapshot and every serve/eval consumer
+    loads the artifact instead of re-running the training passes
+    (round 13: each training is a seed top-k plus one full corpus pass
+    per Lloyd iteration)."""
+    cent_rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy("cid")
+        .limit(nlist)
+        .collect()
+    )  # driver-side, bounded O(nlist·dim) — never grows with the corpus
+    C_raw = np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in cent_rows])
+    if refine_iters > 0:
+        c = corpus.select(_to_double(F.col(vec_col)).alias("cv"))
+        C_raw = lloyd_refine(c, C_raw, refine_iters)
+    return C_raw
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -546,6 +575,7 @@ def ivf_topk(
     score_decimals: int = 4,
     n_coarse: int = 0,
     w_coarse: int = 2,
+    centroids_raw: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF (inverted-file) partitioning.
     ``nlist=None`` auto-sizes the cell count to ``auto_nlist(count)``
@@ -578,20 +608,14 @@ def ivf_topk(
     """
     if nlist is None:
         nlist = auto_nlist(corpus.count())
-    cent_rows = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .orderBy("cid")
-        .limit(nlist)
-        .collect()
-    )  # driver-side, bounded O(nlist·dim) — never grows with the corpus
-    C_raw = np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in cent_rows])
-
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
     )
-    if refine_iters > 0:
-        C_raw = lloyd_refine(c, C_raw, refine_iters)
-    C = broadcast_centroids(corpus.sparkSession, _normalize_rows(C_raw))
+    if centroids_raw is None:
+        centroids_raw = ivf_train_centroids(
+            corpus, id_col, vec_col, nlist=nlist, refine_iters=refine_iters
+        )
+    C = broadcast_centroids(corpus.sparkSession, _normalize_rows(centroids_raw))
 
     c = c.withColumn(
         "cell",
@@ -999,6 +1023,7 @@ def pq_adc_topk(
     shortlist: int = 50,
     dist_decimals: int = 4,
     part_decimals: int = 6,
+    codebooks: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate L2 top-k via product quantization with asymmetric
     distance computation (ADC; Jégou et al. 2011, "Product Quantization
@@ -1021,12 +1046,14 @@ def pq_adc_topk(
     reproducible across engines.
     """
     spark = corpus.sparkSession
-    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).head()
-    dim = int(dim_row["d"])
-    subdim = dim // m
-    B = pq_train_codebooks(
-        corpus, vec_col, id_col, m=m, ncodes=ncodes, refine_iters=refine_iters
-    )
+    if codebooks is None:
+        B = pq_train_codebooks(
+            corpus, vec_col, id_col, m=m, ncodes=ncodes,
+            refine_iters=refine_iters,
+        )
+    else:
+        B = codebooks  # pretrained index artifact (ivf_train_centroids note)
+    subdim = B.shape[2]  # == dim // m; skips the dim-probe head() job
 
     bc = broadcast_centroids(spark, B)
     enc = corpus.select(
@@ -1125,6 +1152,8 @@ def ivfpq_topk(
     shortlist: int = 50,
     score_decimals: int = 4,
     part_decimals: int = 6,
+    centroids_raw: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-PQ: the production ANN shape at 100 TB — IVF cells ROUTE
     (each query touches only its ``nprobe`` nearest cells' members, so
@@ -1155,28 +1184,22 @@ def ivfpq_topk(
     descending exact cosine.
     """
     spark = corpus.sparkSession
-    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).head()
-    dim = int(dim_row["d"])
-    subdim = dim // m
-
-    cent_rows = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .orderBy("cid")
-        .limit(nlist)
-        .collect()
-    )  # bounded O(nlist·dim) driver state, as in ivf_topk
-    C_raw = np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in cent_rows])
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
     )
-    if ivf_refine_iters > 0:
-        C_raw = lloyd_refine(c, C_raw, ivf_refine_iters)
-    C = broadcast_centroids(spark, _normalize_rows(C_raw))
+    if centroids_raw is None:
+        centroids_raw = ivf_train_centroids(
+            corpus, id_col, vec_col, nlist=nlist, refine_iters=ivf_refine_iters
+        )
+    C = broadcast_centroids(spark, _normalize_rows(centroids_raw))
 
-    B = pq_train_codebooks(
-        corpus, vec_col, id_col, m=m, ncodes=ncodes,
-        refine_iters=pq_refine_iters,
-    )
+    if codebooks is None:
+        codebooks = pq_train_codebooks(
+            corpus, vec_col, id_col, m=m, ncodes=ncodes,
+            refine_iters=pq_refine_iters,
+        )
+    B = codebooks
+    subdim = B.shape[2]  # == dim // m; skips the dim-probe head() job
     bc = broadcast_centroids(spark, B)
 
     # ONE corpus pass: route (cell) + compress (codes), both map-side.
@@ -1299,6 +1322,47 @@ def _residual_udf(C_raw_bc):
     return resid
 
 
+def ivfpq_residual_train_books(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids_raw: np.ndarray,
+    m: int,
+    ncodes: int,
+    refine_iters: int = 1,
+) -> np.ndarray:
+    """Train PQ codebooks on the within-cell residuals
+    ``v − centroid_raw[cell]`` under pretrained IVF centroids — the
+    residual half of the Faiss-style index artifact, exposed so a
+    serve/eval pair can train the index ONCE per corpus snapshot
+    (see ``ivf_train_centroids``) instead of re-running the
+    assignment + residual + Lloyd passes per consumer. Identical
+    replay to the inline path in ``ivfpq_residual_topk``: rounded
+    cosine cell assignment, exact raw-centroid subtraction, then
+    ``pq_train_codebooks`` on the residual frame."""
+    spark = corpus.sparkSession
+    C = broadcast_centroids(spark, _normalize_rows(centroids_raw))
+    C_raw_bc = broadcast_centroids(spark, centroids_raw)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
+    )
+    assigned = (
+        c.withColumn(
+            "cell", F.element_at(_cell_assign_udf(C, 1)(F.col("cv")), 1)
+        )
+        .withColumn("rv", _residual_udf(C_raw_bc)(F.col("cv"), F.col("cell")))
+        .localCheckpoint(eager=False)
+    )
+    return pq_train_codebooks(
+        assigned.select(F.col("neighbor_id"), F.col("rv")),
+        "rv",
+        "neighbor_id",
+        m=m,
+        ncodes=ncodes,
+        refine_iters=refine_iters,
+    )
+
+
 def ivfpq_residual_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1314,6 +1378,8 @@ def ivfpq_residual_topk(
     shortlist: int = 50,
     score_decimals: int = 4,
     part_decimals: int = 6,
+    centroids_raw: np.ndarray | None = None,
+    res_codebooks: np.ndarray | None = None,
 ) -> DataFrame:
     """Residual IVF-PQ — the full Faiss-style production shape: PQ
     codebooks train on RESIDUALS ``v - centroid[cell]`` rather than raw
@@ -1337,22 +1403,14 @@ def ivfpq_residual_topk(
     probe join, JVM lookup scoring) plus one broadcast of the
     precomputed tables riding the per-query LUT frame."""
     spark = corpus.sparkSession
-    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).head()
-    dim = int(dim_row["d"])
-    subdim = dim // m
-
-    cent_rows = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .orderBy("cid")
-        .limit(nlist)
-        .collect()
-    )
-    C_raw = np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in cent_rows])
+    if centroids_raw is None:
+        centroids_raw = ivf_train_centroids(
+            corpus, id_col, vec_col, nlist=nlist, refine_iters=ivf_refine_iters
+        )
+    C_raw = centroids_raw
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
     )
-    if ivf_refine_iters > 0:
-        C_raw = lloyd_refine(c, C_raw, ivf_refine_iters)
     C = broadcast_centroids(spark, _normalize_rows(C_raw))
     C_raw_bc = broadcast_centroids(spark, C_raw)
 
@@ -1364,14 +1422,17 @@ def ivfpq_residual_topk(
     # consumer (the SemDeDup/localCheckpoint discipline).
     assigned = assigned.localCheckpoint(eager=False)
 
-    B = pq_train_codebooks(
-        assigned.select(F.col("neighbor_id"), F.col("rv")),
-        "rv",
-        "neighbor_id",
-        m=m,
-        ncodes=ncodes,
-        refine_iters=pq_refine_iters,
-    )
+    if res_codebooks is None:
+        res_codebooks = pq_train_codebooks(
+            assigned.select(F.col("neighbor_id"), F.col("rv")),
+            "rv",
+            "neighbor_id",
+            m=m,
+            ncodes=ncodes,
+            refine_iters=pq_refine_iters,
+        )
+    B = res_codebooks
+    subdim = B.shape[2]  # == dim // m; skips the dim-probe head() job
     bc = broadcast_centroids(spark, B)
     enc = assigned.withColumn(
         "codes", _pq_assign_udf(bc, m, subdim)(F.col("rv"))

@@ -228,7 +228,10 @@ def knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are only touched again for the shortlist re-rank. Inputs pass the
     FINITE-VECTOR gate (a NaN/Inf component would poison codebook
     means; the oracle mirrors the gate in its vecs CTE)."""
-    from asritha_metamorphetl_spark.plans.fixtures import embedding_count
+    from asritha_metamorphetl_spark.plans.fixtures import (
+        embedding_count,
+        pq_codebooks_raw,
+    )
 
     emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
@@ -242,6 +245,7 @@ def knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ncodes=PQ_NCODES,
         refine_iters=PQ_REFINE,
         shortlist=pq_shortlist(embedding_count(spark, sf_dir)),
+        codebooks=pq_codebooks_raw(spark, sf_dir),
     )
 
 
@@ -277,6 +281,7 @@ def knn_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asritha_metamorphetl_spark.plans.fixtures import (
         embedding_count,
         l2_truth_topk_gated,
+        pq_codebooks_raw,
     )
 
     emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
@@ -297,6 +302,7 @@ def knn_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ncodes=PQ_NCODES,
             refine_iters=PQ_REFINE,
             shortlist=pq_shortlist(embedding_count(spark, sf_dir)),
+            codebooks=pq_codebooks_raw(spark, sf_dir),
         )
         .select("query_id", "neighbor_id")
         .withColumn("in_a", F.lit(1))
@@ -399,14 +405,11 @@ def pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pq_assign_udf,
         _to_double,
         broadcast_centroids,
-        pq_train_codebooks,
     )
+    from asritha_metamorphetl_spark.plans.fixtures import pq_codebooks_raw
 
     emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
-    B = pq_train_codebooks(
-        emb, "embedding", "vec_id", m=PQ_M, ncodes=PQ_NCODES,
-        refine_iters=PQ_REFINE,
-    )
+    B = pq_codebooks_raw(spark, sf_dir)
     bc = broadcast_centroids(spark, B)
     enc = emb.select(
         _pq_assign_udf(bc, PQ_M, PQ_SUBDIM)(
@@ -594,7 +597,11 @@ def knn_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FINITE-VECTOR-gated (both the IVF routing cosine and the PQ
     codebook means are NaN-poisonable; oracle mirrors the gate)."""
     from asritha_metamorphetl_spark.operators.similarity import ivfpq_topk
-    from asritha_metamorphetl_spark.plans.fixtures import embedding_count
+    from asritha_metamorphetl_spark.plans.fixtures import (
+        embedding_count,
+        ivfpq_centroids,
+        pq_codebooks_raw,
+    )
 
     emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
@@ -611,6 +618,8 @@ def knn_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ncodes=PQ_NCODES,
         pq_refine_iters=PQ_REFINE,
         shortlist=ivfpq_shortlist(embedding_count(spark, sf_dir)),
+        centroids_raw=ivfpq_centroids(spark, sf_dir),
+        codebooks=pq_codebooks_raw(spark, sf_dir),
     )
 
 
@@ -675,6 +684,8 @@ def knn_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asritha_metamorphetl_spark.plans.fixtures import (
         cosine_truth_topk,
         embedding_count,
+        ivfpq_centroids,
+        pq_codebooks_raw,
     )
 
     emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
@@ -698,6 +709,8 @@ def knn_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ncodes=PQ_NCODES,
             pq_refine_iters=PQ_REFINE,
             shortlist=ivfpq_shortlist(embedding_count(spark, sf_dir)),
+            centroids_raw=ivfpq_centroids(spark, sf_dir),
+            codebooks=pq_codebooks_raw(spark, sf_dir),
         )
         .select("query_id", "neighbor_id")
         .withColumn("in_a", F.lit(1))
@@ -1062,7 +1075,11 @@ def knn_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asritha_metamorphetl_spark.operators.similarity import (
         ivfpq_residual_topk,
     )
-    from asritha_metamorphetl_spark.plans.fixtures import embedding_count
+    from asritha_metamorphetl_spark.plans.fixtures import (
+        embedding_count,
+        ivfpq_centroids,
+        ivfpq_residual_books,
+    )
 
     emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
@@ -1079,6 +1096,8 @@ def knn_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ncodes=PQ_NCODES,
         pq_refine_iters=PQ_REFINE,
         shortlist=ivfpq_shortlist(embedding_count(spark, sf_dir)),
+        centroids_raw=ivfpq_centroids(spark, sf_dir),
+        res_codebooks=ivfpq_residual_books(spark, sf_dir),
     )
 
 
@@ -1116,6 +1135,8 @@ def knn_ivfpq_residual_recall_eval(
     from asritha_metamorphetl_spark.plans.fixtures import (
         cosine_truth_topk,
         embedding_count,
+        ivfpq_centroids,
+        ivfpq_residual_books,
     )
 
     emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
@@ -1139,6 +1160,8 @@ def knn_ivfpq_residual_recall_eval(
             ncodes=PQ_NCODES,
             pq_refine_iters=PQ_REFINE,
             shortlist=ivfpq_shortlist(embedding_count(spark, sf_dir)),
+            centroids_raw=ivfpq_centroids(spark, sf_dir),
+            res_codebooks=ivfpq_residual_books(spark, sf_dir),
         )
         .select("query_id", "neighbor_id")
         .withColumn("in_a", F.lit(1))

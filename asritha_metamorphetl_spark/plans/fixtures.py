@@ -200,6 +200,169 @@ def semdedup_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: entry per (session, sf, variant).
 _EMB_COUNT_MEMO: dict[tuple[str, str, bool], int] = {}
 
+# ---------------------------------------------------------------------------
+# Trained ANN index artifacts (round 13): centroid matrices / PQ codebooks
+# ---------------------------------------------------------------------------
+
+#: Session-scoped memo of TRAINED INDEX MODELS — bounded numpy driver
+#: state (O(nlist·dim) centroids, O(m·ncodes·subdim) codebooks), keyed
+#: by (applicationId, sf, label) so a fresh session always retrains
+#: from the parquet inputs and concurrent sessions never share. Unlike
+#: the parquet fixtures above these never touch disk: they are exactly
+#: the index artifact a production serving stack trains once per
+#: corpus snapshot and then LOADS in every serve/eval consumer —
+#: retraining the same deterministic model per query was k× the
+#: training passes (each training = one seed top-k + one full corpus
+#: pass per Lloyd iteration) for byte-identical output. Every
+#: consumer's oracle replays the ENTIRE training chain in SQL, so a
+#: shared model that diverged from an inline run would go red in
+#: CORRECTNESS — equivalence is oracle-proven per consumer, not
+#: assumed. Build seconds land in ``FIXTURE_BUILD_LOG`` like every
+#: other fixture so bench rows stay honest.
+_MODEL_MEMO: dict[tuple[str, str, str], object] = {}
+_MODEL_LOCK = None  # created lazily to keep import light
+
+
+def _cached_model(spark: SparkSession, label: str, sf_dir: str, build):
+    global _MODEL_LOCK
+    import threading
+    import time
+
+    from asritha_metamorphetl_spark import session as _session
+
+    if _MODEL_LOCK is None:
+        _MODEL_LOCK = threading.Lock()
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        label,
+    )
+    with _MODEL_LOCK:
+        if key in _MODEL_MEMO:
+            return _MODEL_MEMO[key]
+        t0 = time.perf_counter()
+        model = build()
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        _session.FIXTURE_BUILD_LOG[f"{label}@{tag}"] = {
+            "seconds": round(time.perf_counter() - t0, 3),
+            "charged_to": _session.CURRENT_CONSUMER,
+        }
+        _MODEL_MEMO[key] = model
+        return model
+
+
+def _gated_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asritha_metamorphetl_spark.operators.similarity import (
+        finite_vectors,
+    )
+
+    return finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
+
+
+def ivf_centroids_knn(spark: SparkSession, sf_dir: str):
+    """IVF centroid matrix at the knn_ivf knobs (IVF_NLIST lowest-id
+    seeds + IVF_REFINE_ITERS Lloyd iterations over the gated corpus) —
+    shared by ``knn_ivf_topk`` and ``knn_ivf_recall_eval``."""
+    from asritha_metamorphetl_spark.operators.similarity import (
+        ivf_train_centroids,
+    )
+    from asritha_metamorphetl_spark.plans.text_queries import (
+        IVF_NLIST,
+        IVF_REFINE_ITERS,
+    )
+
+    def build():
+        return ivf_train_centroids(
+            _gated_embeddings(spark, sf_dir),
+            "vec_id",
+            "embedding",
+            nlist=IVF_NLIST,
+            refine_iters=IVF_REFINE_ITERS,
+        )
+
+    return _cached_model(spark, "ivf_cent_knn", sf_dir, build)
+
+
+def ivfpq_centroids(spark: SparkSession, sf_dir: str):
+    """IVF centroid matrix at the IVF-PQ knobs (IVFPQ_NLIST seeds +
+    IVFPQ_IVF_REFINE Lloyd iterations, gated corpus) — the routing half
+    shared by all four IVF-PQ queries (raw + residual, topk + eval)."""
+    from asritha_metamorphetl_spark.operators.similarity import (
+        ivf_train_centroids,
+    )
+    from asritha_metamorphetl_spark.plans.ann_queries import (
+        IVFPQ_IVF_REFINE,
+        IVFPQ_NLIST,
+    )
+
+    def build():
+        return ivf_train_centroids(
+            _gated_embeddings(spark, sf_dir),
+            "vec_id",
+            "embedding",
+            nlist=IVFPQ_NLIST,
+            refine_iters=IVFPQ_IVF_REFINE,
+        )
+
+    return _cached_model(spark, "ivfpq_cent", sf_dir, build)
+
+
+def pq_codebooks_raw(spark: SparkSession, sf_dir: str):
+    """Raw-vector PQ codebooks at the registered PQ knobs (PQ_M
+    subspaces × PQ_NCODES codewords, PQ_REFINE Lloyd iterations, gated
+    corpus) — shared by the PQ pair, the code histogram, and the
+    raw-vector IVF-PQ pair (all five train this identical model)."""
+    from asritha_metamorphetl_spark.operators.similarity import (
+        pq_train_codebooks,
+    )
+    from asritha_metamorphetl_spark.plans.ann_queries import (
+        PQ_M,
+        PQ_NCODES,
+        PQ_REFINE,
+    )
+
+    def build():
+        return pq_train_codebooks(
+            _gated_embeddings(spark, sf_dir),
+            "embedding",
+            "vec_id",
+            m=PQ_M,
+            ncodes=PQ_NCODES,
+            refine_iters=PQ_REFINE,
+        )
+
+    return _cached_model(spark, "pq_books_raw", sf_dir, build)
+
+
+def ivfpq_residual_books(spark: SparkSession, sf_dir: str):
+    """Residual PQ codebooks (trained on v − centroid[cell] under the
+    shared ``ivfpq_centroids``) — shared by the residual IVF-PQ pair."""
+    from asritha_metamorphetl_spark.operators.similarity import (
+        ivfpq_residual_train_books,
+    )
+    from asritha_metamorphetl_spark.plans.ann_queries import (
+        PQ_M,
+        PQ_NCODES,
+        PQ_REFINE,
+    )
+
+    # resolve the centroid dependency OUTSIDE the memo lock (the lock
+    # is non-reentrant; a nested _cached_model call would deadlock)
+    cents = ivfpq_centroids(spark, sf_dir)
+
+    def build():
+        return ivfpq_residual_train_books(
+            _gated_embeddings(spark, sf_dir),
+            "vec_id",
+            "embedding",
+            centroids_raw=cents,
+            m=PQ_M,
+            ncodes=PQ_NCODES,
+            refine_iters=PQ_REFINE,
+        )
+
+    return _cached_model(spark, "pq_books_res", sf_dir, build)
+
 
 def embedding_count(
     spark: SparkSession, sf_dir: str, gated: bool = True

@@ -1032,6 +1032,7 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall vs the exact path is additionally asserted in
     tests/test_llm_ops.py (≥0.8 on the fixture)."""
     from asritha_metamorphetl_spark.operators.similarity import ivf_topk
+    from asritha_metamorphetl_spark.plans.fixtures import ivf_centroids_knn
 
     emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
@@ -1044,6 +1045,7 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         nlist=IVF_NLIST,
         nprobe=IVF_NPROBE,
         refine_iters=IVF_REFINE_ITERS,
+        centroids_raw=ivf_centroids_knn(spark, sf_dir),
     )
 
 
@@ -1081,7 +1083,10 @@ def knn_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     unconditionally). Fixture recall 0.84 at these knobs."""
     from asritha_metamorphetl_spark.operators.similarity import ivf_topk
 
-    from asritha_metamorphetl_spark.plans.fixtures import cosine_truth_topk
+    from asritha_metamorphetl_spark.plans.fixtures import (
+        cosine_truth_topk,
+        ivf_centroids_knn,
+    )
 
     emb = finite_vectors(Catalog(sf_dir).load(spark, "embeddings"))
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
@@ -1100,6 +1105,7 @@ def knn_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             nlist=IVF_NLIST,
             nprobe=IVF_NPROBE,
             refine_iters=IVF_REFINE_ITERS,
+            centroids_raw=ivf_centroids_knn(spark, sf_dir),
         )
         .select("query_id", "neighbor_id")
         .withColumn("in_a", F.lit(1))
