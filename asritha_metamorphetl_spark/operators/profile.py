@@ -50,8 +50,22 @@ def profile_table(
 ) -> DataFrame:
     """Profile ``specs`` = [(column, kind), ...]; returns one row per
     column: (column, n_rows, n_nulls, n_distinct, min_repr, max_repr)
-    with min/max as strings of the canonical representation."""
+    with min/max as strings of the canonical representation.
+
+    Plan shape (round 13): STRING-kind min/max live in a SEPARATE
+    keyless aggregate joined back onto the main row. A string
+    aggregation buffer is immutable, so one ``min(string)`` anywhere in
+    the main aggregate demotes the ENTIRE multi-distinct Expand pipeline
+    from HashAggregate to SortAggregate — three full sorts of the
+    (columns+1)× expanded frame (measured: the sorts dominated the
+    query). Split, the main aggregate's buffer is all longs and hash-
+    aggregates through every level, while the string side is a keyless
+    single-pass over just the pruned string columns (no grouping ⇒ no
+    sort requirement). Two column-pruned scans beat one scan that sorts
+    the expanded frame at any scale; the computed values are identical.
+    """
     aggs = [F.count(F.lit(1)).alias("__n")]
+    str_aggs = []
     for col, kind in specs:
         rep = _repr_col(col, kind)
         aggs += [
@@ -59,10 +73,18 @@ def profile_table(
             .cast("bigint")
             .alias(f"__nul_{col}"),
             F.count_distinct(F.col(col)).alias(f"__dst_{col}"),
+        ]
+        mm = [
             F.min(rep).cast("string").alias(f"__min_{col}"),
             F.max(rep).cast("string").alias(f"__max_{col}"),
         ]
+        if kind == "str":
+            str_aggs += mm
+        else:
+            aggs += mm
     one = df.agg(*aggs)
+    if str_aggs:
+        one = one.crossJoin(F.broadcast(df.agg(*str_aggs)))
     rows = F.array(
         *[
             F.struct(

@@ -105,6 +105,42 @@ def test_ivfpq_residual_pretrained_models_identical(spark):
     assert _rows(inline) == _rows(pre)
 
 
+def test_profile_table_hash_aggregates_no_sort(spark):
+    """The round-13 profiler split: string-kind min/max move to a
+    keyless side aggregate so the main multi-distinct Expand pipeline
+    hash-aggregates — the plan must contain NO standalone Sort node
+    (the old shape sort-aggregated the expanded frame three times),
+    and the values must match a naive per-column computation."""
+    from pyspark.sql import functions as F
+
+    from asritha_metamorphetl_spark.operators.profile import profile_table
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    specs = [
+        ("o_orderkey", "int"),
+        ("o_orderstatus", "str"),
+        ("o_totalprice", "cents"),
+    ]
+    prof = profile_table(orders, specs)
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "Sort " not in plan.replace("SortAggregate", "XAggregate"), plan
+    got = {r["column"]: r.asDict() for r in prof.collect()}
+    n = orders.count()
+    for col, kind in specs:
+        row = got[col]
+        assert row["n_rows"] == n
+        assert row["n_nulls"] == orders.filter(F.col(col).isNull()).count()
+        assert row["n_distinct"] == orders.select(col).distinct().count()
+    assert got["o_orderstatus"]["min_repr"] == orders.agg(
+        F.min("o_orderstatus")
+    ).first()[0]
+    assert got["o_totalprice"]["max_repr"] == str(
+        orders.agg(
+            F.max(F.round(F.col("o_totalprice") * 100).cast("long"))
+        ).first()[0]
+    )
+
+
 def test_model_fixture_memo_builds_once(spark, tmp_path, monkeypatch):
     """The _cached_model memo must build once per (session, sf, label)
     and attribute the build in FIXTURE_BUILD_LOG."""
