@@ -56,6 +56,18 @@ def scd2_apply(
     keys = list(keys)
     business_cols = [c for c in current.columns if c not in SCD2_COLS]
 
+    # Pin the incoming dimension (round 13): ``current`` feeds FOUR
+    # subtrees below (history, the change join, closed, untouched), so
+    # without a pin each scd2_apply in a fold multiplies its input plan
+    # 4× — k applied batches replayed the snapshot subtrees ~4^k times
+    # (scd2_pointintime_totals' physical plan held 204 copies of the
+    # snapshot aggregate before this). A LAZY localCheckpoint keeps the
+    # fold's plan linear in batch count and computes each stage once.
+    current = current.localCheckpoint(eager=False)
+    # ``updates`` likewise feeds two subtrees (the change join and the
+    # new-version semi-join); one pin, one computation.
+    updates = updates.localCheckpoint(eager=False)
+
     active = current.filter(F.col("is_current"))
     history = current.filter(~F.col("is_current"))
 
@@ -66,10 +78,13 @@ def scd2_apply(
         changed_pred = changed_pred | ~F.col(f"u.{col}").eqNullSafe(F.col(f"c.{col}"))
 
     joined = u.join(c, [F.col(f"u.{k}") == F.col(f"c.{k}") for k in keys], "left")
-    # new key (no current row) or a real attribute change
+    # new key (no current row) or a real attribute change; pinned —
+    # three consumers (new_rows semi, closed semi, untouched anti)
+    # would otherwise re-run the change join each.
     delta_keys = (
         joined.filter(F.col(f"c.{keys[0]}").isNull() | changed_pred)
         .select(*[F.col(f"u.{k}").alias(k) for k in keys])
+        .localCheckpoint(eager=False)
     )
 
     new_rows = scd2_init(
