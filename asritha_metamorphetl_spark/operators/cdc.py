@@ -110,7 +110,12 @@ def cdc_apply(
     'D' rows disappear."""
     keys = list(keys)
     payload = list(base.columns)
-    latest = cdc_latest(changelog, keys, seq_col)
+    # Pinned (round 13): ``latest`` feeds BOTH the anti-join key set and
+    # the survivor images — unpinned, the whole changelog aggregate (and
+    # everything upstream of it) evaluated twice per apply.
+    latest = cdc_latest(changelog, keys, seq_col).localCheckpoint(
+        eager=False
+    )
     untouched = base.join(latest.select(*keys), keys, "left_anti")
     survivors = latest.filter(F.col(op_col) != "D").select(*payload)
     return untouched.unionByName(survivors)

@@ -105,6 +105,14 @@ def customer_sales_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         how="inner",
     )
 
+    # Pinned (round 13): global_percent_rank consumes its input twice
+    # (the distinct-value pass + the pr attach), and here that input is
+    # the lineitem⋈orders⋈part join — unpinned, the join and its
+    # shuffles ran twice (the plan scanned lineitem/orders twice). The
+    # frame at this point is already NARROW (keys + numbers + an ISO
+    # date string; display attributes attach post-window), so one lazy
+    # materialization is cheaper than re-running a fact-fact join at
+    # any scale.
     metrics = all_data.withColumns(
         {
             # bigint to match the oracle's EXTRACT() type exactly.
@@ -123,7 +131,7 @@ def customer_sales_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 2,
             ).cast("double"),
         }
-    )
+    ).localCheckpoint(eager=False)
 
     # W3: global percent_rank tiering (reference task:106-122). The
     # reference's unpartitioned window funnels every row through ONE
