@@ -459,10 +459,18 @@ def cross_corpus_contamination(
     Returns one row per eval document: (id_col, n_grams,
     n_contaminated, contamination_rate, contaminated) — zero-gram
     (short) docs report clean zeros."""
-    eg = eval_df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(H.word_shingles(F.col(text_col))).alias("pos0", "s"),
-    ).select("doc_id", F.xxhash64(F.col("s")).alias("g"))
+    # Pinned (round 13): ``eg`` feeds BOTH the broadcast gram set and
+    # the per-doc hit join — unpinned, the eval-side tokenization
+    # (explode + hash over every eval document) computed twice. The
+    # eval side is small by construction, so the pin is cheap.
+    eg = (
+        eval_df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(H.word_shingles(F.col(text_col))).alias("pos0", "s"),
+        )
+        .select("doc_id", F.xxhash64(F.col("s")).alias("g"))
+        .localCheckpoint(eager=False)
+    )
     eval_grams = eg.select("g").distinct()
     train_hits = (
         train.select(F.explode(H.word_shingles(F.col(text_col))).alias("s"))

@@ -904,17 +904,29 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "event_type", F.unix_timestamp("ts").alias("ts_sec")
         )
     )
-    v = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts_sec"))).alias(
-            "v_sec"
+    # Each stage frame is pinned (round 13): v feeds its own count AND
+    # c's gate join, c feeds its count AND p's gate join — unpinned,
+    # the chain nests (p replays c which replays v) and the plan
+    # scanned events SIX times for three stages. Pinned, each stage's
+    # O(users) milestone frame computes once and events is scanned
+    # exactly once per stage with the type filter pushed down.
+    v = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts_sec"))
+            ).alias("v_sec")
         )
-    ).filter(F.col("v_sec").isNotNull())
+        .filter(F.col("v_sec").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     c = (
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts_sec") > F.col("v_sec"))
         .groupBy("user_id")
         .agg(F.min("ts_sec").alias("c_sec"))
+        .localCheckpoint(eager=False)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
