@@ -660,14 +660,17 @@ def _parity_suite(spark: SparkSession, sf_dir: str, family: str) -> str:
     broken family once per consumer (ADVICE r12)."""
     from concurrent.futures import ThreadPoolExecutor
 
+    # LONGEST-FIRST submission order (measured isolated build seconds;
+    # the classic makespan heuristic): with a bounded pool the slowest
+    # family must start first or it becomes the tail all by itself.
     families = {
         "trilogy": _docs_trilogy_fixture,
-        "lastvalue": _events_lastvalue_fixture,
-        "gram": _gram_state_fixture,
         "hll": _hll_state_fixture,
+        "lastvalue": _events_lastvalue_fixture,
+        "latebatch": _latebatch_state_fixture,
         "mor": _mor_stream_fixture,
         "cdc": _cdc_stream_fixture,
-        "latebatch": _latebatch_state_fixture,
+        "gram": _gram_state_fixture,
         "wmdrop": _wmdrop_state_fixture,
     }
     if family not in families:
@@ -696,10 +699,22 @@ def _parity_suite(spark: SparkSession, sf_dir: str, family: str) -> str:
     # One suite entry at a time: serialization costs nothing — the
     # second caller enters after the first built everything and every
     # cached_fixture returns on its marker instantly.
+    # max_workers=3, NOT one per family (guide §2.6: "2-3 jobs in
+    # flight is plenty: enough to fill the tail, not so many that they
+    # fight"). Each family build is itself a driver-heavy pipeline —
+    # micro-batch planning, checkpoint commits, foreachBatch Python
+    # folds — so 8 concurrent builds fight for the driver (GIL + py4j)
+    # and the filesystem more than they use the 32 cores. Measured on
+    # the full suite at sf0.1 (same container, back-to-back):
+    # 8 workers = 50.2 s wall, 4 = 32.6, 3/2 = 28.9-39.7, 1 = 50.1
+    # (sequential sum) — the bounded pool roughly HALVES the wall and
+    # every family's own build seconds drop 2-4x (trilogy 50.2 -> 11.5
+    # thread-seconds at 2 workers). Three keeps slack for one slow
+    # family without re-creating the pile-up.
     with _SUITE_LOCK:
         build_spark = spark.newSession()
         build_spark.conf.set("spark.sql.shuffle.partitions", "8")
-        with ThreadPoolExecutor(max_workers=len(families)) as pool:
+        with ThreadPoolExecutor(max_workers=3) as pool:
             futs = {
                 k: pool.submit(fn, build_spark, sf_dir)
                 for k, fn in families.items()
