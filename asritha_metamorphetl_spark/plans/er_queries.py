@@ -231,12 +231,47 @@ def fellegi_sunter_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("c_mktsegment"))
         .alias("d_seg"),
     )
-    pairs = clean.join(
-        dirty,
-        (clean.nation == dirty.d_nation)
+    # SALTED block join (guide §2.5, VERDICT r13 #3): the block key
+    # (nation, 4-char prefix) is degenerate-skewed — every TPC-H
+    # customer name shares the prefix 'Cust', so there are only
+    # ~25 nation-sized blocks and a plain equi-join hands each task a
+    # whole block's O(block²) pair expansion (at 100 TB one block ≈ the
+    # corpus/25). Salting splits each block's PAIR GENERATION across
+    # n_salts tasks with the pair set unchanged: the clean side carries
+    # a deterministic salt = pmod(key, S); the dirty side is exploded S
+    # ways, so every (clean, dirty) block pair still meets exactly once
+    # — on the clean row's salt. S scales with the session's
+    # parallelism, and the SHUFFLE_HASH hint keeps the join a salted
+    # shuffle even where the exploded side's size estimate would allow
+    # a broadcast (a broadcast would serialize pair generation onto the
+    # clean side's few scan tasks — the skew this change removes).
+    n_salts = max(int(spark.sparkContext.defaultParallelism), 8)
+    clean_s = clean.withColumn(
+        "__salt", F.pmod(F.col("key"), F.lit(n_salts)).cast("int")
+    )
+    dirty_s = dirty.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salts)])),
+    )
+    # EXPLICIT repartition on the salted block key: AQE sizes
+    # post-shuffle partitions by SHUFFLE bytes, and this shuffle is
+    # tiny while the join's pair EXPANSION after it is the real work —
+    # left to ENSURE_REQUIREMENTS, AQE coalesces the exchange back to
+    # a couple of partitions and re-serializes the expansion (measured
+    # 2.7-3.6 s vs 1.3-2.3 s with the pinned partition count; the
+    # pre-salt broadcast plan was 3.9-5.1 s, one task owning all
+    # ~9M pairs). A user repartition with an explicit count is exempt
+    # from AQE coalescing, and the join reuses its partitioning.
+    clean_s = clean_s.repartition(
+        n_salts, "__salt", "nation", F.substring("name", 1, 4)
+    )
+    pairs = clean_s.join(
+        dirty_s.hint("SHUFFLE_HASH"),
+        (clean_s["__salt"] == dirty_s["__salt"])
+        & (clean_s.nation == dirty_s.d_nation)
         & (
-            F.substring(clean.name, 1, 4)
-            == F.substring(dirty.d_name, 1, 4)
+            F.substring(clean_s.name, 1, 4)
+            == F.substring(dirty_s.d_name, 1, 4)
         ),
     )
     score = (

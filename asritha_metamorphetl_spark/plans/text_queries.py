@@ -2262,62 +2262,88 @@ def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet replaces the old localCheckpoint for the 5 semi-joins
     exact = ngram_jaccard_scored(spark, sf_dir).select("doc_a", "doc_b")
     n_exact = exact.agg(F.count(F.lit(1)).alias("nx"))
-    out = None
-    for bands, rows in BAND_CONFIGS:
-        banded = sig.select(
-            "doc_id",
-            F.explode(
-                H.lsh_band_keys(
-                    [F.col(f"mh_{i}") for i in range(H.MINHASH_K)],
-                    bands=bands,
-                    rows=rows,
+    # ALL FIVE configs banded in ONE pass (VERDICT r13 #5): the sweep
+    # used to run one banded self-join PER config — five shuffles of
+    # the exploded corpus plus five distincts and five semi-joins
+    # against truth. The (cfg, band_key) tagging makes one combined
+    # frame carry every config's keys (27 per doc in total — the same
+    # md5 count the five frames paid), so the corpus is shuffled ONCE
+    # for one self-join, one distinct, one semi-join. Joining on BOTH
+    # cfg and band_key keeps the pair semantics exactly per-config (a
+    # cross-config md5 collision cannot manufacture a pair). Per-config
+    # counts come off groupBy(cfg); a literal config frame left-joined
+    # with coalesce(…, 0) keeps zero-candidate configs in the output,
+    # matching the old per-config single-row unions.
+    entries = []
+    for ci, (bands, rows) in enumerate(BAND_CONFIGS):
+        for b in range(bands):
+            chunk = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
+            key = F.md5(F.concat_ws("|", F.lit(str(b)), *chunk))
+            entries.append(
+                F.struct(
+                    F.lit(ci).alias("cfg"), key.alias("band_key")
                 )
-            ).alias("band_key"),
-        )  # no explicit repartition: the band self-join hash-partitions
-        # on band_key itself, and an extra repartition ahead of it just
-        # adds a shuffle per config (x5) without enabling exchange reuse
-        left = banded.alias("l")
-        right = banded.alias("r")
-        pairs = (
-            left.join(right, "band_key")
-            .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-            .select(
-                F.col("l.doc_id").alias("doc_a"),
-                F.col("r.doc_id").alias("doc_b"),
             )
-            .distinct()
-            .localCheckpoint(eager=False)  # candidate count + semi-join
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*entries)).alias("e")
+    ).select(
+        F.col("e.cfg").alias("cfg"),
+        F.col("e.band_key").alias("band_key"),
+        "doc_id",
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(right, ["cfg", "band_key"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            "cfg",
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
         )
-        n_cand = pairs.agg(F.count(F.lit(1)).alias("n_candidates"))
-        n_true = (
-            pairs.join(exact, ["doc_a", "doc_b"], "left_semi")
-            .agg(F.count(F.lit(1)).alias("n_true"))
+        .distinct()
+        .localCheckpoint(eager=False)  # candidate count + semi-join
+    )
+    n_cand = pairs.groupBy("cfg").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    n_true = (
+        pairs.join(exact, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("cfg")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    cfgs = spark.createDataFrame(
+        [(ci, b, r) for ci, (b, r) in enumerate(BAND_CONFIGS)],
+        "cfg int, n_bands int, n_rows int",
+    )
+    return (
+        cfgs.join(n_cand, "cfg", "left")
+        .join(n_true, "cfg", "left")
+        .crossJoin(n_exact)
+        .select(
+            "n_bands",
+            "n_rows",
+            F.coalesce(F.col("n_candidates"), F.lit(0).cast("bigint")).alias(
+                "n_candidates"
+            ),
+            F.coalesce(F.col("n_true"), F.lit(0).cast("bigint")).alias(
+                "n_true"
+            ),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("n_candidates"), F.lit(0)) > 0,
+                    F.coalesce(F.col("n_true"), F.lit(0)).cast("double")
+                    / F.col("n_candidates").cast("double"),
+                ).otherwise(F.lit(1.0)),
+                6,
+            ).alias("precision_vs_exact"),
+            F.round(
+                F.when(
+                    F.col("nx") > 0,
+                    F.coalesce(F.col("n_true"), F.lit(0)).cast("double")
+                    / F.col("nx").cast("double"),
+                ).otherwise(F.lit(1.0)),
+                6,
+            ).alias("recall_vs_exact"),
         )
-        row = (
-            n_cand.crossJoin(n_true)
-            .crossJoin(n_exact)
-            .select(
-                F.lit(bands).alias("n_bands"),
-                F.lit(rows).alias("n_rows"),
-                "n_candidates",
-                "n_true",
-                F.round(
-                    F.when(
-                        F.col("n_candidates") > 0,
-                        F.col("n_true").cast("double")
-                        / F.col("n_candidates").cast("double"),
-                    ).otherwise(F.lit(1.0)),
-                    6,
-                ).alias("precision_vs_exact"),
-                F.round(
-                    F.when(
-                        F.col("nx") > 0,
-                        F.col("n_true").cast("double")
-                        / F.col("nx").cast("double"),
-                    ).otherwise(F.lit(1.0)),
-                    6,
-                ).alias("recall_vs_exact"),
-            )
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    )
