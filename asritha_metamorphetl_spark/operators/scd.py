@@ -52,7 +52,22 @@ def scd2_apply(
     alone; changed/new keys close the old version (effective_to =
     batch_date) and open a new one. Comparison is NULL-SAFE — a change
     from NULL to a value (or back) versions the row like any other
-    change."""
+    change.
+
+    Memory/recovery trade-off of the pins below (ADVICE r13): each
+    apply localCheckpoints its inputs and never unpersists them, so a
+    fold over k batches holds k superseded MEMORY_AND_DISK frames for
+    the application lifetime, and localCheckpoint output is not
+    recomputable after executor loss (a concern under dynamic
+    allocation, not on a static local cluster). That is deliberate:
+    the pins are what keep the fold's plan linear instead of 4^k (see
+    the comment at the pin), the superseded frames are dimension-sized
+    (small next to the fact tables), and eagerly unpersisting frame
+    k-1 inside apply k would recompute it if the caller still holds a
+    reference. A long-lived incremental deployment should materialize
+    the dimension to the table store every N batches and restart the
+    fold from that snapshot, which both truncates lineage and frees
+    the superseded pins."""
     keys = list(keys)
     business_cols = [c for c in current.columns if c not in SCD2_COLS]
 

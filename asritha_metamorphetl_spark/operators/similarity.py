@@ -606,7 +606,11 @@ def ivf_topk(
     materializes. Recall is tuned by nprobe/nlist/refine_iters (see
     tests/test_llm_ops.py for the measured recall on the fixture).
     """
-    if nlist is None:
+    if centroids_raw is not None:
+        # pretrained artifact: nlist IS its row count — auto_nlist's
+        # corpus.count() would be a wasted full-scan job here
+        nlist = centroids_raw.shape[0]
+    elif nlist is None:
         nlist = auto_nlist(corpus.count())
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
@@ -934,6 +938,14 @@ def _pq_assign_udf(B_bc, m: int, subdim: int, dist_decimals: int = 6):
             return pd.Series([], dtype="object")
         B = _resolve_mat(B_bc)  # (m, ncodes, subdim)
         X = np.vstack(vs.to_numpy()).astype(np.float64)
+        if X.shape[1] != m * subdim:
+            # actionable message instead of an opaque reshape error
+            # when a pretrained codebook's subdim disagrees with the
+            # corpus vector dim (dim must equal m * subdim)
+            raise ValueError(
+                f"pq encode: vector dim {X.shape[1]} != m*subdim "
+                f"({m}*{subdim}={m * subdim}) — codebook/corpus mismatch"
+            )
         X = X.reshape(len(X), m, subdim)
         # d2[n, m, ncodes]: squared L2 between each row-subvector and
         # every codeword of that subspace.
@@ -1053,6 +1065,11 @@ def pq_adc_topk(
         )
     else:
         B = codebooks  # pretrained index artifact (ivf_train_centroids note)
+        if B.shape[:2] != (m, ncodes):
+            raise ValueError(
+                f"pq_adc_topk: pretrained codebooks shaped {B.shape[:2]}, "
+                f"expected (m, ncodes)=({m}, {ncodes})"
+            )
     subdim = B.shape[2]  # == dim // m; skips the dim-probe head() job
 
     bc = broadcast_centroids(spark, B)
@@ -1191,12 +1208,24 @@ def ivfpq_topk(
         centroids_raw = ivf_train_centroids(
             corpus, id_col, vec_col, nlist=nlist, refine_iters=ivf_refine_iters
         )
+    elif centroids_raw.shape[0] != nlist:
+        # a mismatched artifact would otherwise surface as an opaque
+        # reshape error (or silently wrong tables if counts coincide)
+        raise ValueError(
+            f"ivfpq_topk: pretrained centroids have "
+            f"{centroids_raw.shape[0]} rows, expected nlist={nlist}"
+        )
     C = broadcast_centroids(spark, _normalize_rows(centroids_raw))
 
     if codebooks is None:
         codebooks = pq_train_codebooks(
             corpus, vec_col, id_col, m=m, ncodes=ncodes,
             refine_iters=pq_refine_iters,
+        )
+    elif codebooks.shape[:2] != (m, ncodes):
+        raise ValueError(
+            f"ivfpq_topk: pretrained codebooks shaped "
+            f"{codebooks.shape[:2]}, expected (m, ncodes)=({m}, {ncodes})"
         )
     B = codebooks
     subdim = B.shape[2]  # == dim // m; skips the dim-probe head() job
@@ -1407,6 +1436,13 @@ def ivfpq_residual_topk(
         centroids_raw = ivf_train_centroids(
             corpus, id_col, vec_col, nlist=nlist, refine_iters=ivf_refine_iters
         )
+    elif centroids_raw.shape[0] != nlist:
+        # the precomputed-tables reshape below uses the nlist PARAMETER;
+        # a mismatched artifact must fail here, loudly, not inside numpy
+        raise ValueError(
+            f"ivfpq_residual_topk: pretrained centroids have "
+            f"{centroids_raw.shape[0]} rows, expected nlist={nlist}"
+        )
     C_raw = centroids_raw
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
@@ -1430,6 +1466,11 @@ def ivfpq_residual_topk(
             m=m,
             ncodes=ncodes,
             refine_iters=pq_refine_iters,
+        )
+    elif res_codebooks.shape[:2] != (m, ncodes):
+        raise ValueError(
+            f"ivfpq_residual_topk: pretrained codebooks shaped "
+            f"{res_codebooks.shape[:2]}, expected (m, ncodes)=({m}, {ncodes})"
         )
     B = res_codebooks
     subdim = B.shape[2]  # == dim // m; skips the dim-probe head() job

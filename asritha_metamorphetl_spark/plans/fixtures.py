@@ -220,18 +220,19 @@ _EMB_COUNT_MEMO: dict[tuple[str, str, bool], int] = {}
 #: assumed. Build seconds land in ``FIXTURE_BUILD_LOG`` like every
 #: other fixture so bench rows stay honest.
 _MODEL_MEMO: dict[tuple[str, str, str], object] = {}
-_MODEL_LOCK = None  # created lazily to keep import light
+#: Created at import time: the old lazy check-then-set let two
+#: concurrent first callers each mint their own lock and both run
+#: build(), double-charging FIXTURE_BUILD_LOG (ADVICE r13).
+import threading as _threading
+
+_MODEL_LOCK = _threading.Lock()
 
 
 def _cached_model(spark: SparkSession, label: str, sf_dir: str, build):
-    global _MODEL_LOCK
-    import threading
     import time
 
     from asritha_metamorphetl_spark import session as _session
 
-    if _MODEL_LOCK is None:
-        _MODEL_LOCK = threading.Lock()
     key = (
         spark.sparkContext.applicationId,
         os.path.abspath(sf_dir),

@@ -213,18 +213,19 @@ def main() -> None:
         "order_volume_anomalies",
         "streaming_mor_delete_parity",
     ]
+    # Keep the stdout line SMALL (VERDICT r13 #2): round 12's line
+    # outgrew the driver's stdout-tail window and the whole
+    # round-over-round comparison was lost. The fixture_builds
+    # attribution map (~2.4 KB and growing) lives in BENCH_FULL.json
+    # only; the headline queries stay — entries are never removed.
     line = json.dumps(
         {
-            "metric": "total wall-clock, all registered queries, min-of-2 under 2s (headline subset inline; full timings in BENCH_FULL.json)",
+            "metric": "total wall-clock, all registered queries, min-of-2 under 2s (headline subset inline; full timings + fixture_builds in BENCH_FULL.json)",
             "value": round(total, 3),
             "unit": "sec",
             "queries": {q: timings[q] for q in headline if q in timings},
             "n_queries": len(timings),
             "n_failed": len(failed),
-            # Shared-fixture build costs land on whichever consumer runs
-            # first; this map says which query carries which build so
-            # per-query numbers stop lying (VERDICT r11 #5).
-            "fixture_builds": fixture_builds,
             "sf": sf_val,
         },
         separators=(",", ":"),
