@@ -151,11 +151,22 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket"),
         F.explode(tokens(F.col("text"))).alias("token"),
     )
-    per_bucket = tok.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_tok")
+    # ONE tokenize pass (guide §1.2): the raw token stream used to feed
+    # BOTH aggregates below, so the corpus was scanned + tokenized
+    # twice. The (bucket, token) count frame carries everything — token
+    # totals per bucket (Σ counts) and each token's first-seen bucket
+    # (min bucket) — and is far smaller than the token stream, so the
+    # two downstream aggregates run over the pinned distinct frame.
+    tok_counts = (
+        tok.groupBy("bucket", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    per_bucket = tok_counts.groupBy("bucket").agg(
+        F.sum("c").alias("n_tok")
     )
     new_vocab = (
-        tok.groupBy("token")
+        tok_counts.groupBy("token")
         .agg(F.min("bucket").alias("fb"))
         .groupBy(F.col("fb").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n_new"))

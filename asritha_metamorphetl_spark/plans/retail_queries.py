@@ -192,26 +192,34 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("monetary"),
     )
     from asritha_metamorphetl_spark.operators.ranks import (
+        _global_row_number_with_total,
         global_row_number,
     )
 
     # three scale-safe GLOBAL ranks (two-pass range partitioning — a
     # plain Window.orderBy would funnel every customer through one
-    # task); each rank converts to its quintile by integer equi-depth
-    n_cust = base.count()
+    # task); each rank converts to its quintile by integer equi-depth.
+    # base is pinned: it feeds the first rank walk AND (via the
+    # machinery's partition-size pass) supplies n_cust — the old
+    # spelling ran a separate count() that re-aggregated orders, so the
+    # fact scan + groupBy ran twice (guide §1.2).
+    base = base.localCheckpoint(eager=False)
+    ranked1, n_cust = _global_row_number_with_total(
+        base,
+        [F.col("last_order").desc(), F.col("o_custkey").asc()],
+        "_rn",
+    )
+
+    def quintile(col):
+        return (
+            F.floor((F.col(col) - 1) * RFM_Q / F.lit(n_cust)) + 1
+        ).cast("bigint")
 
     def with_quintile(df, order_cols, out):
         ranked = global_row_number(df, order_cols, out_col="_rn")
-        return ranked.withColumn(
-            out,
-            (F.floor((F.col("_rn") - 1) * RFM_Q / F.lit(n_cust)) + 1)
-            .cast("bigint"),
-        ).drop("_rn")
+        return ranked.withColumn(out, quintile("_rn")).drop("_rn")
 
-    scored = with_quintile(
-        base, [F.col("last_order").desc(), F.col("o_custkey").asc()],
-        "r_score",
-    )
+    scored = ranked1.withColumn("r_score", quintile("_rn")).drop("_rn")
     scored = with_quintile(
         scored, [F.col("freq").desc(), F.col("o_custkey").asc()],
         "f_score",

@@ -1240,9 +1240,17 @@ def cramers_v_categorical_pairs(
     contingency cells are bounded, so every aggregate is O(cells)."""
 
     def one(df: DataFrame, pair: str, a: str, b: str) -> DataFrame:
-        cells = df.groupBy(
-            F.col(a).alias("a"), F.col(b).alias("b")
-        ).agg(F.count(F.lit(1)).alias("o"))
+        # pin: the contingency cells feed FOUR subtrees (row marginals,
+        # column marginals, totals, the term join) — unpinned, each
+        # replays the fact-table scan + groupBy, so every pair scanned
+        # its table 4x. The cells frame is bounded (|a|·|b| rows), so
+        # one lazy localCheckpoint collapses the fact work to one pass
+        # per pair (guide §1.2; the scd2/cdc multi-subtree discipline).
+        cells = (
+            df.groupBy(F.col(a).alias("a"), F.col(b).alias("b"))
+            .agg(F.count(F.lit(1)).alias("o"))
+            .localCheckpoint(eager=False)
+        )
         rt = cells.groupBy("a").agg(F.sum("o").cast("bigint").alias("ra"))
         ct = cells.groupBy("b").agg(F.sum("o").cast("bigint").alias("cb"))
         tot = cells.agg(
