@@ -62,12 +62,30 @@ def ingest_entity(
     # cache means the check and both writes share one materialization.
     assert_unique(conformed, primary_key)
 
-    conformed.write.mode("overwrite").parquet(warehouse.raw_path(entity))
+    # The raw overwrite and the dated legacy append target DIFFERENT
+    # directories and read the same cached frame, so they are
+    # independent write jobs — overlap them on a 2-thread pool (guide
+    # §2.6: the second job's tasks back-fill the first's commit tail).
+    # Same artifacts, same layout; only the wall-clock changes.
     snapshot_day = day or _dt.date.today()
-    (
-        conformed.withColumn("DAY_DT", F.lit(snapshot_day.isoformat()).cast("date"))
-        .write.mode("append")
-        .partitionBy("DAY_DT")
-        .parquet(warehouse.legacy_path(entity))
-    )
+
+    def write_raw() -> None:
+        conformed.write.mode("overwrite").parquet(warehouse.raw_path(entity))
+
+    def write_legacy() -> None:
+        (
+            conformed.withColumn(
+                "DAY_DT", F.lit(snapshot_day.isoformat()).cast("date")
+            )
+            .write.mode("append")
+            .partitionBy("DAY_DT")
+            .parquet(warehouse.legacy_path(entity))
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(write_raw), pool.submit(write_legacy)]
+        for fut in futs:
+            fut.result()
     return conformed
