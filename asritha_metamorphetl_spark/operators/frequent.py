@@ -439,24 +439,27 @@ def bloom_build(
     return words, m, n_build
 
 
-def bloom_candidates(
+def bloom_member_flag(
     probe: DataFrame,
     col: str,
     words: list[int],
     m: int,
     k: int = 3,
     salt: str = "bloom:",
+    out_col: str = "bloom_might",
 ) -> DataFrame:
-    """Filter ``probe`` to the rows whose ``col`` MIGHT be in the filter
-    (no false negatives; false positives at the build's configured rate).
+    """``probe`` plus a boolean ``out_col``: True when ``col`` MIGHT be
+    in the filter (no false negatives; false positives at the build's
+    configured rate). The flag form lets an audit count members and
+    non-members in ONE pass instead of aggregating the filtered frame
+    and the raw frame separately (two scans of the probe table).
 
     The packed bitmap rides a ONE-ROW DataFrame broadcast into every
     task (a one-row BroadcastNestedLoopJoin — constant cost, no literal
     array bloating the plan tree), and membership is k JVM-side bit
     tests per row: ``element_at`` the word, AND against the shifted bit.
     The probe side is never shuffled, re-hashed into Python, or
-    collected — this predicate composes with any downstream join, which
-    then moves only the ≈(selectivity + 0.5%) fraction that survives."""
+    collected."""
     spark = probe.sparkSession
     bitmap = spark.createDataFrame([(words,)], "_bw array<bigint>")
     staged = _bloom_pos_cols(probe, col, k, m, salt).crossJoin(
@@ -469,4 +472,26 @@ def bloom_candidates(
             f" & shiftleft(1L, CAST(_bp{i} % 64 AS INT))) <> 0"
         )
         cond = bit if cond is None else (cond & bit)
-    return staged.filter(cond).select(*probe.columns)
+    return staged.select(*probe.columns, cond.alias(out_col))
+
+
+def bloom_candidates(
+    probe: DataFrame,
+    col: str,
+    words: list[int],
+    m: int,
+    k: int = 3,
+    salt: str = "bloom:",
+) -> DataFrame:
+    """Filter ``probe`` to the rows whose ``col`` MIGHT be in the filter
+    (no false negatives; false positives at the build's configured
+    rate) — ``bloom_member_flag`` with the flag consumed as a
+    predicate. This predicate composes with any downstream join, which
+    then moves only the ≈(selectivity + 0.5%) fraction that survives."""
+    return (
+        bloom_member_flag(
+            probe, col, words, m, k=k, salt=salt, out_col="_bloom_might"
+        )
+        .filter(F.col("_bloom_might"))
+        .select(*probe.columns)
+    )

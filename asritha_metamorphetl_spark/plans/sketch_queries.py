@@ -463,6 +463,19 @@ LEFT JOIN exa e USING (c_mktsegment)
 """
 
 
+def _bloom_build_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNPINNED distinct build-key frame (urgent-order customers).
+    Factored out so the plan gate can assert the priority predicate
+    pushes to the orders scan — the audit pins this frame with a lazy
+    localCheckpoint, which hides the scan from the final plan."""
+    orders = Catalog(sf_dir).load(spark, "orders")
+    return (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+
+
 @register("bloom_prune_audit", oracle=_bloom_oracle())
 def bloom_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """White-box Bloom-filter join pruning, audited against the exact
@@ -475,7 +488,7 @@ def bloom_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes the build keys into a ``bits_per_key·n``-bit set
     (``operators/frequent.bloom_build`` — distributed bit_or, O(m/64)
     driver rows), broadcasts it as ONE row, and drops probe rows
-    map-side with 3 JVM bit tests (``bloom_candidates``) — no false
+    map-side with 3 JVM bit tests (``bloom_member_flag``) — no false
     negatives, measured false positives.
 
     The audit emits, per market segment: probe rows, Bloom candidates,
@@ -491,50 +504,51 @@ def bloom_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     envelope) alongside CMS/HLL."""
     from asritha_metamorphetl_spark.operators.frequent import (
         bloom_build,
-        bloom_candidates,
+        bloom_member_flag,
     )
 
     cat = Catalog(sf_dir)
-    orders = cat.load(spark, "orders")
     cust = cat.load(spark, "customer")
-    build = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
-        F.col("o_custkey").alias("key")
-    )
+    # Pin the distinct build keys: bloom_build's count + position pass
+    # AND the exact-membership broadcast below all read this one frame,
+    # so orders is scanned ONCE instead of once per consumer (the old
+    # spelling re-derived the filtered keys three times: the distinct
+    # count, the position explode, and the left-semi ground truth).
+    keys = _bloom_build_keys(spark, sf_dir).localCheckpoint(eager=False)
     words, m, _n = bloom_build(
-        build, "key", k=BLOOM_K, bits_per_key=BLOOM_BPK, salt=BLOOM_SALT
+        keys, "key", k=BLOOM_K, bits_per_key=BLOOM_BPK, salt=BLOOM_SALT
     )
+    # ONE pass over the probe table: the Bloom verdict rides as a flag,
+    # exact membership as a broadcast left join against the (distinct,
+    # so cardinality-preserving) key set, and all three counters come
+    # out of a single per-segment aggregate — the old spelling scanned
+    # customer three times (probe totals, candidate totals, exact
+    # totals) and stitched them with two per-segment joins.
     probe = cust.select("c_custkey", "c_mktsegment")
-    cand = bloom_candidates(
-        probe, "c_custkey", words, m, k=BLOOM_K, salt=BLOOM_SALT
+    flagged = bloom_member_flag(
+        probe, "c_custkey", words, m, k=BLOOM_K, salt=BLOOM_SALT,
+        out_col="_might",
+    ).join(F.broadcast(keys), F.col("c_custkey") == F.col("key"), "left")
+    one = flagged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(F.when(F.col("_might"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_candidate"),
+        F.sum(F.when(F.col("key").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact"),
     )
-    n_probe = probe.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n_probe")
-    )
-    n_cand = cand.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n_candidate")
-    )
-    n_exact = (
-        probe.join(F.broadcast(build), probe.c_custkey == build.key, "left_semi")
-        .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-    )
-    cand_n = F.coalesce(F.col("n_candidate"), F.lit(0).cast("long"))
-    exact_n = F.coalesce(F.col("n_exact"), F.lit(0).cast("long"))
-    return (
-        n_probe.join(n_cand, "c_mktsegment", "left")
-        .join(n_exact, "c_mktsegment", "left")
-        .select(
-            "c_mktsegment",
-            "n_probe",
-            cand_n.alias("n_candidate"),
-            exact_n.alias("n_exact"),
-            (cand_n - exact_n).alias("n_false_pos"),
-            F.lit(m).cast("long").alias("m_bits"),
-            (
-                F.lit(BLOOM_FP_DEN) * (cand_n - exact_n)
-                <= F.col("n_probe") - exact_n
-            ).alias("fp_within_bound"),
-        )
+    return one.select(
+        "c_mktsegment",
+        "n_probe",
+        "n_candidate",
+        "n_exact",
+        (F.col("n_candidate") - F.col("n_exact")).alias("n_false_pos"),
+        F.lit(m).cast("long").alias("m_bits"),
+        (
+            F.lit(BLOOM_FP_DEN) * (F.col("n_candidate") - F.col("n_exact"))
+            <= F.col("n_probe") - F.col("n_exact")
+        ).alias("fp_within_bound"),
     )
 
 

@@ -39,6 +39,32 @@ def test_bloom_no_false_negatives_and_bounded_fp(spark):
     assert fp <= 2000 * 0.05  # theory ~0.5%; 10x headroom
 
 
+def test_bloom_member_flag_matches_candidates(spark):
+    """``bloom_member_flag`` (the one-pass audit form) must agree row
+    for row with ``bloom_candidates`` (the filter form): the flagged
+    True set IS the candidate set, and the flag never loses or adds
+    probe rows (r14: bloom_prune_audit counts members and non-members
+    from the flag in a single scan)."""
+    from asritha_metamorphetl_spark.operators.frequent import (
+        bloom_build,
+        bloom_candidates,
+        bloom_member_flag,
+    )
+
+    members = spark.range(0, 300).select(F.col("id").alias("k"))
+    probe = spark.range(0, 5_000).select(F.col("id").alias("k"))
+    words, m, _n = bloom_build(members, "k")
+    flagged = bloom_member_flag(probe, "k", words, m, out_col="might")
+    assert flagged.count() == 5_000  # cardinality preserved
+    flag_true = sorted(
+        r["k"] for r in flagged.filter("might").collect()
+    )
+    cand = sorted(
+        r["k"] for r in bloom_candidates(probe, "k", words, m).collect()
+    )
+    assert flag_true == cand
+
+
 def test_bloom_build_empty_and_floor(spark):
     """Degenerate build sides: zero keys still yields a valid (all-zero,
     floor-sized) filter that rejects everything."""
@@ -74,12 +100,21 @@ def test_bloom_probe_path_never_shuffles_probe_rows(spark):
 
 
 def test_bloom_audit_pushes_build_filter_to_scan(spark):
-    """The build side's priority predicate must reach the orders scan."""
-    from asritha_metamorphetl_spark.plans.registry import all_queries
+    """The build side's priority predicate must reach the orders scan.
 
-    plan = _plan(all_queries()["bloom_prune_audit"](spark, SF_CORRECT))
+    r14: the audit pins the distinct build keys (lazy localCheckpoint)
+    so orders is scanned ONCE for the count, the position pass and the
+    exact-membership broadcast; the orders FileScan therefore lives in
+    the pinned subtree's plan, and the FINAL plan must hold exactly one
+    customer scan (the one-pass audit aggregate) and no orders scan."""
+    from asritha_metamorphetl_spark.plans.registry import all_queries
+    from asritha_metamorphetl_spark.plans.sketch_queries import (
+        _bloom_build_keys,
+    )
+
+    keys_plan = _plan(_bloom_build_keys(spark, SF_CORRECT))
     scan = next(
-        seg for seg in plan.split("FileScan")[1:]
+        seg for seg in keys_plan.split("FileScan")[1:]
         if "orders" in seg.splitlines()[0]
     )
     # the PushedFilters section specifically — column pruning alone
@@ -87,6 +122,13 @@ def test_bloom_audit_pushes_build_filter_to_scan(spark):
     header = scan.splitlines()[0]
     pushed = header[header.index("PushedFilters"):]
     assert "EqualTo(o_orderpriority,1-URGENT)" in pushed
+
+    plan = _plan(all_queries()["bloom_prune_audit"](spark, SF_CORRECT))
+    scans = [
+        seg.splitlines()[0] for seg in plan.split("FileScan")[1:]
+    ]
+    assert sum("customer" in s for s in scans) == 1
+    assert not any("orders" in s for s in scans)
 
 
 # ---------------------------------------------------------------------------
