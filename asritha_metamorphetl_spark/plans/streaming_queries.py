@@ -39,6 +39,28 @@ from asritha_metamorphetl_spark.streaming.windows import (
 
 _AWAIT_SEC = 120
 
+
+def _overlap(*jobs, workers: int = 3) -> None:
+    """Run independent fixture-build jobs (seed writes, delta landings)
+    concurrently on a small pool — guide §2.6: the next job's tasks
+    back-fill executors freed by the current job's tail, so a family's
+    seed phase costs max(job) instead of sum(job). ONLY for jobs with
+    no ordering dependency (each writes its own directory); fold
+    sequences and micro-batch counts are pinned semantics and never go
+    through here. ``METAMORPH_SEQ_SEED_WRITES=1`` forces sequential
+    execution — the A/B control used to measure this change."""
+    import os as _os
+
+    if _os.environ.get("METAMORPH_SEQ_SEED_WRITES"):
+        for job in jobs:
+            job()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(workers, len(jobs))) as pool:
+        for fut in [pool.submit(job) for job in jobs]:
+            fut.result()
+
 #: Serializes _parity_suite entries (see its build-session note).
 import threading as _threading
 
@@ -422,8 +444,15 @@ def _cdc_stream_fixture(spark: SparkSession, sf_dir: str) -> str:
             eager=True
         )
         batches = _seq_band_batches(changelog)
-        for i, b in enumerate(batches):
-            b.coalesce(1).write.parquet(os.path.join(src, f"band{i}"))
+
+        # three independent band writes off the pinned changelog —
+        # overlap them (r14, §2.6)
+        def _land(i: int, b: DataFrame):
+            return lambda: b.coalesce(1).write.parquet(
+                os.path.join(src, f"band{i}")
+            )
+
+        _overlap(*[_land(i, b) for i, b in enumerate(batches)])
         schema = batches[0].schema
 
         table = BucketedCdcTable(
@@ -929,13 +958,19 @@ def _gram_state_fixture(spark: SparkSession, sf_dir: str) -> str:
         state_dir = os.path.join(root, "moments")
         src = os.path.join(root, "delta")
 
-        gram_moments(base, "embedding", EMB_DIM).coalesce(1).write.parquet(
-            os.path.join(state_dir, "batch_id=-1")
+        # seed moments + the three delta landings: four independent
+        # write jobs — overlap them (r14, §2.6)
+        def _land(i: int):
+            return lambda: delta.filter(
+                F.col("vec_id") % 3 == i
+            ).coalesce(1).write.parquet(os.path.join(src, f"batch{i}"))
+
+        _overlap(
+            lambda: gram_moments(base, "embedding", EMB_DIM)
+            .coalesce(1)
+            .write.parquet(os.path.join(state_dir, "batch_id=-1")),
+            *[_land(i) for i in range(3)],
         )
-        for i in range(3):
-            delta.filter(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(
-                os.path.join(src, f"batch{i}")
-            )
 
         stream = (
             spark.readStream.schema(delta.schema)
@@ -1035,13 +1070,19 @@ def _hll_state_fixture(spark: SparkSession, sf_dir: str) -> str:
         state_dir = os.path.join(root, "registers")
         src = os.path.join(root, "delta")
 
-        hll_registers(base, "l_orderkey", ("l_returnflag",)).coalesce(
-            1
-        ).write.parquet(state_dir)
-        for i in range(3):
-            delta.filter(F.col("l_orderkey") % 3 == i).coalesce(
-                1
-            ).write.parquet(os.path.join(src, f"batch{i}"))
+        # seed registers + the three delta landings are four independent
+        # write jobs into private paths — overlap them (r14, §2.6)
+        def _land(i: int):
+            return lambda: delta.filter(
+                F.col("l_orderkey") % 3 == i
+            ).coalesce(1).write.parquet(os.path.join(src, f"batch{i}"))
+
+        _overlap(
+            lambda: hll_registers(base, "l_orderkey", ("l_returnflag",))
+            .coalesce(1)
+            .write.parquet(state_dir),
+            *[_land(i) for i in range(3)],
+        )
 
         stream = (
             spark.readStream.schema(delta.schema)
@@ -1140,24 +1181,33 @@ def _mor_stream_fixture(spark: SparkSession, sf_dir: str) -> str:
         # o_custkey column is inert for the aggregates.
         pristine = _mor_table(spark, sf_dir)
         tbl_root = os.path.join(root, "tbl")
-        shutil.copytree(
-            pristine.root,
-            tbl_root,
-            ignore=shutil.ignore_patterns("_FIXTURE_READY"),
-        )
-        t = MergeOnReadTable(
-            spark, tbl_root, "o_orderkey", n_files=pristine.n_files
-        )
-        shutil.rmtree(t._deletes, ignore_errors=True)
+
+        def _copy_base() -> None:
+            shutil.copytree(
+                pristine.root,
+                tbl_root,
+                ignore=shutil.ignore_patterns("_FIXTURE_READY"),
+            )
+            shutil.rmtree(
+                os.path.join(tbl_root, "deletes"), ignore_errors=True
+            )
 
         src = os.path.join(root, "deletekeys")
         d1 = orders.filter(_MOR_D1).select("o_orderkey").localCheckpoint()
         d2 = orders.filter(_MOR_D2).select("o_orderkey")
         # one file per batch so maxFilesPerTrigger=1 yields EXACTLY three
-        # micro-batches; batch2 re-delivers batch0's keys verbatim
-        d1.coalesce(1).write.parquet(os.path.join(src, "b0"))
-        d2.coalesce(1).write.parquet(os.path.join(src, "b1"))
-        d1.coalesce(1).write.parquet(os.path.join(src, "b2"))
+        # micro-batches; batch2 re-delivers batch0's keys verbatim. The
+        # FS copy of the base table and the three key-batch writes are
+        # independent — overlap them (r14, §2.6).
+        _overlap(
+            _copy_base,
+            lambda: d1.coalesce(1).write.parquet(os.path.join(src, "b0")),
+            lambda: d2.coalesce(1).write.parquet(os.path.join(src, "b1")),
+            lambda: d1.coalesce(1).write.parquet(os.path.join(src, "b2")),
+        )
+        t = MergeOnReadTable(
+            spark, tbl_root, "o_orderkey", n_files=pristine.n_files
+        )
 
         stream = (
             spark.readStream.schema("o_orderkey bigint")
@@ -1263,33 +1313,8 @@ def _events_lastvalue_fixture(spark: SparkSession, sf_dir: str) -> str:
         w = Window.partitionBy("user_id", "ym").orderBy(
             F.col("ts").desc(), F.col("event_id").desc()
         )
-        base.withColumn("_rn", F.row_number().over(w)).filter(
-            F.col("_rn") == 1
-        ).drop("_rn").coalesce(1).write.parquet(
-            os.path.join(sa_state, "batch_id=-1")
-        )
         d0 = delta.filter(F.col("event_id") % 2 == 0)
         d1 = delta.filter(F.col("event_id") % 2 == 1)
-        d0.coalesce(1).write.parquet(os.path.join(src, "b0"))
-        d1.coalesce(1).write.parquet(os.path.join(src, "b1"))
-        d0.coalesce(1).write.parquet(os.path.join(src, "b2"))  # re-delivery
-
-        stream = (
-            spark.readStream.schema(delta.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{src}/*/")
-        )
-        q = (
-            last_value_fold_stream(
-                stream, sa_state, ["user_id", "ym"], ["ts", "event_id"]
-            )
-            .option("checkpointLocation", os.path.join(root, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(_AWAIT_SEC):
-            q.stop()
-            raise TimeoutError("semi-additive fold stream did not finish")
 
         # --- retry-contract direct folds (key: user_id) ---
         rf = enc.select(
@@ -1299,21 +1324,64 @@ def _events_lastvalue_fixture(spark: SparkSession, sf_dir: str) -> str:
         b0 = rf.filter((F.col("_b") == 6) | (F.col("_b") == 7)).drop("_b")
         b1 = rf.filter(F.col("_b") >= 8).drop("_b")
         rf_state = os.path.join(root, "retry")
-
         wu = Window.partitionBy("user_id").orderBy(
             F.col("ts").desc(), F.col("event_id").desc()
         )
-        seed.withColumn("_rn", F.row_number().over(wu)).filter(
-            F.col("_rn") == 1
-        ).drop("_rn").coalesce(1).write.parquet(
-            os.path.join(rf_state, "batch_id=-1")
+
+        # the two seed writes and three delta landings are five
+        # independent write jobs into private paths — overlap them
+        # (r14, §2.6); both fold sequences below see all their inputs
+        # complete exactly as before
+        _overlap(
+            lambda: base.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .coalesce(1)
+            .write.parquet(os.path.join(sa_state, "batch_id=-1")),
+            lambda: seed.withColumn("_rn", F.row_number().over(wu))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .coalesce(1)
+            .write.parquet(os.path.join(rf_state, "batch_id=-1")),
+            lambda: d0.coalesce(1).write.parquet(os.path.join(src, "b0")),
+            lambda: d1.coalesce(1).write.parquet(os.path.join(src, "b1")),
+            # re-delivery
+            lambda: d0.coalesce(1).write.parquet(os.path.join(src, "b2")),
         )
-        key_cols = ["user_id"]
-        order_cols = ["ts", "event_id"]
-        fold_last_value_batch(b0, 0, rf_state, key_cols, order_cols)
-        # the retry: same frame, same batch_id, state already present
-        fold_last_value_batch(b0, 0, rf_state, key_cols, order_cols)
-        fold_last_value_batch(b1, 1, rf_state, key_cols, order_cols)
+
+        def run_semiadd_stream() -> None:
+            stream = (
+                spark.readStream.schema(delta.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{src}/*/")
+            )
+            q = (
+                last_value_fold_stream(
+                    stream, sa_state, ["user_id", "ym"], ["ts", "event_id"]
+                )
+                .option("checkpointLocation", os.path.join(root, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(_AWAIT_SEC):
+                q.stop()
+                raise TimeoutError(
+                    "semi-additive fold stream did not finish"
+                )
+
+        def run_retry_folds() -> None:
+            key_cols = ["user_id"]
+            order_cols = ["ts", "event_id"]
+            fold_last_value_batch(b0, 0, rf_state, key_cols, order_cols)
+            # the retry: same frame, same batch_id, state already present
+            fold_last_value_batch(b0, 0, rf_state, key_cols, order_cols)
+            fold_last_value_batch(b1, 1, rf_state, key_cols, order_cols)
+
+        # the semi-additive micro-batch stream and the retry-contract
+        # fold sequence touch DISJOINT state dirs (semiadd/ vs retry/)
+        # and each keeps its internal order — overlap the two sequences
+        # exactly like the docs trilogy's concurrent per-batch folds
+        _overlap(run_semiadd_stream, run_retry_folds, workers=2)
 
     return cached_fixture(spark, "stream_lastvalue_pair", sf_dir, build)
 
@@ -1762,14 +1830,24 @@ def _wmdrop_state_fixture(spark: SparkSession, sf_dir: str) -> str:
             ev.filter(us < c1),   # late arrivals, two triggers behind
             ev.filter(us >= c2),  # the newest data closes the run
         )
-        for i, b in enumerate(batches):
-            d = os.path.join(src, f"b{i}")
-            b.coalesce(1).write.parquet(d)
-            # FileStreamSource orders by modification time: pin it so
-            # maxFilesPerTrigger=1 delivers exactly this batch order
-            for f in os.listdir(d):
-                os.utime(os.path.join(d, f), (1000 * (i + 1),) * 2)
-            os.utime(d, (1000 * (i + 1),) * 2)
+        # four independent single-file writes — overlap them (r14,
+        # §2.6); each job pins its OWN files' modification times after
+        # its write completes, so the delivery order FileStreamSource
+        # derives from mtime is identical however the writes interleave
+        def _land(i: int, b: DataFrame):
+            def job() -> None:
+                d = os.path.join(src, f"b{i}")
+                b.coalesce(1).write.parquet(d)
+                # FileStreamSource orders by modification time: pin it
+                # so maxFilesPerTrigger=1 delivers exactly this batch
+                # order
+                for f in os.listdir(d):
+                    os.utime(os.path.join(d, f), (1000 * (i + 1),) * 2)
+                os.utime(d, (1000 * (i + 1),) * 2)
+
+            return job
+
+        _overlap(*[_land(i, b) for i, b in enumerate(batches)])
 
         stream = (
             spark.readStream.schema(ev.schema)
