@@ -47,11 +47,90 @@ from asritha_metamorphetl_spark.sources.files import Catalog
 NGRAM_FIXTURE_TAU = 0.5
 NGRAM_FIXTURE_MAX_DF = 100
 
+# ---------------------------------------------------------------------------
+# Suite prewarm (round 14): overlap the independent fixture builds
+# ---------------------------------------------------------------------------
+
+import threading as _threading
+
+#: Serializes the prewarm fan-out; per-fixture build idempotence is
+#: still owned by ``cached_fixture`` / ``_cached_model`` themselves.
+_PREWARM_LOCK = _threading.Lock()
+#: (applicationId, abspath(sf_dir)) → prewarm already ran.
+_PREWARM_DONE: set[tuple[str, str]] = set()
+#: Pool threads set this so nested accessor calls inside a family
+#: builder (labels → pairs, residual books → centroids) skip re-entry.
+_IN_PREWARM = _threading.local()
+
+
+def _prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
+    """Build ALL shared dedup/ANN fixtures of this (session, sf)
+    CONCURRENTLY on first touch (guide §2.6, the _parity_suite
+    precedent): the eight families — minhash pairs→labels chain, exact
+    n-gram truth, cosine/L2 truth, SemDeDup assignment, the two IVF
+    centroid models, the raw and residual PQ codebook chains — are
+    independent jobs over two small tables, and each underuses
+    local[32] alone (driver-bound planning, tiny shuffles), so the
+    first consumer used to pay sum(builds) strictly sequentially as
+    queries touched them one by one. Three in flight fills the tail
+    without a driver pile-up (same bound the parity suite measured).
+
+    Per-family content, labels, and build jobs are UNCHANGED — this
+    only moves wall-clock: the first consumer of any shared fixture now
+    carries the whole suite's makespan in its timed region (attributed
+    per label in FIXTURE_BUILD_LOG exactly as before), and every later
+    consumer reads a finished artifact. Demo queries keep their inline
+    pipelines and never enter here. A family build that raises is
+    swallowed here (no marker/memo is written) and surfaces in that
+    family's own consumers, which retry it exactly as before."""
+    if getattr(_IN_PREWARM, "on", False):
+        return
+    if os.environ.get("METAMORPH_SEQ_FIXTURES"):
+        # A/B control: fall back to build-on-first-touch per fixture
+        return
+    app = spark.sparkContext.applicationId
+    key = (app, os.path.abspath(sf_dir))
+    if key in _PREWARM_DONE:
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    families = (
+        # chains resolve their dependency inside one family job
+        lambda: minhash_cluster_labels(spark, sf_dir),
+        lambda: ngram_jaccard_scored(spark, sf_dir),
+        lambda: cosine_truth_topk(spark, sf_dir),
+        lambda: l2_truth_topk_gated(spark, sf_dir),
+        lambda: semdedup_assignment(spark, sf_dir),
+        lambda: ivf_centroids_knn(spark, sf_dir),
+        lambda: pq_codebooks_raw(spark, sf_dir),
+        lambda: ivfpq_residual_books(spark, sf_dir),
+    )
+
+    def run(fn) -> None:
+        _IN_PREWARM.on = True
+        try:
+            fn()
+        except Exception:
+            # no marker/memo written on failure — the owning family's
+            # consumers rebuild and surface the real error
+            pass
+        finally:
+            _IN_PREWARM.on = False
+
+    with _PREWARM_LOCK:
+        if key in _PREWARM_DONE:
+            return
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            for fut in [pool.submit(run, fn) for fn in families]:
+                fut.result()
+        _PREWARM_DONE.add(key)
+
 
 def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MinHash-LSH candidate pair set (doc_a < doc_b), materialized
     once per session — the shared front end of the near-dup closure,
     split-leakage, overlap-matrix, and calibration queries."""
+    _prewarm_fixtures(spark, sf_dir)
     from asritha_metamorphetl_spark.operators import dedup as D
 
     def build(root: str) -> None:
@@ -69,6 +148,7 @@ def minhash_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     (id, label) — the cluster assignment every keep-one-per-cluster
     consumer re-derived per query. The iterative closure runs once per
     session; the label table is O(clustered docs)."""
+    _prewarm_fixtures(spark, sf_dir)
     from asritha_metamorphetl_spark.operators.graph import (
         connected_components,
     )
@@ -89,6 +169,7 @@ def ngram_jaccard_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ground truth for the MinHash recall eval, the band-tuning sweep,
     and the threshold sweep — consumers filter ``jaccard >= tau`` for
     tighter settings."""
+    _prewarm_fixtures(spark, sf_dir)
     from asritha_metamorphetl_spark.operators import dedup as D
 
     def build(root: str) -> None:
@@ -112,6 +193,7 @@ def cosine_truth_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-ran as its own cross-join + window. One brute-force pass per
     session serves them all; the demo ranker ``knn_cosine_topk`` keeps
     its inline pipeline."""
+    _prewarm_fixtures(spark, sf_dir)
     from pyspark.sql import functions as F
 
     from asritha_metamorphetl_spark.operators.similarity import (
@@ -141,6 +223,7 @@ def l2_truth_topk_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``knn_l2_topk`` / ``knn_jl_recall_eval`` is deliberately NOT
     served from this fixture: gating changes what those queries
     compute on degenerate inputs."""
+    _prewarm_fixtures(spark, sf_dir)
     from pyspark.sql import functions as F
 
     from asritha_metamorphetl_spark.operators.similarity import (
@@ -169,6 +252,7 @@ def semdedup_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SEMDEDUP_NLIST, SEMDEDUP_TAU) — shared by the recall eval and the
     end-to-end curation verdict; ``semdedup_survivors`` (the operator
     demo) keeps its inline pipeline."""
+    _prewarm_fixtures(spark, sf_dir)
     from asritha_metamorphetl_spark.operators.similarity import (
         finite_vectors,
         semdedup,
@@ -220,12 +304,13 @@ _EMB_COUNT_MEMO: dict[tuple[str, str, bool], int] = {}
 #: assumed. Build seconds land in ``FIXTURE_BUILD_LOG`` like every
 #: other fixture so bench rows stay honest.
 _MODEL_MEMO: dict[tuple[str, str, str], object] = {}
-#: Created at import time: the old lazy check-then-set let two
-#: concurrent first callers each mint their own lock and both run
-#: build(), double-charging FIXTURE_BUILD_LOG (ADVICE r13).
-import threading as _threading
-
-_MODEL_LOCK = _threading.Lock()
+#: Guard created at import time (ADVICE r13: the old lazy check-then-set
+#: let two concurrent first callers each mint their own lock and both
+#: run build()). r14: one lock PER MODEL KEY, minted under the guard —
+#: a single global lock serialized the prewarm suite's four model
+#: trainings for no correctness gain (distinct keys never share state).
+_MODEL_LOCKS_GUARD = _threading.Lock()
+_MODEL_LOCKS: dict[tuple[str, str, str], _threading.Lock] = {}
 
 
 def _cached_model(spark: SparkSession, label: str, sf_dir: str, build):
@@ -238,7 +323,9 @@ def _cached_model(spark: SparkSession, label: str, sf_dir: str, build):
         os.path.abspath(sf_dir),
         label,
     )
-    with _MODEL_LOCK:
+    with _MODEL_LOCKS_GUARD:
+        lock = _MODEL_LOCKS.setdefault(key, _threading.Lock())
+    with lock:
         if key in _MODEL_MEMO:
             return _MODEL_MEMO[key]
         t0 = time.perf_counter()
@@ -264,6 +351,7 @@ def ivf_centroids_knn(spark: SparkSession, sf_dir: str):
     """IVF centroid matrix at the knn_ivf knobs (IVF_NLIST lowest-id
     seeds + IVF_REFINE_ITERS Lloyd iterations over the gated corpus) —
     shared by ``knn_ivf_topk`` and ``knn_ivf_recall_eval``."""
+    _prewarm_fixtures(spark, sf_dir)
     from asritha_metamorphetl_spark.operators.similarity import (
         ivf_train_centroids,
     )
@@ -288,6 +376,7 @@ def ivfpq_centroids(spark: SparkSession, sf_dir: str):
     """IVF centroid matrix at the IVF-PQ knobs (IVFPQ_NLIST seeds +
     IVFPQ_IVF_REFINE Lloyd iterations, gated corpus) — the routing half
     shared by all four IVF-PQ queries (raw + residual, topk + eval)."""
+    _prewarm_fixtures(spark, sf_dir)
     from asritha_metamorphetl_spark.operators.similarity import (
         ivf_train_centroids,
     )
@@ -313,6 +402,7 @@ def pq_codebooks_raw(spark: SparkSession, sf_dir: str):
     subspaces × PQ_NCODES codewords, PQ_REFINE Lloyd iterations, gated
     corpus) — shared by the PQ pair, the code histogram, and the
     raw-vector IVF-PQ pair (all five train this identical model)."""
+    _prewarm_fixtures(spark, sf_dir)
     from asritha_metamorphetl_spark.operators.similarity import (
         pq_train_codebooks,
     )
@@ -338,6 +428,7 @@ def pq_codebooks_raw(spark: SparkSession, sf_dir: str):
 def ivfpq_residual_books(spark: SparkSession, sf_dir: str):
     """Residual PQ codebooks (trained on v − centroid[cell] under the
     shared ``ivfpq_centroids``) — shared by the residual IVF-PQ pair."""
+    _prewarm_fixtures(spark, sf_dir)
     from asritha_metamorphetl_spark.operators.similarity import (
         ivfpq_residual_train_books,
     )
