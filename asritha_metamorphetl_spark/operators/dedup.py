@@ -74,7 +74,11 @@ def exact_duplicates(
 
 
 def lsh_banded(
-    df: DataFrame, text_col: str, id_col: str, spread: bool = True
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    spread: bool = True,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, band_key) LSH band rows: shingle → MinHash signature →
     exploded band keys. The shared front half of every MinHash dedup
@@ -86,18 +90,31 @@ def lsh_banded(
     for streaming MICRO-BATCH callers (the ingest-dedup fold), where the
     batch is small by contract, its parallelism is the source's concern,
     and the repartition shuffle + per-core task overhead would dominate
-    the actual hashing. Band-row CONTENT is identical either way."""
+    the actual hashing. Band-row CONTENT is identical either way.
+
+    ``carry_cols`` names extra input columns to ride through unchanged
+    next to (doc_id, band_key) — e.g. a base/delta flag, so a caller
+    that needs flagged band rows can band ONE frame instead of banding
+    each flag class separately (r14: the incremental pair join)."""
+    carry = [F.col(c) for c in carry_cols]
     staged = _spread(df) if spread else df
     shingled = staged.select(
-        F.col(id_col).alias("doc_id"), H.word_shingles(F.col(text_col)).alias("sh")
+        F.col(id_col).alias("doc_id"),
+        *carry,
+        H.word_shingles(F.col(text_col)).alias("sh"),
     ).filter(F.size("sh") > 0)
     # Stage the md5 hashes as their own column so the 12 signature mins
     # reuse them (HOFs get no codegen CSE — an inline expression would
     # re-run md5 per signature row).
-    hashed = shingled.select("doc_id", H.hashed48(F.col("sh")).alias("hv"))
-    sig = hashed.select("doc_id", *H.minhash_signature(F.col("hv")))
+    hashed = shingled.select(
+        "doc_id", *carry, H.hashed48(F.col("sh")).alias("hv")
+    )
+    sig = hashed.select(
+        "doc_id", *carry, *H.minhash_signature(F.col("hv"))
+    )
     return sig.select(
         "doc_id",
+        *carry,
         F.explode(
             H.lsh_band_keys([F.col(f"mh_{i}") for i in range(H.MINHASH_K)])
         ).alias("band_key"),
@@ -409,14 +426,29 @@ def minhash_lsh_pairs_incremental(
     Returns (doc_a, doc_b, pair_type): pair_type 'base_delta' (doc_a is
     the existing document) or 'delta_delta' (doc_a < doc_b).
     """
-    base_b = lsh_banded(base, text_col, id_col).withColumn(
-        "is_new", F.lit(False)
+    # Band ONE flagged union instead of banding base and delta apart
+    # (r14): the signature pipeline (shingle → md5 → 12 minhash mins)
+    # used to run three times — base once on the union side, delta
+    # TWICE (union side + probe side). Flag first, band once, and PIN
+    # the flagged band table (a repartition on the join key is not
+    # enough: the optimizer pushes the is_new filter below the banding,
+    # splitting the subtrees so ReuseExchange never fires). The pinned
+    # frame is exactly the artifact production PERSISTS for the corpus
+    # (see lsh_banded's docstring); the probe side is the is_new filter
+    # over it. Identical pair set — the join condition and
+    # forward-pairing filters are untouched.
+    flagged = base.select(
+        F.col(id_col), F.col(text_col), F.lit(False).alias("is_new")
+    ).unionByName(
+        delta.select(
+            F.col(id_col), F.col(text_col), F.lit(True).alias("is_new")
+        )
     )
-    delta_b = lsh_banded(delta, text_col, id_col).withColumn(
-        "is_new", F.lit(True)
-    )
-    left = base_b.unionByName(delta_b).alias("l")
-    right = delta_b.alias("r")
+    banded = lsh_banded(
+        flagged, text_col, id_col, carry_cols=("is_new",)
+    ).localCheckpoint(eager=False)
+    left = banded.alias("l")
+    right = banded.filter(F.col("is_new")).alias("r")
     return (
         left.join(right, "band_key")
         .filter(F.col("l.doc_id") != F.col("r.doc_id"))

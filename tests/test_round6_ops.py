@@ -227,6 +227,26 @@ def test_unimax_all_capped(spark):
     assert {r.source: r.allocation for r in out} == {"a": 100.0, "b": 300.0}
 
 
+def test_lsh_banded_carry_cols_ride_through(spark):
+    """``carry_cols`` (r14: the incremental join's base/delta flag)
+    must ride through the banding unchanged — same (doc_id, band_key)
+    rows as the plain call, each tagged with its input row's flag."""
+    from asritha_metamorphetl_spark.operators.dedup import lsh_banded
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").withColumn(
+        "flag", F.col("doc_id") % 2 == 0
+    )
+    plain = {
+        (r.doc_id, r.band_key)
+        for r in lsh_banded(docs, "text", "doc_id").collect()
+    }
+    carried = lsh_banded(
+        docs, "text", "doc_id", carry_cols=("flag",)
+    ).collect()
+    assert {(r.doc_id, r.band_key) for r in carried} == plain
+    assert all(r.flag == (r.doc_id % 2 == 0) for r in carried)
+
+
 def test_incremental_dedup_equals_full_minus_base_pairs(spark):
     """The incremental operator must find EXACTLY the full self-join's
     pairs that involve at least one delta doc — no more (no phantom
