@@ -61,10 +61,15 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
+    # Seed labels with round 1's result (r14): over identity labels the
+    # first propagation round computes exactly least(id, min neighbor
+    # id), so fold it into the init aggregate — every graph converges
+    # one materialize+count round earlier, and the fixpoint (hence the
+    # result) is unchanged.
     labels = (
-        sym.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        sym.groupBy(F.col("a").alias("id"))
+        .agg(F.min("b").alias("nbr"))
+        .select("id", F.least(F.col("id"), F.col("nbr")).alias("label"))
         .localCheckpoint(eager=True)
     )
     sym = sym.localCheckpoint(eager=True)
