@@ -1436,7 +1436,15 @@ def mor_compaction_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    hot = t.compact(min_delete_ratio=MOR_COMPACT_RATIO)
+    # hand compact the pinned pre-state stats (same table version, no
+    # commit in between) so the base+deletes scan behind delete_stats
+    # runs once, not twice (r14)
+    hot = t.compact(
+        min_delete_ratio=MOR_COMPACT_RATIO,
+        stats=pre.select(
+            F.col("file_id").alias("_file"), "n_deleted", "delete_ratio"
+        ),
+    )
     # post-state resolves through the committed manifest (round 9:
     # rewritten files live in a new generation dir; data/ keeps the
     # superseded hot dirs for snapshot readers until vacuum)

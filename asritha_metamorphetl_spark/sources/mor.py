@@ -442,7 +442,11 @@ class MergeOnReadTable:
 
     # -- maintenance ------------------------------------------------------
 
-    def compact(self, min_delete_ratio: float = 0.1) -> list[int]:
+    def compact(
+        self,
+        min_delete_ratio: float = 0.1,
+        stats: DataFrame | None = None,
+    ) -> list[int]:
         """Fold deletes into the files whose delete ratio ≥ threshold:
         rewrite ONLY those file directories without their deleted rows
         into a fresh generation directory, then commit a manifest that
@@ -463,7 +467,15 @@ class MergeOnReadTable:
         moves — the resurrection and missing-file windows of a rename-
         swap design structurally cannot occur."""
         _, manifest = self._resolve()
-        stats = self.delete_stats().filter(
+        # ``stats`` lets a caller that ALREADY materialized this
+        # table-version's delete_stats (the compaction profile pins the
+        # pre-state before mutating) hand it in instead of paying the
+        # base+deletes scan again (r14). Caller contract: the frame
+        # must be delete_stats() of the CURRENT version — any commit in
+        # between voids it.
+        if stats is None:
+            stats = self.delete_stats()
+        stats = stats.filter(
             (F.col("delete_ratio") >= min_delete_ratio)
             & (F.col("n_deleted") > 0)
         )

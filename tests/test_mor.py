@@ -90,6 +90,37 @@ def test_compact_rewrites_only_hot_files(spark, tmp_path):
     assert live == set(range(100)) - set(hot_keys) - {1}
 
 
+def test_compact_with_precomputed_stats_matches_plain(spark, tmp_path):
+    """compact(stats=delete_stats()) must pick the same hot set and
+    leave the same table state as recomputing stats internally (r14:
+    the compaction profile hands in its pinned pre-state)."""
+    import shutil as _sh
+
+    t = _mk(spark, tmp_path / "a", n=100, n_files=4)
+    hot_keys = [k for k in range(0, 80) if k % 4 == 0]
+    dels = spark.createDataFrame([(k,) for k in hot_keys + [1]], "k long")
+    t.delete_keys(dels)
+    # twin copy, same state
+    _sh.copytree(t.root, tmp_path / "b")
+    from asritha_metamorphetl_spark.sources.mor import MergeOnReadTable
+
+    t2 = MergeOnReadTable(spark, str(tmp_path / "b"), "k", n_files=4)
+    pre = t.delete_stats().localCheckpoint()
+    hot_a = t.compact(min_delete_ratio=0.5, stats=pre)
+    hot_b = t2.compact(min_delete_ratio=0.5)
+    assert hot_a == hot_b == [0]
+    live_a = {r["k"] for r in t.read().select("k").collect()}
+    live_b = {r["k"] for r in t2.read().select("k").collect()}
+    assert live_a == live_b
+    pend_a = sorted(
+        (r["_file"], r["_pos"]) for r in t._delete_rows().distinct().collect()
+    )
+    pend_b = sorted(
+        (r["_file"], r["_pos"]) for r in t2._delete_rows().distinct().collect()
+    )
+    assert pend_a == pend_b
+
+
 def test_compact_below_threshold_is_noop(spark, tmp_path):
     t = _mk(spark, tmp_path)
     t.delete_keys(spark.createDataFrame([(1,)], "k long"))
